@@ -1,0 +1,89 @@
+"""Benchmark harness: times the headline declared queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a cheap but complete action
+(df.foreach no-op would still move rows to Python; we use
+count() on a cached plan? No — write.format("noop") is the
+standard sink that executes the full plan JVM-side with zero
+serialization cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lab5_lakehouse_etl_spark import queries as Q
+from lab5_lakehouse_etl_spark.session import DEFAULT_SF_DIR, build_session
+
+#: Headline set: the scans/joins/aggs/windows that dominate real
+#: workloads, plus the LLM-data operators. Streaming/side-effect
+#: queries are excluded (they measure sink setup, not the engine).
+BENCH_QUERIES = [
+    "q_agg_groupby",
+    "q_agg_rollup",
+    "q_agg_countd",
+    "q_join_inner",
+    "q_join_star",
+    "q_join_semi",
+    "q_window_dedup",
+    "q_topk_pergroup",
+    "q_window_asof",
+    "q_window_tumbling",
+    "q_sort_limit",
+    "q_set_except",
+    "q_text_tokens",
+    "q_text_quality",
+    "q_fingerprint",
+    "q_dedup_exact_docs",
+    "q_dedup_minhash",
+    "q_topk_similarity",
+    "q_pipeline_orders",
+    "q_pipeline_items",
+]
+
+
+def force(df) -> None:
+    """Execute the full plan JVM-side (noop sink: no collect, no IO)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    Q.load_all()
+    spark = build_session("lab5-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_wall_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine is the exact baseline: a narrow JVM map computing
+dot products with zip_with/aggregate lambdas (no UDF, no Python), then
+TakeOrderedAndProject for top-k — at 100 TB this is one scan, zero
+shuffles.
+
+The scale path is random-hyperplane LSH: a deterministic set of
+hyperplanes (seeded, generated driver-side as literals) maps each
+vector to a small signature; near neighbors collide in buckets, and the
+exact cosine re-rank touches only bucket-mates. Bucket keys are hashes,
+so the self-join distributes uniformly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, sequential left-fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sq_norm(a: Column) -> Column:
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
+
+
+def _vec_lit(vec) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to a literal query
+    vector. orderBy+limit compiles to TakeOrderedAndProject (per-
+    partition heaps, driver merge) — no global sort."""
+    q = _vec_lit(query_vec)
+    sim = F.round(cosine(F.col(vec_col), q), 4).alias("cosine_sim")
+    return (
+        df.select(F.col(id_col), sim)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side, shipped as literals)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bucket id: bit i = (v·planeᵢ > 0)."""
+    bits = [
+        F.when(dot(F.col(vec_col), _vec_lit(p)) > 0, F.lit(1)).otherwise(F.lit(0))
+        for p in planes
+    ]
+    bucket = F.lit(0).cast("bigint")
+    for i, bit in enumerate(bits):
+        bucket = bucket + F.shiftleft(bit.cast("bigint"), i)
+    return bucket
+
+
+def ann_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    min_cosine: float = 0.0,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: bucket by hyperplane signature,
+    exact cosine re-rank within buckets only. Returns (id_a, id_b,
+    cosine_sim) with id_a < id_b, cosine ≥ min_cosine."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= min_cosine)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_probe_bits: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flavored top-k: restrict the exact scan to LSH cells within
+    ``n_probe_bits`` Hamming distance of the query's cell (multi-probe),
+    then brute-force those. Trades recall for a ~2^planes scan cut."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qbits = [1 if float(np.dot(query_vec, p)) > 0 else 0 for p in planes]
+    qbucket = sum(b << i for i, b in enumerate(qbits))
+    probes = {qbucket} | {qbucket ^ (1 << i) for i in range(n_planes)} if n_probe_bits else {qbucket}
+    bucketed = df.withColumn("__bucket", lsh_bucket(vec_col, planes))
+    cell = bucketed.filter(F.col("__bucket").isin([int(p) for p in probes]))
+    return topk_cosine(cell.drop("__bucket"), query_vec, k, id_col, vec_col)

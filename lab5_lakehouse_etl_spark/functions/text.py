@@ -1,0 +1,155 @@
+"""Text-analysis operators over a document table.
+
+All hot-path operators are JVM-side built-in expressions (split/
+transform/filter/aggregate lambdas) — no Python in the row path. The
+one pandas_udf here (``lang_id_ngram``) demonstrates the Arrow-batched
+escape hatch for logic that genuinely needs Python, and is declared
+rows-only.
+
+Scale: every operator is a narrow map over the documents table — no
+shuffle at all until a downstream groupBy. At 100 TB these run at
+parquet-scan speed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+#: Tiny per-language marker vocabularies for the heuristic language IDer.
+#: (The fixture's `text` is synthetic English-ish word soup with a `lang`
+#: label column; the heuristic is deterministic regardless of accuracy.)
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "das"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (JVM split)."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: each word contributes ceil(len/4)
+    pieces — a cheap, deterministic stand-in for a BPE tokenizer's token
+    count (JVM lambda aggregate; no lookahead regex, so the DuckDB/RE2
+    oracle can express the identical rule)."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4),
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    punct = F.length(F.regexp_replace(text, r"[^.,!?;:'\"]", ""))
+    return F.round(punct / F.greatest(F.length(text), F.lit(1)), 6)
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = ("the", "a", "of", "and")) -> Column:
+    """Count of stopword tokens via a JVM filter lambda."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(
+        F.filter(tokens(text), lambda t: F.array_contains(sw, t))
+    ).cast("bigint")
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score from length / punctuation /
+    stopword signals — the standard cheap pre-filter for LLM training
+    corpora (length-normalized, deterministic)."""
+    length_ok = F.when(F.length(text).between(50, 20000), 1.0).otherwise(0.3)
+    sw_ratio = stopword_count(text) / F.greatest(token_count(text), F.lit(1))
+    sw_ok = F.when(sw_ratio.between(0.01, 0.5), 1.0).otherwise(0.5)
+    return F.round(length_ok * 0.5 + sw_ok * 0.3 + (1.0 - punct_ratio(text)) * 0.2, 6)
+
+
+def lang_guess(text: Column) -> Column:
+    """Deterministic marker-word language heuristic (JVM CASE chain).
+
+    Checks each language's marker vocabulary in a fixed order; falls
+    back to 'en'. SQL-expressible, so it carries a DuckDB oracle.
+    """
+    toks = tokens(text)
+    expr = F.lit("en")
+    # Build the CASE chain in reverse so earlier languages win ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        markers = LANG_MARKERS[lang]
+        sw = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        expr = F.when(hits >= 2, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized token stream —
+    whitespace-insensitive exact-dup detection key."""
+    return F.md5(F.array_join(tokens(text), " "))
+
+
+@F.pandas_udf(StringType())
+def lang_id_ngram(texts: pd.Series) -> pd.Series:
+    """Arrow-batched character-trigram language IDer (the pandas-UDF
+    escape hatch; rows-only — not SQL-expressible). Profiles are tiny
+    and inline; vectorized over each Arrow batch."""
+    profiles = {
+        "en": {"the", " th", "he ", "ing", "and"},
+        "de": {"der", "ein", "sch", "und", "ich"},
+        "fr": {"les", "de ", "ent", "une", "est"},
+        "es": {"los", "de ", "que", "ión", "ent"},
+    }
+
+    def guess(t: str) -> str:
+        if not t:
+            return "en"
+        t = t.lower()
+        grams = {t[i : i + 3] for i in range(len(t) - 2)}
+        best, best_score = "en", -1
+        for lang in sorted(profiles):
+            score = len(grams & profiles[lang])
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    return texts.map(guess)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column family to a document table."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        distinct_token_count(t).alias("n_distinct_tokens"),
+        bpe_ish_token_count(t).alias("n_subword_tokens"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_count(t).alias("n_stopwords"),
+        avg_token_len(t).alias("avg_token_len"),
+        quality_score(t).alias("quality"),
+        lang_guess(t).alias("lang_guess"),
+        rolling_fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,69 @@
+"""Deduplication declared queries over `documents` (SURVEY §2.10).
+
+Exact dedup carries a DuckDB oracle. MinHash/SimHash/ngram-Jaccard are
+deterministic (fixed xxhash64 seeds) but xxhash64 has no DuckDB twin →
+rows-only, with pytest goldens in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dedup as D
+from ..session import load_table
+from . import query
+
+
+@query(
+    "q_dedup_exact_docs",
+    oracle=r"""
+    WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents)
+    SELECT fp,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*)    AS BIGINT) AS n_copies
+    FROM fp GROUP BY fp
+    """,
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on a content fingerprint: one
+    shuffle on the 16-byte hash, never on the document text — the only
+    exact-dedup shape that survives 100 TB (min doc_id = survivor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+@query("q_dedup_minhash")
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with exact-Jaccard verify
+    (threshold 0.5, char 5-shingles, 32 hashes × 8 bands). Rows-only:
+    deterministic, but xxhash64 isn't portable to DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.minhash_candidate_pairs(docs)
+    return D.verified_near_dups(docs, cands, threshold=0.5)
+
+
+@query("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit fingerprints, 16-bit-chunk LSH,
+    Hamming ≤ 12). Rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dups(docs, max_hamming=12)
+
+
+@query("q_dedup_ngram")
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs: minhash candidates verified
+    against word-ngram sets (threshold 0.3). Rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.minhash_candidate_pairs(docs)
+    return D.verified_near_dups(
+        docs, cands, shingle_fn=lambda c: D.word_ngrams(c, 3), threshold=0.3
+    )

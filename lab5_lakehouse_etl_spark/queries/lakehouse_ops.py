@@ -1,0 +1,81 @@
+"""Lakehouse declared queries (SURVEY §2.1 S6-S8, §2.3 J4).
+
+Rows-only by nature (side-effecting writes), but internally verified:
+q_merge_upsert compares the merged table against a relational oracle
+(anti-join ∪ source) computed independently in the same job, and
+returns the per-key diff count — so a wrong MERGE yields wrong rows,
+not just fewer rows.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lakehouse import LakeTable
+from ..session import load_table, tune
+from . import query
+
+
+@query("q_table_roundtrip")
+def q_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned initial write (S8: partitionBy, mode=overwrite) +
+    snapshot read-back (S6) + existence probe (S7). Returns per-
+    partition counts of the round-tripped table."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/orders_tbl"
+        assert not LakeTable.is_table(path)
+        t = LakeTable.create(orders, path, partition_by=["o_year"])
+        assert LakeTable.is_table(path)
+        back = t.read(spark)
+        out = (
+            back.groupBy("o_year")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .collect()
+        )
+    return spark.createDataFrame(out, "o_year INT, n BIGINT")
+
+
+@query("q_merge_upsert")
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert (J4: WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED
+    INSERT ALL, jobs/order_glue_job.py:151-155): seed the table with
+    even-keyed orders, merge a source containing updated rows (price+1)
+    for half the evens plus all odd rows; verify the merged snapshot
+    equals the independent relational oracle exactly (0 diff rows), and
+    that a second identical merge is idempotent."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    target = orders.filter(F.col("o_orderkey") % 2 == 0)
+    source = orders.filter(
+        (F.col("o_orderkey") % 4 == 0) | (F.col("o_orderkey") % 2 == 1)
+    ).withColumn("o_totalprice", F.round(F.col("o_totalprice") + 1.0, 2))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/merge_tbl"
+        t = LakeTable.create(target, path)
+        t.merge(spark, source, key=["o_orderkey"])
+        merged = t.read(spark)
+
+        oracle = target.join(source, on="o_orderkey", how="left_anti").unionByName(
+            source
+        )
+        diff = merged.exceptAll(oracle).count() + oracle.exceptAll(merged).count()
+
+        t.merge(spark, source, key=["o_orderkey"])  # idempotency probe
+        again = t.read(spark)
+        diff2 = again.exceptAll(oracle).count() + oracle.exceptAll(again).count()
+        n_rows = again.count()
+
+    return spark.createDataFrame(
+        [(n_rows, diff, diff2)],
+        "n_rows BIGINT, diff_vs_oracle BIGINT, diff_after_rerun BIGINT",
+    )

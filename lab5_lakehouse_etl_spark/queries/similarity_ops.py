@@ -1,0 +1,74 @@
+"""Similarity-search declared queries over `embeddings` (SURVEY §2.10).
+
+Brute-force cosine top-k carries a DuckDB oracle (explicit double
+dot-product on both sides, rounded to 4 — both engines fold the list
+sequentially, so agreement holds far past 4 decimals). LSH variants are
+deterministic but hash-seeded → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import similarity as S
+from ..session import load_table
+from . import query
+
+_K = 10
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The query point is embeddings[vec_id=0] — a parameter literal,
+    fetched once driver-side (one row, not a distributed collect)."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter("vec_id = 0")
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "q_topk_similarity",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             round(
+               list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+               / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim
+      FROM embeddings e, q
+    )
+    SELECT vec_id, cosine_sim FROM scored
+    ORDER BY cosine_sim DESC, vec_id ASC
+    LIMIT {_K}
+    """,
+)
+def q_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k vs the vec_id=0 query vector —
+    one narrow scan + TakeOrderedAndProject; the ANN baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.topk_cosine(emb, _query_vec(spark, sf_dir), k=_K)
+
+
+@query("q_ann_lsh")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-neighbor pairs (12 planes, seed 42)
+    with exact cosine re-rank inside buckets — the scale path that
+    avoids the all-pairs join. Rows-only (seeded hyperplanes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_pairs_lsh(emb, n_planes=12, seed=42, min_cosine=0.5)
+
+
+@query("q_ann_ivf")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style top-k: multi-probe LSH cells around the query's cell,
+    exact scan only inside probed cells. Rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=_K, n_planes=8)

@@ -1,0 +1,100 @@
+"""Streaming declared queries (SURVEY §2.9).
+
+`q_window_tumbling` is the batch twin of the streaming tumbling-window
+aggregation — same expression tree, SQL-oracle-verified (DuckDB bucket
+via epoch arithmetic; Spark's window() aligns to the unix epoch, and
+600 divides both origins' offsets, so buckets coincide). The true
+streaming runs are rows-only: they drain the parquet through a real
+readStream with availableNow.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_table, table_path, tune
+from ..streaming import events as E
+from . import query
+
+
+@query(
+    "q_window_tumbling",
+    oracle="""
+    SELECT make_timestamp(
+             (CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) AS BIGINT) * 600)
+             * 1000000) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 3)     AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-window aggregation: 10-minute windows per
+    event_type — identical expression to the streaming pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query("q_stream_tumbling")
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming tumbling windows: readStream over the
+    events parquet, watermark, windowed agg, drained with availableNow
+    into a memory sink. Rows-only (streaming)."""
+    tune(spark)
+    stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
+    return E.run_to_memory(
+        E.tumbling_counts(stream), "q_stream_tumbling_sink", spark, "complete"
+    )
+
+
+@query("q_stream_dedup")
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id within the watermark horizon.
+    Rows-only (streaming)."""
+    tune(spark)
+    stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
+    return E.run_to_memory(E.stream_dedup(stream), "q_stream_dedup_sink", spark)
+
+
+@query("q_stream_session")
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (30-minute inactivity gap) per user.
+    Rows-only (streaming)."""
+    tune(spark)
+    stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
+    return E.run_to_memory(
+        E.sessionize(stream), "q_stream_session_sink", spark, "complete"
+    )
+
+
+@query("q_stream_merge")
+def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch → LakeTable MERGE: the reference's idempotent upsert
+    incrementalized; returns the merged table. Rows-only (side-effect)."""
+    tune(spark)
+    stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
+    with tempfile.TemporaryDirectory() as tmp:
+        table = E.stream_merge_to_table(
+            spark, stream, f"{tmp}/events_tbl", f"{tmp}/ckpt"
+        )
+        # Materialize before the tmpdir vanishes.
+        out = table.read(spark)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out

@@ -1,0 +1,139 @@
+"""Text-analysis declared queries over `documents` (SURVEY §2.10).
+
+SQL-expressible stats carry DuckDB oracles (lambda list functions map
+1:1: transform→list_transform, filter→list_filter, size→len). The
+pandas-UDF language IDer is rows-only by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..session import load_table
+from . import query
+
+
+@query(
+    "q_text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+               AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+               AS BIGINT) AS n_distinct_tokens,
+           CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '\s+'),
+                 t -> ceil(length(t) / 4.0))) AS BIGINT) AS n_subword_tokens
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, and the
+    BPE-ish subword count (regex splits long words every 4 chars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.distinct_token_count(t).alias("n_distinct_tokens"),
+        T.bpe_ish_token_count(t).alias("n_subword_tokens"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), '\s+') AS toks,
+             greatest(length(text), 1) AS chlen
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           round(length(regexp_replace(text, '[^.,!?;:''"]', '', 'g')) / chlen, 6)
+               AS punct_ratio,
+           CAST(len(list_filter(toks,
+                x -> list_contains(['the','a','of','and'], x))) AS BIGINT)
+               AS n_stopwords,
+           round(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+                 / greatest(len(toks), 1), 6) AS avg_token_len
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals: char length, punctuation ratio,
+    stopword count, average token length — the cheap corpus filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("bigint").alias("n_chars_measured"),
+        T.punct_ratio(t).alias("punct_ratio"),
+        T.stopword_count(t).alias("n_stopwords"),
+        T.avg_token_len(t).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN len(list_filter(toks, x -> list_contains(['the','and','of'], x))) >= 2 THEN 'en'
+             WHEN len(list_filter(toks, x -> list_contains(['der','und','das'], x))) >= 2 THEN 'de'
+             WHEN len(list_filter(toks, x -> list_contains(['le','et','les'], x))) >= 2 THEN 'fr'
+             WHEN len(list_filter(toks, x -> list_contains(['el','y','los'], x))) >= 2 THEN 'es'
+             ELSE 'en'
+           END AS lang_guess
+    FROM t
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic (JVM CASE chain), emitted next to
+    the ground-truth `lang` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", T.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+@query(
+    "q_fingerprint",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(list_aggregate(string_split_regex(trim(lower(text)), '\s+'),
+                                'string_agg', ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_same
+    FROM fp
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the normalized token stream,
+    plus per-fingerprint duplicate counts (exact-dup detection key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", T.rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id", "fingerprint", F.count(F.lit(1)).over(w).cast("bigint").alias("n_same")
+    )
+
+
+@query("q_langid_ngram")
+def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas-UDF trigram language IDer — rows-only (the
+    UDF is Python; the point is exercising the vectorized escape hatch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id_ngram(F.col("text")).alias("lang_pred"))

@@ -1,0 +1,120 @@
+"""SparkSession construction and test-table registration.
+
+Mirrors the reference's session bootstrap (jobs/order_glue_job.py:49-53
+builds a Delta-enabled session; we have no delta-spark in this
+environment, so the lakehouse layer in `lab5_lakehouse_etl_spark.lakehouse`
+provides the ACID-ish table semantics instead) while adding the configs
+that matter for scale:
+
+- AQE on (runtime re-planning, skew-join handling, partition coalescing).
+- Arrow execution for any pandas interchange.
+- Session timezone pinned to UTC so timestamp results are identical
+  under any driver session and match DuckDB's naive-UTC reads.
+
+All queries must ALSO be correct under a vanilla session the driver
+builds (ANSI mode on in Spark 4), which is why operators use
+``try_cast``/``try_*`` explicitly rather than relying on legacy
+permissive-cast session configs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Every driver-provided test table (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_session(
+    app_name: str = "lab5-lakehouse-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession tuned for this engine.
+
+    On the test box we run ``local[N]``; on a real cluster the same
+    configs hold — AQE coalesces the 200-default shuffle partitions to
+    match actual data volume, so ``shuffle_partitions`` is a ceiling,
+    not a hand-tuned constant.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configs to a session we did not build.
+
+    The correctness driver constructs its own SparkSession; these are
+    the session-scoped settings our declared queries rely on. Timezone
+    is the critical one — the DuckDB oracle reads parquet timestamps as
+    naive UTC, so Spark must collect them in UTC too.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan of one driver test table.
+
+    Plain ``spark.read.parquet`` so Catalyst keeps scan-level predicate
+    pushdown and column pruning for whatever the caller composes on top.
+
+    `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects (PARQUET_TYPE_ILLEGAL — Spark timestamps are µs). We read
+    nanos as long (legacy conf) and rebuild the µs timestamp with
+    integer division — NOT float division, since ns epoch values
+    (~1.7e18) exceed double's 2^53 integer range. Matches DuckDB's
+    CAST(ts_ns AS TIMESTAMP) truncation for positive epochs.
+    """
+    tune(spark)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for ``spark.sql`` use.
+
+    Local stand-in for the reference's Glue-Crawler→Athena catalog path
+    (step_functions/state_machine.json:69-145): Spark's catalog replaces
+    the Glue Data Catalog and ``spark.sql`` replaces Athena.
+    """
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,165 @@
+"""Streaming pipelines over events (event_id, ts, user_id, event_type,
+value, props).
+
+The reference has no streaming (SURVEY §2.9) — its freshness story is
+batch re-runs + idempotent MERGE. This module incrementalizes exactly
+that: file-source replay of the events parquet → windowed/stateful
+transforms → sink, with foreachBatch driving the same LakeTable.merge
+the batch pipelines use.
+
+All pipelines run with ``trigger(availableNow=True)`` in tests: the
+stream drains the source and stops — deterministic, CI-friendly — and
+the identical code runs continuously against a live directory/Kafka
+source in production (swap the reader; the plan is unchanged).
+
+Scale: watermarks bound state; windowed aggregations shuffle on
+(window, key) with map-side partial aggregation; dedup state is keyed
+by event_id and expired by the watermark.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lakehouse import LakeTable
+
+
+def _events_schema_ddl() -> str:
+    # ts is parquet TIMESTAMP(NANOS): read as long (nanosAsLong) and
+    # rebuild the µs timestamp with integer division (see session.py).
+    return (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+
+
+def _as_stream_dir(path: str) -> str:
+    """Spark's file stream source wants a directory; the fixture is a
+    single parquet file. Symlink it into a stable per-path temp dir."""
+    if os.path.isdir(path):
+        return path
+    key = hashlib.md5(path.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"lab5_stream_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source replay of the events parquet (schema must be
+    declared for streaming reads; maxFilesPerTrigger throttles replay)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_events_schema_ddl())
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_as_stream_dir(path))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Tumbling-window count/sum per event_type with a 1-hour watermark:
+    late events beyond the watermark are dropped, state is bounded."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame) -> DataFrame:
+    """Sliding window (10 min window, 5 min slide) average value."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "avg_value")
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity (native session_window state merging)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon
+    (dropDuplicates keeps keyed state; watermark expires it)."""
+    return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+
+
+def run_to_memory(
+    df: DataFrame, name: str, spark: SparkSession, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a streaming DF into an in-memory table (availableNow) and
+    return the materialized result — the deterministic test harness.
+    Windowed aggregations need ``output_mode='complete'``."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_merge_to_table(
+    spark: SparkSession,
+    events: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+) -> LakeTable:
+    """foreachBatch → LakeTable.merge: the reference's idempotent MERGE
+    upsert (jobs/order_glue_job.py:151-155), incrementalized. Each
+    micro-batch upserts on event_id with latest-wins on ts — re-running
+    the stream (or replaying a batch after failure) converges to the
+    same table, which is the exactly-once story."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if LakeTable.is_table(table_path):
+            LakeTable(table_path).merge(
+                spark, batch_df, key=["event_id"], latest_by="ts"
+            )
+        else:
+            LakeTable.create(batch_df, table_path)
+
+    q = (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return LakeTable(table_path)

@@ -1,0 +1,83 @@
+"""Shared pytest fixtures: one SparkSession per test run + the DuckDB
+differential-oracle comparator that mirrors the driver's t2 gate."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lab5_lakehouse_etl_spark.session import TABLES, build_session, table_path
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = build_session("lab5-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF_DIR, t)}')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    """Normalize a cell for cross-engine comparison."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 / float32 artifacts; queries round explicitly,
+        # so 1e-9 relative slack here only absorbs repr noise
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def rows_key(rows, colnames):
+    """Order-insensitive multiset of rows with columns sorted by name —
+    the same shape the driver hashes."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+
+
+def compare_with_oracle(spark_df, con, sql):
+    """Row-count + sorted-column value comparison vs the DuckDB oracle."""
+    sp_cols = spark_df.columns
+    sp_rows = [tuple(r) for r in spark_df.collect()]
+    res = con.sql(sql)
+    dk_cols = res.columns
+    dk_rows = res.fetchall()
+    assert sorted(sp_cols) == sorted(
+        dk_cols
+    ), f"column mismatch: spark={sorted(sp_cols)} duckdb={sorted(dk_cols)}"
+    assert len(sp_rows) == len(dk_rows), (
+        f"row count mismatch: spark={len(sp_rows)} duckdb={len(dk_rows)}"
+    )
+    sk, dk = rows_key(sp_rows, sp_cols), rows_key(dk_rows, dk_cols)
+    if sk != dk:
+        diffs = [
+            (a, b) for a, b in zip(sk, dk) if a != b
+        ][:5]
+        raise AssertionError(f"value mismatch; first diffs: {diffs}")
