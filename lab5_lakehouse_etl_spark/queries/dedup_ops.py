@@ -63,7 +63,8 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs: minhash candidates verified
     against word-ngram sets (threshold 0.3). Rows-only."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = D.minhash_candidate_pairs(docs)
+    # looser estimate gate: word-ngram Jaccard runs lower than char-shingle
+    cands = D.minhash_candidate_pairs(docs, est_threshold=0.25)
     return D.verified_near_dups(
         docs, cands, shingle_fn=lambda c: D.word_ngrams(c, 3), threshold=0.3
     )
