@@ -27,29 +27,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def char_shingles(text_col: str, k: int = 5) -> F.Column:
-    """Array of distinct character k-shingles (JVM lambda, no explode)."""
-    return F.expr(
+def char_shingles_sql(text_col: str, k: int = 5) -> str:
+    """SQL for the array of distinct character k-shingles."""
+    return (
         f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
         f" i -> substring({text_col}, i, {k})))"
     )
 
 
-def word_ngrams(text_col: str, n: int = 3) -> F.Column:
-    """Array of distinct word n-grams.
+def char_shingles(text_col: str, k: int = 5) -> F.Column:
+    """Array of distinct character k-shingles (JVM lambda, no explode)."""
+    return F.expr(char_shingles_sql(text_col, k))
 
-    The `transform(array(split(...)), toks -> ...)[1]` wrapper is a
+
+def word_ngrams_sql(text_col: str, n: int = 3) -> str:
+    """SQL for the array of distinct word n-grams.
+
+    The `transform(array(split(...)), toks -> ...)[0]` wrapper is a
     poor-man's LET: it binds the token array once per row. Referencing
     `split(...)` directly inside the position lambda would re-split the
     whole text once per n-gram position (quadratic in document length —
     measured 10× slowdown on the fixture corpus).
     """
-    return F.expr(
-        f"""transform(array(split(lower({text_col}), '\\\\s+')), toks ->
+    return f"""transform(array(split(lower({text_col}), '\\\\s+')), toks ->
               array_distinct(transform(
                 sequence(1, greatest(size(toks) - {n - 1}, 1)),
                 i -> array_join(slice(toks, i, {n}), ' '))))[0]"""
-    )
+
+
+def word_ngrams(text_col: str, n: int = 3) -> F.Column:
+    """Array of distinct word n-grams (see word_ngrams_sql)."""
+    return F.expr(word_ngrams_sql(text_col, n))
 
 
 import random as _random
@@ -76,22 +84,33 @@ def base_hashes(shingles: F.Column) -> F.Column:
     )
 
 
-def minhash_signature(hashes_col: str, num_hashes: int = 32) -> F.Column:
-    """MinHash signature via affine permutations of pre-computed hashes.
+def minhash_signature_sql(shingles_sql: str, num_hashes: int = 32) -> str:
+    """SQL for a MinHash signature computed straight from a shingle
+    expression, with every intermediate LET-bound.
 
-    Hashing each shingle once and deriving the H families as
-    min(a_j·h + b_j) is ~H× cheaper than H independent hash passes —
-    the standard permutation-approximation, deterministic across runs.
-    Built as ONE SQL string (a Python-composed tree of H array_mins
-    costs seconds of py4j round-trips before Spark ever sees it).
-    Pass the NAME of a materialized base-hash column (separate select)
-    so the hash array is evaluated once per row, not once per family.
+    Two hard-won rules are encoded here:
+
+    1. (a·h + b) mod p, p = 2^31-1 prime: WITHOUT the modulus the
+       affine map is monotonic in h, every family shares the same
+       argmin shingle, and all H signature components collapse to one.
+    2. The base-hash array is bound ONCE via the transform(array(...),
+       hs -> ...)[0] LET trick. Catalyst's CollapseProject would inline
+       a column reference into all H array_min subtrees, and
+       higher-order functions run interpreted (no codegen, no common-
+       subexpression elimination) — measured 30× slowdown without it.
+
+    One SQL string (not a Python-composed tree): H subtrees built via
+    py4j cost seconds of round-trips before Spark ever sees them.
     """
+    p = 2147483647
     mins = ", ".join(
-        f"array_min(transform({hashes_col}, h -> h * {a}L + {b}L))"
+        f"array_min(transform(hs, h -> pmod(h * {a}L + {b}L, {p}L)))"
         for a, b in _affine_params(num_hashes)
     )
-    return F.expr(f"array({mins})")
+    return (
+        f"transform(array(transform({shingles_sql}, s -> xxhash64(s) & 4294967295)), "
+        f"hs -> array({mins}))[0]"
+    )
 
 
 def _band_keys(sig_col: str, num_hashes: int, bands: int) -> F.Column:
@@ -131,24 +150,35 @@ def minhash_candidate_pairs(
     high — candidates shrink by orders of magnitude.
     """
     if shingle_fn is None:
-        shingle_fn = lambda c: word_ngrams(c, 2)  # noqa: E731
+        shingle_fn = lambda c: word_ngrams_sql(c, 2)  # noqa: E731
+    spark = df.sparkSession
+    # The fixture corpora arrive as one small parquet file = ONE input
+    # partition; the interpreted lambda work would run on a single core.
+    # Spread by id before the narrow signature map. (At 100 TB the scan
+    # already has thousands of partitions and this is a no-op knob.)
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    # Cache AT THE SIGNATURE: (a) the sig column is referenced by 8 band
+    # hashes + the estimate — CollapseProject would re-evaluate the whole
+    # interpreted shingle→hash→min pipeline per reference without this
+    # barrier; (b) the self-join below would build it once per side.
+    # id+sig is 8B×(1+H) per doc — negligible vs the corpus.
     sigs = (
-        df.select(
+        df.repartition(n_part, F.col(id_col))
+        .select(
             F.col(id_col).alias("id"),
-            base_hashes(shingle_fn(text_col)).alias("hs"),
+            F.expr(minhash_signature_sql(shingle_fn(text_col), num_hashes)).alias(
+                "sig"
+            ),
         )
-        .select("id", minhash_signature("hs", num_hashes).alias("sig"))
+        .cache()
     )
+    sigs.count()  # eager: a cold cache would be built twice by the self-join
     banded = sigs.withColumn("bands", _band_keys("sig", num_hashes, bands))
-    # Cache: higher-order-function expressions are interpreted (not
-    # whole-stage-codegen'd), and the self-join would otherwise evaluate
-    # the whole shingle→hash→signature pipeline once PER SIDE. The
-    # cached table is id+signature only — tiny relative to the corpus.
     buckets = banded.select(
         "id", "sig", F.explode("bands").alias("bk")
     ).select(
         "id", "sig", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
-    ).cache()
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     est = (
@@ -202,7 +232,12 @@ def verified_near_dups(
     # side. Only candidate ids ever need shingles at verify time, but
     # computing them corpus-wide in one narrow pass beats a pre-join at
     # lab scale; at 100 TB, semi-join df to the candidate id set first.
-    sh = df.select(F.col(id_col).alias("id"), shingle_fn(text_col).alias("sh")).cache()
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    sh = (
+        df.repartition(n_part, F.col(id_col))
+        .select(F.col(id_col).alias("id"), shingle_fn(text_col).alias("sh"))
+        .cache()
+    )
     out = (
         candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), on="id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), on="id_b")
@@ -226,23 +261,24 @@ def simhash64(text_col: str) -> F.Column:
     Per token: xxhash64; per bit position: majority vote of token bits;
     fingerprint bit i set iff vote > 0. One SQL expression of nested
     JVM lambdas (expr form because shiftleft/shiftrightunsigned need
-    column bit-counts, which the Python API doesn't accept).
+    column bit-counts, which the Python API doesn't accept). The token
+    hash array is LET-bound via transform(array(...), hs -> ...)[0] so
+    it is computed once per row, not once per bit position.
     """
     return F.expr(
         f"""
-        aggregate(
-          sequence(0, 63),
-          cast(0 as bigint),
-          (acc, i) -> acc + if(
-            aggregate(
-              transform(split(lower({text_col}), '\\\\s+'), t -> xxhash64(t)),
-              0,
-              (a, h) -> a + if((shiftrightunsigned(h, i) & 1) = 1, 1, -1)
-            ) > 0,
-            shiftleft(cast(1 as bigint), i),
-            cast(0 as bigint)
-          )
-        )
+        transform(array(transform(split(lower({text_col}), '\\\\s+'), t -> xxhash64(t))),
+          hs -> aggregate(
+            sequence(0, 63),
+            cast(0 as bigint),
+            (acc, i) -> acc + if(
+              aggregate(hs, 0,
+                (a, h) -> a + if((shiftrightunsigned(h, i) & 1) = 1, 1, -1)
+              ) > 0,
+              shiftleft(cast(1 as bigint), i),
+              cast(0 as bigint)
+            )
+          ))[0]
         """
     )
 
@@ -260,7 +296,10 @@ def simhash_near_dups(
     self-join runs on chunk equality, never all-pairs. Pairs are then
     verified with an exact popcount-based Hamming distance.
     """
-    fp = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("fp"))
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    fp = df.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
+    )
     chunks = fp.select(
         "id",
         "fp",

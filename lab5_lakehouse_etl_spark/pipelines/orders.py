@@ -1,0 +1,106 @@
+"""Orders pipeline (jobs/order_glue_job.py, ≈227 LoC → this module).
+
+Shape (SURVEY §2.11.1): CSV scan → strict column validation → permissive
+casts → valid/reject split → latest-wins window dedup → ingestion
+timestamp → RI semi-join against order_items (graceful degradation) →
+LakeTable create-or-merge partitioned by date → JSON reject sink →
+run-metrics log → archive raw files.
+
+§2.12 fine print preserved:
+- rejects captured from the PRE-dedup typed frame (jobs/order_glue_job.py:122-126);
+- RI join wrapped in graceful degradation (try/except at :132-140);
+- merge keyed on order_id with latest-wins pre-dedup (documented
+  deviation fixing the reference's duplicate-source MERGE hazard).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..lakehouse import LakeTable, create_or_merge
+from ..operators import relational as ops
+from ..sources import readers, writers
+from .config import ZoneConfig
+
+EXPECTED_COLUMNS = [
+    # jobs/order_glue_job.py:31-34
+    "order_num",
+    "order_id",
+    "user_id",
+    "order_timestamp",
+    "total_amount",
+    "date",
+    "sheet_name",
+    "source_file",
+]
+
+CASTS = {
+    # jobs/order_glue_job.py:105-109
+    "order_id": "bigint",
+    "user_id": "bigint",
+    "total_amount": "double",
+    "order_timestamp": "timestamp",
+    "date": "date",
+}
+
+REQUIRED = ["order_id", "user_id", "order_timestamp"]  # :111
+
+
+def run_orders(spark: SparkSession, zones: ZoneConfig) -> dict:
+    """Run the orders ETL; returns the run-metrics dict the reference
+    logs per run (input/valid/deduped/rejected counts,
+    jobs/order_glue_job.py:199-208)."""
+    raw_glob = os.path.join(zones.raw, "orders", "*.csv")
+    raw = readers.read_csv_untyped(spark, raw_glob)
+
+    projected = ops.project_strict(raw, EXPECTED_COLUMNS)  # hard-fail policy
+    typed = ops.cast_permissive(projected, CASTS)
+    valid, rejected = ops.split_valid_rejected(typed, REQUIRED)
+
+    deduped = ops.latest_wins_dedup(
+        valid, ["order_id"], "order_timestamp", tiebreak=[]
+    )
+    stamped = deduped.withColumn("ingested_at", F.current_timestamp())
+
+    # RI filter vs order_items — graceful: first run proceeds un-joined
+    # (jobs/order_glue_job.py:132-140 try/except).
+    items_path = zones.table_path("order_items")
+    ri = stamped
+    if LakeTable.is_table(items_path):
+        keys = LakeTable(items_path).read(spark).select("order_id")
+        ri = ops.ri_semi_join(stamped, keys, on="order_id", graceful=True)
+
+    n_input = typed.count()
+    n_valid = valid.count()
+    n_final = ri.count()
+    n_rejected = rejected.count()
+
+    create_or_merge(
+        spark,
+        ri,
+        zones.table_path("orders"),
+        key=["order_id"],
+        partition_by=["date"],
+        latest_by="order_timestamp",
+    )
+    writers.write_rejected_json(rejected, os.path.join(zones.rejected, "orders"))
+
+    metrics = {
+        "job": "orders",
+        "input_rows": n_input,
+        "valid_rows": n_valid,
+        "deduplicated_rows": n_final,
+        "rejected_rows": n_rejected,
+    }
+    writers.write_log_text(
+        [f"{k}={v}" for k, v in metrics.items()],
+        os.path.join(zones.logs, "orders"),
+        spark,
+    )
+    for f in glob.glob(raw_glob):
+        writers.archive_file(f, os.path.join(zones.archive, "orders"))
+    return metrics

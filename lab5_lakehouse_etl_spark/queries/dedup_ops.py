@@ -53,9 +53,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit fingerprints, 16-bit-chunk LSH,
-    Hamming ≤ 12). Rows-only."""
+    Hamming ≤ 6). Rows-only."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_dups(docs, max_hamming=12)
+    return D.simhash_near_dups(docs, max_hamming=6)
 
 
 @query("q_dedup_ngram")

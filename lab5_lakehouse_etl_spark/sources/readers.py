@@ -1,0 +1,100 @@
+"""Readers (SURVEY §2.1 S1-S5, S14).
+
+The reference lands XLSX + CSV in a raw zone, splits XLSX into per-
+sheet CSVs driver-side with openpyxl (jobs/xlsx_to_csv.py:28-55), then
+reads CSVs either schemaless-all-string (orders/items) or with a
+declared StructType (products). openpyxl is not installed in this
+environment, so the workbook *loader* is import-gated; the sheet-split
+semantics (each sheet → `<sheet>.csv`, None → '', formula results not
+formulas) are implemented against a plain in-memory representation and
+fully tested.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import shutil
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv_untyped(spark: SparkSession, path: str) -> DataFrame:
+    """S1: header CSV read with NO schema — every column lands as
+    string (jobs/order_glue_job.py:87). The permissive-cast block
+    (operators.relational.cast_permissive) owns typing downstream."""
+    return spark.read.option("header", True).csv(path)
+
+
+def read_csv_with_schema(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """S2: typed CSV read with a declared StructType
+    (jobs/products_glue_job.py:125-139). Malformed cells become NULL
+    (PERMISSIVE mode), matching the reference's reader behavior."""
+    return (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def split_workbook(
+    sheets: Mapping[str, Sequence[Sequence[object]]], out_dir: str
+) -> list[str]:
+    """S3 core: each sheet → ``<sheet>.csv``; None cells → '' — the
+    exact write loop of jobs/xlsx_to_csv.py:39-55, minus openpyxl.
+
+    Driver-side by design: workbooks are small landing files; the heavy
+    lifting starts at the CSV scan, which is distributed.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for sheet_name, rows in sheets.items():
+        out = os.path.join(out_dir, f"{sheet_name}.csv")
+        with open(out, "w", newline="") as fh:
+            w = csv.writer(fh)
+            for row in rows:
+                w.writerow(["" if c is None else c for c in row])
+        written.append(out)
+    return written
+
+
+def load_workbook_sheets(xlsx_path: str) -> dict[str, list[list[object]]]:
+    """S3/S5 loader: openpyxl with data_only=True (formula RESULTS, not
+    formulas — jobs/xlsx_to_csv.py:33). Import-gated: openpyxl is not
+    available in this container."""
+    try:
+        import openpyxl  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "openpyxl is not installed in this environment; install it to "
+            "read .xlsx landing files (the sheet-split semantics are in "
+            "split_workbook and are fully tested without it)"
+        ) from exc
+    wb = openpyxl.load_workbook(xlsx_path, data_only=True)  # pragma: no cover
+    return {  # pragma: no cover
+        name: [list(row) for row in wb[name].iter_rows(values_only=True)]
+        for name in wb.sheetnames
+    }
+
+
+def xlsx_to_csv(xlsx_path: str, out_dir: str) -> list[str]:
+    """S3: XLSX multi-sheet → per-sheet CSVs (jobs/xlsx_to_csv.py:28-55)."""
+    return split_workbook(load_workbook_sheets(xlsx_path), out_dir)
+
+
+def list_sheets(xlsx_path: str) -> list[str]:
+    """S5: sheet-name listing (common/utils.py:40-65)."""
+    return list(load_workbook_sheets(xlsx_path))
+
+
+def passthrough_copy(src: str, dst_dir: str) -> str:
+    """S14: raw→staging unmodified copy (jobs/xlsx_to_csv.py:57-70)."""
+    os.makedirs(dst_dir, exist_ok=True)
+    dst = os.path.join(dst_dir, os.path.basename(src))
+    shutil.copyfile(src, dst)
+    return dst
