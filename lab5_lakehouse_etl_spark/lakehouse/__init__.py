@@ -1,5 +1,5 @@
 """Versioned parquet lakehouse tables with MERGE upsert (Delta stand-in)."""
 
-from .table import LakeTable
+from .table import LakeTable, create_or_merge
 
-__all__ = ["LakeTable"]
+__all__ = ["LakeTable", "create_or_merge"]

@@ -1,0 +1,69 @@
+"""Orchestrator replacing the Step Functions state machine
+(step_functions/state_machine.json, SURVEY §3.1).
+
+The reference's Choice state routes to exactly ONE Glue job per
+execution, first-match order products > orders > order_items
+(state_machine.json:25-45 — the README's claim of parallel fan-out is
+wrong, SURVEY §2.12). `choose_job` reproduces that routing;
+`run_all` is the sane local default: all three in FK dependency order
+(orders → order_items → products, so the RI joins see fresh tables).
+Crawler+Athena validation collapses to a spark.sql smoke query over
+the written tables (schema lives in the parquet/manifest, no separate
+catalog materialization step). SNS failure notify → raised exceptions;
+per-run metrics dicts replace CloudWatch logs.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import SparkSession
+
+from ..lakehouse import LakeTable
+from .config import ZoneConfig
+from .order_items import run_order_items
+from .orders import run_orders
+from .products import run_products
+
+
+def _has_files(zones: ZoneConfig, job: str) -> bool:
+    """The CountFiles Lambda (state_machine.json:5-24): probe the raw
+    zone for each job's input."""
+    return bool(glob.glob(os.path.join(zones.raw, job, "*.csv")))
+
+
+def choose_job(zones: ZoneConfig) -> str | None:
+    """FileCountChoice first-match routing (state_machine.json:25-45)."""
+    for job in ("products", "orders", "order_items"):
+        if _has_files(zones, job):
+            return job
+    return None  # → the reference's SNS "no files" notify
+
+
+def validate(spark: SparkSession, zones: ZoneConfig, table: str) -> int:
+    """The Athena validation query, SELECT * ... LIMIT 10
+    (state_machine.json:121): smoke-read the written table."""
+    df = LakeTable(zones.table_path(table)).read(spark).limit(10)
+    df.createOrReplaceTempView(f"{table}_preview")
+    return spark.sql(f"SELECT * FROM {table}_preview").count()
+
+
+_RUNNERS = {
+    "products": run_products,
+    "orders": run_orders,
+    "order_items": run_order_items,
+}
+
+
+def run_all(spark: SparkSession, zones: ZoneConfig) -> list[dict]:
+    """Run every job with input, in FK dependency order, each followed
+    by its validation read."""
+    metrics = []
+    for job in ("orders", "order_items", "products"):
+        if not _has_files(zones, job):
+            continue
+        m = _RUNNERS[job](spark, zones)
+        m["validated_rows"] = validate(spark, zones, job)
+        metrics.append(m)
+    return metrics
