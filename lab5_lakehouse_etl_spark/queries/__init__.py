@@ -29,6 +29,7 @@ _MODULES = (
     "text_ops",
     "dedup_ops",
     "similarity_ops",
+    "multimodal_ops",
     "lakehouse_ops",
     "streaming_ops",
     "pipeline_ops",

@@ -1,0 +1,67 @@
+"""Multimodal-column declared queries (SURVEY §2.10).
+
+The media table is faked from documents (utf-8 bytes as payload) so the
+binary-column plumbing — schema, pruning, Arrow batch shapes — is
+exercised end-to-end. Metadata/hash ops are SQL-verifiable (DuckDB
+sha256/octet_length over blobs); the mapInPandas feature extraction and
+frame sampling are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import multimodal as M
+from ..session import load_table
+from . import query
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text)                               AS payload_sha
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only pass over the media table: byte length + sha256 of
+    the opaque payload. Column pruning matters here — a metadata query
+    must not deserialize payloads it doesn't hash."""
+    media = M.fake_media_from_documents(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        F.col("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    )
+
+
+@query("q_multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas (deterministic sha-seeded stand-in for the codec).
+    Rows-only: the UDF is Python. Returns scalarized outputs so the
+    driver check sees a stable schema."""
+    media = M.fake_media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = M.extract_features(media)
+    return feats.select(
+        "media_id",
+        "modality",
+        F.size("features").cast("bigint").alias("n_features"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+@query("q_multimodal_frames")
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: slice each payload every 64 bytes (video
+    frame-sample plumbing: one output row per frame). Rows-only."""
+    media = M.fake_media_from_documents(load_table(spark, sf_dir, "documents"))
+    frames = M.sample_frames(media, every_n_bytes=64)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.octet_length("frame_payload").cast("bigint").alias("frame_bytes"),
+    )

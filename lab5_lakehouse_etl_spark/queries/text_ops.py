@@ -131,6 +131,61 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_text_tfidf",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((1.0 + n.n) / (1.0 + dfreq.df)) + 1.0), 6) AS tfidf
+      FROM tf CROSS JOIN n JOIN dfreq ON tf.term = dfreq.term
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document, smooth-idf variant
+    (ln((1+N)/(1+df))+1), built from explode → two aggregations → a
+    broadcast term-frequency join → per-doc top-k window. The document-
+    frequency side is |vocabulary|-sized, so it broadcasts at any corpus
+    scale; ordering uses the ROUNDED score so cross-engine libm noise
+    can't reorder the top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.count()
+    scored = tf.join(F.broadcast(dfreq), on="term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((1.0 + n) / (1.0 + F.col("df"))) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
 @query("q_langid_ngram")
 def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched pandas-UDF trigram language IDer — rows-only (the
