@@ -209,6 +209,42 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fn_map",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey,
+             MAP {'lo': round(c_acctbal * 0.1, 4), 'hi': c_acctbal} AS m
+      FROM customer
+    )
+    SELECT c_custkey,
+           m['hi'][1]                                       AS hi_val,
+           m['lo'][1]                                       AS lo_val,
+           CAST(cardinality(m) AS BIGINT)                   AS n_keys,
+           list_aggregate(map_keys(m), 'string_agg', ',')   AS keys_csv
+    FROM t
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map pack: construction, key lookup, cardinality, key listing —
+    scalarized outputs (DuckDB's map index returns a LIST, hence the
+    [1] in the oracle)."""
+    cust = load_table(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("lo"),
+        F.round(F.col("c_acctbal") * 0.1, 4),
+        F.lit("hi"),
+        F.col("c_acctbal"),
+    )
+    return cust.select(
+        "c_custkey",
+        F.element_at(m, "hi").alias("hi_val"),
+        F.element_at(m, "lo").alias("lo_val"),
+        F.size(m).cast("bigint").alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )
+
+
+@query(
     "q_fn_json",
     oracle="""
     SELECT event_id, event_type,

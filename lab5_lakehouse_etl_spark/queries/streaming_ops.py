@@ -52,6 +52,63 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_window_sliding",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+    ),
+    x AS (
+      SELECT event_type, value, ts,
+             unnest([
+               make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT)) * 300 * 1000000),
+               make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) - 1) * 300 * 1000000)
+             ]) AS window_start
+      FROM e
+    )
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 4)     AS avg_value
+    FROM x
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 10 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute window, 5-minute slide): each event
+    lands in 2 overlapping windows. The oracle materializes both
+    candidate window starts per event and filters to containment —
+    exactly what Spark's window() expands to internally."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@query("q_stream_stateful")
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running counts across micro-batches. Rows-only (stateful
+    streaming, not SQL-expressible)."""
+    tune(spark)
+    stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
+    return E.run_to_memory(
+        E.stateful_user_counts(stream), "q_stream_stateful_sink", spark, "update"
+    )
+
+
 @query("q_stream_tumbling")
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming tumbling windows: readStream over the

@@ -1,0 +1,58 @@
+"""Plan-hygiene tests: pin the physical-plan properties that matter at
+scale for the flagship queries — pushdown, pruning, broadcast, shuffle
+budget. A regression here is a performance bug even when results stay
+correct."""
+
+from __future__ import annotations
+
+from lab5_lakehouse_etl_spark import queries as Q
+from lab5_lakehouse_etl_spark.plans import (
+    has_broadcast_join,
+    has_pushed_filters,
+    scan_read_schema,
+    shuffle_count,
+)
+from tests.conftest import SF_DIR
+
+Q.load_all()
+
+
+def test_q1_filter_pushed_and_pruned(spark):
+    df = Q.QUERIES["q_agg_groupby"](spark, SF_DIR)
+    assert has_pushed_filters(df)  # shipdate predicate reaches the scan
+    schemas = scan_read_schema(df)
+    # scan must read only the 7 referenced columns, not all 11
+    assert schemas and all(len(s) <= 7 for s in schemas)
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    df = Q.QUERIES["q_join_star"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    # fact side never shuffles pre-aggregation: the only exchange is the
+    # final groupBy on r_name
+    assert shuffle_count(df) <= 1
+
+
+def test_semi_join_prunes_probe_columns(spark):
+    df = Q.QUERIES["q_join_semi"](spark, SF_DIR)
+    schemas = scan_read_schema(df)
+    # the lineitem side of the semi-join must read ONLY l_orderkey
+    assert any(s == ["l_orderkey"] for s in schemas)
+
+
+def test_window_dedup_single_shuffle(spark):
+    df = Q.QUERIES["q_window_dedup"](spark, SF_DIR)
+    assert shuffle_count(df) == 1  # one hash partition on the dedup key
+
+
+def test_topk_is_take_ordered(spark):
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_sort_limit"](spark, SF_DIR)
+    assert "TakeOrderedAndProject" in explain_str(df)  # no global sort
+
+
+def test_project_reads_only_projected_columns(spark):
+    df = Q.QUERIES["q_project"](spark, SF_DIR)
+    schemas = scan_read_schema(df)
+    assert schemas == [["c_custkey", "c_name", "c_mktsegment"]]

@@ -1,0 +1,94 @@
+"""Streaming correctness: every streaming pipeline is checked against
+its batch equivalent over the same events — the strongest verification
+available for non-SQL-expressible stateful operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab5_lakehouse_etl_spark.session import load_table, table_path
+from lab5_lakehouse_etl_spark.streaming import events as E
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_table(spark, SF_DIR, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    return E.read_events_stream(spark, table_path(SF_DIR, "events"))
+
+
+def test_tumbling_stream_equals_batch(spark, stream, batch_events):
+    streamed = E.run_to_memory(
+        E.tumbling_counts(stream), "t_tumbling", spark, "complete"
+    )
+    batch = (
+        batch_events.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_stream_dedup_matches_distinct(spark, stream, batch_events):
+    deduped = E.run_to_memory(E.stream_dedup(stream), "t_dedup", spark)
+    assert deduped.count() == batch_events.select("event_id").distinct().count()
+
+
+def test_sessionize_partitions_events(spark, stream, batch_events):
+    sessions = E.run_to_memory(E.sessionize(stream), "t_sessions", spark, "complete")
+    rows = sessions.collect()
+    # every user's session event-counts sum to their total event count
+    per_user = {}
+    for r in rows:
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + r.n_events
+    totals = {
+        r.user_id: r.n
+        for r in batch_events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_user == totals
+    # sessions of one user never overlap
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        assert all(a_end <= b_start for (_, a_end), (b_start, _) in zip(spans, spans[1:]))
+
+
+def test_stateful_counts_match_batch(spark, stream, batch_events):
+    out = E.run_to_memory(
+        E.stateful_user_counts(stream), "t_stateful", spark, "update"
+    )
+    # update mode emits one row per user per batch; the LAST row per
+    # user carries the final running totals
+    final = {}
+    for r in out.collect():
+        final[r.user_id] = (r.n_events, r.sum_value)
+    batch = {
+        r.user_id: (r.n, r.s)
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("s"),
+        )
+        .collect()
+    }
+    assert {u: v[0] for u, v in final.items()} == {u: v[0] for u, v in batch.items()}
+    for u in final:
+        assert abs(final[u][1] - batch[u][1]) < 1e-6
