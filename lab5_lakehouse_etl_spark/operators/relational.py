@@ -89,7 +89,11 @@ def split_valid_rejected(
 
 
 def latest_wins_dedup(
-    df: DataFrame, key: Iterable[str], order_col: str, tiebreak: Iterable[str] = ()
+    df: DataFrame,
+    key: Iterable[str],
+    order_col: str,
+    tiebreak: Iterable[str] = (),
+    descending: bool = True,
 ) -> DataFrame:
     """Keep the newest row per key (row_number over desc-nulls-last).
 
@@ -104,9 +108,10 @@ def latest_wins_dedup(
     partitions only. Skewed keys → enable AQE skew handling (on by
     default in our session).
     """
-    order = [F.col(order_col).desc_nulls_last()] + [
-        F.col(c).desc_nulls_last() for c in tiebreak
-    ]
+    def _ord(c: str) -> Column:
+        return F.col(c).desc_nulls_last() if descending else F.col(c).asc_nulls_last()
+
+    order = [_ord(order_col)] + [_ord(c) for c in tiebreak]
     w = Window.partitionBy(*[F.col(k) for k in key]).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

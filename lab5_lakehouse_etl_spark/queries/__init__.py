@@ -33,6 +33,7 @@ _MODULES = (
     "lakehouse_ops",
     "streaming_ops",
     "pipeline_ops",
+    "subqueries",
 )
 
 

@@ -58,6 +58,44 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dups(docs, max_hamming=6)
 
 
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact and oracle-verified.
+    Threshold 0.35: the fixture has no true near-dups (max pairwise
+    cosine ≈ 0.51), so it sits where the operator returns a non-trivial
+    verified set. The all-pairs self-join is the correctness baseline;
+    at 100 TB the same threshold runs through the LSH-bucketed plan
+    (functions/similarity.ann_pairs_lsh, declared as q_ann_lsh) so only
+    bucket-mates are compared."""
+    from ..functions import similarity as S
+
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = S.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.35)
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine_sim"))
+    )
+
+
 @query("q_dedup_ngram")
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs: minhash candidates verified

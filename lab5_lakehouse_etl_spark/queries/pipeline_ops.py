@@ -140,3 +140,58 @@ def q_pipeline_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     ri = ops.ri_semi_join(valid, keys, on="l_orderkey")
     n_rej = rejected.agg(F.count(F.lit(1)).cast("bigint").alias("n_rejected"))
     return ri.crossJoin(F.broadcast(n_rej))
+
+
+@query(
+    "q_pipeline_products",
+    oracle="""
+    WITH typed AS (
+      SELECT p_partkey, p_brand,
+             nullif(p_type, 'STANDARD PLATED TIN') AS ptype,
+             round(p_retailprice, 2)               AS retail_price
+      FROM part
+    ),
+    dedup AS (
+      SELECT p_partkey, p_brand, ptype, retail_price
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY p_partkey
+          ORDER BY p_brand ASC NULLS LAST, retail_price ASC NULLS LAST
+        ) AS rn FROM typed
+      ) WHERE rn = 1
+    ),
+    valid AS (
+      SELECT * FROM dedup
+      WHERE p_partkey IS NOT NULL AND ptype IS NOT NULL
+    )
+    SELECT v.* FROM valid v
+    WHERE v.p_partkey IN (SELECT l_partkey FROM lineitem)
+    """,
+)
+def q_pipeline_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The products job's relational core (jobs/products_glue_job.py:
+    135-187): declared-schema read → dedup by product key BEFORE
+    null-filtering (the §2.12 quirk: a null-attribute survivor can
+    shadow a valid duplicate) → required-field filter → RI semi-join
+    against the fact table. Dedup survivor made deterministic via an
+    ordered window (the reference's dropDuplicates keeps an arbitrary
+    row)."""
+    part = load_table(spark, sf_dir, "part")
+    typed = part.select(
+        "p_partkey",
+        "p_brand",
+        F.nullif(F.col("p_type"), F.lit("STANDARD PLATED TIN")).alias("ptype"),
+        F.round("p_retailprice", 2).alias("retail_price"),
+    )
+    deduped = ops.latest_wins_dedup(
+        typed,
+        ["p_partkey"],
+        order_col="p_brand",
+        tiebreak=["retail_price"],
+        descending=False,
+    )
+    valid, _ = ops.split_valid_rejected(deduped, ["p_partkey", "ptype"])
+    keys = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_partkey AS p_partkey"
+    )
+    return ops.ri_semi_join(valid, keys, on="p_partkey")
