@@ -161,3 +161,26 @@ def except_rows(df: DataFrame, minus: DataFrame) -> DataFrame:
     rejected rows, a quirk we preserve (SURVEY §2.12).
     """
     return df.subtract(minus)
+
+
+def rejected_keys(df: DataFrame, key: Iterable[str], valid_cond: Column) -> DataFrame:
+    """Distinct ``key`` tuples with no valid row — the single-scan form
+    of ``df.select(key) EXCEPT valid.select(key)``.
+
+    When ``valid = df.filter(valid_cond)`` (a row-local predicate), the
+    EXCEPT-DISTINCT reject capture (jobs/order_items_glue_job.py:140)
+    is exactly "keys where max(valid_cond) is false": a key survives
+    EXCEPT iff it appears in df and never in valid. The rewrite replaces
+    two scans + a wide two-sided EXCEPT shuffle with ONE scan and one
+    partially-aggregated (map-side combined) shuffle of (key, bool) —
+    the shape that survives 100 TB. Null-safe: max() ignores NULL
+    predicate rows unless the key has no TRUE row, matching EXCEPT.
+    """
+    keys = list(key)
+    return (
+        df.select(*keys, F.coalesce(valid_cond, F.lit(False)).alias("__ok"))
+        .groupBy(*keys)
+        .agg(F.max("__ok").alias("__any_ok"))
+        .filter(~F.col("__any_ok"))
+        .drop("__any_ok")
+    )

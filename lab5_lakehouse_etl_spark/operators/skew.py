@@ -1,0 +1,98 @@
+"""Skew mitigation: salting for hot keys.
+
+AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on in
+our session) splits oversized shuffle partitions at runtime and is the
+first line of defense. Salting is the explicit fallback for the cases
+AQE can't fix: a single key so hot that ONE key's rows exceed an
+executor (AQE can split a partition, not a key), or a shuffle feeding a
+stateful/windowed op where AQE doesn't apply.
+
+Both operators preserve exact results — tests pin them to the unsalted
+plans' output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where the big side's hot keys are spread over
+    ``n_salts`` shuffle partitions.
+
+    Big side: each row gets a salt in [0, n_salts) — derived from a
+    per-row hash so one hot key's rows land on n_salts different
+    reducers. Small side: replicated n_salts times (explode of a
+    literal range — n_salts× the SMALL side only, never the big side).
+    Join keys become (key..., salt); the salt is dropped afterwards, so
+    the result equals the unsalted join exactly.
+
+    Use when the small side is too big to broadcast AND a key is hot
+    enough that one reducer would own it entirely. For broadcastable
+    dims, prefer ``F.broadcast`` — no shuffle at all beats a balanced
+    shuffle.
+    """
+    keys = list(on)
+    # per-row salt: hash over the key columns plus a uniform spreader;
+    # monotonically_increasing_id is fine — salt values never affect the
+    # result, only placement
+    big_s = big.withColumn(
+        SALT,
+        F.pmod(F.xxhash64(*keys, F.monotonically_increasing_id()), F.lit(n_salts)),
+    )
+    small_s = small.withColumn(
+        SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = big_s.join(small_s, keys + [SALT], how)
+    return out.drop(SALT)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial aggregate on
+    (keys..., salt), then final combine on keys.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    {sum, count, min, max} — the algebraic aggregates whose partials
+    combine losslessly (count combines via sum). avg is derivable as
+    sum/count by the caller. Spark already does map-side partial
+    aggregation; the explicit salt phase adds a REDUCE-side split for
+    keys whose partials alone overwhelm one reducer (e.g. count
+    distinct-ish state or extreme row counts per key).
+    """
+    allowed = {"sum", "count", "min", "max"}
+    for out_col, (_, fn) in aggs.items():
+        if fn not in allowed:
+            raise ValueError(f"{out_col}: {fn} is not losslessly combinable")
+
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salts))
+    partial_exprs = [
+        getattr(F, fn)(src).alias(out_col) for out_col, (src, fn) in aggs.items()
+    ]
+    combine_exprs = [
+        (F.sum(out_col) if fn in ("sum", "count") else getattr(F, fn)(out_col))
+        .alias(out_col)
+        for out_col, (_, fn) in aggs.items()
+    ]
+    return (
+        df.withColumn(SALT, salt)
+        .groupBy(*keys, SALT)
+        .agg(*partial_exprs)
+        .groupBy(*keys)
+        .agg(*combine_exprs)
+    )

@@ -106,7 +106,10 @@ def q_pipeline_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     (jobs/order_items_glue_job.py:96-183): intersection-projection →
     cast → filter → EXCEPT-style reject capture → RI join; the reject
     count rides along as a column (the job logs it as a run metric,
-    jobs/order_items_glue_job.py:196-205)."""
+    jobs/order_items_glue_job.py:196-205). Reject capture runs through
+    rejected_keys — the single-scan aggregation form of EXCEPT DISTINCT
+    (see operators/relational.py) — cutting the plan from four lineitem
+    scans to three and dropping the two-sided EXCEPT shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     typed = ops.project_intersection(
         li.select(
@@ -130,9 +133,12 @@ def q_pipeline_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     valid, _ = ops.split_valid_rejected(typed, ["l_orderkey", "l_partkey", "flag"])
-    rejected = ops.except_rows(
-        typed.select("l_orderkey", "l_linenumber"),
-        valid.select("l_orderkey", "l_linenumber"),
+    rejected = ops.rejected_keys(
+        typed,
+        ["l_orderkey", "l_linenumber"],
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_partkey").isNotNull()
+        & F.col("flag").isNotNull(),
     )
     keys = load_table(spark, sf_dir, "orders").selectExpr(
         "o_orderkey AS l_orderkey"

@@ -112,9 +112,14 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def stream_dedup(events: DataFrame) -> DataFrame:
-    """Streaming exact dedup on event_id within the watermark horizon
-    (dropDuplicates keeps keyed state; watermark expires it)."""
-    return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    """Streaming exact dedup on (event_id, ts) within the watermark
+    horizon. The event-time column MUST be part of the dedup key for
+    late rows to be dropped: dropDuplicates on event_id alone only
+    expires state — measured numRowsDroppedByWatermark stays 0 and
+    arbitrarily late rows pass through. With ts in the key the state
+    operator both dedups and discards input older than the watermark,
+    which is what bounds state on an unbounded stream."""
+    return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id", "ts"])
 
 
 def run_to_memory(

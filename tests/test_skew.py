@@ -1,0 +1,63 @@
+"""Skew operators must be result-transparent: salted plans produce
+exactly the unsalted output."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lab5_lakehouse_etl_spark.operators import skew
+from lab5_lakehouse_etl_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
+    plain = li.join(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+    )
+    salted = skew.salted_join(
+        li, orders.withColumnRenamed("o_orderkey", "l_orderkey"), ["l_orderkey"]
+    )
+    assert _rows(salted.select(*plain.columns)) == _rows(plain)
+
+
+def test_salted_join_left_outer(spark):
+    orders = load_table(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    plain = orders.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left"
+    )
+    salted = skew.salted_join(
+        orders,
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        ["o_custkey"],
+        how="left",
+    )
+    assert _rows(salted.select(*plain.columns)) == _rows(plain)
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    plain = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+    )
+    salted = skew.salted_agg(
+        li.withColumn("one", F.lit(1)),
+        ["l_returnflag"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "n": ("one", "count"),
+            "max_ship": ("l_shipdate", "max"),
+        },
+    ).withColumn("sum_qty", F.round("sum_qty", 2))
+    assert _rows(salted.select(*plain.columns)) == _rows(plain)

@@ -71,6 +71,57 @@ def test_sessionize_partitions_events(spark, stream, batch_events):
         assert all(a_end <= b_start for (_, a_end), (b_start, _) in zip(spans, spans[1:]))
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Three-batch replay proving the watermark actually discards late
+    input — the semantics that bounds state at 100 TB. Batch A
+    establishes the watermark (max 14:00 − 1 h delay = 13:00); batch B
+    exists because Spark applies a newly-advanced watermark to input
+    filtering only from the NEXT batch (measured: a late row in the
+    batch immediately after the advancing one passes through); batch C
+    then carries one row below the watermark (dropped) and one on-time
+    row. Only the finalized 10:00 window is emitted, and it must NOT
+    contain the late event."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def ns(hour, minute=0):
+        # fixture epoch: 2024-01-01, nanosecond int64 like events.parquet
+        base = 1704067200
+        return (base + hour * 3600 + minute * 60) * 1_000_000_000
+
+    def write_batch(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        p = str(tmp_path / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    write_batch("a.parquet", [(1, ns(10)), (2, ns(14))], mtime=1_000_000)
+    write_batch("b.parquet", [(5, ns(13, 50))], mtime=1_000_100)
+    # event 3 at 10:05 is below the 13:00 watermark → dropped before it
+    # can resurrect the already-finalized 10:00 window
+    write_batch("c.parquet", [(3, ns(10, 5)), (4, ns(13, 45))], mtime=1_000_200)
+
+    stream = E.read_events_stream(spark, str(tmp_path))
+    out = E.run_to_memory(
+        E.tumbling_counts(stream), "t_late_drop", spark, "append"
+    )
+    rows = [(str(r.window_start), r.n_events) for r in out.collect()]
+    # only the 10:00 window is final (13:20/13:40/13:50/14:00 are still
+    # open when the source drains), and the late event is not in it
+    assert rows == [("2024-01-01 10:00:00", 1)]
+
+
 def test_stateful_counts_match_batch(spark, stream, batch_events):
     out = E.run_to_memory(
         E.stateful_user_counts(stream), "t_stateful", spark, "update"
