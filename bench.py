@@ -44,8 +44,12 @@ BENCH_QUERIES = [
     "q_dedup_exact_docs",
     "q_dedup_minhash",
     "q_topk_similarity",
+    "q_dedup_embedding",
+    "q_subquery_scalar",
+    "q_pivot",
     "q_pipeline_orders",
     "q_pipeline_items",
+    "q_pipeline_products",
 ]
 
 

@@ -112,6 +112,93 @@ def ann_pairs_lsh(
     )
 
 
+def exact_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold via block-matrix multiply.
+
+    The naive self-join evaluates one interpreted cosine expression per
+    pair — O(n²) lambda invocations (measured: ~100 s for 2000×2000
+    at dim 64). This operator instead:
+
+    1. hashes vectors into ``n_blocks`` blocks, collecting each block
+       to one row (ids + matrix);
+    2. cross-joins block rows with bid_a ≤ bid_b — B(B+1)/2 tasks, the
+       unit of parallelism;
+    3. inside each task, one numpy float64 matmul of the two
+       L2-normalized blocks scores every cross-pair at SIMD speed.
+
+    Same result as the pairwise expression, same O(n²·d) flops — but
+    vectorized and evenly parallel. At 100 TB, n_blocks grows so a
+    block pair fits executor memory; the B² fan-out is the standard
+    exact-similarity-join layout (each input row is shuffled B times,
+    never all-pairs).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_blocks is None:
+        n_blocks = max(df.sparkSession.sparkContext.defaultParallelism // 2, 4)
+
+    blocks = (
+        df.withColumn("__bid", F.pmod(F.col(id_col), F.lit(n_blocks)))
+        .groupBy("__bid")
+        .agg(
+            F.collect_list(F.col(id_col)).alias("ids"),
+            F.collect_list(F.col(vec_col)).alias("vecs"),
+        )
+    )
+    a = blocks.select(
+        F.col("__bid").alias("bid_a"), F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+    )
+    b = blocks.select(
+        F.col("__bid").alias("bid_b"), F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    pairs = a.join(b, F.col("bid_a") <= F.col("bid_b"))
+
+    def score(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_a])
+                B = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_b])
+                An = A / np.linalg.norm(A, axis=1, keepdims=True)
+                Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+                sims = An @ Bn.T
+                ia, ib = np.nonzero(sims >= threshold)
+                out_a, out_b, s = ids_a[ia], ids_b[ib], sims[ia, ib]
+                if row.bid_a == row.bid_b:
+                    # diagonal block: every unordered pair appears as
+                    # (i,j) AND (j,i) plus the self-pairs — keep one
+                    keep = out_a < out_b
+                    out_a, out_b, s = out_a[keep], out_b[keep], s[keep]
+                else:
+                    # off-diagonal block pair is visited once; ids are
+                    # NOT ordered by block, so normalize the pair
+                    out_a, out_b = (
+                        np.minimum(out_a, out_b),
+                        np.maximum(out_a, out_b),
+                    )
+                yield pd.DataFrame(
+                    {
+                        "id_a": out_a,
+                        "id_b": out_b,
+                        "cosine_sim": np.round(s, 4),
+                    }
+                )
+
+    return pairs.mapInPandas(
+        score, schema="id_a long, id_b long, cosine_sim double"
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec,

@@ -223,3 +223,52 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         )
     )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           round(sum(l_quantity) FILTER (l_returnflag = 'A'), 2) AS "A",
+           round(sum(l_quantity) FILTER (l_returnflag = 'N'), 2) AS "N",
+           round(sum(l_quantity) FILTER (l_returnflag = 'R'), 2) AS "R"
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one output column per l_returnflag value. Values are
+    listed explicitly — with an implicit value list Spark must run an
+    extra distinct job before planning; the explicit list keeps it to
+    one aggregation, which is the only form that scales."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'price' AS metric, round(p_retailprice, 2) AS value
+    FROM part
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide metrics to long (metric, value) rows — a
+    narrow Expand, no shuffle. Oracle expressed as UNION ALL (the
+    relational identity of UNPIVOT)."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.round("p_retailprice", 2).alias("price"),
+        )
+        .unpivot("p_partkey", ["size", "price"], "metric", "value")
+    )
