@@ -39,15 +39,21 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    )
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders (o_custkey is non-null
-    in the fixture, so NOT IN ≡ anti-join)."""
+    """Left-anti join: customers with no high-value order (every
+    customer has SOME order in the fixture, so the unfiltered anti-join
+    would be trivially empty; o_custkey is non-null, so NOT IN ≡
+    anti-join). The filter is pushed below the join on the build side."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    orders = load_table(spark, sf_dir, "orders").selectExpr(
-        "o_custkey AS c_custkey"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .selectExpr("o_custkey AS c_custkey")
     )
     return cust.join(orders, on="c_custkey", how="left_anti")
 

@@ -45,7 +45,7 @@ _NOT_EXISTS_SQL = """
 SELECT c_custkey, c_mktsegment
 FROM customer c
 WHERE NOT EXISTS (
-  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
 )
 """
 
