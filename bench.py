@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "q_pipeline_orders",
     "q_pipeline_items",
     "q_pipeline_products",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
 ]
 
 

@@ -34,6 +34,7 @@ _MODULES = (
     "streaming_ops",
     "pipeline_ops",
     "subqueries",
+    "tpch",
 )
 
 

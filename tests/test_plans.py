@@ -52,6 +52,22 @@ def test_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in explain_str(df)  # no global sort
 
 
+def test_tpch_q5_broadcasts_dims_single_fact_shuffle(spark):
+    df = Q.QUERIES["q_tpch_q5"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df)  # date range reaches the orders scan
+    # only the lineitem↔orders sort-merge join and the final groupBy
+    # shuffle; every dimension side is broadcast
+    assert shuffle_count(df) <= 3
+
+
+def test_tpch_q3_topk_no_global_sort(spark):
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_tpch_q3"](spark, SF_DIR)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
 def test_project_reads_only_projected_columns(spark):
     df = Q.QUERIES["q_project"](spark, SF_DIR)
     schemas = scan_read_schema(df)
