@@ -79,3 +79,29 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_rows, diff, diff2)],
         "n_rows BIGINT, diff_vs_oracle BIGINT, diff_after_rerun BIGINT",
     )
+
+
+@query("q_bucketed_join")
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-bucketed join (lakehouse/bucketed.py): both sides written
+    bucketBy(8, key), joined exchange-free. Rows-only (side-effecting
+    managed-table writes); the zero-Exchange plan property and result
+    parity with the plain join are pinned in tests/test_bucketing.py.
+    Returns the per-orderkey aggregate of the joined table."""
+    from ..lakehouse import bucketed as B
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    B.write_bucketed(orders, "q_b_orders", "o_orderkey", 8)
+    B.write_bucketed(li, "q_b_lineitem", "o_orderkey", 8)
+    return (
+        B.bucketed_join(spark, "q_b_orders", "q_b_lineitem", "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
