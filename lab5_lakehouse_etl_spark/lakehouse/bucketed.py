@@ -15,6 +15,8 @@ Exchange operators; unbucketed same join → two.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -30,7 +32,21 @@ def write_bucketed(
     Sorting within buckets additionally removes the Sort below a
     sort-merge join. n_buckets should divide evenly into cluster cores;
     both join sides must use the SAME n_buckets for co-location.
+
+    Idempotent across JVMs: a managed table's location can outlive the
+    in-memory catalog entry (previous session wrote it, this session's
+    catalog is empty), in which case saveAsTable refuses with
+    LOCATION_ALREADY_EXISTS — so drop the table AND clear any orphaned
+    location first.
     """
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
     w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)
