@@ -115,6 +115,53 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Arrow-batched resize plumbing: binary in → binary out with the
+    target dimensions as typed metadata.
+
+    The codec call is STUBBED deterministically (payload truncated/
+    zero-padded to width*height bytes — a real deployment swaps in
+    PIL `Image.resize` over `decode_image`); the Spark contract is the
+    production one: partition-preserving mapInPandas, binary columns in
+    Arrow batches both directions, output schema carrying the new
+    metadata. Resize runs where the data lives — payload bytes never
+    cross a shuffle.
+    """
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                else:
+                    b = bytes(p)[:target]
+                    out.append(b + b"\x00" * (target - len(b)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' for the fake payloads: slice the binary every N
     bytes (substr on binary is JVM-side) — models video frame-sample

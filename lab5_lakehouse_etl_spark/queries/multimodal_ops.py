@@ -65,3 +65,34 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("bigint").alias("frame_idx"),
         F.octet_length("frame_payload").cast("bigint").alias("frame_bytes"),
     )
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(32 AS BIGINT)   AS width,
+           CAST(32 AS BIGINT)   AS height,
+           CAST(1024 AS BIGINT) AS out_bytes,
+           CAST(least(octet_length(encode(text)), 1024) AS BIGINT)
+               AS content_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (stub codec: truncate/pad to width*height bytes):
+    every output payload is exactly 1024 bytes with the original
+    content preserved up to that size. The oracle verifies the metadata
+    contract (dimensions + output size + preserved-content length);
+    payload bytes themselves are checked in tests/test_multimodal.py."""
+    media = M.fake_media_from_documents(load_table(spark, sf_dir, "documents"))
+    resized = M.resize_media(media, width=32, height=32)
+    # ANSI TRIM syntax: Spark's two-arg rtrim takes (trimStr, str) —
+    # reversed from DuckDB — so the explicit form avoids the trap
+    trimmed = F.expr("trim(TRAILING '\\u0000' FROM decode(payload, 'utf-8'))")
+    return resized.select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.octet_length("payload").cast("bigint").alias("out_bytes"),
+        F.octet_length(trimmed).cast("bigint").alias("content_bytes"),
+    )

@@ -55,3 +55,15 @@ def test_sample_frames_covers_payload(media):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError, match="image codecs"):
         M.decode_image(b"\x89PNG")
+
+
+def test_resize_preserves_prefix_and_pads(media):
+    resized = M.resize_media(media, width=32, height=32)
+    out = {r.media_id: r for r in resized.collect()}
+    for src in media.collect():
+        r = out[src.media_id]
+        assert (r.width, r.height) == (32, 32)
+        assert len(r.payload) == 1024
+        prefix = bytes(src.payload)[:1024]
+        assert bytes(r.payload)[: len(prefix)] == prefix
+        assert all(b == 0 for b in bytes(r.payload)[len(prefix):])
