@@ -398,11 +398,21 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    LSH trick: split the 64-bit fingerprint into 4 16-bit chunks; any
-    pair within Hamming 3 shares ≥1 exact chunk (pigeonhole), so the
-    self-join runs on chunk equality, never all-pairs. Pairs are then
-    verified with an exact popcount-based Hamming distance.
+    LSH trick (pigeonhole): split the 64-bit fingerprint into
+    ``max_hamming + 1`` chunks — a pair differing in ≤ max_hamming bits
+    cannot touch every chunk, so it MUST share ≥1 exact chunk, and the
+    self-join on chunk equality has full recall without all-pairs.
+    (A fixed 4-chunk split only guarantees Hamming ≤ 3; asking for 8
+    would silently miss pairs whose differing bits span all chunks.)
+    Pairs are then verified with an exact popcount Hamming distance.
     """
+    n_chunks = max_hamming + 1
+    if n_chunks > 64:
+        raise ValueError("max_hamming must be < 64")
+    # chunk widths as even as possible over the 64 bits
+    base, extra = divmod(64, n_chunks)
+    widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     fp = df.repartition(n_part, F.col(id_col)).select(
         F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
@@ -415,11 +425,11 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("fp"), 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("fp"), offsets[c])
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
                         .alias("val"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ck"),

@@ -166,8 +166,11 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' for the fake payloads: slice the binary every N
     bytes (substr on binary is JVM-side) — models video frame-sample
     plumbing where each output row is one frame payload."""
+    # ceil, not floor: a 100-byte payload at 64-byte frames must yield
+    # 2 frames — truncation would silently drop the 36-byte tail
     n_frames = F.greatest(
-        (F.octet_length("payload") / every_n_bytes).cast("int"), F.lit(1)
+        F.ceil(F.octet_length("payload") / F.lit(every_n_bytes)).cast("int"),
+        F.lit(1),
     )
     return media.select(
         "media_id",

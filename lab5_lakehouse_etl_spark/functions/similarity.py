@@ -33,7 +33,11 @@ def sq_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
+    """NULL (not an error) for zero-norm vectors: the driver's vanilla
+    Spark 4 session runs ANSI mode, where a bare /0 throws
+    DIVIDE_BY_ZERO; nullif makes the divisor NULL instead, and NULL
+    similarity drops out of every threshold filter."""
+    return dot(a, b) / F.nullif(F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)), F.lit(0.0))
 
 
 def _vec_lit(vec) -> Column:
@@ -212,11 +216,19 @@ def ivf_topk(
     """IVF-flavored top-k: restrict the exact scan to LSH cells within
     ``n_probe_bits`` Hamming distance of the query's cell (multi-probe),
     then brute-force those. Trades recall for a ~2^planes scan cut."""
+    from itertools import combinations
+
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
     qbits = [1 if float(np.dot(query_vec, p)) > 0 else 0 for p in planes]
     qbucket = sum(b << i for i, b in enumerate(qbits))
-    probes = {qbucket} | {qbucket ^ (1 << i) for i in range(n_planes)} if n_probe_bits else {qbucket}
+    probes = {qbucket}
+    for r in range(1, n_probe_bits + 1):
+        for bits in combinations(range(n_planes), r):
+            flip = 0
+            for i in bits:
+                flip |= 1 << i
+            probes.add(qbucket ^ flip)
     bucketed = df.withColumn("__bucket", lsh_bucket(vec_col, planes))
     cell = bucketed.filter(F.col("__bucket").isin([int(p) for p in probes]))
     return topk_cosine(cell.drop("__bucket"), query_vec, k, id_col, vec_col)

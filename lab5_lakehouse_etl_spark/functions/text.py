@@ -128,7 +128,9 @@ def lang_id_ngram(texts: pd.Series) -> pd.Series:
             return "en"
         t = t.lower()
         grams = {t[i : i + 3] for i in range(len(t) - 2)}
-        best, best_score = "en", -1
+        # start at 0 so a no-signal text (zero matching trigrams) keeps
+        # the 'en' default instead of the alphabetically-first language
+        best, best_score = "en", 0
         for lang in sorted(profiles):
             score = len(grams & profiles[lang])
             if score > best_score:

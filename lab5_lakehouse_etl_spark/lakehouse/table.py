@@ -151,11 +151,18 @@ class LakeTable:
         """MERGE ON key: WHEN MATCHED UPDATE ALL, WHEN NOT MATCHED
         INSERT ALL (jobs/order_items_glue_job.py:174-180 shape).
 
-        ``latest_by`` pre-dedups the source on the merge key keeping the
-        newest row — the documented fix for the reference's duplicate-
-        source MERGE hazard (SURVEY §2.12). Column sets must match; the
-        result = source ∪ (target ⟕̸ source) [anti-join], i.e. source
-        rows win on key collision — exactly update-all/insert-all.
+        ``latest_by=None``: plain update-all semantics — source rows win
+        on key collision (result = source ∪ (target ⟕̸ source)).
+
+        ``latest_by=col``: ordered upsert — the winner per key is chosen
+        across BOTH target and source by the newest ``col`` (source wins
+        ties). This both pre-dedups a duplicate-keyed source (the
+        reference's Delta MERGE hazard, SURVEY §2.12) AND refuses to let
+        a stale late-arriving source row overwrite a newer target row —
+        the property that makes replaying a stream's batches in any
+        boundary arrangement converge to the same table
+        (streaming/events.py stream_merge_to_table). Equivalent to
+        Delta's ``WHEN MATCHED AND s.col >= t.col THEN UPDATE ALL``.
         """
         key = list(key)
         target = self.read(spark)
@@ -165,16 +172,27 @@ class LakeTable:
                 f"vs source {sorted(source.columns)}"
             )
         if latest_by is not None:
-            w = Window.partitionBy(*key).orderBy(F.col(latest_by).desc_nulls_last())
-            source = (
-                source.withColumn("__rn", F.row_number().over(w))
+            # one window over target ∪ source: newest latest_by wins,
+            # source beats target on ties (update-all flavor)
+            both = target.select(*target.columns).withColumn(
+                "__is_src", F.lit(0)
+            ).unionByName(
+                source.select(*target.columns).withColumn("__is_src", F.lit(1))
+            )
+            w = Window.partitionBy(*key).orderBy(
+                F.col(latest_by).desc_nulls_last(), F.col("__is_src").desc()
+            )
+            merged = (
+                both.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
-                .drop("__rn")
+                .drop("__rn", "__is_src")
             )
         else:
             source = source.dropDuplicates(key)
-        kept = target.join(source.select(*key).dropDuplicates(), on=key, how="left_anti")
-        merged = kept.unionByName(source.select(*kept.columns))
+            kept = target.join(
+                source.select(*key).dropDuplicates(), on=key, how="left_anti"
+            )
+            merged = kept.unionByName(source.select(*kept.columns))
         new_version = self.version() + 1
         m = self._manifest(self.version())
         # Materialize before overwriting: merged reads the current

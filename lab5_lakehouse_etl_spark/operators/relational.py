@@ -17,7 +17,7 @@ Scale notes are inline per operator; the headline rules:
 
 from __future__ import annotations
 
-from collections.abc import Iterable, Mapping
+from collections.abc import Callable, Iterable, Mapping
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -132,7 +132,10 @@ def dedup_arbitrary(df: DataFrame, key: Iterable[str]) -> DataFrame:
 
 
 def ri_semi_join(
-    df: DataFrame, keys_df: DataFrame, on: str, graceful: bool = False
+    df: DataFrame,
+    keys_df: DataFrame | Callable[[], DataFrame],
+    on: str,
+    graceful: bool = False,
 ) -> DataFrame:
     """Referential-integrity filter: keep rows whose ``on`` exists in keys_df.
 
@@ -141,11 +144,18 @@ def ri_semi_join(
     jobs/products_glue_job.py:151-157). Because the right side is a
     distinct single key, inner ≡ left-semi; we use ``left_semi`` so the
     join never widens rows and Spark can broadcast just the key column.
+
     ``graceful=True`` reproduces the try/except degradation (orders and
     products proceed un-joined when the other table is unreadable).
+    For that to actually cover read failures, pass ``keys_df`` as a
+    ZERO-ARG CALLABLE that performs the read — a pre-built DataFrame
+    only fails lazily at action time, outside this try. (Reading a
+    missing parquet/lake path raises eagerly at DataFrame creation, so
+    the callable form covers the reference's missing-table case.)
     """
     try:
-        keys = keys_df.select(on).dropDuplicates()
+        keys = keys_df() if callable(keys_df) else keys_df
+        keys = keys.select(on).dropDuplicates()
         return df.join(keys, on=on, how="left_semi")
     except Exception:
         if graceful:

@@ -42,7 +42,17 @@ def salted_join(
     enough that one reducer would own it entirely. For broadcastable
     dims, prefer ``F.broadcast`` — no shuffle at all beats a balanced
     shuffle.
+
+    Supported ``how``: inner / left / left_semi / left_anti — shapes
+    where an unmatched SMALL-side row is never emitted, so replicating
+    it is invisible. right/full outer would emit each unmatched small
+    row once per salt; refuse rather than silently duplicate.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join cannot preserve {how!r} semantics: unmatched "
+            "small-side rows would be duplicated n_salts times"
+        )
     keys = list(on)
     # per-row salt: hash over the key columns plus a uniform spreader;
     # monotonically_increasing_id is fine — salt values never affect the

@@ -69,10 +69,15 @@ def run_orders(spark: SparkSession, zones: ZoneConfig) -> dict:
     # RI filter vs order_items — graceful: first run proceeds un-joined
     # (jobs/order_glue_job.py:132-140 try/except).
     items_path = zones.table_path("order_items")
-    ri = stamped
-    if LakeTable.is_table(items_path):
-        keys = LakeTable(items_path).read(spark).select("order_id")
-        ri = ops.ri_semi_join(stamped, keys, on="order_id", graceful=True)
+    # keys passed as a callable so the table READ happens inside the
+    # operator's try — first run (no table yet) degrades un-joined,
+    # exactly the reference's try/except
+    ri = ops.ri_semi_join(
+        stamped,
+        lambda: LakeTable(items_path).read(spark).select("order_id"),
+        on="order_id",
+        graceful=True,
+    )
 
     n_input = typed.count()
     n_valid = valid.count()

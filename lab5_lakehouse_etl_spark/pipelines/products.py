@@ -51,14 +51,17 @@ def run_products(spark: SparkSession, zones: ZoneConfig) -> dict:
     n_valid = valid.count()
 
     # Graceful RI: proceed un-joined if order_items is unreadable
-    # (:151-157 try/except).
+    # (:151-157 try/except) — the read happens inside the operator's
+    # try via the callable form.
     items_path = zones.table_path("order_items")
-    ri = valid
-    if LakeTable.is_table(items_path):
-        keys = LakeTable(items_path).read(spark).select(
+    ri = ops.ri_semi_join(
+        valid,
+        lambda: LakeTable(items_path).read(spark).select(
             F.col("product_id").cast("string").alias("product_id")
-        )
-        ri = ops.ri_semi_join(valid, keys, on="product_id", graceful=True)
+        ),
+        on="product_id",
+        graceful=True,
+    )
 
     stamped = ri.withColumn("ingestion_timestamp", F.current_timestamp())
     n_final = stamped.count()

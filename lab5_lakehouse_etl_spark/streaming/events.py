@@ -48,8 +48,15 @@ def _as_stream_dir(path: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"lab5_stream_{key}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(path))
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    # lexists (not exists): a dangling link from a deleted fixture must
+    # be replaced, not skipped; tolerate the concurrent-creator race
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(path, link)
+        except FileExistsError:
+            pass
     return d
 
 

@@ -46,10 +46,11 @@ def test_sample_frames_covers_payload(media):
         by_media.setdefault(r.media_id, []).append(r)
     sizes = {r.media_id: r.n_bytes for r in media.collect()}
     for mid, fr in by_media.items():
-        # ceil-ish coverage: every frame but the last is exactly 64 bytes
+        # full coverage: every frame but the last is exactly 64 bytes,
+        # and together they reproduce the whole payload — no dropped tail
         lens = [len(f.frame_payload) for f in sorted(fr, key=lambda f: f.frame_idx)]
         assert all(ln == 64 for ln in lens[:-1])
-        assert sum(lens) == min(sizes[mid], sum(lens))  # no overlap, no gaps
+        assert sum(lens) == sizes[mid]
 
 
 def test_decode_stub_raises():
