@@ -52,7 +52,11 @@ BENCH_QUERIES = [
     "q_pipeline_products",
     "q_tpch_q3",
     "q_tpch_q5",
+    "q_tpch_q6",
     "q_tpch_q10",
+    "q_tpch_q12",
+    "q_tpch_q14",
+    "q_tpch_q18",
 ]
 
 

@@ -22,6 +22,7 @@ ORACLES: dict[str, str] = {}
 
 _MODULES = (
     "relational",
+    "sources_ops",
     "aggregates",
     "windows",
     "joins",
