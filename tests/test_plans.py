@@ -68,6 +68,42 @@ def test_tpch_q3_topk_no_global_sort(spark):
     assert "TakeOrderedAndProject" in explain_str(df)
 
 
+def test_tpch_q6_single_scan_fully_pushed(spark):
+    df = Q.QUERIES["q_tpch_q6"](spark, SF_DIR)
+    assert has_pushed_filters(df)  # shipdate/discount/quantity reach the scan
+    schemas = scan_read_schema(df)
+    # only the four referenced lineitem columns are read
+    assert schemas and all(len(s) <= 4 for s in schemas)
+    # partial → final agg: the lone exchange moves 1-row partials
+    assert shuffle_count(df) <= 1
+
+
+def test_tpch_q12_prunes_fact_scan(spark):
+    df = Q.QUERIES["q_tpch_q12"](spark, SF_DIR)
+    assert has_pushed_filters(df)
+    schemas = scan_read_schema(df)
+    # lineitem side reads only join key + group key + filter column
+    assert any(sorted(s) == ["l_linestatus", "l_orderkey", "l_shipdate"] for s in schemas)
+
+
+def test_tpch_q14_broadcasts_part_dim(spark):
+    df = Q.QUERIES["q_tpch_q14"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    # broadcast join leaves only the scalar-agg exchange
+    assert shuffle_count(df) <= 1
+
+
+def test_tpch_q18_single_fact_shuffle_topk(spark):
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_tpch_q18"](spark, SF_DIR)
+    # top-k must not globally sort
+    assert "TakeOrderedAndProject" in explain_str(df)
+    plan = explain_str(df)
+    # lineitem is aggregated once, never re-joined against itself
+    assert plan.count("lineitem.parquet") == 1
+
+
 def test_project_reads_only_projected_columns(spark):
     df = Q.QUERIES["q_project"](spark, SF_DIR)
     schemas = scan_read_schema(df)
