@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "q_dedup_minhash",
     "q_topk_similarity",
     "q_dedup_embedding",
+    "q_corpus_curate",
+    "q_pack_sequences",
     "q_subquery_scalar",
     "q_pivot",
     "q_pipeline_orders",

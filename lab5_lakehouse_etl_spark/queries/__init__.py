@@ -29,6 +29,7 @@ _MODULES = (
     "scalar_fns",
     "text_ops",
     "dedup_ops",
+    "corpus_ops",
     "similarity_ops",
     "multimodal_ops",
     "lakehouse_ops",

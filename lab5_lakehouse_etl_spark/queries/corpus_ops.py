@@ -1,0 +1,235 @@
+"""Training-corpus pipeline declared queries over `documents`.
+
+The ops a 100 TB pretraining-data pipeline runs between crawl and
+tokenizer: deterministic train/val/test splitting, token-budget
+sequence packing, weighted source mixing, and the end-to-end curation
+composite (quality filter → language filter → exact dedup → split →
+corpus stats). None exist in the reference (its dedup/validate layer is
+the nearest analogue — jobs/order_glue_job.py:111-126); all are
+north-star extensions (BASELINE.json "LLM-data-pipeline operators").
+
+Determinism is the design constraint: every op keys on arithmetic of
+stable ids (multiplicative hashing, row_number over unique doc_id),
+never on `rand()` or engine-specific hash functions, so the same rows
+land in the same split/pack/mixture on Spark, DuckDB, or any engine —
+which is also what reproducible dataset builds need in production.
+
+Scale notes: splits/mixtures are stateless row-local expressions (no
+shuffle at all beyond what the caller composes); packing windows are
+partitioned by `source` so window state stays bounded per shard —
+at 100 TB you never run an unpartitioned global running sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..session import load_table
+from . import query
+
+#: Knuth multiplicative hash constant (2^32 / phi); doc_id * C mod 100
+#: gives a uniform, engine-portable bucket in [0, 100).
+_HASH_C = 2654435761
+#: Tokens per packed training context.
+_PACK_BUDGET = 512
+
+
+def _bucket() -> F.Column:
+    return (F.col("doc_id") * F.lit(_HASH_C)) % 100
+
+
+def _split() -> F.Column:
+    b = _bucket()
+    return (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    ).alias("split")
+
+
+_SPLIT_SQL = """
+      CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+           WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+           ELSE 'test' END
+"""
+
+
+@query(
+    "q_split_hash",
+    oracle=rf"""
+    WITH t AS (
+      SELECT {_SPLIT_SQL} AS split,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+                 AS tok
+      FROM documents
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens
+    FROM t GROUP BY split
+    """,
+)
+def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by multiplicative
+    hashing of doc_id — reproducible across engines and runs, no rand().
+    Row-local expression: zero extra shuffles, trivially parallel at any
+    scale. Returns per-split doc and token counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(_split(), T.token_count(F.col("text")).alias("tok"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+                 AS tok
+      FROM documents
+    ), c AS (
+      SELECT source, tok,
+             sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source,
+           CAST((cum - tok) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS pack_tokens
+    FROM c
+    GROUP BY source, pack_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents are concatenated in
+    doc_id order into ~512-token training contexts; a doc starts a new
+    pack when the running total before it has crossed the budget
+    (pack_id = floor(cum_before / budget)). Windows are PARTITIONED BY
+    source so running-sum state is bounded per shard — the scalable form
+    of packing (a global unpartitioned window would serialize 100 TB
+    through one task)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", T.token_count(F.col("text")).alias("tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("tok").over(w))
+    return (
+        c.withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("tok")) / _PACK_BUDGET).cast("bigint"),
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("pack_tokens"),
+        )
+    )
+
+
+@query(
+    "q_mixture_weighted",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source
+    FROM r
+    WHERE rn % (CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 2
+                          WHEN 'es' THEN 3 ELSE 5 END) = 0
+    """,
+)
+def q_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixture: keep every doc for the dominant
+    language, every 2nd for de/fr, every 3rd for es, every 5th
+    otherwise — systematic (deterministic) sampling via per-language
+    row_number, the reproducible stand-in for rand()-based mixture
+    weights. One shuffle (the per-lang window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
+    k = (
+        F.when(F.col("lang") == "en", 1)
+        .when(F.col("lang").isin("de", "fr"), 2)
+        .when(F.col("lang") == "es", 3)
+        .otherwise(5)
+    )
+    return (
+        docs.select("doc_id", "lang", "source", rn.alias("rn"), k.alias("k"))
+        .filter(F.col("rn") % F.col("k") == 0)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@query(
+    "q_corpus_curate",
+    oracle=rf"""
+    WITH stats AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+                 AS tok,
+             md5(list_aggregate(string_split_regex(trim(lower(text)), '\s+'),
+                                'string_agg', ' ')) AS fingerprint
+      FROM documents
+    ), filtered AS (
+      SELECT * FROM stats
+      WHERE n_chars >= 50 AND tok >= 10 AND lang IN ('en', 'de', 'fr', 'es')
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                     ORDER BY doc_id) AS rn
+        FROM filtered
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           {_SPLIT_SQL} AS split,
+           count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens
+    FROM deduped
+    GROUP BY lang, split
+    """,
+)
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composite — the whole corpus build in one
+    Catalyst plan: quality filter (length + token floor) → language
+    allowlist → exact dedup (md5 fingerprint, min-doc_id survivor) →
+    deterministic split → per-(lang, split) corpus stats. Filters are
+    row-local and run before both shuffles (dedup window, final agg), so
+    the expensive stages only see surviving rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        T.token_count(F.col("text")).alias("tok"),
+        T.rolling_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    filtered = stats.filter(
+        (F.col("n_chars") >= 50)
+        & (F.col("tok") >= 10)
+        & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy("doc_id")
+    )
+    deduped = filtered.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return (
+        deduped.select("lang", _split(), "tok")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("n_tokens"),
+        )
+    )
