@@ -272,3 +272,56 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unpivot("p_partkey", ["size", "price"], "metric", "value")
     )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT c_mktsegment,
+           round(median(c_acctbal), 4)              AS med_bal,
+           round(quantile_cont(c_acctbal, 0.25), 4) AS p25_bal,
+           round(quantile_cont(c_acctbal, 0.75), 4) AS p75_bal,
+           round(quantile_cont(c_acctbal, 0.95), 4) AS p95_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + continuous percentiles per segment (Spark
+    `median`/`percentile` ≙ DuckDB `median`/`quantile_cont`, both
+    linear-interpolation). Exact percentiles sort each group's values;
+    at 100 TB prefer `approx_percentile` (t-digest sketch, q_agg_approx)
+    unless exactness is contractual."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.median("c_acctbal"), 4).alias("med_bal"),
+        F.round(F.percentile("c_acctbal", 0.25), 4).alias("p25_bal"),
+        F.round(F.percentile("c_acctbal", 0.75), 4).alias("p75_bal"),
+        F.round(F.percentile("c_acctbal", 0.95), 4).alias("p95_bal"),
+    )
+
+
+@query(
+    "q_agg_argminmax",
+    oracle="""
+    SELECT c_nationkey,
+           arg_max(c_name, c_custkey) AS newest_customer,
+           arg_min(c_name, c_custkey) AS oldest_customer,
+           round(max(c_acctbal), 2)   AS max_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-argument aggregation: the row-valued companion to
+    min/max (Spark `max_by`/`min_by` ≙ DuckDB `arg_max`/`arg_min`).
+    Keyed on the globally-unique c_custkey so the winner is
+    deterministic at every scale factor — argmax over a non-unique key
+    is an engine-dependent coin flip. One map-side-combinable shuffle,
+    same cost profile as plain max()."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_custkey").alias("newest_customer"),
+        F.min_by("c_name", "c_custkey").alias("oldest_customer"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )

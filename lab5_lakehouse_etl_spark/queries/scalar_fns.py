@@ -265,3 +265,44 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").try_cast("bigint").alias("k_num"),
         F.get_json_object("props", "$.missing").try_cast("bigint").alias("absent"),
     )
+
+
+@query(
+    "q_fn_struct",
+    oracle="""
+    WITH packed AS (
+      SELECT o_orderkey,
+             {'custkey': o_custkey,
+              'total':   round(o_totalprice, 2),
+              'status':  o_orderstatus} AS o
+      FROM orders
+    )
+    SELECT o_orderkey,
+           o.custkey AS custkey,
+           o.total   AS total,
+           o.status  AS status
+    FROM packed
+    WHERE o.total > 100000
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct round trip: pack columns into a struct, filter on
+    a nested field, project fields back out (F.struct + getField ≙
+    DuckDB struct literals + dot access). Catalyst collapses the
+    pack/unpack into plain column references — the struct never
+    materializes, so nesting costs nothing in the scan or filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    packed = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("custkey"),
+            F.round("o_totalprice", 2).alias("total"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("o"),
+    )
+    return packed.filter(F.col("o.total") > 100000).select(
+        "o_orderkey",
+        F.col("o.custkey").alias("custkey"),
+        F.col("o.total").alias("total"),
+        F.col("o.status").alias("status"),
+    )

@@ -190,3 +190,31 @@ def q_window_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.max(sig_ts).over(w).alias("last_signup_ts"),
     )
+
+
+@query(
+    "q_window_cume",
+    oracle="""
+    SELECT c_custkey,
+           c_nationkey,
+           round(cume_dist()    OVER w, 6) AS cume,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+    """,
+)
+def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: cume_dist / percent_rank per
+    nation by balance. Both are count-based, so results stay
+    deterministic even when the ORDER BY key has ties (tied rows share
+    a value). Single hash-partition shuffle on the window key."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
