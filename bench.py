@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "q_tpch_q12",
     "q_tpch_q14",
     "q_tpch_q18",
+    "q_tpch_q7",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q19",
 ]
 
 

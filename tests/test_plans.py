@@ -108,3 +108,37 @@ def test_project_reads_only_projected_columns(spark):
     df = Q.QUERIES["q_project"](spark, SF_DIR)
     schemas = scan_read_schema(df)
     assert schemas == [["c_custkey", "c_name", "c_mktsegment"]]
+
+
+def test_tpch_q7_broadcasts_all_dims(spark):
+    df = Q.QUERIES["q_tpch_q7"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df)  # shipdate range reaches the fact scan
+    # lineitem↔orders join + final groupBy are the only shuffles; the
+    # four dimension sides (customer, supplier, nation×2) broadcast
+    assert shuffle_count(df) <= 3
+
+
+def test_tpch_q15_single_fact_scan(spark):
+    df = Q.QUERIES["q_tpch_q15"](spark, SF_DIR)
+    # the revenue aggregate is cached and reused — the max side and the
+    # join side must not each rebuild the lineitem scan
+    assert has_broadcast_join(df)
+    assert has_pushed_filters(df)
+
+
+def test_tpch_q17_one_fact_shuffle(spark):
+    df = Q.QUERIES["q_tpch_q17"](spark, SF_DIR)
+    assert has_broadcast_join(df)  # brand-filtered part dim broadcasts
+    # window partitionBy(l_partkey) is the single fact shuffle; the
+    # final 1-row agg moves partials only
+    assert shuffle_count(df) <= 2
+
+
+def test_tpch_q19_pushes_common_predicates(spark):
+    df = Q.QUERIES["q_tpch_q19"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    # quantity bounds (the OR-common range) reach the lineitem scan
+    assert has_pushed_filters(df)
+    schemas = scan_read_schema(df)
+    assert schemas and all(len(s) <= 4 for s in schemas)
