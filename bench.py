@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "q_tpch_q15",
     "q_tpch_q17",
     "q_tpch_q19",
+    "q_sessionize_batch",
+    "q_funnel",
 ]
 
 

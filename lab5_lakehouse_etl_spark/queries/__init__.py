@@ -37,6 +37,7 @@ _MODULES = (
     "pipeline_ops",
     "subqueries",
     "tpch",
+    "events_ops",
 )
 
 

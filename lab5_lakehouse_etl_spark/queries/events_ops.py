@@ -1,0 +1,176 @@
+"""Event-analytics declared queries: batch sessionization, SCD2
+interval building, and funnel analysis.
+
+The reference has no event analytics (its only event-ish surface is
+the Step Function run log, `step_functions/state_machine.json:92-116`);
+these extend the engine per BASELINE.json's north star — the shapes a
+lakehouse serves daily on clickstream-scale facts. All three are
+single-fact-shuffle plans: one hash partition on the entity key
+(user/customer), window functions evaluated inside that partition,
+then a partial-aggregated rollup — the layout that holds at 100 TB
+because per-entity history is small even when the fact is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import load_table
+from . import query
+
+
+@query(
+    "q_sessionize_batch",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id))
+               AS gap_us
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, ts, value,
+             sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM tagged
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization: a new session starts when a user
+    is idle >30 min. lag() finds the gap, a running sum of
+    session-start flags numbers the sessions, then one groupBy rolls
+    each session up. The window and the rollup share the user_id hash
+    partitioning, so the fact shuffles exactly once; tie-broken by
+    event_id so session numbering is deterministic under equal
+    timestamps. (Streaming twin: q_stream_session via session_window.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    tagged = ev.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        tagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER
+             (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           CASE WHEN lead(o_orderkey) OVER
+                  (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) IS NULL
+                THEN TRUE ELSE FALSE END AS is_current
+    FROM orders
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval builder: each customer's order stream becomes
+    versioned dimension rows — valid_from = this order's date, valid_to
+    = the next order's date (NULL while current). This is the standard
+    lakehouse dimension-history shape the reference's MERGE upserts
+    (jobs/order_glue_job.py:151-155) overwrite away; here history is
+    kept. One shuffle on o_custkey; lead() tie-broken by o_orderkey."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.lead("o_orderkey").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view'
+                      THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+             min(CASE WHEN event_type = 'click'
+                      THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT CASE WHEN t_view IS NULL THEN 0
+                WHEN t_click IS NULL OR t_click < t_view THEN 1
+                WHEN t_purchase IS NULL OR t_purchase < t_click THEN 2
+                ELSE 3 END AS funnel_stage,
+           count(*) AS n_users
+    FROM per_user
+    GROUP BY funnel_stage
+    ORDER BY funnel_stage
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel view→click→purchase: per user, the first
+    timestamp of each stage (conditional min — one partially-aggregated
+    groupBy, no self-joins), then the user's stage = how far the
+    ordered chain holds. The per-user aggregate map-side-combines to
+    one row per user before the shuffle, so the funnel costs one
+    fact pass regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_ts(kind: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    stage = (
+        F.when(F.col("t_view").isNull(), 0)
+        .when(
+            F.col("t_click").isNull() | (F.col("t_click") < F.col("t_view")), 1
+        )
+        .when(
+            F.col("t_purchase").isNull()
+            | (F.col("t_purchase") < F.col("t_click")),
+            2,
+        )
+        .otherwise(3)
+    )
+    # no final orderBy: a 4-row result doesn't earn a range exchange,
+    # and the correctness compare is order-insensitive
+    return (
+        per_user.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

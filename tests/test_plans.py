@@ -142,3 +142,16 @@ def test_tpch_q19_pushes_common_predicates(spark):
     assert has_pushed_filters(df)
     schemas = scan_read_schema(df)
     assert schemas and all(len(s) <= 4 for s in schemas)
+
+
+def test_sessionize_single_fact_shuffle(spark):
+    df = Q.QUERIES["q_sessionize_batch"](spark, SF_DIR)
+    # lag-window, running-sum window, and session rollup all share the
+    # user_id hash partitioning: one exchange total
+    assert shuffle_count(df) <= 1
+
+
+def test_funnel_partial_aggregates(spark):
+    df = Q.QUERIES["q_funnel"](spark, SF_DIR)
+    # per-user conditional-min combines map-side; stage rollup is tiny
+    assert shuffle_count(df) <= 2
