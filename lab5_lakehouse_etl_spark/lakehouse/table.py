@@ -202,6 +202,38 @@ class LakeTable:
         self._vacuum(keep=2)
         return new_version
 
+    def delete(self, spark: SparkSession, condition: F.Column) -> int:
+        """Keyed/predicate DELETE (Delta ``DELETE FROM t WHERE cond``
+        parity; the reference never deletes, but a lakehouse table
+        without DELETE can't serve GDPR-style erasure). Copy-on-write:
+        surviving rows are rewritten into a new version, so time travel
+        to the pre-delete snapshot still works until vacuum."""
+        target = self.read(spark)
+        kept = target.filter(~condition)
+        new_version = self.version() + 1
+        m = self._manifest(self.version())
+        self._write_version(kept, new_version, m["partition_by"], "delete")
+        self._vacuum(keep=2)
+        return new_version
+
+    def optimize(self, spark: SparkSession, target_partitions: int = 1) -> int:
+        """Small-file compaction (Delta ``OPTIMIZE`` parity). Streaming
+        merges and per-batch upserts accumulate many small parquet
+        files; at scale each file under ~100 MB costs a task and an
+        open/close round-trip per scan. Rewrites the current snapshot
+        into ``target_partitions`` files per partition directory
+        (coalesce — no shuffle, pure bin-packing) and commits it as a
+        new version. Result-transparent: rows and schema unchanged."""
+        target = self.read(spark)
+        m = self._manifest(self.version())
+        compacted = target.coalesce(target_partitions)
+        new_version = self.version() + 1
+        self._write_version(
+            compacted, new_version, m["partition_by"], "optimize"
+        )
+        self._vacuum(keep=2)
+        return new_version
+
     def _vacuum(self, keep: int = 2) -> None:
         """Drop data dirs older than the newest ``keep`` versions (log
         entries are kept — history stays queryable as metadata)."""

@@ -373,11 +373,44 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume shipping between two nations (TPC-H Q7 shape; the
     reference has no multi-join analytics — this extends its Athena
-    surface per SURVEY.md §2.3). The disjunctive nation-pair predicate
-    sits ABOVE the nation joins (it references both sides), but every
-    dimension (customer, supplier, nation×2) is broadcast, so lineitem↔
-    orders remains the single shuffled join; the shipdate range prunes
-    the fact scan at the parquet reader."""
+    surface per SURVEY.md §2.3). The disjunctive pair predicate can't
+    push below the joins as-is, but its single-side implications can:
+    both supplier and customer are pre-restricted to the two nations
+    (each dim shrinks ~2/25), and the nation-restricted supplier side
+    broadcasts against lineitem BEFORE the orders join — so the one
+    shuffled join moves ~8% of the fact instead of all of it. The full
+    pair disjunction is re-checked after the customer join."""
+    two = ["NATION_1", "NATION_2"]
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    picked = nation.filter(F.col("n_name").isin(two))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                picked.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                picked.select(
+                    F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(
@@ -388,25 +421,14 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "l_shipdate")
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    sn = nation.select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
-    )
-    cn = nation.select(
-        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
-    )
     pair = (
-        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        ((F.col("supp_nation") == two[0]) & (F.col("cust_nation") == two[1]))
+        | ((F.col("supp_nation") == two[1]) & (F.col("cust_nation") == two[0]))
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair)
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")

@@ -90,3 +90,44 @@ def test_create_or_merge_branch(spark, df3, tmp_path):
     create_or_merge(spark, df3, path, key=["k"])  # merge branch
     assert LakeTable(path).version() == 1
     assert LakeTable(path).read(spark).count() == 3
+
+
+def test_delete_copy_on_write(spark, df3, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(df3, str(tmp_path / "t"))
+    v = t.delete(spark, F.col("part") == "a")
+    assert v == 1
+    assert [r.k for r in t.read(spark).collect()] == [2]
+    # pre-delete snapshot still time-travels
+    assert t.read(spark, version=0).count() == 3
+    assert t.history()[-1]["operation"] == "delete"
+
+
+def test_optimize_compacts_files_preserves_rows(spark, df3, tmp_path):
+    import glob
+
+    t = LakeTable.create(
+        df3.repartition(8), str(tmp_path / "t")
+    )  # 8 small files
+    before = len(glob.glob(os.path.join(str(tmp_path / "t"), "data_v0", "*.parquet")))
+    assert before > 1
+    v = t.optimize(spark)
+    after = len(
+        glob.glob(os.path.join(str(tmp_path / "t"), f"data_v{v}", "*.parquet"))
+    )
+    assert after == 1
+    assert sorted((r.k, r.part, r.v) for r in t.read(spark).collect()) == [
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+        (3, "a", 30.0),
+    ]
+    assert t.history()[-1]["operation"] == "optimize"
+
+
+def test_optimize_partitioned_keeps_layout(spark, df3, tmp_path):
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3.repartition(4), path, partition_by=["part"])
+    v = t.optimize(spark)
+    assert os.path.isdir(os.path.join(path, f"data_v{v}", "part=a"))
+    assert t.read(spark).count() == 3
