@@ -101,3 +101,66 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.verified_near_dups(
         docs, cands, shingle_fn=lambda c: D.word_ngrams(c, 3), threshold=0.3
     )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.source = b.source
+       AND abs(a.n_chars - b.n_chars) <= 20
+       AND a.doc_id <> b.doc_id
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.label < e.dst
+    )
+    SELECT node AS doc_id, min(label) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a
+    similarity-pair graph, canonical survivor = min doc_id per
+    component. Pair relations are NOT transitive (A~B and B~C don't
+    imply A~C), so grouping by any pair key under-merges; components
+    are the correct dedup unit. Edges here are the deterministic
+    SQL-expressible relation same (lang, source) AND |Δn_chars| ≤ 20
+    — the same graph the minhash/simhash candidate pairs would feed in
+    production (those are declared rows-only; this one is
+    oracle-verified against a recursive CTE). The (lang, source)
+    equi-join bounds group sizes; at corpus scale the length band
+    would additionally bucket n_chars (see functions/dedup.py banding)
+    so no single join group exceeds a reducer."""
+    from ..functions.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    a = docs.select(
+        F.col("doc_id").alias("src"),
+        "lang",
+        "source",
+        F.col("n_chars").alias("na"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("dst"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("n_chars").alias("nb"),
+    )
+    edges = a.join(
+        b,
+        (a.lang == b.lang_b)
+        & (a.source == b.source_b)
+        & (F.abs(F.col("na") - F.col("nb")) <= 20)
+        & (F.col("src") != F.col("dst")),
+    ).select("src", "dst")
+    comp = connected_components(docs.select("doc_id"), edges, node_col="doc_id")
+    return comp.select(F.col("node").alias("doc_id"), "component")
