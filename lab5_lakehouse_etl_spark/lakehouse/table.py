@@ -1,4 +1,4 @@
-"""LakeTable — a versioned-parquet table with MERGE upsert.
+"""LakeTable — a versioned-parquet table with partition-scoped MERGE.
 
 The reference rides delta-spark for its warehouse layer: partitioned
 initial write (jobs/order_glue_job.py:158, jobs/products_glue_job.py:
@@ -6,25 +6,26 @@ initial write (jobs/order_glue_job.py:158, jobs/products_glue_job.py:
 job.py:149), and MERGE upsert keyed per table (jobs/order_glue_job.py:
 151-155, jobs/order_items_glue_job.py:174-180, jobs/products_glue_job.
 py:176-182). delta-spark is not available in this environment, so this
-module provides the same contract natively on Spark:
+module provides the same contract natively on Spark, using the same
+storage shape Delta/Iceberg use:
 
-- snapshot isolation via an append-only JSON version log
-  (`_log/v{N}.json`), committed with an atomic ``os.replace`` —
-  readers always see a complete version;
-- MERGE = WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED INSERT ALL,
-  implemented as target-anti-join-source ∪ source (full-outer keyed
-  apply), with latest-wins pre-dedup of the source on the merge key —
-  the documented deviation (SURVEY §2.12) that fixes the reference's
-  multiple-source-match hazard;
-- partitioned layout preserved (``partitionBy`` on every version).
+- immutable parquet data files under ``data/`` (hive partition dirs);
+- an append-only JSON version log (``_log/v{N}.json``), each manifest
+  listing exactly the files that make up that snapshot, committed with
+  an atomic ``os.replace`` — readers always see a complete version;
+- MERGE = WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED INSERT ALL, with
+  ``latest_by`` ordered-upsert semantics (the documented deviation,
+  SURVEY §2.12, that fixes the reference's multiple-source-match
+  hazard);
+- **partition-scoped copy-on-write**: MERGE and DELETE rewrite only
+  the partitions that contain affected rows; untouched partitions'
+  files are carried over into the new manifest by reference. This is
+  the O(touched partitions) behavior a 100 TB table needs — a daily
+  upsert into a date-partitioned fact touches a handful of partitions,
+  not the table. Unpartitioned tables fall back to full rewrite.
 
-Deviation vs Delta, stated plainly: each MERGE rewrites the whole
-snapshot (copy-on-write of all files), not just touched files. That is
-O(table) per merge instead of O(touched partitions) — correct, simple,
-and fine at lab scale; a 100 TB deployment swaps this class for
-Delta/Iceberg (same API surface here) rather than re-inventing file-
-level conflict tracking. Partition pruning, pushdown, and scan
-parallelism are untouched because the data files are plain parquet.
+Snapshot isolation and time travel follow from immutability: an old
+manifest's files are never mutated, only eventually vacuumed.
 """
 
 from __future__ import annotations
@@ -33,13 +34,47 @@ import json
 import os
 import shutil
 import time
+import uuid
 from collections.abc import Iterable
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
 
 _LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+# Hive partition-path escaping (public format: Hive FileUtils.escapePathName,
+# mirrored by Spark's ExternalCatalogUtils) — needed to map a partition VALUE
+# to the directory NAME Spark writes, so carried-over vs rewritten partitions
+# can be decided without listing storage.
+_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _escape_partition_value(v) -> str:
+    if v is None:
+        return _HIVE_DEFAULT_PARTITION
+    s = str(v)
+    if s == "":
+        return _HIVE_DEFAULT_PARTITION
+    out = []
+    for ch in s:
+        if ch in _ESCAPE_CHARS or ord(ch) < 0x20:
+            out.append("%{:02X}".format(ord(ch)))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _partition_dirname(partition_by: list[str], values: tuple) -> str:
+    """``dept=a/region=x`` style relative dir for one partition tuple."""
+    return "/".join(
+        f"{c}={_escape_partition_value(v)}"
+        for c, v in zip(partition_by, values)
+    )
 
 
 class LakeTable:
@@ -48,6 +83,7 @@ class LakeTable:
     def __init__(self, path: str):
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
+        self.data_dir = os.path.join(path, _DATA_DIR)
 
     # -- existence probe (DeltaTable.isDeltaTable equivalent, S7) ----------
     @staticmethod
@@ -80,6 +116,11 @@ class LakeTable:
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]
 
+    def files(self, version: int | None = None) -> list[str]:
+        """Data files (relative to ``data/``) making up a snapshot."""
+        v = self.version() if version is None else version
+        return list(self._manifest(v)["files"])
+
     def _commit(self, version: int, manifest: dict) -> None:
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = os.path.join(self.log_dir, f".v{version}.json.tmp")
@@ -89,26 +130,68 @@ class LakeTable:
         os.replace(tmp, final)  # atomic publish
 
     # -- writes ------------------------------------------------------------
-    def _write_version(
+    def _stage_files(
         self,
         df: DataFrame,
         version: int,
-        partition_by: Iterable[str],
-        operation: str,
-    ) -> None:
-        data_dir = os.path.join(self.path, f"data_v{version}")
+        partition_by: list[str],
+        allowed_dirs: set[str] | None = None,
+    ) -> list[str]:
+        """Write ``df`` to a staging dir, then move its parquet files
+        into the canonical ``data/`` tree (immutable, version-tagged
+        names). Returns the new files' paths relative to ``data/``.
+
+        ``allowed_dirs`` is a safety net for partition-scoped rewrites:
+        every staged partition dir must be one we predicted as touched,
+        else carried-over files could double-count rows."""
+        stage = os.path.join(self.path, f".stage_v{version}-{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("overwrite")
-        partition_by = list(partition_by)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(data_dir)
+        writer.parquet(stage)
+        new_files: list[str] = []
+        for root, _dirs, fnames in os.walk(stage):
+            for fname in fnames:
+                if not fname.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(root, stage)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                if allowed_dirs is not None and rel_dir.replace(os.sep, "/") not in allowed_dirs:
+                    raise RuntimeError(
+                        f"staged partition dir {rel_dir!r} not in predicted "
+                        f"touched set {sorted(allowed_dirs)!r} — partition "
+                        "value escaping mismatch; aborting commit"
+                    )
+                dest_dir = os.path.join(self.data_dir, rel_dir)
+                os.makedirs(dest_dir, exist_ok=True)
+                dest_name = f"v{version}-{fname}"
+                os.replace(
+                    os.path.join(root, fname), os.path.join(dest_dir, dest_name)
+                )
+                new_files.append(
+                    os.path.join(rel_dir, dest_name).replace(os.sep, "/")
+                    if rel_dir
+                    else dest_name
+                )
+        shutil.rmtree(stage)
+        return sorted(new_files)
+
+    def _commit_version(
+        self,
+        version: int,
+        operation: str,
+        partition_by: list[str],
+        files: list[str],
+        schema: StructType,
+    ) -> None:
         self._commit(
             version,
             {
                 "version": version,
                 "operation": operation,
-                "data_dir": f"data_v{version}",
                 "partition_by": partition_by,
+                "files": files,
+                "schema": schema.jsonValue(),
                 "committed_at": time.time(),
             },
         )
@@ -125,20 +208,51 @@ class LakeTable:
         t = cls(path)
         if os.path.isdir(path):
             shutil.rmtree(path)
-        t._write_version(df, 0, partition_by, "create")
+        partition_by = list(partition_by)
+        files = t._stage_files(df, 0, partition_by)
+        t._commit_version(0, "create", partition_by, files, df.schema)
         return t
 
     # -- reads -------------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Snapshot scan (S6). Plain parquet read of the version's data
-        dir — partition pruning/pushdown work as on any parquet table."""
+        """Snapshot scan (S6): read exactly the manifest's file list with
+        the stored schema (no inference/listing job) and ``basePath`` set
+        so hive-encoded partition columns are recovered — partition
+        pruning and parquet pushdown work as on any parquet table."""
         v = self.version() if version is None else version
         m = self._manifest(v)
-        reader = spark.read
-        if m["partition_by"]:
-            # partitioned layout: directory-encoded partition columns
-            reader = reader.option("basePath", os.path.join(self.path, m["data_dir"]))
-        return reader.parquet(os.path.join(self.path, m["data_dir"]))
+        schema = StructType.fromJson(m["schema"])
+        if not m["files"]:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.data_dir, f) for f in m["files"]]
+        return (
+            spark.read.option("basePath", self.data_dir)
+            .schema(schema)
+            .parquet(*paths)
+        )
+
+    # -- partition scoping helpers ----------------------------------------
+    @staticmethod
+    def _partition_predicate(partition_by: list[str], tuples: list[tuple]):
+        """OR-of-ANDs literal predicate over partition tuples — a literal
+        (not a join) so Catalyst partition-prunes the scan."""
+        if not tuples:
+            return F.lit(False)
+        def one(t):
+            return reduce(
+                lambda a, b: a & b,
+                [F.col(c).eqNullSafe(F.lit(v)) for c, v in zip(partition_by, t)],
+            )
+        return reduce(lambda a, b: a | b, [one(t) for t in tuples])
+
+    def _split_carryover(
+        self, prev_files: list[str], partition_by: list[str], touched_dirs: set[str]
+    ) -> list[str]:
+        """Previous-version files NOT in a touched partition dir (they
+        carry into the new manifest by reference, byte-identical)."""
+        def pdir(relpath: str) -> str:
+            return "/".join(relpath.split("/")[: len(partition_by)])
+        return [f for f in prev_files if pdir(f) not in touched_dirs]
 
     # -- MERGE (J4) --------------------------------------------------------
     def merge(
@@ -152,7 +266,11 @@ class LakeTable:
         INSERT ALL (jobs/order_items_glue_job.py:174-180 shape).
 
         ``latest_by=None``: plain update-all semantics — source rows win
-        on key collision (result = source ∪ (target ⟕̸ source)).
+        on key collision (result = source ∪ (target ⟕̸ source)). The
+        source must be unique per key; duplicate source keys raise
+        (Delta's multiple-source-match error), because any silent pick
+        would be partition-order-dependent and make replays
+        nondeterministic.
 
         ``latest_by=col``: ordered upsert — the winner per key is chosen
         across BOTH target and source by the newest ``col`` (source wins
@@ -163,14 +281,59 @@ class LakeTable:
         boundary arrangement converge to the same table
         (streaming/events.py stream_merge_to_table). Equivalent to
         Delta's ``WHEN MATCHED AND s.col >= t.col THEN UPDATE ALL``.
+
+        Partitioned tables rewrite only partitions that receive source
+        rows or contain matched keys — O(touched partitions), not
+        O(table). Untouched files carry over untouched.
         """
         key = list(key)
+        prev_v = self.version()
+        m = self._manifest(prev_v)
+        partition_by: list[str] = m["partition_by"]
         target = self.read(spark)
         if set(target.columns) != set(source.columns):
             raise ValueError(
                 f"merge schema mismatch: target {sorted(target.columns)} "
                 f"vs source {sorted(source.columns)}"
             )
+        if latest_by is None:
+            # Delta parity: multiple source rows per key is an error —
+            # a silent survivor would be partition-order nondeterministic.
+            dup = (
+                source.groupBy(*key).count().filter(F.col("count") > 1).limit(1).count()
+            )
+            if dup:
+                raise ValueError(
+                    "merge source has duplicate keys; pass latest_by= to "
+                    "define the survivor (ordered upsert)"
+                )
+
+        carry: list[str] = []
+        touched_dirs: set[str] | None = None
+        if partition_by:
+            # touched = partitions receiving source rows ∪ partitions
+            # holding matched keys (an update may MOVE a row across
+            # partitions, emptying its old one — both sides must rewrite).
+            src_parts = source.select(*partition_by).distinct()
+            tgt_parts = (
+                target.join(
+                    source.select(*key).distinct(), on=key, how="left_semi"
+                )
+                .select(*partition_by)
+                .distinct()
+            )
+            touched = [
+                tuple(r)
+                for r in src_parts.unionByName(tgt_parts).distinct().collect()
+            ]
+            touched_dirs = {
+                _partition_dirname(partition_by, t) for t in touched
+            }
+            carry = self._split_carryover(m["files"], partition_by, touched_dirs)
+            target = target.filter(
+                self._partition_predicate(partition_by, touched)
+            )
+
         if latest_by is not None:
             # one window over target ∪ source: newest latest_by wins,
             # source beats target on ties (update-all flavor)
@@ -188,31 +351,69 @@ class LakeTable:
                 .drop("__rn", "__is_src")
             )
         else:
-            source = source.dropDuplicates(key)
             kept = target.join(
                 source.select(*key).dropDuplicates(), on=key, how="left_anti"
             )
             merged = kept.unionByName(source.select(*kept.columns))
-        new_version = self.version() + 1
-        m = self._manifest(self.version())
-        # Materialize before overwriting: merged reads the current
-        # version's files, and Spark overwrite would otherwise clobber
-        # its own input. New version dir avoids read-own-write entirely.
-        self._write_version(merged, new_version, m["partition_by"], "merge")
+        new_version = prev_v + 1
+        new_files = self._stage_files(
+            merged, new_version, partition_by, allowed_dirs=touched_dirs
+        )
+        self._commit_version(
+            new_version,
+            "merge",
+            partition_by,
+            sorted(carry + new_files),
+            StructType.fromJson(m["schema"]),
+        )
         self._vacuum(keep=2)
         return new_version
 
     def delete(self, spark: SparkSession, condition: F.Column) -> int:
         """Keyed/predicate DELETE (Delta ``DELETE FROM t WHERE cond``
         parity; the reference never deletes, but a lakehouse table
-        without DELETE can't serve GDPR-style erasure). Copy-on-write:
-        surviving rows are rewritten into a new version, so time travel
-        to the pre-delete snapshot still works until vacuum."""
+        without DELETE can't serve GDPR-style erasure).
+
+        SQL semantics: a row is deleted only where ``condition`` is
+        TRUE; rows where it evaluates NULL (e.g. a NULL column in a
+        comparison) are KEPT. Copy-on-write, partition-scoped: only
+        partitions containing a TRUE row are rewritten; time travel to
+        the pre-delete snapshot works until vacuum."""
+        prev_v = self.version()
+        m = self._manifest(prev_v)
+        partition_by: list[str] = m["partition_by"]
         target = self.read(spark)
-        kept = target.filter(~condition)
-        new_version = self.version() + 1
-        m = self._manifest(self.version())
-        self._write_version(kept, new_version, m["partition_by"], "delete")
+        cond_true = F.coalesce(condition, F.lit(False))
+
+        carry: list[str] = []
+        touched_dirs: set[str] | None = None
+        if partition_by:
+            touched = [
+                tuple(r)
+                for r in target.filter(cond_true)
+                .select(*partition_by)
+                .distinct()
+                .collect()
+            ]
+            touched_dirs = {
+                _partition_dirname(partition_by, t) for t in touched
+            }
+            carry = self._split_carryover(m["files"], partition_by, touched_dirs)
+            target = target.filter(
+                self._partition_predicate(partition_by, touched)
+            )
+        kept = target.filter(~cond_true)
+        new_version = prev_v + 1
+        new_files = self._stage_files(
+            kept, new_version, partition_by, allowed_dirs=touched_dirs
+        )
+        self._commit_version(
+            new_version,
+            "delete",
+            partition_by,
+            sorted(carry + new_files),
+            StructType.fromJson(m["schema"]),
+        )
         self._vacuum(keep=2)
         return new_version
 
@@ -224,24 +425,41 @@ class LakeTable:
         into ``target_partitions`` files per partition directory
         (coalesce — no shuffle, pure bin-packing) and commits it as a
         new version. Result-transparent: rows and schema unchanged."""
-        target = self.read(spark)
-        m = self._manifest(self.version())
-        compacted = target.coalesce(target_partitions)
-        new_version = self.version() + 1
-        self._write_version(
-            compacted, new_version, m["partition_by"], "optimize"
+        prev_v = self.version()
+        m = self._manifest(prev_v)
+        partition_by: list[str] = m["partition_by"]
+        compacted = self.read(spark).coalesce(target_partitions)
+        new_version = prev_v + 1
+        new_files = self._stage_files(compacted, new_version, partition_by)
+        self._commit_version(
+            new_version,
+            "optimize",
+            partition_by,
+            new_files,
+            StructType.fromJson(m["schema"]),
         )
         self._vacuum(keep=2)
         return new_version
 
     def _vacuum(self, keep: int = 2) -> None:
-        """Drop data dirs older than the newest ``keep`` versions (log
-        entries are kept — history stays queryable as metadata)."""
+        """Delete data files referenced by no manifest in the newest
+        ``keep`` versions (log entries are kept — history stays
+        queryable as metadata). Files shared across versions via
+        partition-scoped carry-over survive as long as any kept
+        manifest references them."""
         vs = self._versions()
-        for v in vs[:-keep]:
-            d = os.path.join(self.path, self._manifest(v)["data_dir"])
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+        referenced: set[str] = set()
+        for v in vs[-keep:]:
+            referenced.update(self._manifest(v)["files"])
+        if not os.path.isdir(self.data_dir):
+            return
+        for root, _dirs, fnames in os.walk(self.data_dir, topdown=False):
+            for fname in fnames:
+                rel = os.path.relpath(os.path.join(root, fname), self.data_dir)
+                if rel.replace(os.sep, "/") not in referenced:
+                    os.remove(os.path.join(root, fname))
+            if root != self.data_dir and not os.listdir(root):
+                os.rmdir(root)
 
 
 def create_or_merge(

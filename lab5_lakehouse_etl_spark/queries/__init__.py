@@ -59,3 +59,58 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     for mod in _MODULES:
         importlib.import_module(f"{__name__}.{mod}")
+
+
+# The correctness driver verifies the first 50 queries in ``queries()``
+# order each round.  Round 1 covered registration slots 1-50, leaving the
+# 55 later queries unverified; this list front-loads exactly those for
+# round 2 (oracle-paired first, the five rows-only streaming queries at
+# slots 51-55).  Rotate per round until every query has a green row.
+_PRIORITY: tuple[str, ...] = (
+    # TPC-H composites
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q10",
+    "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19",
+    # reference end-to-end pipelines + lakehouse core semantics
+    "q_pipeline_orders", "q_pipeline_items", "q_pipeline_products",
+    "q_merge_upsert", "q_table_roundtrip", "q_bucketed_join",
+    # subqueries
+    "q_subquery_in", "q_subquery_exists", "q_subquery_notexists",
+    "q_subquery_scalar",
+    # scalar fn cut off at slot 51 in r1
+    "q_fn_struct",
+    # text analysis
+    "q_text_tokens", "q_text_quality", "q_text_langid", "q_fingerprint",
+    "q_text_tfidf", "q_langid_ngram",
+    # dedup family
+    "q_dedup_exact_docs", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_embedding", "q_dedup_ngram", "q_dedup_clusters",
+    # corpus ops
+    "q_split_hash", "q_pack_sequences", "q_mixture_weighted",
+    "q_corpus_curate",
+    # similarity search
+    "q_topk_similarity", "q_ann_lsh", "q_ann_ivf",
+    # multimodal
+    "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames",
+    "q_multimodal_resize",
+    # event analytics
+    "q_sessionize_batch", "q_scd2_intervals", "q_funnel",
+    # batch windowed aggs (streaming_ops module, batch semantics)
+    "q_window_tumbling", "q_window_sliding",
+    # --- slot 51+ (rows-only streaming; rotate into top-50 in r3) ---
+    "q_stream_tumbling", "q_stream_dedup", "q_stream_session",
+    "q_stream_stateful", "q_stream_merge",
+)
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """Registry reordered for the driver: priority names first, then the
+    remaining queries in registration order."""
+    out: dict[str, QueryFn] = {}
+    for name in _PRIORITY:
+        if name in QUERIES:
+            out[name] = QUERIES[name]
+    for name, fn in QUERIES.items():
+        if name not in out:
+            out[name] = fn
+    return out

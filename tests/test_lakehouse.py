@@ -1,11 +1,14 @@
 """LakeTable unit tests: versioned writes, snapshot reads, MERGE
-semantics, vacuum, partition layout (SURVEY §2.1 S6-S8, §2.3 J4)."""
+semantics, vacuum, partition layout, partition-scoped copy-on-write
+(SURVEY §2.1 S6-S8, §2.3 J4)."""
 
 from __future__ import annotations
 
+import glob
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from lab5_lakehouse_etl_spark.lakehouse import LakeTable, create_or_merge
 
@@ -15,6 +18,15 @@ def df3(spark):
     return spark.createDataFrame(
         [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
         "k BIGINT, part STRING, v DOUBLE",
+    )
+
+
+def _data_files(path):
+    """All parquet files under the table's data/ tree, relative paths."""
+    root = os.path.join(path, "data")
+    return sorted(
+        os.path.relpath(f, root)
+        for f in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
     )
 
 
@@ -31,7 +43,7 @@ def test_create_read_roundtrip(spark, df3, tmp_path):
         (3, "a", 30.0),
     ]
     # partitioned layout: directory-encoded partition values
-    assert os.path.isdir(os.path.join(path, "data_v0", "part=a"))
+    assert os.path.isdir(os.path.join(path, "data", "part=a"))
 
 
 def test_merge_update_and_insert(spark, df3, tmp_path):
@@ -62,6 +74,18 @@ def test_merge_latest_wins_pre_dedup(spark, tmp_path):
     assert rows == {1: (9, 90.0), 2: (1, 10.0)}
 
 
+def test_merge_duplicate_source_keys_raise_without_latest_by(spark, df3, tmp_path):
+    # Delta parity: multiple source matches per key is an error unless
+    # latest_by defines the survivor — a silent pick would be
+    # partition-order nondeterministic.
+    t = LakeTable.create(df3, str(tmp_path / "t"))
+    dup = spark.createDataFrame(
+        [(2, "b", 1.0), (2, "b", 2.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge(spark, dup, key=["k"])
+
+
 def test_merge_schema_mismatch_raises(spark, df3, tmp_path):
     t = LakeTable.create(df3, str(tmp_path / "t"))
     bad = spark.createDataFrame([(1, "x")], "k BIGINT, other STRING")
@@ -69,18 +93,62 @@ def test_merge_schema_mismatch_raises(spark, df3, tmp_path):
         t.merge(spark, bad, key=["k"])
 
 
+def test_merge_partition_scoped_carries_untouched_files(spark, df3, tmp_path):
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path, partition_by=["part"])
+    before = {
+        f: os.path.getmtime(os.path.join(path, "data", f))
+        for f in t.files()
+        if f.startswith("part=a/")
+    }
+    assert before  # partition a has files
+    # source touches only partition b
+    source = spark.createDataFrame(
+        [(2, "b", 99.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    t.merge(spark, source, key=["k"])
+    after_files = t.files()
+    # partition a files carried over BY REFERENCE: same names, same bytes
+    for f, mtime in before.items():
+        assert f in after_files
+        assert os.path.getmtime(os.path.join(path, "data", f)) == mtime
+    # partition b was rewritten into v1-tagged files
+    assert all(
+        f.split("/")[-1].startswith("v1-")
+        for f in after_files
+        if f.startswith("part=b/")
+    )
+    rows = {r.k: r.v for r in t.read(spark).collect()}
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
+def test_merge_row_moving_partition_empties_old_one(spark, df3, tmp_path):
+    # update changes the partition value: row must leave the old
+    # partition (which is rewritten) and appear in the new one
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path, partition_by=["part"])
+    source = spark.createDataFrame(
+        [(2, "c", 21.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    t.merge(spark, source, key=["k"])
+    rows = sorted((r.k, r.part, r.v) for r in t.read(spark).collect())
+    assert rows == [(1, "a", 10.0), (2, "c", 21.0), (3, "a", 30.0)]
+    # old partition b has no live files in the new manifest
+    assert not [f for f in t.files() if f.startswith("part=b/")]
+
+
 def test_vacuum_keeps_two_versions(spark, df3, tmp_path):
     path = str(tmp_path / "t")
     t = LakeTable.create(df3, path)
     src = spark.createDataFrame([(9, "z", 1.0)], "k BIGINT, part STRING, v DOUBLE")
     t.merge(spark, src, key=["k"])
-    t.merge(spark, src, key=["k"])
-    t.merge(spark, src, key=["k"])
+    t.merge(spark, src, key=["k"], latest_by="v")
+    t.merge(spark, src, key=["k"], latest_by="v")
     assert t.version() == 3
-    # history metadata intact, but only 2 newest data dirs remain
+    # history metadata intact, but only files of the 2 newest manifests remain
     assert len(t.history()) == 4
-    dirs = [d for d in os.listdir(path) if d.startswith("data_v")]
-    assert sorted(dirs) == ["data_v2", "data_v3"]
+    live = set(t.files(2)) | set(t.files(3))
+    assert set(_data_files(path)) == live
 
 
 def test_create_or_merge_branch(spark, df3, tmp_path):
@@ -93,8 +161,6 @@ def test_create_or_merge_branch(spark, df3, tmp_path):
 
 
 def test_delete_copy_on_write(spark, df3, tmp_path):
-    from pyspark.sql import functions as F
-
     t = LakeTable.create(df3, str(tmp_path / "t"))
     v = t.delete(spark, F.col("part") == "a")
     assert v == 1
@@ -104,19 +170,35 @@ def test_delete_copy_on_write(spark, df3, tmp_path):
     assert t.history()[-1]["operation"] == "delete"
 
 
-def test_optimize_compacts_files_preserves_rows(spark, df3, tmp_path):
-    import glob
+def test_delete_null_predicate_keeps_rows(spark, tmp_path):
+    # SQL DELETE WHERE cond deletes only TRUE rows; a NULL predicate
+    # (here: NULL v compared to a number) KEEPS the row.
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "a", 30.0)],
+        "k BIGINT, part STRING, v DOUBLE",
+    )
+    t = LakeTable.create(df, str(tmp_path / "t"))
+    t.delete(spark, F.col("v") > 15.0)
+    kept = sorted(r.k for r in t.read(spark).collect())
+    assert kept == [1, 2]  # k=2 (NULL predicate) kept, k=3 (TRUE) deleted
 
+
+def test_delete_partition_scoped(spark, df3, tmp_path):
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path, partition_by=["part"])
+    b_files = [f for f in t.files() if f.startswith("part=b/")]
+    t.delete(spark, F.col("k") == 1)  # touches only partition a
+    assert [f for f in t.files() if f.startswith("part=b/")] == b_files
+    assert sorted(r.k for r in t.read(spark).collect()) == [2, 3]
+
+
+def test_optimize_compacts_files_preserves_rows(spark, df3, tmp_path):
     t = LakeTable.create(
         df3.repartition(8), str(tmp_path / "t")
     )  # 8 small files
-    before = len(glob.glob(os.path.join(str(tmp_path / "t"), "data_v0", "*.parquet")))
-    assert before > 1
-    v = t.optimize(spark)
-    after = len(
-        glob.glob(os.path.join(str(tmp_path / "t"), f"data_v{v}", "*.parquet"))
-    )
-    assert after == 1
+    assert len(t.files()) > 1
+    t.optimize(spark)
+    assert len(t.files()) == 1
     assert sorted((r.k, r.part, r.v) for r in t.read(spark).collect()) == [
         (1, "a", 10.0),
         (2, "b", 20.0),
@@ -128,6 +210,23 @@ def test_optimize_compacts_files_preserves_rows(spark, df3, tmp_path):
 def test_optimize_partitioned_keeps_layout(spark, df3, tmp_path):
     path = str(tmp_path / "t")
     t = LakeTable.create(df3.repartition(4), path, partition_by=["part"])
-    v = t.optimize(spark)
-    assert os.path.isdir(os.path.join(path, f"data_v{v}", "part=a"))
+    t.optimize(spark)
+    assert any(f.startswith("part=a/") for f in t.files())
     assert t.read(spark).count() == 3
+
+
+def test_partition_value_escaping(spark, tmp_path):
+    # values needing hive escaping (= and /) round-trip through the
+    # dirname prediction used for carry-over decisions
+    df = spark.createDataFrame(
+        [(1, "a=b", 1.0), (2, "c/d", 2.0), (3, None, 3.0)],
+        "k BIGINT, part STRING, v DOUBLE",
+    )
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df, path, partition_by=["part"])
+    # merge touching only the weird partitions must not raise the
+    # escaping-mismatch safety net and must preserve all rows
+    src = spark.createDataFrame([(1, "a=b", 9.0)], "k BIGINT, part STRING, v DOUBLE")
+    t.merge(spark, src, key=["k"])
+    rows = {r.k: r.v for r in t.read(spark).collect()}
+    assert rows == {1: 9.0, 2: 2.0, 3: 3.0}
