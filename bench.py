@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "q_tpch_q19",
     "q_sessionize_batch",
     "q_funnel",
+    "q_skew_salted_agg",
+    "q_skew_salted_join",
 ]
 
 

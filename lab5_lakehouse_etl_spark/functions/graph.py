@@ -52,6 +52,7 @@ def connected_components(
     edges = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         msgs = edges.join(
             labels, edges.src == labels.node, "inner"
@@ -64,6 +65,15 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silent partial convergence would hand callers WRONG components;
+        # label propagation needs O(graph diameter) rounds, so a deep
+        # path graph must raise, not degrade.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels

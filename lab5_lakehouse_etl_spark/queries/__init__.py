@@ -38,6 +38,7 @@ _MODULES = (
     "subqueries",
     "tpch",
     "events_ops",
+    "skew_ops",
 )
 
 
@@ -97,7 +98,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_sessionize_batch", "q_scd2_intervals", "q_funnel",
     # batch windowed aggs (streaming_ops module, batch semantics)
     "q_window_tumbling", "q_window_sliding",
-    # --- slot 51+ (rows-only streaming; rotate into top-50 in r3) ---
+    # --- slot 51+ (rotate into the top-50 window in r3) ---
+    "q_skew_salted_agg", "q_skew_salted_join",
     "q_stream_tumbling", "q_stream_dedup", "q_stream_session",
     "q_stream_stateful", "q_stream_merge",
 )

@@ -40,11 +40,40 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_minhash")
+_CHAR_SHINGLE_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS s
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text)-4, 1) + 1)) AS i
+        FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = inter.id_a
+           JOIN sizes sb ON sb.doc_id = inter.id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+@query("q_dedup_minhash", oracle=_CHAR_SHINGLE_JACCARD_ORACLE)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs with exact-Jaccard verify
-    (threshold 0.5, char 5-shingles, 32 hashes × 8 bands). Rows-only:
-    deterministic, but xxhash64 isn't portable to DuckDB."""
+    (threshold 0.5, char 5-shingles, 32 hashes × 8 bands).
+
+    The oracle is the brute-force exact-Jaccard pair set (all-pairs
+    shingle self-join in DuckDB — fine at fixture scale, exactly what
+    LSH exists to avoid at corpus scale). Hash-equality holds because
+    the verify stage is exact and the fixtures' true near-dups sit far
+    above the estimate gate (planted dups have J ≥ 0.9; an 8-band ×
+    4-row LSH misses a J=0.9 pair with probability ≈ (1-0.9⁴)⁸ < 1e-6),
+    so measured recall is 1.0 at sf0.001/sf0.01 — pinned by this oracle
+    and by tests/test_dedup_golden.py pair-level equality."""
     docs = load_table(spark, sf_dir, "documents")
     cands = D.minhash_candidate_pairs(docs)
     return D.verified_near_dups(docs, cands, threshold=0.5)
@@ -91,10 +120,36 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.exact_pairs_blocked(v, threshold=0.35)
 
 
-@query("q_dedup_ngram")
+_WORD_NGRAM_JACCARD_ORACLE = r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS s
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t,
+               unnest(range(1,
+                 greatest(len(string_split_regex(lower(text), '\s+'))-2, 1) + 1
+               )) AS i
+        FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = inter.id_a
+           JOIN sizes sb ON sb.doc_id = inter.id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3
+"""
+
+
+@query("q_dedup_ngram", oracle=_WORD_NGRAM_JACCARD_ORACLE)
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs: minhash candidates verified
-    against word-ngram sets (threshold 0.3). Rows-only."""
+    against word-ngram sets (threshold 0.3). Oracle = brute-force
+    all-pairs word-ngram Jaccard (see q_dedup_minhash's recall note —
+    equality pinned at sf0.001/sf0.01)."""
     docs = load_table(spark, sf_dir, "documents")
     # looser estimate gate: word-ngram Jaccard runs lower than char-shingle
     cands = D.minhash_candidate_pairs(docs, est_threshold=0.25)

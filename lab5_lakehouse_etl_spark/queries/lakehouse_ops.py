@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lakehouse import LakeTable
-from ..session import load_table, tune
+from ..session import load_table, scratch_dir, tune
 from . import query
 
 
@@ -28,18 +28,14 @@ def q_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate").cast("int")
     )
-    with tempfile.TemporaryDirectory() as tmp:
-        path = f"{tmp}/orders_tbl"
-        assert not LakeTable.is_table(path)
-        t = LakeTable.create(orders, path, partition_by=["o_year"])
-        assert LakeTable.is_table(path)
-        back = t.read(spark)
-        out = (
-            back.groupBy("o_year")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-            .collect()
-        )
-    return spark.createDataFrame(out, "o_year INT, n BIGINT")
+    path = scratch_dir("q_table_roundtrip", fresh=True) + "/orders_tbl"
+    assert not LakeTable.is_table(path)
+    t = LakeTable.create(orders, path, partition_by=["o_year"])
+    assert LakeTable.is_table(path)
+    back = t.read(spark)
+    return back.groupBy("o_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
 
 
 @query("q_merge_upsert")

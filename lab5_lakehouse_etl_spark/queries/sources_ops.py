@@ -7,22 +7,18 @@ end-to-end on driver fixtures: materialize a table as CSV (resp. an
 in-memory workbook), run the real readers, and return a DataFrame the
 oracle can check against the original parquet.
 
-Both collect through ``createDataFrame`` at the end because the staged
-CSV files live in a TemporaryDirectory that is gone before the driver
-collects; the staged tables are tiny landing files (nation: 25 rows,
-region: 5), matching the reference's lab-scale raw zone, so this is
-driver-side by design — the distributed path starts at the CSV scan,
-which is a real ``spark.read.csv``.
+Staged CSVs land under a stable per-process scratch dir
+(``session.scratch_dir``) so both queries return the DISTRIBUTED scan
+directly — no ``collect()`` anywhere in the declared path; the result
+the driver hashes is the lazy CSV scan + cast plan itself.
 """
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_table, tune
+from ..session import load_table, scratch_dir, tune
 from ..sources.readers import read_csv_untyped, split_workbook
 from . import query
 
@@ -44,18 +40,13 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the oracle hashes."""
     tune(spark)
     nation = load_table(spark, sf_dir, "nation")
-    with tempfile.TemporaryDirectory() as tmp:
-        csv_dir = f"{tmp}/nation_csv"
-        nation.coalesce(1).write.option("header", True).csv(csv_dir)
-        landed = read_csv_untyped(spark, csv_dir)
-        typed = landed.select(
-            F.col("n_nationkey").try_cast("bigint").alias("n_nationkey"),
-            F.col("n_name"),
-            F.col("n_regionkey").try_cast("bigint").alias("n_regionkey"),
-        )
-        rows = typed.collect()
-    return spark.createDataFrame(
-        rows, "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    csv_dir = scratch_dir("q_scan_csv", fresh=True) + "/nation_csv"
+    nation.coalesce(1).write.mode("overwrite").option("header", True).csv(csv_dir)
+    landed = read_csv_untyped(spark, csv_dir)
+    return landed.select(
+        F.col("n_nationkey").try_cast("bigint").alias("n_nationkey"),
+        F.col("n_name"),
+        F.col("n_regionkey").try_cast("bigint").alias("n_regionkey"),
     )
 
 
@@ -78,25 +69,20 @@ def q_xlsx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [[r.r_regionkey, r.r_name] for r in rows[i * 2 : i * 2 + 2]]
         for i in range((len(rows) + 1) // 2)
     }
-    with tempfile.TemporaryDirectory() as tmp:
-        written = split_workbook(sheets, tmp)
-        assert len(written) == len(sheets)
-        # One scan over every per-sheet CSV; lineage comes from the file
-        # name itself (input_file_name), exactly how a production landing
-        # scan would attribute rows to their source drop.
-        landed = read_csv_untyped(spark, tmp)
-        lineage = landed.select(
-            F.col("r_regionkey").try_cast("bigint").alias("r_regionkey"),
-            "r_name",
-            F.regexp_extract(F.input_file_name(), r"([^/]+)\.csv$", 1).alias(
-                "sheet_name"
-            ),
-            F.regexp_extract(F.input_file_name(), r"([^/]+\.csv)$", 1).alias(
-                "source_file"
-            ),
-        )
-        out = lineage.collect()
-    return spark.createDataFrame(
-        sorted(out, key=lambda r: r.r_regionkey),
-        "r_regionkey BIGINT, r_name STRING, sheet_name STRING, source_file STRING",
+    land = scratch_dir("q_xlsx_ingest", fresh=True)
+    written = split_workbook(sheets, land)
+    assert len(written) == len(sheets)
+    # One scan over every per-sheet CSV; lineage comes from the file
+    # name itself (input_file_name), exactly how a production landing
+    # scan would attribute rows to their source drop.
+    landed = read_csv_untyped(spark, land)
+    return landed.select(
+        F.col("r_regionkey").try_cast("bigint").alias("r_regionkey"),
+        "r_name",
+        F.regexp_extract(F.input_file_name(), r"([^/]+)\.csv$", 1).alias(
+            "sheet_name"
+        ),
+        F.regexp_extract(F.input_file_name(), r"([^/]+\.csv)$", 1).alias(
+            "source_file"
+        ),
     )

@@ -10,12 +10,10 @@ readStream with availableNow.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_table, table_path, tune
+from ..session import load_table, scratch_dir, table_path, tune
 from ..streaming import events as E
 from . import query
 
@@ -144,14 +142,13 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_stream_merge")
 def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch → LakeTable MERGE: the reference's idempotent upsert
-    incrementalized; returns the merged table. Rows-only (side-effect)."""
+    incrementalized; returns the merged table as a direct distributed
+    scan (table + checkpoint live under a stable per-process scratch
+    dir, so no driver-side materialization). Rows-only (side-effect)."""
     tune(spark)
     stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
-    with tempfile.TemporaryDirectory() as tmp:
-        table = E.stream_merge_to_table(
-            spark, stream, f"{tmp}/events_tbl", f"{tmp}/ckpt"
-        )
-        # Materialize before the tmpdir vanishes.
-        out = table.read(spark)
-        out = spark.createDataFrame(out.collect(), out.schema)
-    return out
+    scratch = scratch_dir("q_stream_merge", fresh=True)
+    table = E.stream_merge_to_table(
+        spark, stream, f"{scratch}/events_tbl", f"{scratch}/ckpt"
+    )
+    return table.read(spark)

@@ -504,8 +504,12 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated subquery is decorrelated by hand: the brand filter is
     applied FIRST (broadcast part dim prunes lineitem to ~1/25 of rows),
     then per-part averages are computed over the surviving lineitems of
-    those parts only — not over the whole fact table — via a window, so
-    the fact is scanned once and shuffled once (by l_partkey)."""
+    those parts only — not over the whole fact table — via
+    groupBy + broadcast-back join, NOT a window: the aggregate shuffles
+    only map-side partial (sum,count) pairs per partkey (tiny), the
+    averages table is dim-sized so it broadcasts, and no per-partition
+    Sort is ever introduced — the window formulation pays a full-row
+    shuffle AND a sort for the same answer."""
     part = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#1")
@@ -514,13 +518,13 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("l_partkey")
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    limits = brand_li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_limit")
+    )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .withColumn("part_avg_qty", F.avg("l_quantity").over(w))
-        .filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+        brand_li.join(F.broadcast(limits), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
 

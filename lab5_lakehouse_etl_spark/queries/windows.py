@@ -176,12 +176,17 @@ def q_window_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     running conditional max — no join at all: one window over (user, ts)
     gives every event the most recent signup at-or-before it. The oracle
     is the correlated-subquery formulation. At 100 TB this is one shuffle
-    on user_id vs. the naive range-join's quadratic blowup."""
+    on user_id vs. the naive range-join's quadratic blowup.
+
+    RANGE frame on ts (not ROWS): the oracle's ``s.ts <= e.ts`` includes
+    a signup sharing the event's exact timestamp, so tied-ts peers must
+    be inside the frame — a ROWS frame would cut ties ordered after the
+    current row."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .orderBy(F.col("ts").asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sig_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
     return ev.select(

@@ -82,6 +82,31 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def scratch_dir(*parts: str, fresh: bool = False) -> str:
+    """Stable per-process scratch directory for staged landing files.
+
+    Declared queries that stage data (CSV landing, workbook splits,
+    streamed LakeTables) must return DISTRIBUTED scans over files that
+    outlive the query call — a ``TemporaryDirectory`` would vanish
+    before the driver collects, which previously forced driver-side
+    ``collect()`` round-trips. The pid component keeps concurrent
+    processes apart; ``fresh=True`` clears a previous run's files so
+    each call is idempotent.
+    """
+    import shutil
+    import tempfile
+
+    base = os.environ.get(
+        "SPARK_GRAFT_SCRATCH",
+        os.path.join(tempfile.gettempdir(), "lab5_lakehouse_scratch"),
+    )
+    d = os.path.join(base, f"pid{os.getpid()}", *parts)
+    if fresh and os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

@@ -3,11 +3,11 @@
 The reference lands XLSX + CSV in a raw zone, splits XLSX into per-
 sheet CSVs driver-side with openpyxl (jobs/xlsx_to_csv.py:28-55), then
 reads CSVs either schemaless-all-string (orders/items) or with a
-declared StructType (products). openpyxl is not installed in this
-environment, so the workbook *loader* is import-gated; the sheet-split
-semantics (each sheet → `<sheet>.csv`, None → '', formula results not
-formulas) are implemented against a plain in-memory representation and
-fully tested.
+declared StructType (products). The workbook loader uses openpyxl when
+installed and otherwise the vendored stdlib OOXML reader
+(sources/xlsx.py) — real .xlsx bytes round-trip either way; the
+sheet-split semantics (each sheet → `<sheet>.csv`, None → '', formula
+results not formulas) are shared and fully tested.
 """
 
 from __future__ import annotations
@@ -64,17 +64,17 @@ def split_workbook(
 
 
 def load_workbook_sheets(xlsx_path: str) -> dict[str, list[list[object]]]:
-    """S3/S5 loader: openpyxl with data_only=True (formula RESULTS, not
-    formulas — jobs/xlsx_to_csv.py:33). Import-gated: openpyxl is not
-    available in this container."""
+    """S3/S4 loader: formula RESULTS, not formulas (openpyxl
+    data_only=True semantics — jobs/xlsx_to_csv.py:33). Uses openpyxl
+    when installed; otherwise the vendored stdlib OOXML reader
+    (sources/xlsx.py), which returns cached formula values — the same
+    data_only contract."""
     try:
         import openpyxl  # noqa: PLC0415
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "openpyxl is not installed in this environment; install it to "
-            "read .xlsx landing files (the sheet-split semantics are in "
-            "split_workbook and are fully tested without it)"
-        ) from exc
+    except ImportError:
+        from .xlsx import load_workbook  # noqa: PLC0415
+
+        return load_workbook(xlsx_path)
     wb = openpyxl.load_workbook(xlsx_path, data_only=True)  # pragma: no cover
     return {  # pragma: no cover
         name: [list(row) for row in wb[name].iter_rows(values_only=True)]
@@ -89,7 +89,13 @@ def xlsx_to_csv(xlsx_path: str, out_dir: str) -> list[str]:
 
 def list_sheets(xlsx_path: str) -> list[str]:
     """S5: sheet-name listing (common/utils.py:40-65)."""
-    return list(load_workbook_sheets(xlsx_path))
+    try:
+        import openpyxl  # noqa: F401, PLC0415
+    except ImportError:
+        from .xlsx import sheet_names  # noqa: PLC0415
+
+        return sheet_names(xlsx_path)
+    return list(load_workbook_sheets(xlsx_path))  # pragma: no cover
 
 
 def passthrough_copy(src: str, dst_dir: str) -> str:

@@ -1,0 +1,69 @@
+"""Pair-level golden checks for the near-dup family at sf0.01 (the
+driver's correctness scale) — not just the sf0.001 default the rest of
+the suite uses. The minhash/ngram pipelines are additionally
+oracle-paired (brute-force exact-Jaccard in DuckDB); simhash has no
+SQL twin, so its pair set is pinned structurally here: deterministic
+count + containment of every true high-Jaccard duplicate."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from lab5_lakehouse_etl_spark import queries as Q
+from tests.conftest import rows_key
+
+Q.load_all()
+
+SF_001 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def ddb_01():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_001}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def _truth_pairs(con, sql):
+    return {(a, b): j for a, b, j in con.sql(sql).fetchall()}
+
+
+def test_minhash_pairs_equal_truth_sf001(spark, ddb_01):
+    got = Q.QUERIES["q_dedup_minhash"](spark, SF_001)
+    truth = ddb_01.sql(Q.ORACLES["q_dedup_minhash"])
+    assert rows_key(
+        [tuple(r) for r in got.collect()], got.columns
+    ) == rows_key(truth.fetchall(), truth.columns)
+
+
+def test_ngram_pairs_equal_truth_sf001(spark, ddb_01):
+    got = Q.QUERIES["q_dedup_ngram"](spark, SF_001)
+    truth = ddb_01.sql(Q.ORACLES["q_dedup_ngram"])
+    assert rows_key(
+        [tuple(r) for r in got.collect()], got.columns
+    ) == rows_key(truth.fetchall(), truth.columns)
+
+
+def test_simhash_contains_all_true_dups_sf001(spark, ddb_01):
+    # simhash (Hamming ≤ 6 over 64-bit fingerprints) measures a
+    # different similarity than Jaccard, so no value oracle — but every
+    # planted near-identical pair (char-5-shingle J ≥ 0.5) must be
+    # recalled, and the pipeline is deterministic (fixed xxhash64), so
+    # the total pair count is stable run to run.
+    got = Q.QUERIES["q_dedup_simhash"](spark, SF_001)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    truth = set(
+        _truth_pairs(ddb_01, Q.ORACLES["q_dedup_minhash"])
+    )  # J >= 0.5 pairs
+    missing = truth - pairs
+    assert not missing, f"simhash missed true near-dups: {sorted(missing)}"
+    rerun = {
+        (r.id_a, r.id_b)
+        for r in Q.QUERIES["q_dedup_simhash"](spark, SF_001).collect()
+    }
+    assert rerun == pairs  # deterministic

@@ -33,9 +33,12 @@ def test_no_edges_all_singletons(spark):
     assert got == {0: 0, 1: 1, 2: 2}
 
 
-def test_max_iter_caps_work(spark):
-    # a long chain with max_iter=1 must NOT fully converge
-    got = _cc(spark, range(8), [(i, i + 1) for i in range(7)], max_iter=1)
-    assert got[7] != 0  # one hop of propagation can't reach the end
+def test_max_iter_exhaustion_raises(spark):
+    # a long chain with max_iter=1 can't converge — silent partial
+    # labels would be wrong components, so it must raise
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, range(8), [(i, i + 1) for i in range(7)], max_iter=1)
     got_full = _cc(spark, range(8), [(i, i + 1) for i in range(7)])
     assert set(got_full.values()) == {0}

@@ -128,11 +128,16 @@ def test_tpch_q15_single_fact_scan(spark):
 
 
 def test_tpch_q17_one_fact_shuffle(spark):
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
     df = Q.QUERIES["q_tpch_q17"](spark, SF_DIR)
     assert has_broadcast_join(df)  # brand-filtered part dim broadcasts
-    # window partitionBy(l_partkey) is the single fact shuffle; the
-    # final 1-row agg moves partials only
+    # the per-part avg shuffles only map-side partials; the limits table
+    # broadcasts back; the final 1-row agg moves partials only
     assert shuffle_count(df) <= 2
+    # the agg-join decorrelation must never introduce a per-partition
+    # sort (the window formulation would)
+    assert "Sort" not in explain_str(df)
 
 
 def test_tpch_q19_pushes_common_predicates(spark):

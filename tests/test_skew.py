@@ -61,3 +61,36 @@ def test_salted_agg_matches_plain_agg(spark):
         },
     ).withColumn("sum_qty", F.round("sum_qty", 2))
     assert _rows(salted.select(*plain.columns)) == _rows(plain)
+
+
+def test_salted_agg_balances_hot_key(spark):
+    # one pathological key owning ~all rows: the salted partial phase
+    # must spread its state across n_salts distinct groups
+    df = spark.range(10_000).select(
+        F.lit(42).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    salted = df.withColumn(
+        skew.SALT,
+        F.pmod(F.xxhash64("k", F.monotonically_increasing_id()), F.lit(8)),
+    )
+    groups = salted.groupBy("k", skew.SALT).count().collect()
+    assert len(groups) == 8  # hot key split across every salt bucket
+    sizes = [g["count"] for g in groups]
+    assert max(sizes) < 10_000 * 0.25  # no bucket owns the key
+
+
+def test_declared_skew_queries_match_unsalted(spark):
+    from lab5_lakehouse_etl_spark import queries as Q
+
+    Q.load_all()
+    agg = Q.QUERIES["q_skew_salted_agg"](spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    plain = (
+        ev.select("user_id", F.col("value").cast("decimal(18,6)").alias("value"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("value").cast("decimal(28,6)").alias("sum_value"),
+        )
+    )
+    assert _rows(agg) == _rows(plain)
