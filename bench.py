@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "q_funnel",
     "q_skew_salted_agg",
     "q_skew_salted_join",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q21",
 ]
 
 
@@ -75,7 +78,30 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def preflight() -> None:
+    """Correctness gate before timing: run the differential-oracle suite
+    at sf0.01 (the driver's correctness scale — fixture-scale edge cases
+    like ties and null buckets surface here before the driver sees
+    them). Opt-in via ``--preflight`` / SPARK_GRAFT_BENCH_PREFLIGHT=1 so
+    the driver's timed run is never polluted; exits non-zero on any
+    mismatch."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_TEST_SF_DIR="/root/testdata/sf0.01")
+    rc = subprocess.call(
+        [sys.executable, "-m", "pytest", "tests/test_oracle.py", "-q", "-x"],
+        env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    if rc != 0:
+        sys.exit(rc)
+
+
 def main() -> None:
+    if "--preflight" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_BENCH_PREFLIGHT"
+    ) == "1":
+        preflight()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     Q.load_all()

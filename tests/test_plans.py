@@ -160,3 +160,27 @@ def test_funnel_partial_aggregates(spark):
     df = Q.QUERIES["q_funnel"](spark, SF_DIR)
     # per-user conditional-min combines map-side; stage rollup is tiny
     assert shuffle_count(df) <= 2
+
+
+def test_tpch_q8_single_fact_shuffle(spark):
+    df = Q.QUERIES["q_tpch_q8"](spark, SF_DIR)
+    assert has_broadcast_join(df)  # part/cust/sup/nation all broadcast
+    # lineitem↔orders join + final year rollup are the only exchanges
+    assert shuffle_count(df) <= 2
+
+
+def test_tpch_q9_broadcast_chain(spark):
+    df = Q.QUERIES["q_tpch_q9"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 2
+
+
+def test_tpch_q21_two_keyed_aggs_no_self_join_blowup(spark):
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_tpch_q21"](spark, SF_DIR)
+    plan = explain_str(df)
+    # the EXISTS/NOT-EXISTS pair is aggregates, not correlated joins:
+    # lineitem appears exactly once in the scan list
+    assert plan.count("lineitem.parquet") == 1
+    assert has_broadcast_join(df)  # supplier dim broadcasts
