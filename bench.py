@@ -149,6 +149,7 @@ def main() -> None:
                 "metric": "declared_query_wall_time",
                 "value": round(total, 3),
                 "unit": "sec",
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -54,6 +54,27 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
 
 
+def token_stats(text_col: str) -> Column:
+    """Fused (n_tokens, n_distinct_tokens, n_subword_tokens) struct.
+
+    The three per-column functions above each call ``tokens(...)``;
+    CollapseProject inlines a shared token-array projection into every
+    consumer, so the text is re-split once per statistic. This variant
+    binds the token array ONCE via the ``transform(array(...), toks ->
+    ...)[0]`` let-binding idiom (same trick as word_ngrams_sql) and
+    computes all three counts over that binding — one split per row."""
+    return F.expr(
+        f"""transform(array(split(trim(lower({text_col})), '\\\\s+')), toks ->
+              struct(
+                CAST(size(toks) AS BIGINT) AS n_tokens,
+                CAST(size(array_distinct(toks)) AS BIGINT)
+                    AS n_distinct_tokens,
+                aggregate(toks, CAST(0 AS BIGINT),
+                          (acc, t) -> acc + CAST(ceil(length(t) / 4) AS BIGINT))
+                    AS n_subword_tokens))[0]"""
+    )
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are punctuation."""
     punct = F.length(F.regexp_replace(text, r"[^.,!?;:'\"]", ""))

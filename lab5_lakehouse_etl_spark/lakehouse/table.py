@@ -45,6 +45,10 @@ from pyspark.sql.window import Window
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+# Above this many touched partitions a scoped rewrite loses: the
+# OR-of-ANDs pruning predicate grows linearly and the rewrite
+# approaches O(table) anyway — fall back to a plain full rewrite.
+_MAX_SCOPED_PARTITIONS = 4096
 
 # Hive partition-path escaping (public format: Hive FileUtils.escapePathName,
 # mirrored by Spark's ExternalCatalogUtils) — needed to map a partition VALUE
@@ -326,13 +330,16 @@ class LakeTable:
                 tuple(r)
                 for r in src_parts.unionByName(tgt_parts).distinct().collect()
             ]
-            touched_dirs = {
-                _partition_dirname(partition_by, t) for t in touched
-            }
-            carry = self._split_carryover(m["files"], partition_by, touched_dirs)
-            target = target.filter(
-                self._partition_predicate(partition_by, touched)
-            )
+            if len(touched) <= _MAX_SCOPED_PARTITIONS:
+                touched_dirs = {
+                    _partition_dirname(partition_by, t) for t in touched
+                }
+                carry = self._split_carryover(
+                    m["files"], partition_by, touched_dirs
+                )
+                target = target.filter(
+                    self._partition_predicate(partition_by, touched)
+                )
 
         if latest_by is not None:
             # one window over target ∪ source: newest latest_by wins,
@@ -395,13 +402,16 @@ class LakeTable:
                 .distinct()
                 .collect()
             ]
-            touched_dirs = {
-                _partition_dirname(partition_by, t) for t in touched
-            }
-            carry = self._split_carryover(m["files"], partition_by, touched_dirs)
-            target = target.filter(
-                self._partition_predicate(partition_by, touched)
-            )
+            if len(touched) <= _MAX_SCOPED_PARTITIONS:
+                touched_dirs = {
+                    _partition_dirname(partition_by, t) for t in touched
+                }
+                carry = self._split_carryover(
+                    m["files"], partition_by, touched_dirs
+                )
+                target = target.filter(
+                    self._partition_predicate(partition_by, touched)
+                )
         kept = target.filter(~cond_true)
         new_version = prev_v + 1
         new_files = self._stage_files(

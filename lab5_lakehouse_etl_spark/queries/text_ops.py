@@ -30,14 +30,13 @@ from . import query
 )
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, and the
-    BPE-ish subword count (regex splits long words every 4 chars)."""
+    BPE-ish subword count. Uses the fused token_stats struct so the
+    text is split once per row, not once per statistic."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
     return docs.select(
-        "doc_id",
-        T.token_count(t).alias("n_tokens"),
-        T.distinct_token_count(t).alias("n_distinct_tokens"),
-        T.bpe_ish_token_count(t).alias("n_subword_tokens"),
+        "doc_id", T.token_stats("text").alias("ts")
+    ).select(
+        "doc_id", "ts.n_tokens", "ts.n_distinct_tokens", "ts.n_subword_tokens"
     )
 
 
