@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "q_funnel",
     "q_skew_salted_agg",
     "q_skew_salted_join",
+    "q_vocab_topk",
     "q_tpch_q8",
     "q_tpch_q9",
     "q_tpch_q21",

@@ -99,6 +99,24 @@ def avg_token_len(text: Column) -> Column:
     return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
 
 
+def quality_token_stats(
+    text_col: str, stopwords: tuple[str, ...] = ("the", "a", "of", "and")
+) -> Column:
+    """Fused (n_stopwords, avg_token_len) struct over ONE let-bound
+    token array (see token_stats — avg_token_len alone evaluates
+    tokens() twice, stopword_count a third time without this)."""
+    sw = ", ".join(f"'{s}'" for s in stopwords)
+    return F.expr(
+        f"""transform(array(split(trim(lower({text_col})), '\\\\s+')), toks ->
+              struct(
+                CAST(size(filter(toks, t -> array_contains(array({sw}), t)))
+                     AS BIGINT) AS n_stopwords,
+                round(aggregate(toks, CAST(0.0 AS DOUBLE),
+                                (acc, t) -> acc + CAST(length(t) AS DOUBLE))
+                      / greatest(size(toks), 1), 6) AS avg_token_len))[0]"""
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality score from length / punctuation /
     stopword signals — the standard cheap pre-filter for LLM training

@@ -99,7 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     # batch windowed aggs (streaming_ops module, batch semantics)
     "q_window_tumbling", "q_window_sliding",
     # --- slot 51+ (rotate into the top-50 window in r3) ---
-    "q_skew_salted_agg", "q_skew_salted_join",
+    "q_skew_salted_agg", "q_skew_salted_join", "q_vocab_topk",
     "q_tpch_q4", "q_tpch_q8", "q_tpch_q9", "q_tpch_q13", "q_tpch_q16",
     "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
     "q_stream_tumbling", "q_stream_dedup", "q_stream_session",

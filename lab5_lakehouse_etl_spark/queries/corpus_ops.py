@@ -233,3 +233,33 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "q_vocab_topk",
+    oracle=r"""
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 100
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: explode the corpus into tokens, count
+    frequencies, take the top 100 (ties broken by token for a
+    deterministic LIMIT cut). The explode feeds a partial-aggregated
+    groupBy — the shuffle carries (token, partial count), never raw
+    token streams — and the top-k is TakeOrderedAndProject, no global
+    sort. This is the LATERAL-flatten composite shape (generate →
+    aggregate → rank) and the first step of any tokenizer-training /
+    vocab-coverage pass over a corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(100)
+    )

@@ -63,15 +63,22 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring signals: char length, punctuation ratio,
-    stopword count, average token length — the cheap corpus filters."""
+    stopword count, average token length — the cheap corpus filters.
+    Token-based stats ride one fused let-bound split (token re-use,
+    see functions/text.quality_token_stats)."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
         "doc_id",
         F.length(t).cast("bigint").alias("n_chars_measured"),
         T.punct_ratio(t).alias("punct_ratio"),
-        T.stopword_count(t).alias("n_stopwords"),
-        T.avg_token_len(t).alias("avg_token_len"),
+        T.quality_token_stats("text").alias("qs"),
+    ).select(
+        "doc_id",
+        "n_chars_measured",
+        "punct_ratio",
+        "qs.n_stopwords",
+        "qs.avg_token_len",
     )
 
 

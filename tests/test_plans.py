@@ -184,3 +184,15 @@ def test_tpch_q21_two_keyed_aggs_no_self_join_blowup(spark):
     # lineitem appears exactly once in the scan list
     assert plan.count("lineitem.parquet") == 1
     assert has_broadcast_join(df)  # supplier dim broadcasts
+
+
+def test_vocab_topk_partial_agg_no_global_sort(spark):
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_vocab_topk"](spark, SF_DIR)
+    plan = explain_str(df)
+    # top-k never globally sorts the vocabulary
+    assert "TakeOrderedAndProject" in plan
+    # the shuffle carries (token, partial count): partial_count before
+    # the exchange
+    assert "partial_count" in plan or "partial" in plan.lower()
