@@ -107,14 +107,47 @@ _PRIORITY: tuple[str, ...] = (
 )
 
 
+def _driver_verified() -> set[str]:
+    """Names with a SUCCESSFUL row in any past CORRECTNESS_r*.json:
+    hash-matched against the oracle, or ran as a rows-only check.
+    Failed/erroring rows do NOT count — those must re-run up front."""
+    import glob
+    import json
+    import os
+
+    root = os.environ.get(
+        "SPARK_GRAFT_CORRECTNESS_DIR",
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    )
+    ok: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            if rec.get("hash_match") is True or (
+                rec.get("err") == "no_oracle"
+                and (rec.get("spark_rows") or 0) >= 0
+            ):
+                ok.add(name)
+    return ok
+
+
 def ordered_queries() -> dict[str, QueryFn]:
-    """Registry reordered for the driver: priority names first, then the
-    remaining queries in registration order."""
-    out: dict[str, QueryFn] = {}
-    for name in _PRIORITY:
-        if name in QUERIES:
-            out[name] = QUERIES[name]
-    for name, fn in QUERIES.items():
-        if name not in out:
-            out[name] = fn
-    return out
+    """Registry reordered for the driver's 50-query correctness window:
+    queries WITHOUT a successful row in any past CORRECTNESS file come
+    first (in _PRIORITY order, then registration order), already-green
+    queries rotate behind them. Self-maintaining across rounds — each
+    round's results push its verified queries to the back, so the
+    window sweeps the whole registry without manual reordering."""
+    base: list[str] = [n for n in _PRIORITY if n in QUERIES]
+    base += [n for n in QUERIES if n not in base]
+    verified = _driver_verified()
+    ordered = [n for n in base if n not in verified] + [
+        n for n in base if n in verified
+    ]
+    return {n: QUERIES[n] for n in ordered}
