@@ -103,7 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_tpch_q4", "q_tpch_q8", "q_tpch_q9", "q_tpch_q13", "q_tpch_q16",
     "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
     "q_stream_tumbling", "q_stream_dedup", "q_stream_session",
-    "q_stream_stateful", "q_stream_merge",
+    "q_stream_stateful", "q_stream_merge", "q_stream_join",
 )
 
 

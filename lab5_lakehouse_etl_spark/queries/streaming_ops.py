@@ -139,6 +139,20 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_stream_join")
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (views ⋈ purchases within 1 hour,
+    per user): real readStream on both sides, time-range condition
+    bounding join state on both ends. Rows-only (streaming); pytest
+    pins the drained result equal to the batch join
+    (tests/test_streaming.py)."""
+    tune(spark)
+    stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
+    return E.run_to_memory(
+        E.view_purchase_join(stream), "q_stream_join_sink", spark, "append"
+    )
+
+
 @query("q_stream_merge")
 def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch → LakeTable MERGE: the reference's idempotent upsert

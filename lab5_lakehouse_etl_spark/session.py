@@ -76,9 +76,17 @@ def tune(spark: SparkSession) -> SparkSession:
     The correctness driver constructs its own SparkSession; these are
     the session-scoped settings our declared queries rely on. Timezone
     is the critical one — the DuckDB oracle reads parquet timestamps as
-    naive UTC, so Spark must collect them in UTC too.
+    naive UTC, so Spark must collect them in UTC too. Shuffle
+    partitions: AQE coalesces batch shuffles, but Structured Streaming
+    state stores get NO adaptive coalescing — a vanilla session's 200
+    default partitions means 200 state-store tasks per micro-batch, so
+    size it to the machine (fresh checkpoints each run, so re-sizing is
+    safe; a production stream with a retained checkpoint must keep its
+    original partition count).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
     return spark
 
 

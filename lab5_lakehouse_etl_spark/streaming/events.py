@@ -129,6 +129,47 @@ def stream_dedup(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id", "ts"])
 
 
+def view_purchase_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to
+    the same user's views in the preceding ``horizon``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on BOTH ends (p_ts ∈ [v_ts, v_ts + horizon]), which is what
+    lets Spark expire join state: a view older than watermark − horizon
+    can never match a future purchase and is dropped. Without the time
+    bound the state grows unboundedly — the canonical stream-stream
+    join mistake. Same-source self-join is fine: each side gets its own
+    file-source offsets and state store."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", horizon)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", horizon)
+    )
+    return views.join(
+        purchases,
+        F.expr(
+            f"v_user = p_user AND p_ts >= v_ts "
+            f"AND p_ts <= v_ts + INTERVAL {horizon}"
+        ),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "purchase_id", "v_ts", "p_ts"
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, spark: SparkSession, output_mode: str = "append"
 ) -> DataFrame:

@@ -230,3 +230,33 @@ def test_partition_value_escaping(spark, tmp_path):
     t.merge(spark, src, key=["k"])
     rows = {r.k: r.v for r in t.read(spark).collect()}
     assert rows == {1: 9.0, 2: 2.0, 3: 3.0}
+
+
+def test_optimize_cluster_by_disjoint_file_ranges(spark, tmp_path):
+    import duckdb
+
+    # 200 shuffled keys; clustering must give each file a disjoint range
+    df = (
+        spark.range(200)
+        .selectExpr("pmod(id * 37, 200) AS k", "CAST(id AS DOUBLE) AS v")
+        .repartition(8)
+    )
+    t = LakeTable.create(df, str(tmp_path / "t"))
+    v = t.optimize(spark, target_partitions=4, cluster_by=["k"])
+    files = t.files(v)
+    assert len(files) == 4
+    con = duckdb.connect()
+    ranges = sorted(
+        con.sql(
+            f"SELECT min(k), max(k) FROM read_parquet("
+            f"'{os.path.join(str(tmp_path / 't'), 'data', f)}')"
+        ).fetchone()
+        for f in files
+    )
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # disjoint, ordered ranges across files
+    # result-transparent
+    assert t.read(spark).count() == 200
+    assert sorted(r.k for r in t.read(spark).collect()) == sorted(
+        (i * 37) % 200 for i in range(200)
+    )

@@ -143,3 +143,41 @@ def test_stateful_counts_match_batch(spark, stream, batch_events):
     assert {u: v[0] for u, v in final.items()} == {u: v[0] for u, v in batch.items()}
     for u in final:
         assert abs(final[u][1] - batch[u][1]) < 1e-6
+
+def test_stream_stream_join_equals_batch_join(spark):
+    """The drained stream-stream join must equal the identical batch
+    join expression — watermarks with availableNow over a static source
+    never drop on-time rows, so the sets coincide exactly."""
+    from pyspark.sql import functions as F
+
+    from lab5_lakehouse_etl_spark.queries.streaming_ops import q_stream_join
+    from lab5_lakehouse_etl_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    got = sorted(
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in q_stream_join(spark, SF_DIR).collect()
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = sorted(
+        (r.v_user, r.view_id, r.purchase_id)
+        for r in views.join(
+            purchases,
+            F.expr(
+                "v_user = p_user AND p_ts >= v_ts "
+                "AND p_ts <= v_ts + INTERVAL 1 HOUR"
+            ),
+        ).collect()
+    )
+    assert len(want) > 0
+    assert got == want
