@@ -1,10 +1,13 @@
 """Lakehouse declared queries (SURVEY §2.1 S6-S8, §2.3 J4).
 
-Rows-only by nature (side-effecting writes), but internally verified:
-q_merge_upsert compares the merged table against a relational oracle
-(anti-join ∪ source) computed independently in the same job, and
-returns the per-key diff count — so a wrong MERGE yields wrong rows,
-not just fewer rows.
+Side-effecting writes, but still ORACLE-paired: the returned results
+are deterministic functions of the input tables, so the roundtrip
+aggregate and the merge summary hash-compare against plain SQL —
+the oracle proves the lakehouse machinery is result-transparent.
+q_merge_upsert additionally compares the merged table against a
+relational oracle (anti-join ∪ source) computed independently in the
+same job and returns the per-key diff count: a wrong MERGE yields a
+nonzero diff column, which the SQL oracle pins to zero.
 """
 
 from __future__ import annotations
@@ -19,7 +22,15 @@ from ..session import load_table, scratch_dir, tune
 from . import query
 
 
-@query("q_table_roundtrip")
+@query(
+    "q_table_roundtrip",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(count(*) AS BIGINT)       AS n
+    FROM orders
+    GROUP BY 1
+    """,
+)
 def q_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned initial write (S8: partitionBy, mode=overwrite) +
     snapshot read-back (S6) + existence probe (S7). Returns per-
@@ -38,7 +49,15 @@ def q_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_merge_upsert")
+@query(
+    "q_merge_upsert",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT)        AS diff_vs_oracle,
+           CAST(0 AS BIGINT)        AS diff_after_rerun
+    FROM orders
+    """,
+)
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE upsert (J4: WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED
     INSERT ALL, jobs/order_glue_job.py:151-155): seed the table with
@@ -77,13 +96,23 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_bucketed_join")
+@query(
+    "q_bucketed_join",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(count(*) AS BIGINT)      AS n_items,
+           round(sum(l.l_quantity), 2)   AS sum_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-bucketed join (lakehouse/bucketed.py): both sides written
-    bucketBy(8, key), joined exchange-free. Rows-only (side-effecting
-    managed-table writes); the zero-Exchange plan property and result
-    parity with the plain join are pinned in tests/test_bucketing.py.
-    Returns the per-orderkey aggregate of the joined table."""
+    bucketBy(8, key), joined exchange-free. Oracle-paired: the returned
+    per-orderkey aggregate must equal the plain SQL join — bucketing is
+    purely a physical-layout optimization. The zero-Exchange plan
+    property itself is pinned in tests/test_bucketing.py."""
     from ..lakehouse import bucketed as B
 
     tune(spark)

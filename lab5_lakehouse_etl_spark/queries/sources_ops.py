@@ -50,12 +50,24 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_xlsx_ingest")
+@query(
+    "q_xlsx_ingest",
+    oracle="""
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+           r_name,
+           'sheet_' || CAST(r_regionkey // 2 AS VARCHAR)           AS sheet_name,
+           'sheet_' || CAST(r_regionkey // 2 AS VARCHAR) || '.csv' AS source_file
+    FROM region
+    """,
+)
 def q_xlsx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: XLSX multi-sheet → per-sheet CSV split (jobs/xlsx_to_csv.py:
     28-55: each sheet → `<sheet>.csv`, None → ''), then the S1 scan with
     `sheet_name`/`source_file` lineage columns the warehouse schemas
-    expect (SURVEY §1.1). Rows-only: workbook I/O is not SQL.
+    expect (SURVEY §1.1). Oracle-paired: sheets are built
+    deterministically (regionkeys sorted, two per sheet), so the
+    lineage columns are a pure function of r_regionkey and the whole
+    workbook → CSV → scan path hash-compares against plain SQL.
 
     The workbook is built deterministically from `region` (one sheet per
     region pair, like the reference's monthly multi-sheet order drops).

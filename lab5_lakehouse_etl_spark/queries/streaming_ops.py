@@ -3,9 +3,16 @@
 `q_window_tumbling` is the batch twin of the streaming tumbling-window
 aggregation — same expression tree, SQL-oracle-verified (DuckDB bucket
 via epoch arithmetic; Spark's window() aligns to the unix epoch, and
-600 divides both origins' offsets, so buckets coincide). The true
-streaming runs are rows-only: they drain the parquet through a real
-readStream with availableNow.
+600 divides both origins' offsets, so buckets coincide).
+
+The true streaming runs drain the parquet through a real readStream
+with availableNow — and are ALSO oracle-paired: the fixture is a
+single parquet file, so availableNow produces exactly one micro-batch,
+no row is ever late against the watermark, update-mode sinks emit one
+final row per key, and every drained result is a deterministic
+function of the input that plain SQL can state. The multi-batch
+behaviors the single-batch oracle can't see (watermark late-drop lag,
+state expiry) are measured explicitly in tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -95,11 +102,22 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_stateful")
+@query(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           round(sum(value), 3)      AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
-    per-user running counts across micro-batches. Rows-only (stateful
-    streaming, not SQL-expressible)."""
+    per-user running counts across micro-batches. Oracle-paired: the
+    fixture is one parquet file → one micro-batch with availableNow, so
+    the update-mode sink holds exactly the final per-user totals, which
+    must equal the batch GROUP BY."""
     tune(spark)
     stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
     return E.run_to_memory(
@@ -107,11 +125,29 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_tumbling")
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) AS BIGINT) AS bkt,
+             event_type, value
+      FROM events
+    )
+    SELECT make_timestamp(bkt * 600 * 1000000)       AS window_start,
+           make_timestamp((bkt + 1) * 600 * 1000000) AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT)                  AS n_events,
+           round(sum(value), 3)                      AS sum_value
+    FROM b
+    GROUP BY 1, 2, 3
+    """,
+)
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming tumbling windows: readStream over the
     events parquet, watermark, windowed agg, drained with availableNow
-    into a memory sink. Rows-only (streaming)."""
+    into a memory sink (complete mode). Oracle-paired: one input file →
+    one micro-batch, so no row is ever late and the complete-mode
+    result equals the batch epoch-bucket aggregation."""
     tune(spark)
     stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
     return E.run_to_memory(
@@ -119,19 +155,58 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_dedup")
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           value, props
+    FROM events
+    """,
+)
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming dedup on event_id within the watermark horizon.
-    Rows-only (streaming)."""
+    """Streaming dedup on (event_id, ts) within the watermark horizon.
+    Oracle-paired: fixture event_ids are unique, so the dedup is an
+    identity pass — the oracle pins that the streaming machinery loses
+    and duplicates nothing end to end (and the multi-batch late-drop
+    behavior is measured separately in tests/test_streaming.py)."""
     tune(spark)
     stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
     return E.run_to_memory(E.stream_dedup(stream), "q_stream_dedup_sink", spark)
 
 
-@query("q_stream_session")
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    y AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT min(ts)                        AS session_start,
+           max(ts) + INTERVAL 30 MINUTE   AS session_end,
+           user_id,
+           CAST(count(*) AS BIGINT)       AS n_events
+    FROM y
+    GROUP BY user_id, sid
+    """,
+)
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming sessionization (30-minute inactivity gap) per user.
-    Rows-only (streaming)."""
+    """Streaming sessionization (30-minute inactivity gap) per user via
+    native session_window state merging. Oracle-paired with the
+    gap-islands SQL twin: a session closes when the next event is >= 30
+    minutes away (session_window intervals are half-open [start,
+    last+gap)), session_end = last event + gap."""
     tune(spark)
     stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
     return E.run_to_memory(
@@ -139,13 +214,28 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_join")
+@query(
+    "q_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           CAST(v.ts AS TIMESTAMP) AS v_ts,
+           CAST(p.ts AS TIMESTAMP) AS p_ts
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream join (views ⋈ purchases within 1 hour,
     per user): real readStream on both sides, time-range condition
-    bounding join state on both ends. Rows-only (streaming); pytest
-    pins the drained result equal to the batch join
-    (tests/test_streaming.py)."""
+    bounding join state on both ends. Oracle-paired with the equivalent
+    batch interval join; also pinned against the batch DataFrame join
+    in tests/test_streaming.py."""
     tune(spark)
     stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
     return E.run_to_memory(
@@ -153,12 +243,22 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stream_merge")
+@query(
+    "q_stream_merge",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           value, props
+    FROM events
+    """,
+)
 def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch → LakeTable MERGE: the reference's idempotent upsert
     incrementalized; returns the merged table as a direct distributed
     scan (table + checkpoint live under a stable per-process scratch
-    dir, so no driver-side materialization). Rows-only (side-effect)."""
+    dir, so no driver-side materialization). Oracle-paired: unique
+    event_ids mean the latest-wins MERGE converges to the input events
+    exactly — the oracle pins that the stream → foreachBatch → MERGE →
+    snapshot-read path is lossless."""
     tune(spark)
     stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
     scratch = scratch_dir("q_stream_merge", fresh=True)
