@@ -69,6 +69,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_ann_ivf")
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style top-k: multi-probe LSH cells around the query's cell,
-    exact scan only inside probed cells. Rows-only."""
+    exact scan only inside probed cells, probe radius chosen adaptively
+    by candidate budget (see functions/similarity.ivf_topk — clustered
+    corpora stay narrow, the fixture's isotropic vectors widen).
+    Rows-only (approximate by contract); recall pinned in
+    tests/test_ann_recall.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=_K, n_planes=8)
