@@ -265,6 +265,7 @@ class LakeTable:
         source: DataFrame,
         key: Iterable[str],
         latest_by: str | None = None,
+        evolve_schema: bool = False,
     ) -> int:
         """MERGE ON key: WHEN MATCHED UPDATE ALL, WHEN NOT MATCHED
         INSERT ALL (jobs/order_items_glue_job.py:174-180 shape).
@@ -289,6 +290,13 @@ class LakeTable:
         Partitioned tables rewrite only partitions that receive source
         rows or contain matched keys — O(touched partitions), not
         O(table). Untouched files carry over untouched.
+
+        ``evolve_schema=True`` (Delta ``mergeSchema`` parity): source
+        columns absent from the table are ADDED (existing rows read
+        NULL — parquet files lacking a column yield nulls under the
+        evolved read schema, so carried-over files need no rewrite);
+        table columns absent from the source are kept (inserted rows
+        get NULL). Without the flag any column-set difference raises.
         """
         key = list(key)
         prev_v = self.version()
@@ -296,10 +304,25 @@ class LakeTable:
         partition_by: list[str] = m["partition_by"]
         target = self.read(spark)
         if set(target.columns) != set(source.columns):
-            raise ValueError(
-                f"merge schema mismatch: target {sorted(target.columns)} "
-                f"vs source {sorted(source.columns)}"
-            )
+            if not evolve_schema:
+                raise ValueError(
+                    f"merge schema mismatch: target {sorted(target.columns)} "
+                    f"vs source {sorted(source.columns)} "
+                    "(pass evolve_schema=True to add/keep columns)"
+                )
+            src_fields = {f.name: f for f in source.schema.fields}
+            tgt_fields = {f.name: f for f in target.schema.fields}
+            for name, f in src_fields.items():
+                if name not in tgt_fields:
+                    target = target.withColumn(
+                        name, F.lit(None).cast(f.dataType)
+                    )
+            for name, f in tgt_fields.items():
+                if name not in src_fields:
+                    source = source.withColumn(
+                        name, F.lit(None).cast(f.dataType)
+                    )
+            source = source.select(*target.columns)
         if latest_by is None:
             # Delta parity: multiple source rows per key is an error —
             # a silent survivor would be partition-order nondeterministic.
@@ -366,12 +389,15 @@ class LakeTable:
         new_files = self._stage_files(
             merged, new_version, partition_by, allowed_dirs=touched_dirs
         )
+        # merged.schema, not the stored one: picks up evolved columns;
+        # identical to the stored schema when no evolution happened
+        # (all merge paths preserve target column order).
         self._commit_version(
             new_version,
             "merge",
             partition_by,
             sorted(carry + new_files),
-            StructType.fromJson(m["schema"]),
+            merged.schema,
         )
         self._vacuum(keep=2)
         return new_version

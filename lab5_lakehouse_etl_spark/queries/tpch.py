@@ -1022,3 +1022,36 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)        AS sum_qty,
+           round(sum(l_extendedprice), 2)   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                            AS sum_charge,
+           round(avg(l_quantity), 6)        AS avg_qty,
+           round(avg(l_extendedprice), 6)   AS avg_price,
+           round(avg(l_discount), 6)        AS avg_disc,
+           CAST(count(*) AS BIGINT)         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q_sql_tpch_q1", oracle=_Q1_SQL)
+def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 as a SQL STRING through spark.sql over registered views
+    — the reference's Athena analytic path (SURVEY §3.3) exercised with
+    a real aggregation query, not just the LIMIT-10 validation probe.
+    The ORACLE IS THE SAME TEXT: one ANSI statement planned by two
+    engines (Catalyst and DuckDB) must hash-identically — the strongest
+    dialect-portability check in the registry. Catalyst plans it as
+    scan (pushed shipdate filter) → partial agg → exchange on the
+    2×2-value group key → final agg: one tiny shuffle."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q1_SQL)

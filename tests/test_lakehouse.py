@@ -260,3 +260,28 @@ def test_optimize_cluster_by_disjoint_file_ranges(spark, tmp_path):
     assert sorted(r.k for r in t.read(spark).collect()) == sorted(
         (i * 37) % 200 for i in range(200)
     )
+
+
+def test_merge_schema_evolution_adds_column(spark, df3, tmp_path):
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path, partition_by=["part"])
+    a_files = [f for f in t.files() if f.startswith("part=a/")]
+    # source adds a new column and touches only partition b
+    source = spark.createDataFrame(
+        [(2, "b", 99.0, "eu")], "k BIGINT, part STRING, v DOUBLE, region STRING"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.merge(spark, source, key=["k"])
+    t.merge(spark, source, key=["k"], evolve_schema=True)
+    rows = {r.k: (r.v, r.region) for r in t.read(spark).collect()}
+    # untouched rows read NULL for the evolved column — and their files
+    # carried over without rewrite
+    assert rows == {1: (10.0, None), 2: (99.0, "eu"), 3: (30.0, None)}
+    assert [f for f in t.files() if f.startswith("part=a/")] == a_files
+    # a second merge WITHOUT the new column keeps it (nulls for inserts)
+    s2 = spark.createDataFrame(
+        [(4, "c", 40.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    t.merge(spark, s2, key=["k"], evolve_schema=True)
+    rows = {r.k: r.region for r in t.read(spark).collect()}
+    assert rows == {1: None, 2: "eu", 3: None, 4: None}
