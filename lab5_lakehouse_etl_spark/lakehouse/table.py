@@ -84,10 +84,14 @@ def _partition_dirname(partition_by: list[str], values: tuple) -> str:
 class LakeTable:
     """Handle to a versioned parquet table rooted at ``path``."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, retain_versions: int = 2):
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
         self.data_dir = os.path.join(path, _DATA_DIR)
+        #: newest versions whose data files vacuum keeps (history
+        #: metadata is never dropped). Raise it to keep a longer
+        #: time-travel / change-feed horizon (Delta retention parity).
+        self.retain_versions = retain_versions
 
     # -- existence probe (DeltaTable.isDeltaTable equivalent, S7) ----------
     @staticmethod
@@ -399,7 +403,7 @@ class LakeTable:
             sorted(carry + new_files),
             merged.schema,
         )
-        self._vacuum(keep=2)
+        self._vacuum(keep=self.retain_versions)
         return new_version
 
     def delete(self, spark: SparkSession, condition: F.Column) -> int:
@@ -450,8 +454,79 @@ class LakeTable:
             sorted(carry + new_files),
             StructType.fromJson(m["schema"]),
         )
-        self._vacuum(keep=2)
+        self._vacuum(keep=self.retain_versions)
         return new_version
+
+    def changes(
+        self,
+        spark: SparkSession,
+        key: Iterable[str],
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change-data-feed between two versions (Delta CDF parity):
+        returns the changed rows with a ``_change_type`` column in
+        {insert, delete, update_pre, update_post}.
+
+        Immutable file-list manifests make this O(changed files), not
+        O(table): a carried-over file is bit-identical in both versions
+        and cannot contain a change, so only files REMOVED since
+        ``from_version`` (old row versions) and files ADDED (new row
+        versions) are read. Rewritten partitions copy their unchanged
+        rows into new files; a content-level ``exceptAll`` inside the
+        touched files cancels those copies, leaving real changes.
+        Classification joins on ``key``: present on both sides →
+        update_pre/update_post, new side only → insert, old side only
+        → delete. Requires both versions' files to still exist — set
+        ``retain_versions`` above the default 2 to keep a longer
+        change-feed horizon."""
+        key = list(key)
+        to_v = self.version() if to_version is None else to_version
+        m_from, m_to = self._manifest(from_version), self._manifest(to_v)
+        files_from, files_to = set(m_from["files"]), set(m_to["files"])
+        schema = StructType.fromJson(m_to["schema"])
+        cols = [f.name for f in schema.fields]
+
+        def _read(files: set[str], manifest: dict) -> DataFrame:
+            sch = StructType.fromJson(manifest["schema"])
+            if not files:
+                return spark.createDataFrame([], sch)
+            paths = [os.path.join(self.data_dir, f) for f in sorted(files)]
+            df = (
+                spark.read.option("basePath", self.data_dir)
+                .schema(sch)
+                .parquet(*paths)
+            )
+            # align to the to-version schema (evolution adds columns;
+            # old files read them as NULL)
+            for f in schema.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            return df.select(*cols)
+
+        old = _read(files_from - files_to, m_from)
+        new = _read(files_to - files_from, m_to)
+        old_only = old.exceptAll(new)
+        new_only = new.exceptAll(old)
+        old_keys = old_only.select(*key).distinct()
+        new_keys = new_only.select(*key).distinct()
+        updates_pre = old_only.join(new_keys, on=key, how="left_semi").withColumn(
+            "_change_type", F.lit("update_pre")
+        )
+        deletes = old_only.join(new_keys, on=key, how="left_anti").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        updates_post = new_only.join(old_keys, on=key, how="left_semi").withColumn(
+            "_change_type", F.lit("update_post")
+        )
+        inserts = new_only.join(old_keys, on=key, how="left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        return (
+            updates_pre.unionByName(updates_post)
+            .unionByName(inserts)
+            .unionByName(deletes)
+        )
 
     def optimize(
         self,
@@ -496,7 +571,7 @@ class LakeTable:
             new_files,
             StructType.fromJson(m["schema"]),
         )
-        self._vacuum(keep=2)
+        self._vacuum(keep=self.retain_versions)
         return new_version
 
     def _vacuum(self, keep: int = 2) -> None:

@@ -130,3 +130,45 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "q_table_changes",
+    oracle="""
+    SELECT 'insert' AS change_type,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n
+    FROM orders
+    UNION ALL
+    SELECT 'update_pre',
+           CAST(sum(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'update_post',
+           CAST(sum(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    """,
+)
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed (Delta CDF parity): seed with even-keyed
+    orders, merge price+1 updates for multiples of 4 plus all odd rows
+    as inserts, then read changes(v0 → v1) and roll up by change type.
+    The oracle derives the exact expected feed from key arithmetic —
+    every mult-4 key is an update (pre+post), every odd key an insert,
+    nothing is a delete, and unchanged rows copied during the partition
+    rewrite must cancel out of the feed entirely."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    target = orders.filter(F.col("o_orderkey") % 2 == 0)
+    source = orders.filter(
+        (F.col("o_orderkey") % 4 == 0) | (F.col("o_orderkey") % 2 == 1)
+    ).withColumn("o_totalprice", F.round(F.col("o_totalprice") + 1.0, 2))
+    path = scratch_dir("q_table_changes", fresh=True) + "/cdf_tbl"
+    t = LakeTable.create(target, path)
+    t.merge(spark, source, key=["o_orderkey"])
+    feed = t.changes(spark, key=["o_orderkey"], from_version=0, to_version=1)
+    return feed.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )

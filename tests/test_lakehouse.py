@@ -285,3 +285,36 @@ def test_merge_schema_evolution_adds_column(spark, df3, tmp_path):
     t.merge(spark, s2, key=["k"], evolve_schema=True)
     rows = {r.k: r.region for r in t.read(spark).collect()}
     assert rows == {1: None, 2: "eu", 3: None, 4: None}
+
+
+def test_changes_cdf_between_versions(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0), (4, "b", 40.0)],
+        "k BIGINT, part STRING, v DOUBLE",
+    )
+    t = LakeTable.create(df, str(tmp_path / "t"), partition_by=["part"])
+    t.retain_versions = 3  # keep v0 files alive for the v0→v2 feed
+    # update k=2, insert k=5 (both in partition b); delete k=3 (part a)
+    src = spark.createDataFrame(
+        [(2, "b", 99.0), (5, "b", 50.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    t.merge(spark, src, key=["k"])
+    t.delete(spark, F.col("k") == 3)
+    ch = {
+        (r.k, r._change_type): r.v
+        for r in t.changes(spark, key=["k"], from_version=0).collect()
+    }
+    assert ch == {
+        (2, "update_pre"): 20.0,
+        (2, "update_post"): 99.0,
+        (5, "insert"): 50.0,
+        (3, "delete"): 30.0,
+    }
+    # unchanged rows in rewritten partition b (k=4) cancel out: absent
+    assert not any(k == 4 for k, _ in ch)
+    # version-bounded feed: only the delete between v1 and v2
+    ch12 = {
+        (r.k, r._change_type)
+        for r in t.changes(spark, key=["k"], from_version=1, to_version=2).collect()
+    }
+    assert ch12 == {(3, "delete")}
