@@ -76,3 +76,45 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann_recall.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=_K, n_planes=8)
+
+
+@query(
+    "q_semantic_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             round(
+               list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+               / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim
+      FROM embeddings e, q
+      ORDER BY cosine_sim DESC, e.vec_id ASC
+      LIMIT {_K}
+    )
+    SELECT s.vec_id AS doc_id, s.cosine_sim, d.lang, d.source,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM scored s JOIN documents d ON d.doc_id = s.vec_id
+    """,
+)
+def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval composite (the RAG read path): exact top-k cosine over
+    the embedding store, then hydrate the hits from the documents
+    table. The 10-row hit list is the broadcast side of the hydration
+    join — the fact-sized documents table never shuffles. At 100 TB the
+    only change is swapping the brute-force scorer for the IVF/LSH
+    operators declared above; the hydration join shape is identical."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hits = S.topk_cosine(emb, _query_vec(spark, sf_dir), k=_K)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    return docs.join(
+        F.broadcast(hits), docs.doc_id == hits.vec_id
+    ).select("doc_id", "cosine_sim", "lang", "source", "n_chars")
