@@ -198,3 +198,77 @@ def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF is Python; the point is exercising the vectorized escape hatch)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", T.lang_id_ngram(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "q_text_chunk",
+    oracle="""
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT)                 AS chunk_id,
+           CAST((i - 1) * 150 + 1 AS BIGINT)     AS chunk_start,
+           substring(text, CAST((i - 1) * 150 + 1 AS INT), 200) AS chunk_text
+    FROM (SELECT doc_id, text,
+                 unnest(range(1,
+                   CAST(ceil(greatest(length(text) - 50, 1) / 150.0) AS BIGINT) + 1
+                 )) AS i
+          FROM documents)
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (the RAG/pretraining ingest path): fixed
+    200-char windows with stride 150 (50-char overlap), each chunk
+    carrying its doc id, ordinal, and 1-based start offset. Expressed
+    as sequence → transform → explode entirely JVM-side; at corpus
+    scale this is a narrow map with no shuffle at all, and chunk rows
+    inherit the parent scan's partitioning. The chunk count per doc is
+    ceil(max(len-overlap,1)/stride) — every character is covered and
+    the final partial window is kept (what an embedding-ingest job
+    wants; truncation would silently drop document tails)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = F.expr(
+        """transform(
+             sequence(1, CAST(ceil(greatest(length(text) - 50, 1) / 150.0) AS INT)),
+             i -> struct(
+               CAST(i - 1 AS BIGINT)             AS chunk_id,
+               CAST((i - 1) * 150 + 1 AS BIGINT) AS chunk_start,
+               substring(text, (i - 1) * 150 + 1, 200) AS chunk_text))"""
+    )
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.chunk_start", "c.chunk_text"
+    )
+
+
+@query(
+    "q_text_pii_mask",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[0-9]+(\\.[0-9]+)?', '<NUM>', 'g'),
+             '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g') AS masked,
+           CAST(length(text)
+                - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+               AS n_digits_masked
+    FROM documents
+    """,
+)
+def q_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: numbers → <NUM>, email-shaped tokens →
+    <EMAIL>, plus a masked-digit audit count (training pipelines log
+    how much was redacted). Pure JVM regexp_replace — a narrow map,
+    no shuffle; the patterns use the regex subset where Java and RE2
+    semantics coincide (no lookaround, no backrefs) so the DuckDB twin
+    is the same expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"[0-9]+(\.[0-9]+)?", "<NUM>"),
+        r"[A-Za-z0-9._]+@[A-Za-z0-9.]+",
+        "<EMAIL>",
+    )
+    n_digits = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        masked.alias("masked"),
+        n_digits.alias("n_digits_masked"),
+    )
