@@ -196,3 +196,24 @@ def test_vocab_topk_partial_agg_no_global_sort(spark):
     # the shuffle carries (token, partial count): partial_count before
     # the exchange
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_text_chunk_is_pure_narrow_map(spark):
+    df = Q.QUERIES["q_text_chunk"](spark, SF_DIR)
+    assert shuffle_count(df) == 0  # explode-based chunking never shuffles
+    schemas = scan_read_schema(df)
+    assert schemas and all(sorted(s) == ["doc_id", "text"] for s in schemas)
+
+
+def test_pii_mask_is_pure_narrow_map(spark):
+    df = Q.QUERIES["q_text_pii_mask"](spark, SF_DIR)
+    assert shuffle_count(df) == 0
+
+
+def test_semantic_search_broadcasts_hits(spark):
+    df = Q.QUERIES["q_semantic_search"](spark, SF_DIR)
+    # the 10-row hit list broadcasts; the documents side never shuffles
+    assert has_broadcast_join(df)
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    assert "TakeOrderedAndProject" in explain_str(df)
