@@ -325,3 +325,70 @@ def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("c_name", "c_custkey").alias("oldest_customer"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
     )
+
+
+@query(
+    "q_dq_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           CAST(count(*) AS BIGINT)                     AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                        AS n_nulls,
+           CAST(count(DISTINCT o_custkey) AS BIGINT)    AS n_distinct,
+           CAST(min(o_custkey) AS DOUBLE)               AS min_val,
+           CAST(max(o_custkey) AS DOUBLE)               AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           round(min(o_totalprice), 2),
+           round(max(o_totalprice), 2)
+    FROM orders
+    """,
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (the expectations/audit pass a lakehouse
+    runs before publishing a table — the reference logs input/valid/
+    rejected counts per run, jobs/order_glue_job.py:199-208; this
+    generalizes that to per-column null/distinct/range metrics). ONE
+    aggregation pass computes every column's metrics simultaneously
+    (count/sum/countDistinct/min/max all partial-combine; the unpivot
+    to one-row-per-column happens on the 1-row aggregate, not the
+    fact), then the tiny result is reshaped driver-free via explode."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("ck_nulls"),
+        F.countDistinct("o_custkey").alias("ck_distinct"),
+        F.min("o_custkey").cast("double").alias("ck_min"),
+        F.max("o_custkey").cast("double").alias("ck_max"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("tp_nulls"),
+        F.countDistinct("o_totalprice").alias("tp_distinct"),
+        F.round(F.min("o_totalprice"), 2).alias("tp_min"),
+        F.round(F.max("o_totalprice"), 2).alias("tp_max"),
+    )
+    profile = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_custkey").alias("col"),
+                    F.col("n").cast("bigint").alias("n_rows"),
+                    F.col("ck_nulls").cast("bigint").alias("n_nulls"),
+                    F.col("ck_distinct").cast("bigint").alias("n_distinct"),
+                    F.col("ck_min").alias("min_val"),
+                    F.col("ck_max").alias("max_val"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice").alias("col"),
+                    F.col("n").cast("bigint").alias("n_rows"),
+                    F.col("tp_nulls").cast("bigint").alias("n_nulls"),
+                    F.col("tp_distinct").cast("bigint").alias("n_distinct"),
+                    F.col("tp_min").alias("min_val"),
+                    F.col("tp_max").alias("max_val"),
+                ),
+            )
+        ).alias("p")
+    )
+    return profile.select("p.*")

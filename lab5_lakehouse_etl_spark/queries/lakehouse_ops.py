@@ -172,3 +172,79 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed.groupBy(F.col("_change_type").alias("change_type")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+@query(
+    "q_mv_incremental",
+    oracle="""
+    WITH post AS (
+      SELECT o_orderkey, o_orderdate,
+             CASE WHEN o_orderkey % 4 = 0 OR o_orderkey % 2 = 1
+                  THEN CAST(round(o_totalprice + 1.0, 2) AS DECIMAL(18,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+      FROM orders
+    )
+    SELECT CAST(year(o_orderdate) AS INT)              AS o_year,
+           CAST(count(*) AS BIGINT)                    AS n_orders,
+           CAST(sum(price) AS DECIMAL(28,2))           AS sum_price
+    FROM post
+    GROUP BY 1
+    """,
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance driven by the
+    change-data-feed: a per-year (count, sum) aggregate is built once
+    over the v0 snapshot, the table is merged (mult-4 price updates +
+    odd-key inserts), and the MV is REFRESHED BY APPLYING THE FEED —
+    +row for insert/update_post, -row for delete/update_pre — never by
+    rescanning the table. The oracle recomputes the post-merge
+    aggregate directly from key arithmetic, so the hash proves
+    incremental == full recompute. Decimal money arithmetic keeps the
+    increment path bit-exact. At 100 TB this is the nightly-rollup
+    pattern: the feed is O(changed rows) while a recompute is
+    O(table)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    target = orders.filter(F.col("o_orderkey") % 2 == 0)
+    source = orders.filter(
+        (F.col("o_orderkey") % 4 == 0) | (F.col("o_orderkey") % 2 == 1)
+    ).withColumn(
+        "price", F.round(F.col("price") + F.lit(1.0), 2).cast("decimal(18,2)")
+    )
+    year = F.year("o_orderdate").cast("int").alias("o_year")
+    mv0 = target.groupBy(year).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("price").alias("sum_price"),
+    )
+    path = scratch_dir("q_mv_incremental", fresh=True) + "/mv_tbl"
+    t = LakeTable.create(target, path)
+    t.merge(spark, source, key=["o_orderkey"])
+    feed = t.changes(spark, key=["o_orderkey"], from_version=0, to_version=1)
+    sgn = F.when(
+        F.col("_change_type").isin("insert", "update_post"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = feed.groupBy(year).agg(
+        F.sum(sgn).cast("bigint").alias("dn"),
+        F.sum(sgn.cast("decimal(18,2)") * F.col("price")).alias("dsum"),
+    )
+    zero = F.lit(0).cast("decimal(28,2)")
+    return (
+        mv0.join(delta, on="o_year", how="full_outer")
+        .select(
+            "o_year",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("bigint")
+            .alias("n_orders"),
+            (
+                F.coalesce(F.col("sum_price").cast("decimal(28,2)"), zero)
+                + F.coalesce(F.col("dsum").cast("decimal(28,2)"), zero)
+            )
+            .cast("decimal(28,2)")
+            .alias("sum_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
