@@ -263,3 +263,120 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(100)
     )
+
+
+@query(
+    "q_decontaminate",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id, source,
+             CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             text
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, split,
+             array_to_string(t[CAST(j AS INT):CAST(j AS INT)+4], ' ') AS s
+      FROM (SELECT doc_id, split,
+                   string_split_regex(lower(text), '\s+') AS t,
+                   unnest(range(1,
+                     greatest(len(string_split_regex(lower(text), '\s+'))-4, 1) + 1
+                   )) AS j
+            FROM b)
+    ),
+    bad AS (
+      SELECT DISTINCT a.doc_id FROM sh a
+      WHERE a.split = 'train'
+        AND EXISTS (SELECT 1 FROM sh t WHERE t.split = 'test' AND t.s = a.s)
+    )
+    SELECT b.source,
+           count(*) AS n_train,
+           CAST(sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
+    FROM b LEFT JOIN bad USING (doc_id)
+    WHERE b.split = 'train'
+    GROUP BY b.source
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word-5-gram with a held-out (test-split) document — the standard
+    n-gram-overlap test-set-leakage check run before pretraining.
+
+    Scale shape: the held-out set is orders of magnitude smaller than
+    the corpus, so its distinct-n-gram set is built first and BROADCAST;
+    the training side streams through an explode → broadcast-semi-join
+    → distinct-doc aggregation with no fact-side shuffle until the
+    final per-doc distinct (keyed on doc_id, the natural partition
+    key). The corpus text itself is never shuffled — only (doc_id,
+    gram) pairs that survive the broadcast probe. No analogue in the
+    reference (nearest: the validate/dedup layer,
+    jobs/order_glue_job.py:111-126)."""
+    from ..functions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id", "source", _split(), D.word_ngrams("text", 5).alias("grams")
+    )
+    bench_grams = (
+        split.filter(F.col("split") == "test")
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = split.filter(F.col("split") == "train")
+    contaminated = (
+        train.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang, source,
+             (doc_id * 2654435761) % 1000 < 100 AS samp,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+                 AS tok
+      FROM documents
+    )
+    SELECT lang, source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN samp THEN tok ELSE 0 END) AS BIGINT)
+               AS sampled_tokens
+    FROM t GROUP BY lang, source
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: a ~10% per-(lang, source)
+    sample selected by multiplicative hash of doc_id — reproducible
+    across engines/runs (no rand()), uniform within every stratum by
+    construction, and a pure row-local predicate (zero extra shuffles;
+    at 100 TB the sample predicate pushes into the scan and the only
+    shuffle is the final small per-stratum audit aggregate). Returns
+    the per-stratum audit: total docs, sampled docs, sampled tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    samp = (F.col("doc_id") * F.lit(_HASH_C)) % 1000 < 100
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(samp, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(samp, T.token_count(F.col("text"))).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sampled_tokens"),
+    )

@@ -118,3 +118,63 @@ def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         F.broadcast(hits), docs.doc_id == hits.vec_id
     ).select("doc_id", "cosine_sim", "lang", "source", "n_chars")
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             CASE WHEN amax = 0 THEN CAST(1 AS DOUBLE)
+                  ELSE amax / 127.0 END AS scale
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS amax
+            FROM v)
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           CAST(list_sum(list_transform(v, x -> CAST(round(x / scale) AS BIGINT)))
+                AS BIGINT) AS q_sum,
+           round(list_max(list_transform(v, x -> abs(round(x / scale) * scale - x))),
+                 6) AS max_err
+    FROM s
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the storage/serving
+    compression step of an embedding pipeline (4× smaller than fp32,
+    8× than fp64). Per row: scale = max|v| / 127, q_i = round(v_i /
+    scale) ∈ [-127, 127]; returns the per-vector scale, the quantized
+    checksum (sum of q_i), and the max reconstruction error (bounded by
+    scale/2 by construction). Pure row-local higher-order expressions —
+    zero shuffles, embarrassingly parallel at any corpus size; the
+    zero-vector guard (scale := 1) keeps the arithmetic ANSI-safe.
+    Engine-portable determinism: both engines compute on doubles cast
+    from the same float32 inputs with round-half-away-from-zero."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    s = v.withColumn(
+        "amax", F.array_max(F.expr("transform(v, x -> abs(x))"))
+    ).withColumn(
+        "scale",
+        F.when(F.col("amax") == 0, F.lit(1.0)).otherwise(F.col("amax") / F.lit(127.0)),
+    )
+    return s.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.expr(
+            "CAST(aggregate(transform(v, x -> CAST(round(x / scale) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"
+        ).alias("q_sum"),
+        F.round(
+            F.expr("array_max(transform(v, x -> abs(round(x / scale) * scale - x)))"),
+            6,
+        ).alias("max_err"),
+    )
