@@ -217,3 +217,22 @@ def test_semantic_search_broadcasts_hits(spark):
     from lab5_lakehouse_etl_spark.plans import explain_str
 
     assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    df = Q.QUERIES["q_decontaminate"](spark, SF_DIR)
+    # the held-out n-gram set is the broadcast side; the train text is
+    # probed in place — contamination never shuffles raw text
+    assert has_broadcast_join(df)
+
+
+def test_embed_quantize_zero_shuffles(spark):
+    df = Q.QUERIES["q_embed_quantize"](spark, SF_DIR)
+    # pure row-local HOF arithmetic: no exchange anywhere in the plan
+    assert shuffle_count(df) == 0
+
+
+def test_sample_stratified_single_shuffle(spark):
+    df = Q.QUERIES["q_sample_stratified"](spark, SF_DIR)
+    # sample predicate is row-local; only the stratum audit aggregates
+    assert shuffle_count(df) <= 1
