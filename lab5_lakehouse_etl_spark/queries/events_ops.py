@@ -174,3 +174,101 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("funnel_stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "q_outlier_mad",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT e.event_type, e.value, m.med FROM events e JOIN m USING (event_type)
+    ),
+    s AS (
+      SELECT event_type, median(abs(value - med)) AS mad FROM d GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN abs(d.value - d.med) > 3.5 * 1.4826 * s.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(any_value(d.med), 6) AS med,
+           round(any_value(s.mad), 6) AS mad
+    FROM d JOIN s USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: per event-type median/MAD outlier
+    counts (modified z-score, |x - med| > 3.5 * 1.4826 * MAD — the
+    Iglewicz-Hoaglin rule). Median-based stats resist the heavy-tailed
+    value distributions where mean/stddev thresholds drown; this is the
+    data-quality screen a training pipeline runs on numeric telemetry.
+
+    Scale shape: the per-type stats relations are tiny (one row per
+    event_type) and BROADCAST back onto the fact, so the fact is
+    scanned (columnar, two columns) but never shuffled — the only
+    exchanges carry per-type partial aggregates. Exact percentiles need
+    a sort per type at extreme cardinality; swap `percentile` for
+    `approx_percentile` when types × values outgrow a reducer (the
+    declared query keeps the exact form so the oracle can pin it)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    d = ev.join(F.broadcast(med), "event_type")
+    mad = d.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3.5 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+        )
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY bin
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the event value distribution (bin width
+    50): floor-division binning is a row-local integer-deterministic
+    expression, so the whole histogram is one partial-combining
+    aggregate — the shuffle carries one row per bin per task, never
+    values. The constant width keeps bins engine-portable (quantile-
+    based adaptive bins would tie the oracle to interpolation order);
+    at 100 TB this is the profile pass that sizes downstream quantile
+    sketches."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 50).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
