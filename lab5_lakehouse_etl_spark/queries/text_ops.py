@@ -272,3 +272,93 @@ def q_text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         masked.alias("masked"),
         n_digits.alias("n_digits_masked"),
     )
+
+
+#: BM25 demo query: fixed term set + standard (k1=1.2, b=0.75) constants.
+_BM25_TERMS = ("scan", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "q_keyword_search",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+                 AS dl,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+      WHERE term IN ('scan', 'merge', 'window')
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           round(sum(
+             ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+             * tf.tf * {_BM25_K1 + 1.0}
+             / (tf.tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * tf.dl / stats.avgdl))
+           ), 4) AS bm25
+    FROM tf CROSS JOIN stats JOIN dfreq ON tf.term = dfreq.term
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search — the lexical complement of
+    `q_semantic_search` (the two sides of hybrid retrieval). Scores
+    every document against a fixed 3-term query with standard
+    Okapi BM25 (k1=1.2, b=0.75, idf = ln((N-df+.5)/(df+.5)+1)) and
+    returns the top 20.
+
+    Scale shape: document length is computed row-locally BEFORE the
+    explode and rides the groupBy key, so no fact-sized join is ever
+    needed; the term filter prunes the exploded stream to query terms
+    only (at 100 TB with a real inverted index this becomes a posting-
+    list scan — the dataflow after the filter is identical); the
+    df/N/avgdl statistics relations are one-row-to-|terms|-sized and
+    broadcast. Final ranking is TakeOrderedAndProject on the ROUNDED
+    score (cross-engine libm noise can't reorder the cut)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("dl"),
+        T.tokens(F.col("text")).alias("toks"),
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * ((1.0 - _BM25_B) + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

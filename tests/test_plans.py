@@ -236,3 +236,13 @@ def test_sample_stratified_single_shuffle(spark):
     df = Q.QUERIES["q_sample_stratified"](spark, SF_DIR)
     # sample predicate is row-local; only the stratum audit aggregates
     assert shuffle_count(df) <= 1
+
+
+def test_keyword_search_broadcast_stats_takeordered(spark):
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_keyword_search"](spark, SF_DIR)
+    plan = explain_str(df)
+    # df/N/avgdl stat relations broadcast; ranking is top-k, not a sort
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan
