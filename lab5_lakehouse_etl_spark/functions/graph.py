@@ -77,3 +77,62 @@ def connected_components(
             "iterations (graph diameter exceeds max_iter); raise max_iter"
         )
     return labels
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank with a FIXED iteration count.
+
+    ``nodes``: one column ``node_col`` (every vertex, including
+    isolated ones); ``edges``: directed ``src_col``/``dst_col``.
+    Returns (node, rank) after exactly ``n_iter`` iterations from the
+    uniform start 1/N. Dangling-node mass is NOT redistributed (the
+    "leak" variant) — with a fixed iteration count that choice is
+    deterministic and SQL-stateable, which is what lets an external
+    oracle pin the result; swap in a dangling-mass term when rank mass
+    conservation matters more than verifiability.
+
+    Scale shape, same discipline as :func:`connected_components`: the
+    out-degree relation is computed once and joined into the edge list
+    up front; each iteration is one edge join + one groupBy(sum) —
+    O(edges) shuffle — ending in ``localCheckpoint`` so iteration N's
+    plan doesn't replay iterations 1..N-1. 5 iterations over a 100 TB
+    edge list is 5 bounded shuffles, never a growing lineage.
+    """
+    n = nodes.count()
+    v = nodes.select(F.col(node_col).alias("node"))
+    out_deg = edges.groupBy(F.col(src_col).alias("src")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .join(out_deg, "src")
+        .localCheckpoint(eager=True)
+    )
+    teleport = (1.0 - damping) / n
+    ranks = v.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
+        )
+        ranks = (
+            v.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -219,3 +219,77 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("src", "dst")
     comp = connected_components(docs.select("doc_id"), edges, node_col="doc_id")
     return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    """Unrolled power-iteration PageRank as plain DuckDB CTE stages.
+
+    Recursive CTEs cannot aggregate in the recursive term (Postgres
+    rule, DuckDB inherits it), so a FIXED iteration count is what makes
+    PageRank SQL-stateable: each iteration becomes one non-recursive
+    CTE stage, mechanically generated here."""
+    sql = """
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.source = b.source
+       AND abs(a.n_chars - b.n_chars) <= 20
+       AND a.doc_id <> b.doc_id
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    e AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+    r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+    r{i} AS (
+      SELECT nodes.node,
+             0.15 / nn.n + 0.85 * COALESCE(c.s, 0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst AS node, sum(r{i - 1}.pr / e.deg) AS s
+                 FROM e JOIN r{i - 1} ON r{i - 1}.node = e.src
+                 GROUP BY e.dst) c USING (node)
+    )"""
+    sql += f"""
+    SELECT node AS doc_id, round(pr, 6) AS pagerank FROM r{n_iter}"""
+    return sql
+
+
+@query("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the same deterministic doc-similarity
+    graph as `q_dedup_clusters` — the importance signal a curation
+    pipeline uses to pick canonical survivors or weight duplicated
+    content (heavily-linked near-dup families rank high). Five fixed
+    power iterations from the uniform start, damping 0.85, leak
+    variant (see functions/graph.pagerank). Each Spark iteration is
+    one O(edges) join + sum shuffle ending in localCheckpoint; the
+    oracle unrolls the same five iterations as CTE stages. Ranks are
+    ROUNDED to 6 decimals so cross-engine float-summation order cannot
+    flip the comparison."""
+    from ..functions.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    a = docs.select(
+        F.col("doc_id").alias("src"), "lang", "source",
+        F.col("n_chars").alias("na"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("dst"), F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"), F.col("n_chars").alias("nb"),
+    )
+    edges = a.join(
+        b,
+        (F.col("lang") == F.col("lang_b"))
+        & (F.col("source") == F.col("source_b"))
+        & (F.abs(F.col("na") - F.col("nb")) <= 20)
+        & (F.col("src") != F.col("dst")),
+    ).select("src", "dst")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    ranks = pagerank(nodes, edges, n_iter=5, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("pagerank")
+    )

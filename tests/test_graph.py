@@ -42,3 +42,39 @@ def test_max_iter_exhaustion_raises(spark):
         _cc(spark, range(8), [(i, i + 1) for i in range(7)], max_iter=1)
     got_full = _cc(spark, range(8), [(i, i + 1) for i in range(7)])
     assert set(got_full.values()) == {0}
+
+
+def _pr(spark, nodes, edges, **kw):
+    from lab5_lakehouse_etl_spark.functions.graph import pagerank
+
+    n = spark.createDataFrame([(x,) for x in nodes], "node bigint")
+    e = spark.createDataFrame(
+        [(s, d) for s, d in edges] or [(None, None)], "src bigint, dst bigint"
+    ).filter("src IS NOT NULL")
+    return {
+        r["node"]: r["rank"] for r in pagerank(n, e, **kw).collect()
+    }
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    # directed triangle + a dangler pointing in; verify against the
+    # same leak-variant recurrence computed in plain python
+    nodes = [0, 1, 2, 3]
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0)]
+    got = _pr(spark, nodes, edges, n_iter=5, damping=0.85)
+
+    ranks = {v: 0.25 for v in nodes}
+    deg = {0: 1, 1: 1, 2: 1, 3: 1}
+    for _ in range(5):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += ranks[s] / deg[s]
+        ranks = {v: 0.15 / 4 + 0.85 * contrib[v] for v in nodes}
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-12, (v, got[v], ranks[v])
+
+
+def test_pagerank_isolated_node_gets_teleport_only(spark):
+    got = _pr(spark, [0, 1, 2], [(0, 1), (1, 0)], n_iter=3)
+    # node 2 has no in-edges: rank = teleport mass only
+    assert abs(got[2] - 0.15 / 3) < 1e-12
