@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     "q_tpch_q8",
     "q_tpch_q9",
     "q_tpch_q21",
+    "q_keyword_search",
+    "q_decontaminate",
+    "q_embed_quantize",
+    "q_outlier_mad",
+    "q_histogram",
 ]
 
 

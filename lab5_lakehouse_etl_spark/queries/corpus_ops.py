@@ -317,24 +317,32 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    split = docs.select(
-        "doc_id", "source", _split(), D.word_ngrams("text", 5).alias("grams")
-    )
+    split = docs.select("doc_id", "source", "text", _split())
+    # grams are computed AFTER the split filters so the val shard (and
+    # the per-side unused columns) never pay the n-gram HOF; the probe
+    # side skips array_distinct — EXISTS semantics make duplicate probe
+    # grams harmless, and the per-row hash-set pass is pure overhead.
     bench_grams = (
         split.filter(F.col("split") == "test")
-        .select(F.explode("grams").alias("gram"))
+        .select(F.explode(D.word_ngrams("text", 5)).alias("gram"))
         .distinct()
     )
     train = split.filter(F.col("split") == "train")
+    raw_ngrams = (
+        f"transform(array(split(lower(text), '\\\\s+')), toks ->"
+        f" transform(sequence(1, greatest(size(toks) - 4, 1)),"
+        f" i -> array_join(slice(toks, i, 5), ' ')))[0]"
+    )
     contaminated = (
-        train.select("doc_id", F.explode("grams").alias("gram"))
+        train.select("doc_id", F.explode(F.expr(raw_ngrams)).alias("gram"))
         .join(F.broadcast(bench_grams), "gram", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     return (
-        train.join(contaminated, "doc_id", "left")
+        train.select("doc_id", "source")
+        .join(contaminated, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_train"),
