@@ -272,3 +272,22 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+@query("q_sketch_quantile")
+def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch profile: per event-type p50/p95/p99 via
+    `approx_percentile` (Greenwald-Khanna sketch, accuracy 10k) next to
+    the exact percentiles. The sketch is the 100 TB path — mergeable
+    partial state of bounded size per partition, no per-group sort —
+    while the exact column exists to expose sketch error; rows-only by
+    contract (sketch outputs are algorithm-defined, not SQL-stateable),
+    with the error bound pinned in tests/test_properties.py."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").agg(
+        F.expr(
+            "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("approx_p"),
+        F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("exact_p"),
+        F.count(F.lit(1)).alias("n"),
+    )

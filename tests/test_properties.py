@@ -72,3 +72,35 @@ def test_latest_wins_dedup_survivor(spark, data):
             if cur is None or (v is not None and v > cur):
                 expect[k] = v
     assert got == expect
+
+
+def test_sketch_quantile_error_bounded(spark):
+    """GK-sketch quantile estimates stay within the rank-error bound
+    implied by accuracy=10000 (1/accuracy relative rank error — on the
+    fixture it is exact because group sizes are below the accuracy)."""
+    from lab5_lakehouse_etl_spark import queries as Q
+    from tests.conftest import SF_DIR
+
+    Q.load_all()
+    rows = Q.QUERIES["q_sketch_quantile"](spark, SF_DIR).collect()
+    assert rows
+    # the GK guarantee is on RANK error (<= n/accuracy), never on value
+    # distance — at a heavy tail, adjacent order statistics can be far
+    # apart in value while one rank apart
+    from lab5_lakehouse_etl_spark.session import load_table
+
+    vals: dict[str, list[float]] = {}
+    for row in (
+        load_table(spark, SF_DIR, "events").select("event_type", "value").collect()
+    ):
+        vals.setdefault(row["event_type"], []).append(row["value"])
+    for r in rows:
+        n = r["n"]
+        group = sorted(vals[r["event_type"]])
+        assert len(r["approx_p"]) == 3 and n == len(group)
+        for approx, q in zip(r["approx_p"], (0.5, 0.95, 0.99)):
+            assert approx is not None
+            rank = sum(1 for v in group if v <= approx)
+            assert abs(rank / n - q) <= n / 10000 / n + 2.0 / n, (
+                r["event_type"], q, approx, rank / n,
+            )
