@@ -117,6 +117,61 @@ def quality_token_stats(
     )
 
 
+def gopher_repetition_stats(text_col: str) -> Column:
+    """Gopher-style repetition quality metrics (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) as one fused per-row struct:
+
+    - ``dup_word_frac``: fraction of word occurrences that are repeats
+      (1 - distinct/total).
+    - ``top_2gram_char_frac``: fraction of token characters covered by
+      the single most frequent word 2-gram (Gopher threshold 0.20).
+    - ``dup_3gram_char_frac``: fraction of token characters covered by
+      word 3-grams occurring more than once (Gopher threshold 0.18).
+      Like the public reimplementations, overlap between occurrences is
+      counted per occurrence (count x gram length), not deduplicated.
+
+    All JVM-side lambda expressions over ONE let-bound token array —
+    a narrow map, zero shuffles; runs at parquet-scan speed at 100 TB.
+    Per-row cost is O(distinct-grams x grams) from the count-by-filter
+    step, fine for web-document lengths; a numpy ``mapInPandas``
+    backend (Counter per row) is the escape hatch if corpora carry
+    book-length rows (same pattern as functions/dedup.py backends).
+
+    Gram chars exclude the joining spaces (length(g) - (n-1)) so the
+    numerator is comparable to ``total_chars`` = sum of token lengths.
+    """
+    return F.expr(
+        f"""transform(array(split(trim(lower({text_col})), '\\\\s+')), toks ->
+          transform(array(named_struct(
+              'g2', if(size(toks) < 2, array(),
+                       transform(sequence(1, size(toks) - 1),
+                                 i -> concat(toks[i-1], ' ', toks[i]))),
+              'g3', if(size(toks) < 3, array(),
+                       transform(sequence(1, size(toks) - 2),
+                                 i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))),
+              'total_chars', aggregate(toks, CAST(0 AS BIGINT),
+                                       (a, t) -> a + length(t)),
+              'n_toks', size(toks),
+              'n_distinct', size(array_distinct(toks))
+            )), b ->
+            named_struct(
+              'dup_word_frac',
+              round(CAST(1.0 AS DOUBLE) - b.n_distinct / greatest(b.n_toks, 1), 6),
+              'top_2gram_char_frac',
+              round(coalesce(array_max(transform(array_distinct(b.g2),
+                        g -> size(filter(b.g2, x -> x = g)) * (length(g) - 1))), 0)
+                    / greatest(b.total_chars, 1), 6),
+              'dup_3gram_char_frac',
+              round(aggregate(transform(array_distinct(b.g3),
+                        g -> named_struct('c', size(filter(b.g3, x -> x = g)),
+                                          'l', length(g) - 2)),
+                        CAST(0 AS BIGINT),
+                        (a, s) -> a + if(s.c > 1, CAST(s.c * s.l AS BIGINT),
+                                         CAST(0 AS BIGINT)))
+                    / greatest(b.total_chars, 1), 6)))[0])[0]"""
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality score from length / punctuation /
     stopword signals — the standard cheap pre-filter for LLM training

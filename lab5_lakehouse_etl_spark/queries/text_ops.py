@@ -372,3 +372,67 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+@query(
+    "q_quality_gopher",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(toks)),
+                         i -> concat(toks[i], ' ', toks[i+1])) END AS g2,
+             CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(toks) - 1),
+                         i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END AS g3,
+             list_sum(list_transform(toks, x -> length(x))) AS total_chars,
+             len(toks) AS n_toks,
+             len(list_distinct(toks)) AS n_distinct
+      FROM t
+    ), m AS (
+      SELECT doc_id,
+             round(1.0 - n_distinct / greatest(n_toks, 1), 6) AS dup_word_frac,
+             round(coalesce(list_max(list_transform(list_distinct(g2),
+                       g -> len(list_filter(g2, x -> x = g)) * (length(g) - 1))), 0)
+                   / greatest(total_chars, 1), 6) AS top_2gram_char_frac,
+             round(coalesce(list_sum(list_transform(list_distinct(g3),
+                       g -> CASE WHEN len(list_filter(g3, x -> x = g)) > 1
+                            THEN len(list_filter(g3, x -> x = g)) * (length(g) - 2)
+                            ELSE 0 END)), 0)
+                   / greatest(total_chars, 1), 6) AS dup_3gram_char_frac
+      FROM b
+    )
+    SELECT doc_id, dup_word_frac, top_2gram_char_frac, dup_3gram_char_frac,
+           (dup_word_frac <= 0.70 AND top_2gram_char_frac <= 0.20
+            AND dup_3gram_char_frac <= 0.18) AS keep
+    FROM m
+    """,
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (arXiv:2112.11446 §A1.1): duplicate-
+    word fraction, top-2-gram character fraction, duplicate-3-gram
+    character fraction, and the keep/drop verdict at the paper's
+    thresholds (0.20 top-2-gram, 0.18 dup-3-gram; 0.70 dup-word).
+
+    The standard cheap repetition gate in LLM pretraining curation —
+    one narrow map over documents (see functions/text.py
+    gopher_repetition_stats), no shuffle, scan-speed at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.gopher_repetition_stats("text").alias("s")
+    ).select(
+        "doc_id",
+        "s.dup_word_frac",
+        "s.top_2gram_char_frac",
+        "s.dup_3gram_char_frac",
+        (
+            (F.col("s.dup_word_frac") <= 0.70)
+            & (F.col("s.top_2gram_char_frac") <= 0.20)
+            & (F.col("s.dup_3gram_char_frac") <= 0.18)
+        ).alias("keep"),
+    )
