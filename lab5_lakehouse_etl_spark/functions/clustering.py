@@ -1,0 +1,163 @@
+"""K-means clustering over an embedding column (Lloyd's algorithm).
+
+The semantic-clustering primitive behind SemDeDup-style dedup and
+cluster-balanced corpus sampling (Abbas et al. 2023, arXiv:2303.09540):
+cluster the embedding store, then dedup / sample within clusters.
+
+Spark shape (the 100 TB design):
+
+- **Assignment** is a narrow map: centroids are tiny (k x dim floats)
+  and enter the plan as literal arrays, so each row computes k
+  squared-euclidean distances JVM-side (`zip_with` + ordered
+  `aggregate` fold) with zero shuffle and no Python in the row path.
+- **Update** is `posexplode(v)` -> `groupBy(cluster, pos).sum` — the
+  explode pipelines inside whole-stage codegen into the hash
+  aggregate's map-side partial, so each task ships at most
+  k x dim partial rows to one tiny shuffle regardless of input size
+  (this IS the "per-partition partial sums" pattern, JVM-side for free).
+- The k x dim stats `collect()` per iteration is a parameter fetch
+  (<= 512 small rows), the same bounded-driver-state pattern as the
+  PageRank/connected-components convergence witnesses.
+
+Determinism / oracle parity: centroids are rounded to ``decimals``
+after init and every update, so cross-engine (and run-to-run)
+float-summation-order differences — ~1e-13 relative, far below the
+rounding quantum — cannot perturb the trajectory. Ties in the argmin
+break to the lowest surviving cluster id in both engines
+(`array_position` returns the FIRST minimum; the oracle orders by
+(dist, cl)). Empty clusters drop out of the stats in both engines
+identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _distances(cents: list[tuple[int, list[float]]]) -> Column:
+    """Array of squared-euclidean distances from ``v`` to each centroid,
+    in centroid order — ordered fold, so the DuckDB twin's sequential
+    list_sum agrees to the last ulp."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in vec]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, z: acc + z,
+            )
+            for _, vec in cents
+        ]
+    )
+
+
+def assign_clusters(
+    emb: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Add ``cluster`` = id of the nearest centroid (first-min tie-break)."""
+    ids = F.array(*[F.lit(int(cl)) for cl, _ in cents])
+    dists = _distances(cents)
+    idx = F.array_position(dists, F.array_min(dists)).cast("int")
+    return emb.withColumn("cluster", F.element_at(ids, idx))
+
+
+def kmeans_fit_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    decimals: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Run ``iters`` Lloyd's update rounds from the deterministic init
+    (the k lowest-``id_col`` vectors), then return (id, cluster)
+    assignments under the final centroids.
+
+    Fixed iteration count, not convergence-tested — same contract as
+    the PageRank query, which is what makes the unrolled-CTE DuckDB
+    oracle expressible.
+    """
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    base = base.cache()
+    try:
+        init = (
+            base.filter(F.col("vec_id") < k)
+            .orderBy("vec_id")
+            .collect()
+        )
+        cents = [
+            (int(r["vec_id"]), [round(float(x), decimals) for x in r["v"]])
+            for r in init
+        ]
+        for _ in range(iters):
+            assigned = assign_clusters(base, cents)
+            stats = (
+                assigned.select(
+                    "cluster", F.posexplode("v").alias("pos", "val")
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            by_cl: dict[int, dict[int, float]] = {}
+            for r in stats:
+                by_cl.setdefault(int(r["cluster"]), {})[int(r["pos"])] = round(
+                    float(r["s"]) / int(r["n"]), decimals
+                )
+            cents = [
+                (cl, [vals[p] for p in sorted(vals)])
+                for cl, vals in sorted(by_cl.items())
+            ]
+        final = assign_clusters(base, cents).select("vec_id", "cluster")
+        # Materialize before releasing the cache (collect happens driver-side
+        # later); the plan is tiny so recompute-on-uncache is also fine.
+        return final
+    finally:
+        base.unpersist(blocking=False)
+
+
+def kmeans_oracle_sql(
+    k: int = 8, iters: int = 5, dim: int = 64, decimals: int = 6
+) -> str:
+    """The same fixed-iteration Lloyd's run as mechanically unrolled
+    DuckDB CTE stages (recursive CTEs forbid aggregates in the
+    recursive term — same workaround as the PageRank oracle)."""
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
+        f"c0 AS (SELECT vec_id AS cl, list_transform(v, x -> round(x, {decimals}))"
+        f" AS cent FROM e WHERE vec_id < {k}),",
+    ]
+    dist = (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i])))"
+    )
+    for it in range(iters + 1):
+        parts.append(
+            f"a{it} AS (SELECT vec_id, cl FROM ("
+            f"SELECT e.vec_id, c.cl, row_number() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {dist} ASC, c.cl ASC) AS rn"
+            f" FROM e, c{it} c) WHERE rn = 1)"
+        )
+        if it < iters:
+            parts[-1] += ","
+            parts.append(
+                f"c{it + 1} AS (SELECT cl, list(r ORDER BY pos) AS cent FROM ("
+                f"SELECT a.cl, t.i AS pos,"
+                f" round(sum(e.v[t.i]) / count(*), {decimals}) AS r"
+                f" FROM a{it} a JOIN e USING (vec_id)"
+                f" CROSS JOIN range(1, {dim + 1}) t(i)"
+                f" GROUP BY a.cl, t.i) GROUP BY cl),"
+            )
+    parts.append(
+        f"SELECT vec_id, CAST(cl AS INT) AS cluster FROM a{iters}"
+    )
+    return "\n".join(parts)

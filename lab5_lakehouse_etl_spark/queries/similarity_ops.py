@@ -178,3 +178,24 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("max_err"),
     )
+
+
+from ..functions import clustering as KM  # noqa: E402
+
+
+@query("q_kmeans_embed", oracle=KM.kmeans_oracle_sql(k=8, iters=5, dim=64))
+def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd's, k=8, 5 fixed update rounds, deterministic
+    lowest-vec_id init) over the embedding store — the semantic-
+    clustering primitive for SemDeDup-style dedup and cluster-balanced
+    corpus sampling (arXiv:2303.09540). Returns the per-vector cluster
+    assignment under the final centroids.
+
+    Iterative-Spark shape mirrors q_pagerank: broadcast-literal
+    centroids (narrow assignment), map-side partial sums into one tiny
+    k x dim shuffle per round, centroids rounded each round so the
+    unrolled-CTE DuckDB oracle tracks the identical trajectory — see
+    functions/clustering.py for the full scale/parity argument.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return KM.kmeans_fit_assign(emb, k=8, iters=5)
