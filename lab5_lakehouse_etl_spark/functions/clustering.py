@@ -124,12 +124,14 @@ def kmeans_fit_assign(
         base.unpersist(blocking=False)
 
 
-def kmeans_oracle_sql(
+def kmeans_cte_prefix(
     k: int = 8, iters: int = 5, dim: int = 64, decimals: int = 6
 ) -> str:
-    """The same fixed-iteration Lloyd's run as mechanically unrolled
-    DuckDB CTE stages (recursive CTEs forbid aggregates in the
-    recursive term — same workaround as the PageRank oracle)."""
+    """DuckDB CTE chain ending in ``a{iters}`` (vec_id, cl) — the
+    fixed-iteration Lloyd's trajectory, mechanically unrolled because
+    recursive CTEs forbid aggregates in the recursive term (same
+    workaround as the PageRank oracle). Composable: downstream oracles
+    append their own CTEs after the trailing comma."""
     parts = [
         "WITH e AS (SELECT vec_id, list_transform(embedding,"
         " x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
@@ -157,7 +159,80 @@ def kmeans_oracle_sql(
                 f" CROSS JOIN range(1, {dim + 1}) t(i)"
                 f" GROUP BY a.cl, t.i) GROUP BY cl),"
             )
-    parts.append(
-        f"SELECT vec_id, CAST(cl AS INT) AS cluster FROM a{iters}"
-    )
     return "\n".join(parts)
+
+
+def kmeans_oracle_sql(
+    k: int = 8, iters: int = 5, dim: int = 64, decimals: int = 6
+) -> str:
+    """Full oracle: final-round assignments as (vec_id, cluster)."""
+    return (
+        kmeans_cte_prefix(k, iters, dim, decimals)
+        + f"\nSELECT vec_id, CAST(cl AS INT) AS cluster FROM a{iters}"
+    )
+
+
+def semdedup_oracle_sql(
+    k: int = 8,
+    iters: int = 5,
+    dim: int = 64,
+    decimals: int = 6,
+    threshold: float = 0.35,
+) -> str:
+    """SemDeDup oracle: the k-means trajectory, then within-cluster
+    cosine pairs, then the keep-lowest-id verdict."""
+    prefix = kmeans_cte_prefix(k, iters, dim, decimals)
+    return f"""{prefix},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM a{iters} a JOIN a{iters} b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE list_dot_product(ea.v, eb.v)
+        / (sqrt(list_dot_product(ea.v, ea.v))
+           * sqrt(list_dot_product(eb.v, eb.v))) >= {threshold}
+)
+SELECT t.vec_id, CAST(t.cl AS INT) AS cluster,
+       (p.id_b IS NULL) AS keep
+FROM a{iters} t LEFT JOIN (SELECT DISTINCT id_b FROM pairs) p
+  ON t.vec_id = p.id_b"""
+
+
+def semantic_pairs_within_clusters(
+    assigned: DataFrame, threshold: float = 0.35
+) -> DataFrame:
+    """Within-cluster cosine near-dup pairs (id_a < id_b) via
+    ``applyInPandas`` — one vectorized numpy matmul per cluster.
+
+    This is SemDeDup's scale shape: the corpus is partitioned by the
+    k-means cluster id, so the quadratic pairwise step runs per
+    cluster (sizes bounded by construction — k grows with the corpus)
+    and never as a global all-pairs join. A cluster that still
+    overflows a task is the caller's cue to raise k; the global
+    fallback for unclustered data is functions/similarity.
+    exact_pairs_blocked.
+
+    ``assigned`` needs (vec_id, v: array<double>, cluster).
+    """
+    import pandas as pd
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64")}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["v"].to_numpy()).astype("float64")
+        norms = np.sqrt((m * m).sum(axis=1))
+        sims = (m @ m.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        hit = sims[ia, ib] >= threshold
+        return pd.DataFrame({"id_a": ids[ia[hit]], "id_b": ids[ib[hit]]})
+
+    return assigned.groupBy("cluster").applyInPandas(
+        pairs, schema="id_a long, id_b long"
+    )

@@ -199,3 +199,41 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return KM.kmeans_fit_assign(emb, k=8, iters=5)
+
+
+@query(
+    "q_semdedup",
+    oracle=KM.semdedup_oracle_sql(k=8, iters=5, dim=64, threshold=0.35),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): cluster the embedding store with
+    k-means, then drop within-cluster cosine near-dups, keeping the
+    lowest vec_id of each near-dup pair. Threshold 0.35 for the same
+    reason as q_dedup_embedding (fixture max pairwise cosine ~0.51, so
+    the verified set is non-trivial).
+
+    Scale shape: assignment is a narrow map; the quadratic pairwise
+    step is partitioned BY CLUSTER (applyInPandas, one vectorized
+    numpy matmul per cluster — functions/clustering.py
+    semantic_pairs_within_clusters), so no global all-pairs work ever
+    materializes; the verdict join is an id-only broadcast.
+    """
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = KM.kmeans_fit_assign(emb, k=8, iters=5)
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    pairs = KM.semantic_pairs_within_clusters(
+        v.join(assigned, "vec_id"), threshold=0.35
+    )
+    dropped = (
+        pairs.select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return assigned.join(F.broadcast(dropped), "vec_id", "left").select(
+        "vec_id", "cluster", F.col("dup").isNull().alias("keep")
+    )
