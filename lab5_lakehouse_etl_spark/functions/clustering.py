@@ -56,13 +56,21 @@ def _distances(cents: list[tuple[int, list[float]]]) -> Column:
 
 
 def assign_clusters(
-    emb: DataFrame, cents: list[tuple[int, list[float]]]
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    with_dist: bool = False,
 ) -> DataFrame:
-    """Add ``cluster`` = id of the nearest centroid (first-min tie-break)."""
+    """Add ``cluster`` = id of the nearest centroid (first-min
+    tie-break); with ``with_dist``, also the squared distance to it,
+    rounded to 6 decimals so downstream per-cluster rankings are
+    immune to cross-engine float-summation-order differences."""
     ids = F.array(*[F.lit(int(cl)) for cl, _ in cents])
     dists = _distances(cents)
     idx = F.array_position(dists, F.array_min(dists)).cast("int")
-    return emb.withColumn("cluster", F.element_at(ids, idx))
+    out = emb.withColumn("cluster", F.element_at(ids, idx))
+    if with_dist:
+        out = out.withColumn("dist", F.round(F.array_min(dists), 6))
+    return out
 
 
 def kmeans_fit_assign(
@@ -72,6 +80,7 @@ def kmeans_fit_assign(
     decimals: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    with_dist: bool = False,
 ) -> DataFrame:
     """Run ``iters`` Lloyd's update rounds from the deterministic init
     (the k lowest-``id_col`` vectors), then return (id, cluster)
@@ -116,7 +125,8 @@ def kmeans_fit_assign(
                 (cl, [vals[p] for p in sorted(vals)])
                 for cl, vals in sorted(by_cl.items())
             ]
-        final = assign_clusters(base, cents).select("vec_id", "cluster")
+        cols = ["vec_id", "cluster"] + (["dist"] if with_dist else [])
+        final = assign_clusters(base, cents, with_dist=with_dist).select(*cols)
         # Materialize before releasing the cache (collect happens driver-side
         # later); the plan is tiny so recompute-on-uncache is also fine.
         return final
@@ -196,6 +206,33 @@ SELECT t.vec_id, CAST(t.cl AS INT) AS cluster,
        (p.id_b IS NULL) AS keep
 FROM a{iters} t LEFT JOIN (SELECT DISTINCT id_b FROM pairs) p
   ON t.vec_id = p.id_b"""
+
+
+def cluster_sample_oracle_sql(
+    k: int = 8,
+    iters: int = 5,
+    dim: int = 64,
+    decimals: int = 6,
+    per_cluster: int = 32,
+) -> str:
+    """Prototypicality-sample oracle: distance of each vector to its
+    final centroid, ranked per cluster (dist rounded to ``decimals``
+    before ranking in BOTH engines — see assign_clusters)."""
+    prefix = kmeans_cte_prefix(k, iters, dim, decimals)
+    dist = (
+        f"round(list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i]))), {decimals})"
+    )
+    return f"""{prefix},
+d AS (
+  SELECT t.vec_id, t.cl, {dist} AS dist
+  FROM a{iters} t JOIN e ON e.vec_id = t.vec_id
+  JOIN c{iters} c ON c.cl = t.cl
+)
+SELECT vec_id, CAST(cl AS INT) AS cluster, CAST(rn AS INT) AS proto_rank
+FROM (SELECT vec_id, cl, row_number() OVER (
+        PARTITION BY cl ORDER BY dist ASC, vec_id ASC) AS rn FROM d)
+WHERE rn <= {per_cluster}"""
 
 
 def semantic_pairs_within_clusters(

@@ -237,3 +237,34 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.join(F.broadcast(dropped), "vec_id", "left").select(
         "vec_id", "cluster", F.col("dup").isNull().alias("keep")
     )
+
+
+@query(
+    "q_cluster_sample",
+    oracle=KM.cluster_sample_oracle_sql(k=8, iters=5, dim=64, per_cluster=32),
+)
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced prototypicality sampling: keep the 32 vectors
+    closest to their final k-means centroid in each cluster (the
+    "SSL prototypes" / cluster-balanced curation pattern — sample
+    uniformly across semantic clusters instead of uniformly across the
+    corpus, arXiv:2303.09540 §5).
+
+    Distances round to 6 decimals BEFORE the per-cluster rank (ties
+    then break on vec_id), so the ranking is stable across engines and
+    runs; the rank itself is one window over data already partitioned
+    by cluster — a single skew-free shuffle.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = KM.kmeans_fit_assign(emb, k=8, iters=5, with_dist=True)
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.withColumn("proto_rank", F.row_number().over(w))
+        .filter(F.col("proto_rank") <= 32)
+        .select("vec_id", "cluster", "proto_rank")
+    )
