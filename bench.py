@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "q_embed_quantize",
     "q_outlier_mad",
     "q_histogram",
+    "q_quality_gopher",
 ]
 
 
