@@ -291,3 +291,48 @@ def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("exact_p"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_udaf_geomean",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(exp(avg(ln(value))), 4) AS geomean_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF (the §2.8 UDAF surface): geometric
+    mean of event value per type, computed by an Arrow-batched numpy
+    aggregation.
+
+    Honest scale note: a grouped-agg pandas UDF materializes each whole
+    group in one Arrow batch — NO map-side partial aggregation — so for
+    algebraic aggregates like this one the built-in equivalent
+    ``exp(avg(log(value)))`` (JVM, partial-combining) is the 100 TB
+    path; tests/test_udf_surface.py pins the two equal. The UDAF
+    surface exists for genuinely non-algebraic per-group logic
+    (model scoring, order statistics over full histories).
+    """
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Catalyst refuses to mix pandas and JVM aggregates in one Aggregate
+    # node (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a pandas
+    # aggregate too.
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        n_rows("value").alias("n_events"),
+        F.round(geomean("value"), 4).alias("geomean_value"),
+    )

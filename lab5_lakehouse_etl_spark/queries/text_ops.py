@@ -436,3 +436,44 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s.dup_3gram_char_frac") <= 0.18)
         ).alias("keep"),
     )
+
+
+@query(
+    "q_udtf_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS pos,
+           toks[CAST(i AS INT)] AS token
+    FROM (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents WHERE doc_id < 20)
+    )
+    """,
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function — the §2.8 UDTF surface):
+    positional tokenizer applied with LATERAL over a 20-document slice.
+
+    Row-at-a-time Python is deliberately confined to this API demo; the
+    engine's hot token paths are JVM higher-order functions
+    (functions/text.py) — same reason the reference-scale queries never
+    register plain Python UDFs. The LATERAL join shape is the part that
+    scales: the UDTF runs partition-local with no shuffle.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class TokenExplode:
+        def eval(self, text: str):
+            for i, t in enumerate(text.strip().lower().split()):
+                yield i, t
+
+    spark.udtf.register("token_explode", TokenExplode)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """SELECT d.doc_id, t.pos, t.token
+           FROM _udtf_docs d, LATERAL token_explode(d.text) t"""
+    )
