@@ -336,3 +336,47 @@ def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows("value").alias("n_events"),
         F.round(geomean("value"), 4).alias("geomean_value"),
     )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             min(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+    )
+    SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+           CAST(date_diff('day',
+                          CAST(date_trunc('week', first_ts) AS DATE),
+                          CAST(date_trunc('week', ts) AS DATE)) / 7 AS INT)
+               AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM f
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen
+    week (Monday-start), counted distinct in each later activity week.
+
+    Scale shape (same family as q_sessionize_batch): one keyed shuffle
+    on user_id computes the per-user first-touch via a window min —
+    per-user history is small even at clickstream scale — then the
+    (cohort, offset) rollup is a partial-aggregated count-distinct.
+    No join back to a first-touch table, so the fact scans once.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    f = ev.withColumn("first_ts", F.min("ts").over(w))
+    cohort = F.to_date(F.date_trunc("week", F.col("first_ts")))
+    week = F.to_date(F.date_trunc("week", F.col("ts")))
+    return (
+        f.select(
+            cohort.alias("cohort_week"),
+            (F.datediff(week, cohort) / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

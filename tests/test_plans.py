@@ -246,3 +246,27 @@ def test_keyword_search_broadcast_stats_takeordered(spark):
     # df/N/avgdl stat relations broadcast; ranking is top-k, not a sort
     assert has_broadcast_join(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_gopher_pure_narrow_map(spark):
+    df = Q.QUERIES["q_quality_gopher"](spark, SF_DIR)
+    # Repetition metrics are row-local: zero exchanges, and the scan
+    # reads only (doc_id, text).
+    assert shuffle_count(df) == 0
+    schemas = scan_read_schema(df)
+    assert schemas and all(set(s) <= {"doc_id", "text"} for s in schemas)
+
+
+def test_cluster_sample_single_window_shuffle(spark):
+    df = Q.QUERIES["q_cluster_sample"](spark, SF_DIR)
+    # Assignment is a narrow map over literal centroids; the only
+    # exchange in the FINAL plan is the per-cluster rank window.
+    assert shuffle_count(df) <= 1
+
+
+def test_semdedup_scan_prunes_embedding_columns(spark):
+    df = Q.QUERIES["q_semdedup"](spark, SF_DIR)
+    # Every embeddings scan reads at most (vec_id, embedding) — the
+    # label column never loads.
+    schemas = scan_read_schema(df)
+    assert schemas and all(set(s) <= {"vec_id", "embedding"} for s in schemas)
