@@ -293,3 +293,58 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("pagerank")
     )
+
+
+@query(
+    "q_ingest_dedup",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                   string_split_regex(trim(lower(text)), '\s+'), ' ')) AS fp
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 400),
+    batch AS (SELECT doc_id, fp FROM fp WHERE doc_id >= 400),
+    firsts AS (
+      SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM batch
+    )
+    SELECT f.doc_id, f.fp AS fingerprint
+    FROM firsts f LEFT JOIN hist h ON f.fp = h.fp
+    WHERE f.rn = 1 AND h.fp IS NULL
+    """,
+)
+def q_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest exact dedup: the production shape of S-curve
+    corpus growth — a new batch (doc_id >= 400 here) is deduped WITHIN
+    itself (first doc_id per fingerprint wins) and AGAINST the
+    fingerprint store of everything already ingested (doc_id < 400),
+    returning only rows safe to append.
+
+    Both steps key on the md5 token-stream fingerprint
+    (functions/text.py rolling_fingerprint): one window and one anti-
+    join sharing the fingerprint hash partitioning. At 100 TB the
+    history side is a fingerprint-only index scan (one narrow column),
+    never the historical corpus itself.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", T.rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    hist = fp.filter(F.col("doc_id") < 400).select("fingerprint").distinct()
+    batch = fp.filter(F.col("doc_id") >= 400)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    firsts = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return firsts.join(hist, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
