@@ -348,3 +348,55 @@ def q_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return firsts.join(hist, "fingerprint", "left_anti").select(
         "doc_id", "fingerprint"
     )
+
+
+@query(
+    "q_dup_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS span
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, CAST(greatest(len(t) - 7, 1) AS BIGINT) + 1))
+                     AS i
+            FROM toks)
+    )
+    SELECT span,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id)              AS first_doc_id
+    FROM grams GROUP BY span HAVING count(*) >= 2
+    """,
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection (the fixed-length
+    approximation of suffix-array ExactSubstr dedup from the
+    "Deduplicating Training Data Makes Language Models Better" line of
+    work): every 8-token span that appears verbatim in >= 2 documents,
+    with how many documents share it and the lowest sharing doc_id.
+
+    Spans are distinct-per-doc word 8-grams (functions/dedup.
+    word_ngrams — the let-binding idiom tokenizes once per row), so
+    count(*) after the groupBy IS the distinct-document count: one
+    explode (narrow, partition-preserving) and ONE shuffle keyed on
+    the span. At 100 TB the span string would be replaced by its
+    xxhash64 as the grouping key with min(span) carried as the
+    representative — same plan shape, 8-byte shuffle payload; and the
+    output feeds passage-level redaction (join back on doc_id) rather
+    than whole-document dropping, which is exactly why span-level
+    dedup exists as a separate operator from q_dedup_exact_docs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(D.word_ngrams("text", 8)).alias("span")
+    )
+    return (
+        grams.groupBy("span")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
