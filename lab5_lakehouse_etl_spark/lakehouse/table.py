@@ -81,6 +81,33 @@ def _partition_dirname(partition_by: list[str], values: tuple) -> str:
     )
 
 
+def _zvalue(df: DataFrame, cols: list[str], bits: int = 4) -> F.Column:
+    """Bit-interleaved z-order key: per-column quantile bucket rank
+    (2**bits buckets from driver-side ``approxQuantile`` boundaries —
+    a GK sketch pass, O(1) driver bytes) with the rank bits of every
+    column interleaved LSB-first. Quantile ranks, not linear scaling,
+    so skewed domains still spread across buckets. Nulls rank 0
+    (clustered together at the low corner, like Delta's NULLS FIRST)."""
+    n_bounds = (1 << bits) - 1
+    probs = [i / (n_bounds + 1) for i in range(1, n_bounds + 1)]
+    ranks = []
+    for c in cols:
+        bounds = df.selectExpr(f"CAST({c} AS DOUBLE) AS x").approxQuantile(
+            "x", probs, 0.001
+        )
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        col = F.col(c).cast("double")
+        rank = F.size(F.filter(arr, lambda b: b <= col))
+        ranks.append(F.when(col.isNull(), F.lit(0)).otherwise(rank))
+    k = len(cols)
+    z = F.lit(0)
+    for b in range(bits):
+        for i, r in enumerate(ranks):
+            bit = F.shiftright(r, b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * k + i)
+    return z
+
+
 class LakeTable:
     """Handle to a versioned parquet table rooted at ``path``."""
 
@@ -533,6 +560,7 @@ class LakeTable:
         spark: SparkSession,
         target_partitions: int = 1,
         cluster_by: Iterable[str] = (),
+        zorder_by: Iterable[str] = (),
     ) -> int:
         """Small-file compaction (Delta ``OPTIMIZE`` parity). Streaming
         merges and per-batch upserts accumulate many small parquet
@@ -549,13 +577,37 @@ class LakeTable:
         predicate on those columns skip whole files — the scan-pruning
         effect ZORDER buys, via the one-dimensional clustering Spark
         expresses directly. Costs one range shuffle (vs coalesce's
-        none); worth it for tables served by range-predicate scans."""
+        none); worth it for tables served by range-predicate scans.
+
+        ``zorder_by`` is the multi-dimensional variant (Delta
+        ``OPTIMIZE ZORDER BY (a, b)`` parity): each column is mapped to
+        a 16-bucket quantile rank (driver-side ``approxQuantile``
+        boundaries — a tiny GK sketch pass, never a window over the
+        table), the per-column 4-bit ranks are bit-interleaved into one
+        z-value, and files are range-partitioned + sorted on it. Every
+        output file then owns a compact hyper-rectangle of the clustered
+        space, so parquet min/max footer stats prune files for
+        predicates on ANY of the columns — the property linear
+        ``cluster_by`` only gives the leading column. Numeric columns
+        only (quantile ranks need an ordered domain); one extra scan for
+        the sketch + the same single range shuffle as ``cluster_by``."""
         prev_v = self.version()
         m = self._manifest(prev_v)
         partition_by: list[str] = m["partition_by"]
         cluster_by = list(cluster_by)
+        zorder_by = list(zorder_by)
+        if cluster_by and zorder_by:
+            raise ValueError("pass cluster_by or zorder_by, not both")
         snapshot = self.read(spark)
-        if cluster_by:
+        if zorder_by:
+            z = _zvalue(snapshot, zorder_by)
+            compacted = (
+                snapshot.withColumn("__z", z)
+                .repartitionByRange(target_partitions, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif cluster_by:
             cols = [F.col(c) for c in cluster_by]
             compacted = snapshot.repartitionByRange(
                 target_partitions, *cols

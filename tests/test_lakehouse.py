@@ -318,3 +318,43 @@ def test_changes_cdf_between_versions(spark, tmp_path):
         for r in t.changes(spark, key=["k"], from_version=1, to_version=2).collect()
     }
     assert ch12 == {(3, "delete")}
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    import duckdb
+
+    # 32x32 grid, shuffled: a and b are independent dimensions
+    df = (
+        spark.range(1024)
+        .selectExpr(
+            "pmod(id * 37, 1024) % 32 AS a",
+            "CAST(pmod(id * 37, 1024) / 32 AS BIGINT) AS b",
+            "CAST(id AS DOUBLE) AS v",
+        )
+        .repartition(8)
+    )
+    t = LakeTable.create(df, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="not both"):
+        t.optimize(spark, cluster_by=["a"], zorder_by=["b"])
+    v = t.optimize(spark, target_partitions=16, zorder_by=["a", "b"])
+    files = t.files(v)
+    assert len(files) == 16
+    con = duckdb.connect()
+    stats = [
+        con.sql(
+            f"SELECT min(a), max(a), min(b), max(b) FROM read_parquet("
+            f"'{os.path.join(str(tmp_path / 't'), 'data', f)}')"
+        ).fetchone()
+        for f in files
+    ]
+    # parquet footer min/max pruning for a point predicate on EITHER
+    # column must skip at least half the files — the property linear
+    # clustering only gives its leading column
+    hits_a = sum(1 for (lo, hi, _, _) in stats if lo <= 5 <= hi)
+    hits_b = sum(1 for (_, _, lo, hi) in stats if lo <= 20 <= hi)
+    assert hits_a <= len(files) // 2, stats
+    assert hits_b <= len(files) // 2, stats
+    # result-transparent
+    assert sorted((r.a, r.b) for r in t.read(spark).collect()) == sorted(
+        ((i * 37) % 1024 % 32, (i * 37) % 1024 // 32) for i in range(1024)
+    )
