@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "q_outlier_mad",
     "q_histogram",
     "q_quality_gopher",
+    "q_cohort_retention",
+    "q_ingest_dedup",
+    "q_dup_spans",
 ]
 
 
