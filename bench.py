@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     "q_cohort_retention",
     "q_ingest_dedup",
     "q_dup_spans",
+    "q_lm_unigram",
+    "q_hybrid_search",
+    "q_triangle_count",
+    "q_dup_remove",
 ]
 
 

@@ -221,6 +221,184 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+@query(
+    "q_dup_remove",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, i - 1 AS pos, t[CAST(i AS INT)] AS token
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)
+    ),
+    spans AS (
+      SELECT doc_id, i - 1 AS start, array_to_string(t[CAST(i AS INT) : CAST(i AS INT) + 7], ' ') AS span
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, CAST(greatest(len(t) - 7, 1) AS BIGINT) + 1)) AS i
+            FROM toks)
+    ),
+    owners AS (
+      SELECT span, min(doc_id) AS owner
+      FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    ),
+    removable AS (
+      SELECT DISTINCT s.doc_id, s.start
+      FROM spans s JOIN owners o ON s.span = o.span AND s.doc_id <> o.owner
+    ),
+    cov AS (
+      SELECT tok.doc_id, tok.pos, tok.token,
+             max(CASE WHEN r.start IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY tok.doc_id ORDER BY tok.pos
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+      FROM tok LEFT JOIN removable r
+        ON r.doc_id = tok.doc_id AND r.start = tok.pos
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN covered = 0 THEN token END, ' '
+                               ORDER BY pos), '') AS cleaned_text,
+           CAST(count(*) FILTER (covered = 0) AS BIGINT) AS n_tokens_kept,
+           CAST(count(*) FILTER (covered = 1) AS BIGINT) AS n_tokens_removed
+    FROM cov GROUP BY doc_id
+    """,
+)
+def q_dup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage REMOVAL — the redaction step downstream of
+    `q_dup_spans` (ExactSubstr dedup's remove phase, "Deduplicating
+    Training Data Makes Language Models Better": cut the duplicated
+    substring, keep the rest of the document). Every 8-token span seen
+    in ≥ 2 documents keeps only its lowest-doc_id owner's copies; all
+    other occurrences have their token positions blanked, and each
+    document is reassembled from its surviving tokens in order.
+
+    Scale shape: span extraction is a narrow posexplode; ownership is
+    ONE shuffle keyed on the span (xxhash64 key at 100 TB, as in
+    q_dup_spans); removable start-positions fold back to one
+    array-valued row per affected document (doc_id-keyed partial agg),
+    and the final redaction + reassembly is entirely ROW-LOCAL — the
+    coverage test `∃ start ≤ pos ≤ start+7` and the rebuild run as
+    higher-order array functions, so the token stream itself is never
+    shuffled as rows and no per-doc window sort exists anywhere in the
+    plan (the oracle's window formulation is the same math; Spark gets
+    the array form because Catalyst keeps it in whole-stage codegen).
+    """
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    spans = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 7, 1)),"
+                " i -> concat_ws(' ', slice(toks, i, 8)))"
+            )
+        ).alias("start", "span"),
+    )
+    owners = (
+        spans.groupBy("span")
+        .agg(
+            F.min("doc_id").alias("owner"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("span", "owner")
+    )
+    removable = (
+        spans.join(owners, "span")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("start").alias("starts"))
+    )
+    joined = t.join(removable, "doc_id", "left").withColumn(
+        "starts", F.coalesce(F.col("starts"), F.expr("array()"))
+    )
+    kept = F.expr(
+        "filter(toks, (x, i) -> NOT exists(starts, j -> i >= j AND i <= j + 7))"
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("cleaned_text"),
+        F.size(kept).cast("bigint").alias("n_tokens_kept"),
+        (F.size("toks") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
+    )
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.source = b.source
+       AND abs(a.n_chars - b.n_chars) <= 20
+       AND a.doc_id < b.doc_id
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    pernode AS (
+      SELECT node, count(*) AS n_triangles
+      FROM (SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY node
+    )
+    SELECT node AS doc_id, CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM pernode
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the deterministic doc-similarity
+    graph of `q_dedup_clusters` — the local-density signal (clustering
+    coefficient numerator) that separates tight near-dup families
+    (cliques → many triangles) from chains of borderline pairs (few),
+    which PageRank alone can't tell apart.
+
+    Classic distributed shape (the MapReduce triangle algorithm):
+    orient every edge low-id → high-id so each triangle is generated
+    exactly once as (a<b<c), build wedges with one self-join on the
+    shared middle vertex, close them against the oriented edge list
+    with a second join, then explode each triangle to its three
+    corners and count. Two shuffle joins on edge keys, both
+    O(Σ deg²) wedge-bounded — at web scale the standard refinement is
+    orienting by DEGREE (low-degree vertex first) instead of by id,
+    which caps wedge counts at O(m^1.5) under skew; id-orientation is
+    kept here because the oracle must generate the identical triangle
+    set."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    a = docs.select(
+        F.col("doc_id").alias("src"), "lang", "source",
+        F.col("n_chars").alias("na"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("dst"), F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"), F.col("n_chars").alias("nb"),
+    )
+    edges = a.join(
+        b,
+        (F.col("lang") == F.col("lang_b"))
+        & (F.col("source") == F.col("source_b"))
+        & (F.abs(F.col("na") - F.col("nb")) <= 20)
+        & (F.col("src") < F.col("dst")),
+    ).select("src", "dst")
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
+    )
+    return corners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
 def _pagerank_oracle(n_iter: int = 5) -> str:
     """Unrolled power-iteration PageRank as plain DuckDB CTE stages.
 

@@ -120,6 +120,126 @@ def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cosine_sim", "lang", "source", "n_chars")
 
 
+#: RRF rank-smoothing constant (the k=60 of Cormack et al. 2009).
+_RRF_K = 60
+
+
+@query(
+    "q_hybrid_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cosine_sim DESC, vec_id ASC) AS rnk
+      FROM (
+        SELECT e.vec_id,
+               round(
+                 list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+                 / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                          list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim
+        FROM embeddings e, q
+        ORDER BY cosine_sim DESC, e.vec_id ASC
+        LIMIT 20
+      )
+    ),
+    d AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS dl,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+      WHERE term IN ('scan', 'merge', 'window')
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+      FROM (
+        SELECT tf.doc_id,
+               round(sum(
+                 ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+               ), 4) AS bm25
+        FROM tf CROSS JOIN stats JOIN dfreq ON tf.term = dfreq.term
+        GROUP BY tf.doc_id
+        ORDER BY bm25 DESC, tf.doc_id ASC
+        LIMIT 20
+      )
+    )
+    SELECT coalesce(sem.doc_id, bm.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({_RRF_K} + sem.rnk), 0)
+                 + coalesce(1.0 / ({_RRF_K} + bm.rnk), 0), 6) AS rrf,
+           CAST(coalesce(sem.rnk, 0) AS BIGINT) AS sem_rank,
+           CAST(coalesce(bm.rnk, 0) AS BIGINT) AS bm25_rank
+    FROM sem FULL OUTER JOIN bm ON sem.doc_id = bm.doc_id
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009, the default fusion in modern RAG stacks): the dense ranking
+    (exact cosine top-20, `q_semantic_search`'s scorer) and the lexical
+    ranking (Okapi BM25 top-20, `q_keyword_search`'s scorer) are fused
+    by RRF(d) = Σ 1/(60 + rank_list(d)), absent-from-list contributes
+    0. Returns the fused top-10 with both source ranks (0 = unranked).
+
+    Scale shape: both input rankings end in TakeOrderedAndProject, so
+    each is a 20-row relation regardless of corpus size; the fusion
+    full-outer join and the final sort run on ≤40 rows driver-adjacent
+    (broadcast), never touching the fact tables again. Ranks come from
+    row_number over ROUNDED scores with id tie-breaks, so both engines
+    rank identically.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .text_ops import _bm25_top20
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = (
+        S.topk_cosine(emb, _query_vec(spark, sf_dir), k=20)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .select(F.col("vec_id").alias("doc_id"), F.col("rnk").alias("sem_rnk"))
+    )
+    bm = (
+        _bm25_top20(spark, sf_dir)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .select("doc_id", F.col("rnk").alias("bm_rnk"))
+    )
+    fused = sem.join(bm, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("sem_rnk")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("bm_rnk")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        F.coalesce(F.col("sem_rnk"), F.lit(0)).cast("bigint").alias("sem_rank"),
+        F.coalesce(F.col("bm_rnk"), F.lit(0)).cast("bigint").alias("bm25_rank"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)
+
+
 @query(
     "q_embed_quantize",
     oracle="""

@@ -327,6 +327,12 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't reorder the cut). Earlier explode-based draft measured 8.4 s
     at sf0.1; this form ~2 s — the delta is exploding 15M token rows
     vs never materializing them."""
+    return _bm25_top20(spark, sf_dir)
+
+
+def _bm25_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 top-20 scorer (also the lexical leg of
+    `q_hybrid_search` — see queries/similarity_ops.py)."""
     docs = load_table(spark, sf_dir, "documents")
     tf_cols = {
         t: F.size(F.expr(f"filter(toks, x -> x = '{t}')")) for t in _BM25_TERMS
@@ -435,6 +441,64 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s.top_2gram_char_frac") <= 0.20)
             & (F.col("s.dup_3gram_char_frac") <= 0.18)
         ).alias("keep"),
+    )
+
+
+@query(
+    "q_lm_unigram",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+    total AS (SELECT sum(cnt) AS n FROM vocab),
+    scored AS (
+      SELECT t.doc_id, ln(CAST(total.n AS DOUBLE) / v.cnt) AS nll
+      FROM toks t JOIN vocab v ON t.term = v.term CROSS JOIN total
+    )
+    SELECT doc_id,
+           round(avg(nll), 4) AS cross_entropy,
+           round(exp(avg(nll)), 2) AS perplexity,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_lm_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the perplexity-proxy quality
+    filter (the cheap stand-in for the KenLM/CCNet LM filter used in
+    pretraining curation): train a unigram LM on the corpus itself
+    (P(t) = count(t)/N), then score each document by mean negative
+    log-likelihood (cross-entropy) and its exp (perplexity). Documents
+    full of rare tokens score high; boilerplate scores low.
+
+    Scale shape: the vocabulary is built with one partial-combining
+    aggregate over the exploded token stream (|V|-sized result — tiny
+    vs the corpus), then BROADCAST back onto the stream, and the
+    per-doc mean folds in the same shuffle-free pass as a map-side
+    combine keyed by doc_id: raw corpus tokens are never shuffled, only
+    (doc_id, partial-sum) pairs. Scores round before returning so
+    cross-engine libm summation order cannot perturb the hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # total token count via a narrow per-row size() aggregate — NOT
+    # vocab.agg(sum(cnt)), which would duplicate the whole explode +
+    # vocab-aggregate subtree in the physical plan (no plan reuse
+    # without caching); same number, one cheap pass
+    total = docs.agg(
+        F.sum(F.size(T.tokens(F.col("text")))).cast("double").alias("n")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("n") / F.col("cnt")).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("nll"), 4).alias("cross_entropy"),
+        F.round(F.exp(F.avg("nll")), 2).alias("perplexity"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
     )
 
 

@@ -125,20 +125,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Plain ``spark.read.parquet`` so Catalyst keeps scan-level predicate
     pushdown and column pruning for whatever the caller composes on top.
 
-    `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects (PARQUET_TYPE_ILLEGAL — Spark timestamps are µs). We read
-    nanos as long (legacy conf) and rebuild the µs timestamp with
-    integer division — NOT float division, since ns epoch values
-    (~1.7e18) exceed double's 2^53 integer range. Matches DuckDB's
-    CAST(ts_ns AS TIMESTAMP) truncation for positive epochs.
+    `events.ts` has shipped as either parquet TIMESTAMP(NANOS) or
+    TIMESTAMP(MICROS) depending on the generator run. Spark's reader
+    rejects nanos (PARQUET_TYPE_ILLEGAL — Spark timestamps are µs)
+    unless the legacy conf reads them as long, so we set the conf and
+    branch on the landed type: long → rebuild the µs timestamp with
+    integer division (NOT float division — ns epoch values ~1.7e18
+    exceed double's 2^53 integer range; truncation matches DuckDB's
+    CAST(ts_ns AS TIMESTAMP)); timestamp/timestamp_ntz → cast to the
+    session-local TIMESTAMP (a no-op under the pinned UTC timezone),
+    so every downstream query sees one stable TIMESTAMP type.
     """
     tune(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        if df.schema["ts"].dataType.simpleString() == "bigint":
+            ts = F.timestamp_micros(F.expr("ts div 1000"))
+        else:
+            ts = F.col("ts").cast("timestamp")
+        return df.withColumn("ts", ts).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     return spark.read.parquet(table_path(sf_dir, name))
 
 

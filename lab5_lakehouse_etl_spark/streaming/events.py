@@ -30,11 +30,12 @@ from pyspark.sql import functions as F
 from ..lakehouse import LakeTable
 
 
-def _events_schema_ddl() -> str:
-    # ts is parquet TIMESTAMP(NANOS): read as long (nanosAsLong) and
-    # rebuild the µs timestamp with integer division (see session.py).
+def _events_schema_ddl(ts_type: str) -> str:
+    # ts has shipped as parquet TIMESTAMP(NANOS) (→ read as long via
+    # nanosAsLong, rebuilt with integer division) or TIMESTAMP(MICROS)
+    # (→ read natively); the caller probes the footer (see session.py).
     return (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        f"event_id BIGINT, ts {ts_type}, user_id BIGINT, "
         "event_type STRING, value DOUBLE, props STRING"
     )
 
@@ -64,12 +65,24 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source replay of the events parquet (schema must be
     declared for streaming reads; maxFilesPerTrigger throttles replay)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # streaming sources need a declared schema — probe the footer with a
+    # batch read to learn which ts encoding this fixture generation uses
+    ts_is_long = (
+        spark.read.parquet(path).schema["ts"].dataType.simpleString() == "bigint"
+    )
     raw = (
-        spark.readStream.schema(_events_schema_ddl())
+        spark.readStream.schema(
+            _events_schema_ddl("BIGINT" if ts_is_long else "TIMESTAMP")
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(_as_stream_dir(path))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if ts_is_long
+        else F.col("ts").cast("timestamp")
+    )
+    return raw.withColumn("ts", ts)
 
 
 def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:

@@ -270,3 +270,42 @@ def test_semdedup_scan_prunes_embedding_columns(spark):
     # label column never loads.
     schemas = scan_read_schema(df)
     assert schemas and all(set(s) <= {"vec_id", "embedding"} for s in schemas)
+
+
+def test_lm_unigram_vocab_broadcast_no_raw_token_shuffle(spark):
+    df = Q.QUERIES["q_lm_unigram"](spark, SF_DIR)
+    # the |V|-sized vocab (and the 1-row total) broadcast back onto the
+    # token stream; the only exchanges are the vocab aggregate and the
+    # per-doc mean — raw tokens never shuffle unaggregated
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 3
+
+
+def test_hybrid_search_fuses_two_topk_legs(spark):
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_hybrid_search"](spark, SF_DIR)
+    # both retrieval legs end in TakeOrderedAndProject before fusion
+    assert explain_str(df).count("TakeOrderedAndProject") >= 2
+
+
+def test_dup_remove_no_window_sort_on_tokens(spark):
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_dup_remove"](spark, SF_DIR)
+    plan = explain_str(df)
+    # redaction + reassembly is row-local array work: no Window node
+    # (the oracle's window formulation must NOT leak into the engine)
+    assert "Window" not in plan
+    # ownership + start-collection: span agg, doc agg, and the
+    # doc-keyed join back are the only exchanges
+    assert shuffle_count(df) <= 4
+
+
+def test_triangle_count_reads_only_graph_columns(spark):
+    df = Q.QUERIES["q_triangle_count"](spark, SF_DIR)
+    schemas = scan_read_schema(df)
+    # the documents scan never loads text — graph columns only
+    assert schemas and all(
+        set(s) <= {"doc_id", "lang", "source", "n_chars"} for s in schemas
+    )
