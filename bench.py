@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "q_hybrid_search",
     "q_triangle_count",
     "q_dup_remove",
+    "q_event_debounce",
+    "q_bin_equidepth",
 ]
 
 

@@ -380,3 +380,95 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "q_event_debounce",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER
+                            (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM ordered
+    WHERE gap_us IS NULL OR gap_us > 600000000
+    """,
+)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event debouncing / burst suppression: keep only the FIRST event
+    of each burst per (user, event_type), where a burst is a run of
+    events each within 10 minutes of its predecessor — the standard
+    throttle for alerting pipelines and the event-level analog of
+    near-dup dedup (repeated client retries / double-clicks collapse
+    to one logical event).
+
+    Note the chained semantics: the gap test is against the PREVIOUS
+    event, not the burst's first event, so a slow drip every 9 minutes
+    collapses into one burst (exactly lag-based island detection, the
+    same primitive as q_sessionize_batch with keep-first instead of
+    rollup). One shuffle on (user_id, event_type); the lag window and
+    the filter share it."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_us", gap_us)
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") > 600_000_000))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@query(
+    "q_bin_equidepth",
+    oracle="""
+    WITH cuts AS (
+      SELECT list_transform(
+               quantile_cont(o_totalprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+               x -> round(x, 6)) AS c
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(len(list_filter(cuts.c, x -> x <= o_totalprice)) AS INT)
+               AS price_decile
+    FROM orders CROSS JOIN cuts
+    """,
+)
+def q_bin_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) feature binning: compute the 9 interior
+    decile cutpoints of o_totalprice once, then bucket every order by
+    counting cutpoints ≤ its value — the ML feature-quantization step
+    (quantile binning), done WITHOUT a global ntile() window (ntile
+    orders the whole table through one partition — the canonical
+    scale-killer for this op).
+
+    The cutpoint relation is one exact-percentile aggregate (Spark
+    `percentile`, interpolated, = DuckDB `quantile_cont`) broadcast
+    back onto the fact scan; binning is then a row-local array count,
+    so the fact never shuffles. Cutpoints are ROUNDED to 6 decimals
+    before the comparison in BOTH engines so interpolation noise in
+    the last bits cannot move a value across a bucket edge. At 100 TB
+    the exact percentile swaps for the mergeable GK sketch
+    (`q_sketch_quantile` pins its rank-error bound); the plan shape is
+    unchanged."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    probs = "array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D)"
+    cuts = orders.agg(
+        F.expr(
+            f"transform(percentile(o_totalprice, {probs}), x -> round(x, 6))"
+        ).alias("c")
+    )
+    return orders.crossJoin(F.broadcast(cuts)).select(
+        "o_orderkey",
+        F.expr("CAST(size(filter(c, x -> x <= o_totalprice)) AS INT)").alias(
+            "price_decile"
+        ),
+    )
