@@ -141,6 +141,14 @@ def main() -> None:
         .groupBy("n_regionkey")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Touch every table's parquet once (count = footer + full column
+    # stream) so measured queries hit a warm OS page cache uniformly —
+    # otherwise whichever query first scans lineitem/documents pays a
+    # multi-second cold read that belongs to the disk, not the plan.
+    from lab5_lakehouse_etl_spark.session import TABLES
+
+    for tbl in TABLES:
+        load_table(spark, sf_dir, tbl).count()
     force(
         load_table(spark, sf_dir, "nation")
         .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))

@@ -272,16 +272,24 @@ def q_dup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     document is reassembled from its surviving tokens in order.
 
     Scale shape: span extraction is a narrow posexplode; ownership is
-    ONE shuffle keyed on the span (xxhash64 key at 100 TB, as in
-    q_dup_spans); removable start-positions fold back to one
-    array-valued row per affected document (doc_id-keyed partial agg),
-    and the final redaction + reassembly is entirely ROW-LOCAL — the
-    coverage test `∃ start ≤ pos ≤ start+7` and the rebuild run as
-    higher-order array functions, so the token stream itself is never
-    shuffled as rows and no per-doc window sort exists anywhere in the
-    plan (the oracle's window formulation is the same math; Spark gets
-    the array form because Catalyst keeps it in whole-stage codegen).
+    ONE window shuffle keyed on the span — no owners self-join, which
+    would duplicate the whole explode subtree in the physical plan
+    (Spark has no automatic common-subtree reuse): "shared by ≥ 2
+    docs" is `min(doc_id) ≠ max(doc_id)` over the span partition, and
+    "non-owner occurrence" is `doc_id ≠ min(doc_id)` (xxhash64 span
+    key at 100 TB, as in q_dup_spans). Removable start-positions fold
+    back to one array-valued row per affected document (doc_id-keyed
+    partial agg), and the final redaction + reassembly is entirely
+    ROW-LOCAL — the coverage test `∃ start ≤ pos ≤ start+7` and the
+    rebuild run as higher-order array functions, so the token stream
+    itself is never shuffled as rows and no per-doc SORT exists
+    anywhere in the plan (the span window is partition-only, frameless;
+    the oracle's per-doc window formulation is the same math — Spark
+    gets the array form because Catalyst keeps it in whole-stage
+    codegen).
     """
+    from pyspark.sql import Window
+
     from ..functions import text as T
 
     docs = load_table(spark, sf_dir, "documents")
@@ -295,18 +303,11 @@ def q_dup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("start", "span"),
     )
-    owners = (
-        spans.groupBy("span")
-        .agg(
-            F.min("doc_id").alias("owner"),
-            F.countDistinct("doc_id").alias("nd"),
-        )
-        .filter(F.col("nd") >= 2)
-        .select("span", "owner")
-    )
+    wspan = Window.partitionBy("span")
     removable = (
-        spans.join(owners, "span")
-        .filter(F.col("doc_id") != F.col("owner"))
+        spans.withColumn("owner", F.min("doc_id").over(wspan))
+        .withColumn("mx", F.max("doc_id").over(wspan))
+        .filter((F.col("owner") != F.col("mx")) & (F.col("doc_id") != F.col("owner")))
         .groupBy("doc_id")
         .agg(F.collect_set("start").alias("starts"))
     )
