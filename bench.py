@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "q_dup_remove",
     "q_event_debounce",
     "q_bin_equidepth",
+    "q_range_join_binned",
 ]
 
 

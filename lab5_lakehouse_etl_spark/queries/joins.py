@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import relational as ops
 from ..session import load_table
@@ -181,4 +182,61 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
+    )
+
+
+@query(
+    "q_range_join_binned",
+    oracle="""
+    WITH bands AS (
+      SELECT s_suppkey, s_acctbal AS lo,
+             lead(s_acctbal) OVER (ORDER BY s_acctbal, s_suppkey) AS hi
+      FROM supplier
+    )
+    SELECT b.s_suppkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS balance_sum
+    FROM bands b JOIN customer c
+      ON c.c_acctbal >= b.lo AND c.c_acctbal < b.hi
+    WHERE b.hi IS NOT NULL
+    GROUP BY b.s_suppkey
+    """,
+)
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact range join WITHOUT an equi key, via the binned
+    interval join (operators/rangejoin.py): supplier account balances
+    carve the domain into irregular half-open bands [bal, next_bal) —
+    the lead() construction, an IP-geolocation-table shape — and every
+    customer balance is located in its band, then counted and summed
+    per band.
+
+    The naive Spark plan for `c_acctbal BETWEEN lo AND hi` is a
+    BroadcastNestedLoopJoin (O(|C| x |S|) compares, broadcast-only);
+    the binned form replicates each band into the ~1-2 bins of width
+    512 it overlaps and equi-joins on the bin id — hash join, AQE
+    skew handling, both sides arbitrarily large. Plan-pinned: no
+    nested loop anywhere (tests/test_plans.py). The band relation
+    itself costs one window over the supplier table (dimension-sized);
+    zero-width bands from tied balances match nothing, and the open
+    top band is dropped, mirroring the oracle's WHERE hi IS NOT NULL.
+    """
+    from ..operators.rangejoin import binned_interval_join
+
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal"
+    )
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    bands = (
+        supplier.withColumn("lo", F.col("s_acctbal"))
+        .withColumn("hi", F.lead("s_acctbal").over(w))
+        .filter(F.col("hi").isNotNull())
+        .select("s_suppkey", "lo", "hi")
+    )
+    customers = load_table(spark, sf_dir, "customer").select("c_acctbal")
+    matched = binned_interval_join(
+        customers, bands, "c_acctbal", "lo", "hi", bin_width=512.0
+    )
+    return matched.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("balance_sum"),
     )

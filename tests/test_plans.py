@@ -309,3 +309,14 @@ def test_triangle_count_reads_only_graph_columns(spark):
     assert schemas and all(
         set(s) <= {"doc_id", "lang", "source", "n_chars"} for s in schemas
     )
+
+
+def test_range_join_binned_is_equi_not_nested_loop(spark):
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_range_join_binned"](spark, SF_DIR)
+    plan = explain_str(df)
+    # the whole point of binning: the interval predicate rides an
+    # equi-join on the bin id, never a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
