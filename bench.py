@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "q_event_debounce",
     "q_bin_equidepth",
     "q_range_join_binned",
+    "q_mixture_temperature",
+    "q_kcore",
 ]
 
 

@@ -136,3 +136,50 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def k_core(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 5,
+) -> DataFrame:
+    """k-core peeling with a FIXED round count: repeatedly drop nodes
+    of degree < k (and their edges) for exactly ``rounds`` rounds,
+    then return each surviving node with its residual degree.
+
+    ``edges`` must contain BOTH directions of each undirected edge
+    (same contract as :func:`connected_components`). The exact k-core
+    is the fixpoint; a fixed round count makes the operator
+    deterministic AND SQL-stateable (each peel round unrolls to one
+    CTE stage — same verifiability trade as :func:`pagerank`), and in
+    practice peeling converges in a handful of rounds on similarity
+    graphs because dedup families are shallow. Callers needing the
+    certified fixpoint re-run with more rounds and compare (monotone:
+    the surviving set only shrinks, so equality between round counts
+    proves convergence).
+
+    Scale shape: each round is one degree aggregation (O(edges)
+    partial-combining shuffle) + two semi-joins filtering the edge
+    list, ending in ``localCheckpoint`` to truncate lineage. Never
+    materializes anything node-quadratic.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select("src")
+        e = (
+            e.join(alive, "src", "left_semi")
+            .join(alive.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.groupBy(F.col("src").alias(node_col))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

@@ -388,3 +388,76 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sampled_tokens"),
     )
+
+
+@query(
+    "q_mixture_temperature",
+    oracle="""
+    WITH n AS (
+      SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_s, pow(n_s, 0.7) AS w_s,
+             sum(pow(n_s, 0.7)) OVER () AS w_tot,
+             CAST(sum(n_s) OVER () AS DOUBLE) AS n_tot
+      FROM n
+    ),
+    quota AS (
+      SELECT source, n_s,
+             least(n_s, CAST(floor(round((n_tot / 2) * w_s / w_tot, 6))
+                             AS BIGINT)) AS m_s
+      FROM w
+    ),
+    r AS (
+      SELECT doc_id, lang, documents.source, m_s,
+             row_number() OVER (PARTITION BY documents.source
+                                ORDER BY doc_id) AS rn
+      FROM documents JOIN quota ON documents.source = quota.source
+    )
+    SELECT doc_id, lang, source FROM r WHERE rn <= m_s
+    """,
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual/multi-source
+    sampling rule from the mBERT/XLM-R line of work, T = 0.7): source s
+    with n_s documents gets mixture share ∝ n_s^T, which UPWEIGHTS
+    small sources relative to proportional sampling (T = 1) without
+    letting any source dominate (T → 0 is uniform). Quotas target half
+    the corpus, are capped at n_s, and are filled by the first m_s
+    doc_ids per source — systematic deterministic sampling, the
+    reproducible stand-in for rand() (same policy as
+    q_mixture_weighted, but with the rates COMPUTED from corpus
+    statistics instead of hard-coded).
+
+    Scale shape: per-source counts are one partial-combining aggregate
+    over a |sources|-sized result; shares/quotas are computed inside
+    that tiny relation (window over ~dozens of rows) and broadcast
+    back; the only fact-sized work is the per-source row_number window
+    — one shuffle. The quota share is ROUNDED to 6 decimals before
+    floor() in both engines so last-ulp pow()/division noise cannot
+    flip a quota across an integer edge."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    wtot = Window.partitionBy()
+    quota = (
+        n.withColumn("w_s", F.pow("n_s", F.lit(0.7)))
+        .withColumn("w_tot", F.sum("w_s").over(wtot))
+        .withColumn("n_tot", F.sum("n_s").over(wtot).cast("double"))
+        .select(
+            "source",
+            F.least(
+                F.col("n_s"),
+                F.floor(
+                    F.round((F.col("n_tot") / 2) * F.col("w_s") / F.col("w_tot"), 6)
+                ).cast("bigint"),
+            ).alias("m_s"),
+        )
+    )
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(F.broadcast(quota), "source")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= F.col("m_s"))
+        .select("doc_id", "lang", "source")
+    )

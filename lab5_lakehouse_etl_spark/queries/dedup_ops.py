@@ -579,3 +579,72 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 5) -> str:
+    """Unrolled k-core peeling as CTE stages (same mechanism as
+    _pagerank_oracle: recursive CTEs cannot aggregate in the recursive
+    term, so the fixed round count is what makes peeling
+    SQL-stateable)."""
+    sql = """
+    WITH e0 AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.source = b.source
+       AND abs(a.n_chars - b.n_chars) <= 20
+       AND a.doc_id <> b.doc_id
+    )"""
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+    a{i} AS (SELECT src FROM {prev} GROUP BY src HAVING count(*) >= {k}),
+    e{i} AS (
+      SELECT e.src, e.dst FROM {prev} e
+      WHERE e.src IN (SELECT src FROM a{i})
+        AND e.dst IN (SELECT src FROM a{i})
+    )"""
+        prev = f"e{i}"
+    sql += f"""
+    SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS degree
+    FROM {prev} GROUP BY src HAVING count(*) >= {k}"""
+    return sql
+
+
+@query("q_kcore", oracle=_kcore_oracle())
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the deterministic doc-similarity graph (5 peel
+    rounds): the maximal subgraph where every surviving document still
+    has ≥ 3 near-duplicate neighbors — the "dense duplicate family"
+    extractor that, unlike q_triangle_count's local signal, certifies
+    mutual density (every member stays dense after the sparse fringe
+    peels away). Completes the graph suite: components (membership),
+    PageRank (importance), triangles (local density), k-core (global
+    density).
+
+    Fixed-round peeling via functions/graph.k_core — each round one
+    O(edges) degree aggregate + two semi-joins, localCheckpoint per
+    round; the oracle unrolls the identical rounds as CTE stages."""
+    from ..functions.graph import k_core
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    a = docs.select(
+        F.col("doc_id").alias("src"), "lang", "source",
+        F.col("n_chars").alias("na"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("dst"), F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"), F.col("n_chars").alias("nb"),
+    )
+    edges = a.join(
+        b,
+        (F.col("lang") == F.col("lang_b"))
+        & (F.col("source") == F.col("source_b"))
+        & (F.abs(F.col("na") - F.col("nb")) <= 20)
+        & (F.col("src") != F.col("dst")),
+    ).select("src", "dst")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return k_core(nodes, edges, k=3, rounds=5).withColumnRenamed(
+        "node", "doc_id"
+    )

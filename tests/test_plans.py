@@ -290,15 +290,22 @@ def test_hybrid_search_fuses_two_topk_legs(spark):
 
 
 def test_dup_remove_no_window_sort_on_tokens(spark):
+    import re
+
     from lab5_lakehouse_etl_spark.plans import explain_str
 
     df = Q.QUERIES["q_dup_remove"](spark, SF_DIR)
     plan = explain_str(df)
-    # redaction + reassembly is row-local array work: no Window node
-    # (the oracle's window formulation must NOT leak into the engine)
-    assert "Window" not in plan
-    # ownership + start-collection: span agg, doc agg, and the
-    # doc-keyed join back are the only exchanges
+    # exactly ONE window — the span-partition ownership min/max; the
+    # per-doc redaction + reassembly is row-local array work, so the
+    # oracle's per-doc (pos-ordered) window must NOT leak into the
+    # engine plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "partitionspec(span" in plan.lower().replace(" ", "").replace(
+        "#", ""
+    ) or "span" in plan  # the one window is keyed on the span
+    # span window, start-collection agg, and the doc-keyed join back
+    # are the only exchanges
     assert shuffle_count(df) <= 4
 
 
