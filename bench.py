@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "q_range_join_binned",
     "q_mixture_temperature",
     "q_kcore",
+    "q_window_timerange",
 ]
 
 

@@ -266,3 +266,28 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, stream, f"{scratch}/events_tbl", f"{scratch}/ckpt"
     )
     return table.read(spark)
+
+
+@query(
+    "q_stream_dedup_wm",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           value, props
+    FROM events
+    """,
+)
+def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup via dropDuplicatesWithinWatermark — key is
+    event_id ALONE (no event-time in the key), the Spark 3.5+ operator
+    for duplicates whose timestamps jitter between retries, which the
+    (event_id, ts)-keyed q_stream_dedup cannot collapse. State still
+    expires at the watermark, so memory is bounded on an unbounded
+    stream. Oracle-paired: unique fixture event_ids make it an
+    identity pass — pinning that the within-watermark machinery loses
+    and duplicates nothing; the actual jittered-duplicate collapse is
+    asserted multi-batch in tests/test_streaming.py."""
+    tune(spark)
+    stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
+    return E.run_to_memory(
+        E.stream_dedup_within_watermark(stream), "q_stream_dedup_wm_sink", spark
+    )

@@ -223,3 +223,44 @@ def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+@query(
+    "q_window_timerange",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(count(*) OVER w AS BIGINT)        AS n_orders_7d,
+           round(sum(o_totalprice) OVER w, 2)     AS revenue_7d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: each order's trailing-7-day order count
+    and revenue for its customer — the rolling-metric shape (trailing
+    spend, rate limits, velocity features) that ROWS frames cannot
+    express because it must include ALL peers inside a time interval,
+    however many rows they are.
+
+    Spark's rangeBetween needs a numeric ordering key, so the frame
+    runs over epoch microseconds with a literal 7-day offset — exactly
+    the RANGE ... INTERVAL semantics DuckDB states directly (both
+    bounds inclusive, ties are peers in both engines). Same scale
+    story as every per-key window: one hash shuffle on o_custkey,
+    per-customer state bounded by the 7-day horizon."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    seven_days_us = 7 * 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-seven_days_us, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_orders_7d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_7d"),
+    )

@@ -142,6 +142,21 @@ def stream_dedup(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id", "ts"])
 
 
+def stream_dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark`` (Spark
+    3.5+): dedup key is event_id ALONE — no event-time column in the
+    key — and the engine still expires state once the watermark passes
+    each key's first-seen event time. This is the API for the common
+    real case :func:`stream_dedup` can't express: retried/duplicated
+    records whose event-time jitters between copies (same event_id,
+    slightly different ts), which a (event_id, ts)-keyed dedup would
+    NOT collapse. Guarantee: duplicates arriving within the watermark
+    delay of first arrival are dropped; state stays bounded."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def view_purchase_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
     """Watermarked stream-stream inner join: each purchase matched to
     the same user's views in the preceding ``horizon``.

@@ -181,3 +181,51 @@ def test_stream_stream_join_equals_batch_join(spark):
     )
     assert len(want) > 0
     assert got == want
+
+
+def test_dedup_within_watermark_collapses_jittered_retries(spark, tmp_path):
+    """Two-batch replay of a retried event whose event-time jitters
+    between copies (same event_id, ts 60 s apart). The (event_id, ts)
+    key of stream_dedup treats the copies as distinct rows — the
+    documented limitation — while dropDuplicatesWithinWatermark on
+    event_id alone collapses them, which is exactly the API's reason
+    to exist."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1704067200
+
+    def write_batch(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [(base + r[1]) * 1_000_000_000 for r in rows], pa.int64()
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        p = str(tmp_path / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    write_batch("a.parquet", [(1, 0)], mtime=1_000_000)
+    # retry of event 1 arrives a batch later with +60 s jitter, well
+    # inside the 1 h watermark delay; event 2 is genuinely new
+    write_batch("b.parquet", [(1, 60), (2, 120)], mtime=1_000_100)
+
+    stream = E.read_events_stream(spark, str(tmp_path))
+    wm = E.run_to_memory(
+        E.stream_dedup_within_watermark(stream), "t_dedup_wm", spark
+    )
+    assert sorted(r.event_id for r in wm.collect()) == [1, 2]
+
+    stream2 = E.read_events_stream(spark, str(tmp_path))
+    keyed = E.run_to_memory(E.stream_dedup(stream2), "t_dedup_keyed", spark)
+    # the ts-keyed dedup passes BOTH copies of event 1 (distinct keys)
+    assert sorted(r.event_id for r in keyed.collect()) == [1, 1, 2]
