@@ -64,13 +64,26 @@ def run_order_items(spark: SparkSession, zones: ZoneConfig) -> dict:
     raw_glob = os.path.join(zones.raw, "order_items", "*.csv")
     raw = readers.read_csv_untyped(spark, raw_glob)
 
+    from pyspark.sql import Observation
+
     projected = ops.project_intersection(raw, EXPECTED_COLUMNS)  # lenient policy
     typed = ops.cast_permissive(projected, CASTS)
+    # observe() accumulators replace four count() jobs (same rationale
+    # as pipelines/orders.py); Spark dedups the self-referenced
+    # CollectMetrics node inside the EXCEPT plan, so input_rows stays
+    # exact even though `typed` appears on both sides of the subtract
+    obs_input, obs_valid, obs_final, obs_rej = (
+        Observation() for _ in range(4)
+    )
+    typed = typed.observe(obs_input, F.count(F.lit(1)).alias("n"))
     valid, _ = ops.split_valid_rejected(typed, REQUIRED)
+    valid = valid.observe(obs_valid, F.count(F.lit(1)).alias("n"))
 
     # Reference computes rejects as typed.subtract(valid) — EXCEPT
     # DISTINCT, so duplicate rejected rows collapse (§2.12).
-    rejected = ops.except_rows(typed, valid)
+    rejected = ops.except_rows(typed, valid).observe(
+        obs_rej, F.count(F.lit(1)).alias("n")
+    )
     writers.write_rejected_csv(rejected, os.path.join(zones.rejected, "order_items"))
 
     # HARD RI dependency: first run fails if orders is absent, exactly
@@ -80,12 +93,9 @@ def run_order_items(spark: SparkSession, zones: ZoneConfig) -> dict:
     ri = ops.ri_semi_join(valid, order_keys, on="order_id")
 
     deduped = ops.dedup_arbitrary(ri, DEDUP_KEY)
-    stamped = deduped.withColumn("ingestion_timestamp", F.current_timestamp())
-
-    n_input = typed.count()
-    n_valid = valid.count()
-    n_rejected = rejected.count()
-    n_final = stamped.count()
+    stamped = deduped.withColumn(
+        "ingestion_timestamp", F.current_timestamp()
+    ).observe(obs_final, F.count(F.lit(1)).alias("n"))
 
     create_or_merge(
         spark,
@@ -98,10 +108,10 @@ def run_order_items(spark: SparkSession, zones: ZoneConfig) -> dict:
 
     metrics = {
         "job": "order_items",
-        "input_rows": n_input,
-        "valid_rows": n_valid,
-        "deduplicated_rows": n_final,
-        "rejected_rows": n_rejected,
+        "input_rows": obs_input.get["n"],
+        "valid_rows": obs_valid.get["n"],
+        "deduplicated_rows": obs_final.get["n"],
+        "rejected_rows": obs_rej.get["n"],
     }
     writers.write_log_text(
         [f"{k}={v}" for k, v in metrics.items()],

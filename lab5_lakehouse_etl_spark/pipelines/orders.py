@@ -54,12 +54,25 @@ def run_orders(spark: SparkSession, zones: ZoneConfig) -> dict:
     """Run the orders ETL; returns the run-metrics dict the reference
     logs per run (input/valid/deduped/rejected counts,
     jobs/order_glue_job.py:199-208)."""
+    from pyspark.sql import Observation
+
     raw_glob = os.path.join(zones.raw, "orders", "*.csv")
     raw = readers.read_csv_untyped(spark, raw_glob)
 
     projected = ops.project_strict(raw, EXPECTED_COLUMNS)  # hard-fail policy
     typed = ops.cast_permissive(projected, CASTS)
+    # run metrics ride observe() (CollectMetrics accumulators): the
+    # counts are gathered DURING the sink actions below instead of four
+    # extra count() jobs re-executing the scan lineage — the reference
+    # pays one Glue job per count (jobs/order_glue_job.py:199-208); at
+    # 100 TB each avoided pass is a full table scan.
+    obs_input, obs_valid, obs_final, obs_rej = (
+        Observation() for _ in range(4)
+    )
+    typed = typed.observe(obs_input, F.count(F.lit(1)).alias("n"))
     valid, rejected = ops.split_valid_rejected(typed, REQUIRED)
+    valid = valid.observe(obs_valid, F.count(F.lit(1)).alias("n"))
+    rejected = rejected.observe(obs_rej, F.count(F.lit(1)).alias("n"))
 
     deduped = ops.latest_wins_dedup(
         valid, ["order_id"], "order_timestamp", tiebreak=[]
@@ -78,11 +91,7 @@ def run_orders(spark: SparkSession, zones: ZoneConfig) -> dict:
         on="order_id",
         graceful=True,
     )
-
-    n_input = typed.count()
-    n_valid = valid.count()
-    n_final = ri.count()
-    n_rejected = rejected.count()
+    ri = ri.observe(obs_final, F.count(F.lit(1)).alias("n"))
 
     create_or_merge(
         spark,
@@ -96,10 +105,10 @@ def run_orders(spark: SparkSession, zones: ZoneConfig) -> dict:
 
     metrics = {
         "job": "orders",
-        "input_rows": n_input,
-        "valid_rows": n_valid,
-        "deduplicated_rows": n_final,
-        "rejected_rows": n_rejected,
+        "input_rows": obs_input.get["n"],
+        "valid_rows": obs_valid.get["n"],
+        "deduplicated_rows": obs_final.get["n"],
+        "rejected_rows": obs_rej.get["n"],
     }
     writers.write_log_text(
         [f"{k}={v}" for k, v in metrics.items()],

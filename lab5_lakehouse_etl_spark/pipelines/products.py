@@ -43,12 +43,17 @@ def run_products(spark: SparkSession, zones: ZoneConfig) -> dict:
     if raw.isEmpty():  # A5 emptiness probe (:140-141, modern API)
         raise ValueError("products input is empty")
 
+    from pyspark.sql import Observation
+
+    # observe() accumulators replace three count() jobs (same
+    # rationale as pipelines/orders.py)
+    obs_input, obs_valid, obs_final = (Observation() for _ in range(3))
+    raw = raw.observe(obs_input, F.count(F.lit(1)).alias("n"))
+
     # §2.12: dedup precedes validation (:146 before :149).
     deduped = ops.dedup_arbitrary(raw, ["product_id"])
     valid, _ = ops.split_valid_rejected(deduped, REQUIRED)
-
-    n_total = raw.count()
-    n_valid = valid.count()
+    valid = valid.observe(obs_valid, F.count(F.lit(1)).alias("n"))
 
     # Graceful RI: proceed un-joined if order_items is unreadable
     # (:151-157 try/except) — the read happens inside the operator's
@@ -63,8 +68,9 @@ def run_products(spark: SparkSession, zones: ZoneConfig) -> dict:
         graceful=True,
     )
 
-    stamped = ri.withColumn("ingestion_timestamp", F.current_timestamp())
-    n_final = stamped.count()
+    stamped = ri.withColumn(
+        "ingestion_timestamp", F.current_timestamp()
+    ).observe(obs_final, F.count(F.lit(1)).alias("n"))
 
     create_or_merge(
         spark,
@@ -74,12 +80,13 @@ def run_products(spark: SparkSession, zones: ZoneConfig) -> dict:
         partition_by=["department_id"],
     )
 
+    n_total, n_valid = obs_input.get["n"], obs_valid.get["n"]
     metrics = {
         "job": "products",
         "input_rows": n_total,
         "valid_rows": n_valid,
         "dropped_rows": n_total - n_valid,  # A4 derived arithmetic (:160-163)
-        "final_rows": n_final,
+        "final_rows": obs_final.get["n"],
     }
     writers.write_log_text(
         [f"{k}={v}" for k, v in metrics.items()],

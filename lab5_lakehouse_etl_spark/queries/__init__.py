@@ -110,7 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_lm_unigram", "q_hybrid_search", "q_triangle_count", "q_dup_remove",
     "q_event_debounce", "q_bin_equidepth", "q_range_join_binned",
     "q_mixture_temperature", "q_kcore", "q_window_timerange",
-    "q_stream_dedup_wm",
+    "q_stream_dedup_wm", "q_fn_variant", "q_arrow_l2norm",
     "q_tpch_q4", "q_tpch_q8", "q_tpch_q9", "q_tpch_q13", "q_tpch_q16",
     "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
     "q_stream_tumbling", "q_stream_dedup", "q_stream_session",

@@ -388,3 +388,58 @@ def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("proto_rank") <= 32)
         .select("vec_id", "cluster", "proto_rank")
     )
+
+
+@query(
+    "q_arrow_l2norm",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_dot_product(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_arrow_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` surface (§2.8): per-vector L2 norm computed
+    directly on Arrow RecordBatches — no pandas conversion layer at
+    all, the lowest-overhead Python escape hatch Spark offers (the
+    list column arrives as one contiguous values buffer + offsets, and
+    numpy reshapes it zero-copy because the fixture vectors are
+    fixed-length). Output is row-local and batch-size-independent, so
+    unlike most Python-UDF ops this one is ORACLE-pAIRED: norms are
+    rounded to 4 decimals and hash-compared against DuckDB.
+
+    The norm itself could of course be a JVM expression
+    (`aggregate(transform(...))` — q_embed_quantize does exactly
+    that); this query exists to pin the mapInArrow batch contract the
+    multimodal/matmul operators rely on, with a differential oracle
+    instead of a smoke test."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column("vec_id")
+            col = batch.column("embedding")
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            values = np.asarray(arr.values, dtype=np.float64)
+            offsets = np.asarray(arr.offsets)
+            lens = np.diff(offsets)
+            if len(lens) and (lens == lens[0]).all():
+                # fixed-length vectors: zero-copy reshape + one matmul-
+                # free vectorized reduction over the whole batch
+                norms = np.sqrt(
+                    (values.reshape(len(lens), lens[0]) ** 2).sum(axis=1)
+                )
+            else:  # ragged fallback: segment-reduce via cumsum
+                csq = np.concatenate([[0.0], np.cumsum(values**2)])
+                norms = np.sqrt(csq[offsets[1:]] - csq[offsets[:-1]])
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(np.round(norms, 4), pa.float64())],
+                ["vec_id", "l2_norm"],
+            )
+
+    return emb.mapInArrow(batches, "vec_id long, l2_norm double")
