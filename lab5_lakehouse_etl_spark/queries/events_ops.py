@@ -40,7 +40,7 @@ from . import query
                      ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM ordered
     )
-    SELECT user_id, session_seq,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            min(ts) AS session_start, max(ts) AS session_end,
            count(*) AS n_events,
            round(sum(value), 2) AS total_value

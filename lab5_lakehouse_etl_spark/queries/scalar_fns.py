@@ -333,5 +333,8 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.try_variant_get(v, "$.k", "bigint").alias("k"),
-        F.try_variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
+        # existence, not bigint-castability: mirror the oracle's
+        # json_extract_string IS NOT NULL even when $.k holds a
+        # non-integer value (string extraction succeeds for any scalar)
+        F.try_variant_get(v, "$.k", "string").isNotNull().alias("has_k"),
     )

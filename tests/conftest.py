@@ -62,6 +62,58 @@ def rows_key(rows, colnames):
     )
 
 
+def _duckdb_kind(t):
+    """Numeric KIND a DuckDB result type lands on after the driver's
+    pandas conversion layer. HUGEINT (what DuckDB widens integer sum()
+    to) has no int128 in pandas and becomes float64 — so it must be
+    classed 'float', which is exactly how the driver saw the
+    q_sessionize_batch hash mismatch that rows/values comparison via
+    Python ``==`` (1 == 1.0) can never catch."""
+    s = str(t).upper()
+    if s.endswith("[]") or s.startswith(("STRUCT", "MAP", "LIST")):
+        return "nested"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s in ("HUGEINT", "UHUGEINT"):
+        return "float"  # pandas: float64
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if s == "BOOLEAN":
+        return "bool"
+    if s.startswith("TIMESTAMP"):
+        return "ts"
+    if s == "DATE":
+        return "date"
+    if s == "BLOB":
+        return "bytes"
+    return "str" if s in ("VARCHAR", "JSON") else "other"
+
+
+def _spark_kind(dt):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+        return "nested"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    return "str" if isinstance(dt, T.StringType) else "other"
+
+
 def compare_with_oracle(spark_df, con, sql):
     """Row-count + sorted-column value comparison vs the DuckDB oracle."""
     sp_cols = spark_df.columns
@@ -72,6 +124,17 @@ def compare_with_oracle(spark_df, con, sql):
     assert sorted(sp_cols) == sorted(
         dk_cols
     ), f"column mismatch: spark={sorted(sp_cols)} duckdb={sorted(dk_cols)}"
+    sp_kinds = {f.name: _spark_kind(f.dataType) for f in spark_df.schema.fields}
+    dk_kinds = dict(zip(dk_cols, (_duckdb_kind(t) for t in res.types)))
+    kind_diffs = {
+        c: (sp_kinds[c], dk_kinds[c])
+        for c in sp_kinds
+        if sp_kinds[c] != dk_kinds[c]
+    }
+    assert not kind_diffs, (
+        "type-kind mismatch (driver hashes these differently, e.g. DuckDB "
+        f"HUGEINT->float64): {kind_diffs}"
+    )
     assert len(sp_rows) == len(dk_rows), (
         f"row count mismatch: spark={len(sp_rows)} duckdb={len(dk_rows)}"
     )
