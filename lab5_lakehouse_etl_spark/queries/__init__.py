@@ -63,11 +63,40 @@ def load_all() -> None:
 
 
 # The correctness driver verifies the first 50 queries in ``queries()``
-# order each round.  Round 1 covered registration slots 1-50, leaving the
-# 55 later queries unverified; this list front-loads exactly those for
-# round 2 (oracle-paired first, the five rows-only streaming queries at
-# slots 51-55).  Rotate per round until every query has a green row.
-_PRIORITY: tuple[str, ...] = (
+# order each round.  Rounds 1+2 produced 91 green rows; round 3's window
+# is the _R3 block below — the 50 highest-value oracle-paired queries
+# without a green row (including q_sessionize_batch's re-check after the
+# oracle-type fix and q_xlsx_ingest, which gained its oracle after its
+# r1 rows-only run).  The _R4 block holds the 5 deferred stream queries
+# so round 4's window is already correct with no further edits.
+_R3: tuple[str, ...] = (
+    # re-checks
+    "q_sessionize_batch", "q_xlsx_ingest",
+    # LLM-pipeline / corpus ops added in r2
+    "q_skew_salted_agg", "q_skew_salted_join", "q_vocab_topk",
+    "q_sql_tpch_q1", "q_table_changes", "q_semantic_search",
+    "q_text_chunk", "q_text_pii_mask", "q_dq_profile", "q_mv_incremental",
+    "q_decontaminate", "q_sample_stratified", "q_embed_quantize",
+    "q_outlier_mad", "q_histogram", "q_keyword_search", "q_pagerank",
+    "q_quality_gopher", "q_kmeans_embed",
+    "q_semdedup", "q_cluster_sample", "q_udaf_geomean", "q_udtf_tokens",
+    "q_cohort_retention", "q_ingest_dedup", "q_dup_spans",
+    "q_lm_unigram", "q_hybrid_search", "q_triangle_count", "q_dup_remove",
+    "q_event_debounce", "q_bin_equidepth", "q_range_join_binned",
+    "q_mixture_temperature", "q_kcore", "q_window_timerange",
+    "q_fn_variant", "q_arrow_l2norm",
+    # late TPC-H
+    "q_tpch_q4", "q_tpch_q8", "q_tpch_q9", "q_tpch_q13", "q_tpch_q16",
+    "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    # two streaming queries kept in r3 to validate the drain path early
+    "q_stream_tumbling", "q_stream_dedup_wm",
+)
+# round-4 remainder: the other oracle-paired streaming queries
+_R4: tuple[str, ...] = (
+    "q_stream_dedup", "q_stream_session", "q_stream_merge",
+    "q_stream_join", "q_stream_stateful",
+)
+_PRIORITY: tuple[str, ...] = _R3 + _R4 + (
     # TPC-H composites
     "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q10",
     "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
@@ -95,33 +124,21 @@ _PRIORITY: tuple[str, ...] = (
     "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames",
     "q_multimodal_resize",
     # event analytics
-    "q_sessionize_batch", "q_scd2_intervals", "q_funnel",
+    "q_scd2_intervals", "q_funnel",
     # batch windowed aggs (streaming_ops module, batch semantics)
     "q_window_tumbling", "q_window_sliding",
-    # --- slot 51+ (rotate into the top-50 window in r3) ---
-    "q_skew_salted_agg", "q_skew_salted_join", "q_vocab_topk",
-    "q_sql_tpch_q1", "q_table_changes", "q_semantic_search",
-    "q_text_chunk", "q_text_pii_mask", "q_dq_profile", "q_mv_incremental",
-    "q_decontaminate", "q_sample_stratified", "q_embed_quantize",
-    "q_outlier_mad", "q_histogram", "q_keyword_search", "q_pagerank",
-    "q_sketch_quantile", "q_quality_gopher", "q_kmeans_embed",
-    "q_semdedup", "q_cluster_sample", "q_udaf_geomean", "q_udtf_tokens",
-    "q_cohort_retention", "q_ingest_dedup", "q_dup_spans",
-    "q_lm_unigram", "q_hybrid_search", "q_triangle_count", "q_dup_remove",
-    "q_event_debounce", "q_bin_equidepth", "q_range_join_binned",
-    "q_mixture_temperature", "q_kcore", "q_window_timerange",
-    "q_stream_dedup_wm", "q_fn_variant", "q_arrow_l2norm",
-    "q_tpch_q4", "q_tpch_q8", "q_tpch_q9", "q_tpch_q13", "q_tpch_q16",
-    "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
-    "q_stream_tumbling", "q_stream_dedup", "q_stream_session",
-    "q_stream_stateful", "q_stream_merge", "q_stream_join",
+    # rows-only sketch (no oracle possible; runs once paired queries are green)
+    "q_sketch_quantile",
 )
 
 
 def _driver_verified() -> set[str]:
     """Names with a SUCCESSFUL row in any past CORRECTNESS_r*.json:
-    hash-matched against the oracle, or ran as a rows-only check.
-    Failed/erroring rows do NOT count — those must re-run up front."""
+    hash-matched against the oracle, or ran as a rows-only check while
+    the query is STILL rows-only.  A past ``no_oracle`` row does NOT
+    shield a query that has since gained an oracle (q_xlsx_ingest grew
+    one after its r1 rows-only run) — those must re-run for the real
+    hash check.  Failed/erroring rows never count."""
     import glob
     import json
     import os
@@ -143,22 +160,32 @@ def _driver_verified() -> set[str]:
             if rec.get("hash_match") is True or (
                 rec.get("err") == "no_oracle"
                 and (rec.get("spark_rows") or 0) >= 0
+                and name not in ORACLES
             ):
                 ok.add(name)
     return ok
 
 
 def ordered_queries() -> dict[str, QueryFn]:
-    """Registry reordered for the driver's 50-query correctness window:
-    queries WITHOUT a successful row in any past CORRECTNESS file come
-    first (in _PRIORITY order, then registration order), already-green
-    queries rotate behind them. Self-maintaining across rounds — each
-    round's results push its verified queries to the back, so the
-    window sweeps the whole registry without manual reordering."""
+    """Registry reordered for the driver's 50-query correctness window,
+    three tiers:
+
+    1. unverified ORACLE-PAIRED queries (in _PRIORITY order, then
+       registration order) — each window slot buys a real hash check;
+    2. unverified rows-only queries — can never hash-match, so they
+       only enter the window once every paired query is green;
+    3. already-verified queries, rotating at the back.
+
+    Self-maintaining across rounds: each round's CORRECTNESS file
+    pushes its green queries into tier 3, so the window sweeps the
+    whole registry without manual reordering."""
     base: list[str] = [n for n in _PRIORITY if n in QUERIES]
     base += [n for n in QUERIES if n not in base]
     verified = _driver_verified()
-    ordered = [n for n in base if n not in verified] + [
-        n for n in base if n in verified
-    ]
+    unverified = [n for n in base if n not in verified]
+    ordered = (
+        [n for n in unverified if n in ORACLES]
+        + [n for n in unverified if n not in ORACLES]
+        + [n for n in base if n in verified]
+    )
     return {n: QUERIES[n] for n in ordered}

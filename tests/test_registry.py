@@ -28,10 +28,20 @@ def _write(path, name, rows):
 
 def test_no_files_uses_priority_order(correctness_dir):
     names = list(Q.ordered_queries())
-    assert names[: len(Q._PRIORITY)] == [
-        n for n in Q._PRIORITY if n in Q.QUERIES
+    # tier 1: oracle-paired _PRIORITY entries in order (rows-only
+    # entries sink to tier 2 — they can't buy a hash check)
+    paired_priority = [
+        n for n in Q._PRIORITY if n in Q.QUERIES and n in Q.ORACLES
     ]
+    assert names[: len(paired_priority)] == paired_priority
     assert sorted(names) == sorted(Q.QUERIES)
+
+
+def test_unpaired_sink_behind_paired(correctness_dir):
+    names = list(Q.ordered_queries())
+    rows_only = set(Q.QUERIES) - set(Q.ORACLES)
+    first_unpaired = min(names.index(n) for n in rows_only)
+    assert first_unpaired > 50, "rows-only query burning a window slot"
 
 
 def test_verified_rotate_to_back(correctness_dir):
@@ -62,11 +72,27 @@ def test_failed_rows_rerun_up_front(correctness_dir):
 
 
 def test_rows_only_success_counts(correctness_dir):
-    all_names = list(Q.ordered_queries())
-    target = all_names[0]
+    # a no_oracle row verifies a query that is STILL rows-only
+    rows_only = set(Q.QUERIES) - set(Q.ORACLES)
+    names = list(Q.ordered_queries())
+    target = min(rows_only, key=names.index)  # front of tier 2
+    before = names.index(target)
     _write(
         correctness_dir,
         "CORRECTNESS_r05.json",
         {target: {"hash_match": None, "err": "no_oracle", "spark_rows": 7}},
     )
-    assert list(Q.ordered_queries())[0] != target
+    assert list(Q.ordered_queries()).index(target) > before
+
+
+def test_stale_rows_only_run_does_not_shield_paired(correctness_dir):
+    # a query that ran rows-only in an old round but has since gained
+    # an oracle must re-run for the real hash check (q_xlsx_ingest case)
+    target = list(Q.ordered_queries())[0]
+    assert target in Q.ORACLES
+    _write(
+        correctness_dir,
+        "CORRECTNESS_r05.json",
+        {target: {"hash_match": None, "err": "no_oracle", "spark_rows": 7}},
+    )
+    assert list(Q.ordered_queries())[0] == target
