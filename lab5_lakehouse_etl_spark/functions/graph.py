@@ -139,10 +139,8 @@ def pagerank(
 
 
 def k_core(
-    nodes: DataFrame,
     edges: DataFrame,
     k: int,
-    node_col: str = "node",
     src_col: str = "src",
     dst_col: str = "dst",
     rounds: int = 5,
@@ -151,8 +149,10 @@ def k_core(
     of degree < k (and their edges) for exactly ``rounds`` rounds,
     then return each surviving node with its residual degree.
 
-    ``edges`` must contain BOTH directions of each undirected edge
-    (same contract as :func:`connected_components`). The exact k-core
+    The node universe is IMPLIED by the edge list — isolated nodes
+    (degree 0 < k) can never survive a peel, so no node relation is
+    taken. ``edges`` must contain BOTH directions of each undirected
+    edge (same contract as :func:`connected_components`). The exact k-core
     is the fixpoint; a fixed round count makes the operator
     deterministic AND SQL-stateable (each peel round unrolls to one
     CTE stage — same verifiability trade as :func:`pagerank`), and in
@@ -179,7 +179,7 @@ def k_core(
             .localCheckpoint(eager=True)
         )
     return (
-        e.groupBy(F.col("src").alias(node_col))
+        e.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))
         .filter(F.col("degree") >= k)
     )

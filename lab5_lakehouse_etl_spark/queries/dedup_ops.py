@@ -644,7 +644,6 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.abs(F.col("na") - F.col("nb")) <= 20)
         & (F.col("src") != F.col("dst")),
     ).select("src", "dst")
-    nodes = docs.select(F.col("doc_id").alias("node"))
-    return k_core(nodes, edges, k=3, rounds=5).withColumnRenamed(
+    return k_core(edges, k=3, rounds=5).withColumnRenamed(
         "node", "doc_id"
     )

@@ -301,9 +301,11 @@ def test_dup_remove_no_window_sort_on_tokens(spark):
     # oracle's per-doc (pos-ordered) window must NOT leak into the
     # engine plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
-    assert "partitionspec(span" in plan.lower().replace(" ", "").replace(
-        "#", ""
-    ) or "span" in plan  # the one window is keyed on the span
+    # the one window is keyed on the span, not the doc/token stream:
+    # formatted explain renders the partition key as
+    # `windowspecdefinition(span#N, ...)` inside the Window node detail
+    normalized = re.sub(r"#\d+L?", "", plan.lower().replace(" ", ""))
+    assert "windowspecdefinition(span," in normalized
     # span window, start-collection agg, and the doc-keyed join back
     # are the only exchanges
     assert shuffle_count(df) <= 4
