@@ -266,6 +266,45 @@ class LakeTable:
             .parquet(*paths)
         )
 
+    # -- catalog registration ----------------------------------------------
+    def register(
+        self,
+        spark: SparkSession,
+        name: str,
+        db: str = "lakehouse_dwh",
+        version: int | None = None,
+    ) -> str:
+        """Catalog registration — the Glue-crawler twin (SURVEY §3.1):
+        after each write the reference re-crawls the curated zone so
+        Athena's ``lakehouse_dwh`` database sees the new snapshot
+        (step_functions/state_machine.json:121); here the same step is
+        one DDL round-trip.  The view text pins the manifest's EXACT
+        file list via a ``_metadata.file_path`` constant-metadata
+        filter, so superseded version files sitting in the same
+        ``data/`` tree are never read; hive-encoded partition dirs
+        still surface as partition columns.  Like a crawler, re-run
+        after each write to advance the registered snapshot.  Scale
+        boundary: the view text embeds one literal per live file —
+        fine to ~10^5 files, the same driver-resident-manifest ceiling
+        as the JSON version log itself."""
+        v = self.version() if version is None else version
+        m = self._manifest(v)
+        if not m["files"]:
+            raise ValueError(
+                f"cannot register empty table snapshot {name}@v{v}"
+            )
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        uris = ", ".join(
+            "'file:" + os.path.join(self.data_dir, f).replace("'", "''") + "'"
+            for f in m["files"]
+        )
+        spark.sql(
+            f"CREATE OR REPLACE VIEW {db}.{name} AS "
+            f"SELECT * FROM parquet.`{self.data_dir}` "
+            f"WHERE _metadata.file_path IN ({uris})"
+        )
+        return f"{db}.{name}"
+
     # -- partition scoping helpers ----------------------------------------
     @staticmethod
     def _partition_predicate(partition_by: list[str], tuples: list[tuple]):

@@ -42,11 +42,12 @@ def choose_job(zones: ZoneConfig) -> str | None:
 
 
 def validate(spark: SparkSession, zones: ZoneConfig, table: str) -> int:
-    """The Athena validation query, SELECT * ... LIMIT 10
-    (state_machine.json:121): smoke-read the written table."""
-    df = LakeTable(zones.table_path(table)).read(spark).limit(10)
-    df.createOrReplaceTempView(f"{table}_preview")
-    return spark.sql(f"SELECT * FROM {table}_preview").count()
+    """Crawler + Athena validation (state_machine.json:117-124): register
+    the written snapshot in the persistent ``lakehouse_dwh`` database
+    (the crawler step), then run the reference's exact
+    SELECT * ... LIMIT 10 through the catalog (the Athena step)."""
+    qualified = LakeTable(zones.table_path(table)).register(spark, table)
+    return spark.sql(f"SELECT * FROM {qualified} LIMIT 10").count()
 
 
 _RUNNERS = {

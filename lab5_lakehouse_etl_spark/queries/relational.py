@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import relational as ops
-from ..session import load_table, register_views, tune
+from ..session import load_table, tune
 from . import query
 
 
@@ -245,11 +245,21 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sql_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Athena validation query (step_functions/state_machine.json:121)
-    run through spark.sql over registered views, with ORDER BY added for
-    determinism. Spark plans this as TakeOrderedAndProject — no global
-    sort materialization."""
-    register_views(spark, sf_dir)
-    return spark.sql("SELECT * FROM part ORDER BY p_partkey LIMIT 10")
+    read through the persistent ``lakehouse_dwh`` catalog database — the
+    Glue-catalog twin: an external parquet table registered by location
+    (metadata-only DDL, no copy), queried by qualified name, with ORDER
+    BY added for determinism. Spark plans this as TakeOrderedAndProject
+    — no global sort materialization."""
+    tune(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS lakehouse_dwh")
+    spark.sql("DROP TABLE IF EXISTS lakehouse_dwh.part")
+    spark.sql(
+        "CREATE TABLE lakehouse_dwh.part USING parquet "
+        f"LOCATION '{sf_dir}/part.parquet'"
+    )
+    return spark.sql(
+        "SELECT * FROM lakehouse_dwh.part ORDER BY p_partkey LIMIT 10"
+    )
 
 
 # --- sorts ------------------------------------------------------------------

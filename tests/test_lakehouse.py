@@ -358,3 +358,30 @@ def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
     assert sorted((r.a, r.b) for r in t.read(spark).collect()) == sorted(
         ((i * 37) % 1024 % 32, (i * 37) % 1024 // 32) for i in range(1024)
     )
+
+
+def test_register_exposes_current_snapshot_via_catalog(spark, df3, tmp_path):
+    """register() is the Glue-crawler twin: lakehouse_dwh.<name> must
+    serve exactly the CURRENT manifest's rows even while superseded
+    version files still sit in the same data/ tree."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path, partition_by=["part"])
+    source = spark.createDataFrame(
+        [(2, "b", 99.0), (4, "c", 40.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    t.merge(spark, source, key=["k"])
+    qualified = t.register(spark, "reg_test")
+    assert qualified == "lakehouse_dwh.reg_test"
+    rows = {
+        r.k: r.v
+        for r in spark.sql("SELECT k, v FROM lakehouse_dwh.reg_test").collect()
+    }
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+    # superseded v0 file for part=b is still on disk but filtered out
+    assert any("part=b" in f for f in t.files(0))
+    # re-register after another write advances the snapshot
+    t.delete(spark, F.col("k") == 1)
+    t.register(spark, "reg_test")
+    assert spark.sql(
+        "SELECT count(*) AS n FROM lakehouse_dwh.reg_test"
+    ).collect()[0].n == 3
