@@ -161,15 +161,22 @@ def main() -> None:
         )
     )
 
+    # Two full passes, report the per-query MINIMUM: pass 1 still pays
+    # residual JIT/codegen-cache warm-up for whichever operators run
+    # first, which round-over-round diffing then misreads as plan
+    # regressions (r1→r2 flagged 5 front-of-suite queries ±40% with
+    # untouched code). min-of-2 keeps the plan signal, drops the
+    # warm-up ordering artifact.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        fn = Q.QUERIES[name]
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+    for _ in range(max(1, passes)):
+        for name in BENCH_QUERIES:
+            fn = Q.QUERIES[name]
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            timings[name] = min(timings.get(name, dt), round(dt, 3))
+    total = sum(timings.values())
 
     print(
         json.dumps(
