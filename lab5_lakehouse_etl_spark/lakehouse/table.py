@@ -26,6 +26,22 @@ storage shape Delta/Iceberg use:
 
 Snapshot isolation and time travel follow from immutability: an old
 manifest's files are never mutated, only eventually vacuumed.
+
+SCALE BOUNDARIES (stated, not hidden):
+
+- **Interchange**: a LakeTable is NOT readable by Delta/Iceberg
+  clients — the version log is this module's own JSON, not the Delta
+  transaction protocol. Inside this engine the contract is identical
+  (MERGE/DELETE/OPTIMIZE/Z-order/CDF/time-travel), and the call sites
+  are isolated here, so swapping in delta-spark where it is available
+  is a storage-layer change, not a query change.
+- **Manifest residency**: each version's file list is one JSON
+  manifest read on the driver. That is exactly Delta's pre-checkpoint
+  design and holds comfortably to ~10^5 files per snapshot (a 100 TB
+  table at healthy 1 GB files is 10^5); beyond that the log needs
+  sharded/checkpointed manifests (what Delta checkpoints and Iceberg
+  manifest lists do). OPTIMIZE compaction is the lever that keeps
+  real tables under the ceiling.
 """
 
 from __future__ import annotations

@@ -147,7 +147,14 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     events parquet, watermark, windowed agg, drained with availableNow
     into a memory sink (complete mode). Oracle-paired: one input file →
     one micro-batch, so no row is ever late and the complete-mode
-    result equals the batch epoch-bucket aggregation."""
+    result equals the batch epoch-bucket aggregation.
+
+    SCALE BOUNDARY — the complete-mode memory sink is a TEST-HARNESS
+    drain only (it accumulates full result state on the driver, exactly
+    what the one-batch oracle contract needs and nothing more). A
+    production deployment of this query uses append mode behind the
+    watermark with foreachBatch -> LakeTable.merge — see q_stream_merge
+    for that pattern end to end."""
     tune(spark)
     stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
     return E.run_to_memory(
@@ -206,7 +213,12 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     native session_window state merging. Oracle-paired with the
     gap-islands SQL twin: a session closes when the next event is >= 30
     minutes away (session_window intervals are half-open [start,
-    last+gap)), session_end = last event + gap."""
+    last+gap)), session_end = last event + gap.
+
+    SCALE BOUNDARY — complete-mode memory sink is the test-harness
+    drain for the one-batch oracle contract; production uses
+    watermark-scoped append with foreachBatch -> LakeTable.merge (the
+    q_stream_merge pattern), keeping driver state bounded."""
     tune(spark)
     stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
     return E.run_to_memory(
