@@ -78,14 +78,20 @@ def decode_image(payload: bytes):  # pragma: no cover - stub by design
 
 
 def _deterministic_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """sha256-seeded fake feature vector — stable across runs/machines."""
+    """md5-seeded fake feature vector — stable across runs/machines,
+    one digest byte per feature scaled to [0, 1).
+
+    md5 (not sha256) so the derivation has an exact SQL twin: DuckDB's
+    ``md5_number_upper``/``md5_number_lower`` expose the first/last 8
+    digest bytes as little-endian integers, so byte ``i`` is
+    ``(upper >> 8*i) & 255`` — which lets q_multimodal_features carry a
+    real differential oracle instead of a rows-only check.  k/256 is an
+    exact binary fraction, so the floats are bit-identical across
+    engines with no rounding step."""
     if payload is None:
         return [0.0] * dim
-    digest = hashlib.sha256(payload).digest()
-    # 16 features from 2 bytes each, scaled to [0, 1).
-    return [
-        int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 65536.0 for i in range(dim)
-    ]
+    digest = hashlib.md5(payload).digest()  # 16 bytes == FEATURE_DIM
+    return [digest[i % len(digest)] / 256.0 for i in range(dim)]
 
 
 def extract_features(media: DataFrame) -> DataFrame:

@@ -38,26 +38,65 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_features")
+@query(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS modality,
+           CAST(16 AS BIGINT) AS n_features,
+           CASE WHEN text IS NULL THEN 0.0
+                ELSE CAST(md5_number_upper(text) % 256 AS DOUBLE) / 256.0
+           END AS f0
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
-    mapInPandas (deterministic sha-seeded stand-in for the codec).
-    Rows-only: the UDF is Python. Returns scalarized outputs so the
-    driver check sees a stable schema."""
+    mapInPandas (deterministic md5-seeded stand-in for the codec; the
+    real decode path is the documented stub). Oracle-paired: DuckDB's
+    md5_number_upper recovers digest byte 0 exactly — (upper >> 0) &
+    255 over the same utf-8 bytes — and k/256 floats are exact binary
+    fractions, so the Python-UDF plumbing (batch iteration, schema
+    contract, column pruning) is hash-checked end to end, not just
+    smoke-run."""
     media = M.fake_media_from_documents(load_table(spark, sf_dir, "documents"))
     feats = M.extract_features(media)
     return feats.select(
         "media_id",
         "modality",
         F.size("features").cast("bigint").alias("n_features"),
-        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.element_at("features", 1).cast("double").alias("f0"),
     )
 
 
-@query("q_multimodal_frames")
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS len
+      FROM documents
+    ),
+    e AS (
+      SELECT media_id, len,
+             unnest(generate_series(
+               0,
+               CAST(greatest(ceil(coalesce(len, 0) / 64.0), 1) AS BIGINT) - 1
+             )) AS g
+      FROM d
+    )
+    SELECT media_id,
+           CAST(g AS BIGINT) AS frame_idx,
+           CASE WHEN len IS NULL THEN NULL
+                ELSE CAST(least(64, len - 64 * g) AS BIGINT)
+           END AS frame_bytes
+    FROM e
+    """,
+)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: slice each payload every 64 bytes (video
-    frame-sample plumbing: one output row per frame). Rows-only."""
+    frame-sample plumbing: one output row per frame, ceil semantics so
+    tails are never dropped, minimum one frame). Oracle-paired on the
+    per-frame byte accounting via lateral generate_series."""
     media = M.fake_media_from_documents(load_table(spark, sf_dir, "documents"))
     frames = M.sample_frames(media, every_n_bytes=64)
     return frames.select(
