@@ -227,6 +227,64 @@ class LakeTable:
         shutil.rmtree(stage)
         return sorted(new_files)
 
+    def _footer_stats(self, relpath: str) -> dict:
+        """Per-file column min/max aggregated from the parquet footer —
+        a metadata-only read (no data pages).  This is the write-side
+        stats collection Delta/Iceberg do at commit time; storing it in
+        the manifest lets reads prune whole files BEFORE Spark ever
+        lists or opens them (parquet row-group pruning still applies
+        inside whatever survives).  Skipped: nested columns, long
+        strings (parquet may truncate their bounds, which would make
+        pruning unsound), and files whose footer lacks stats."""
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        try:
+            md = pq.ParquetFile(os.path.join(self.data_dir, relpath)).metadata
+        except Exception:
+            return {}
+        agg: dict[str, list] = {}
+        n_rows = md.num_rows
+        dropped: set[str] = set()
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name in dropped or "." in name:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    dropped.add(name)
+                    agg.pop(name, None)
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                    except UnicodeDecodeError:
+                        dropped.add(name)
+                        agg.pop(name, None)
+                        continue
+                if isinstance(mn, (datetime.datetime, datetime.date)):
+                    mn, mx = mn.isoformat(), mx.isoformat()
+                if isinstance(mn, bool) or not isinstance(
+                    mn, (int, float, str)
+                ):
+                    dropped.add(name)
+                    agg.pop(name, None)
+                    continue
+                if isinstance(mn, str) and (len(mn) >= 64 or len(mx) >= 64):
+                    dropped.add(name)
+                    agg.pop(name, None)
+                    continue
+                if name in agg:
+                    agg[name] = [min(agg[name][0], mn), max(agg[name][1], mx)]
+                else:
+                    agg[name] = [mn, mx]
+        return {"rows": n_rows, "minmax": agg}
+
     def _commit_version(
         self,
         version: int,
@@ -235,6 +293,19 @@ class LakeTable:
         files: list[str],
         schema: StructType,
     ) -> None:
+        # data-skipping stats: carryover files keep their previous
+        # manifest's stats (byte-identical files), only new files pay a
+        # footer read
+        prev_stats: dict = {}
+        if version > 0:
+            try:
+                prev_stats = self._manifest(version - 1).get("file_stats", {})
+            except (OSError, ValueError, KeyError):
+                prev_stats = {}
+        file_stats = {
+            f: prev_stats[f] if f in prev_stats else self._footer_stats(f)
+            for f in files
+        }
         self._commit(
             version,
             {
@@ -242,6 +313,7 @@ class LakeTable:
                 "operation": operation,
                 "partition_by": partition_by,
                 "files": files,
+                "file_stats": file_stats,
                 "schema": schema.jsonValue(),
                 "committed_at": time.time(),
             },
@@ -265,17 +337,96 @@ class LakeTable:
         return t
 
     # -- reads -------------------------------------------------------------
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    @staticmethod
+    def _normalize_bound(v):
+        import datetime
+
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return v
+
+    def prune_files(
+        self,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> list[str]:
+        """Manifest-level data skipping: the files of a snapshot that
+        MIGHT contain rows matching every predicate, judged from the
+        per-file min/max stats — files provably outside a bound are
+        dropped without touching storage.
+
+        ``predicates`` is a list of ``(column, op, value)`` with op in
+        ``>= > <= < = between`` (``between`` takes a ``(lo, hi)``
+        value).  Conservative by construction: a file with no stats for
+        the column is always kept, and only NULL-rejecting comparisons
+        are allowed, so skipping by min/max can never drop a matching
+        row.  This is the scan-side half of OPTIMIZE's clustering: after
+        ``cluster_by``/``zorder_by``, each file owns a compact value
+        range and range predicates skip most of the table at the
+        MANIFEST, before Spark lists a single file."""
+        v = self.version() if version is None else version
+        m = self._manifest(v)
+        stats = m.get("file_stats", {})
+
+        def comparable(a, b) -> bool:
+            # bounds compare only within a kind (numeric vs string);
+            # bool is not a numeric kind here
+            if isinstance(a, bool) or isinstance(b, bool):
+                return False
+            num = isinstance(a, (int, float)) and isinstance(b, (int, float))
+            return num or (isinstance(a, str) and isinstance(b, str))
+
+        def may_match(frel: str) -> bool:
+            entry = stats.get(frel) or {}
+            if entry.get("rows") == 0:
+                return False  # provably empty file
+            fstats = entry.get("minmax") or {}
+            for col, op, value in predicates:
+                if col not in fstats:
+                    continue
+                mn, mx = fstats[col]
+                if op == "between":
+                    lo, hi = (self._normalize_bound(x) for x in value)
+                    if comparable(mn, lo) and (mx < lo or mn > hi):
+                        return False
+                    continue
+                value = self._normalize_bound(value)
+                if not comparable(mn, value):
+                    continue
+                if (
+                    (op == ">=" and mx < value)
+                    or (op == ">" and mx <= value)
+                    or (op == "<=" and mn > value)
+                    or (op == "<" and mn >= value)
+                    or (op == "=" and (value < mn or value > mx))
+                ):
+                    return False
+            return True
+
+        return [f for f in m["files"] if may_match(f)]
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        prune: list[tuple] | None = None,
+    ) -> DataFrame:
         """Snapshot scan (S6): read exactly the manifest's file list with
         the stored schema (no inference/listing job) and ``basePath`` set
         so hive-encoded partition columns are recovered — partition
-        pruning and parquet pushdown work as on any parquet table."""
+        pruning and parquet pushdown work as on any parquet table.
+
+        ``prune`` applies manifest-level data skipping (see
+        :meth:`prune_files`) — the caller STILL applies the same
+        predicate as a normal ``filter`` (skipping is a file-set
+        optimization, not a row filter)."""
         v = self.version() if version is None else version
         m = self._manifest(v)
         schema = StructType.fromJson(m["schema"])
-        if not m["files"]:
+        files = self.prune_files(prune, v) if prune else m["files"]
+        if not files:
             return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.data_dir, f) for f in m["files"]]
+        paths = [os.path.join(self.data_dir, f) for f in files]
         return (
             spark.read.option("basePath", self.data_dir)
             .schema(schema)

@@ -385,3 +385,82 @@ def test_register_exposes_current_snapshot_via_catalog(spark, df3, tmp_path):
     assert spark.sql(
         "SELECT count(*) AS n FROM lakehouse_dwh.reg_test"
     ).collect()[0].n == 3
+
+
+def test_manifest_stats_collected_on_commit(spark, df3, tmp_path):
+    t = LakeTable.create(df3, str(tmp_path / "t"))
+    m = t._manifest(t.version())
+    assert m["file_stats"], "commit must collect per-file footer stats"
+    # global bounds across the non-empty files
+    ks = [
+        s["minmax"]["k"]
+        for s in m["file_stats"].values()
+        if s.get("rows")
+    ]
+    assert min(lo for lo, _ in ks) == 1 and max(hi for _, hi in ks) == 3
+    vs = [
+        s["minmax"]["v"]
+        for s in m["file_stats"].values()
+        if s.get("rows")
+    ]
+    assert min(lo for lo, _ in vs) == 10.0 and max(hi for _, hi in vs) == 30.0
+
+
+def test_data_skipping_prunes_clustered_files(spark, tmp_path):
+    """After OPTIMIZE cluster_by, each file owns a disjoint key range —
+    a range predicate must drop most files at the manifest and still
+    return exactly the filtered rows."""
+    df = spark.range(0, 1000).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    )
+    t = LakeTable.create(df, str(tmp_path / "t"))
+    t.optimize(spark, target_partitions=8, cluster_by=["k"])
+    total = len(t.files())
+    assert total == 8
+    pred = [("k", ">=", 900)]
+    kept = t.prune_files(pred)
+    assert 0 < len(kept) < total, f"no skipping: kept {len(kept)}/{total}"
+    rows = sorted(
+        r.k for r in t.read(spark, prune=pred).filter(F.col("k") >= 900).collect()
+    )
+    assert rows == list(range(900, 1000))
+
+
+def test_data_skipping_is_conservative(spark, df3, tmp_path):
+    t = LakeTable.create(df3.coalesce(1), str(tmp_path / "t"))
+    # unknown column, type-mismatched value, boolean value: all keep everything
+    assert t.prune_files([("nope", ">=", 5)]) == t.files()
+    assert t.prune_files([("k", ">=", "zzz")]) == t.files()
+    assert t.prune_files([("k", ">=", True)]) == t.files()
+    # between fully outside the range drops the file
+    assert t.prune_files([("k", "between", (100, 200))]) == []
+    # equality inside the range keeps it
+    assert t.prune_files([("k", "=", 2)]) == t.files()
+
+
+def test_data_skipping_drops_provably_empty_files(spark, df3, tmp_path):
+    """A 3-row df written through >3 shuffle partitions stages at least
+    one 0-row parquet file; its manifest stats record rows=0 and any
+    pruned read drops it without opening storage."""
+    t = LakeTable.create(df3, str(tmp_path / "t"))
+    m = t._manifest(t.version())
+    empties = [f for f, s in m["file_stats"].items() if s.get("rows") == 0]
+    assert empties, "fixture expectation: at least one empty staged file"
+    kept = t.prune_files([("k", ">=", 1)])  # predicate matches every row
+    assert set(kept).isdisjoint(empties)
+    assert sorted(r.k for r in t.read(spark, prune=[("k", ">=", 1)]).collect()) \
+        == [1, 2, 3]
+
+
+def test_data_skipping_carryover_keeps_stats(spark, df3, tmp_path):
+    """Partition-scoped MERGE: untouched partitions' files carry over
+    with their stats intact (no footer re-read, no stat loss)."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path, partition_by=["part"])
+    source = spark.createDataFrame(
+        [(2, "b", 99.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    t.merge(spark, source, key=["k"])
+    m = t._manifest(t.version())
+    carried = [f for f in m["files"] if f.startswith("part=a")]
+    assert carried and all(m["file_stats"][f] for f in carried)
