@@ -254,12 +254,18 @@ class LakeTable:
                 name = col.path_in_schema
                 if name in dropped or "." in name:
                     continue
-                st = col.statistics
-                if st is None or not st.has_min_max:
+                # statistics access itself can raise for types pyarrow
+                # can't extract (e.g. DECIMAL fixed-len byte arrays) —
+                # treat exactly like absent stats
+                try:
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError("no min/max")
+                    mn, mx = st.min, st.max
+                except Exception:
                     dropped.add(name)
                     agg.pop(name, None)
                     continue
-                mn, mx = st.min, st.max
                 if isinstance(mn, bytes):
                     try:
                         mn, mx = mn.decode("utf-8"), mx.decode("utf-8")

@@ -464,3 +464,22 @@ def test_data_skipping_carryover_keeps_stats(spark, df3, tmp_path):
     m = t._manifest(t.version())
     carried = [f for f in m["files"] if f.startswith("part=a")]
     assert carried and all(m["file_stats"][f] for f in carried)
+
+
+def test_stats_tolerate_unextractable_types(spark, tmp_path):
+    """DECIMAL (fixed-len byte array) stats raise inside pyarrow —
+    commit must degrade to stat-less entries, never fail the write."""
+    df = spark.createDataFrame(
+        [(1, 10.0)], "k BIGINT, v DOUBLE"
+    ).selectExpr("k", "CAST(v AS DECIMAL(18,2)) AS price")
+    t = LakeTable.create(df, str(tmp_path / "t"))
+    m = t._manifest(0)
+    entry = next(s for s in m["file_stats"].values() if s.get("rows"))
+    assert "k" in entry["minmax"] and "price" not in entry["minmax"]
+    # pruning on the stat-less column keeps every NON-EMPTY file
+    # (conservative; provably-empty staged files still drop)
+    nonempty = [
+        f for f in t.files() if m["file_stats"][f].get("rows")
+    ]
+    assert t.prune_files([("price", ">=", 0)]) == nonempty
+    assert t.read(spark, prune=[("price", ">=", 0)]).count() == 1
