@@ -455,3 +455,105 @@ def simhash_near_dups(
     return pairs.withColumn("hamming", hamming.cast("bigint")).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    elements: F.Column | None = None,
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity join via prefix filtering
+    (PPJoin-family) — the deterministic counterpart to MinHash LSH:
+    every pair with J >= threshold is found, no probabilistic recall.
+
+    The prefix-filter theorem: order every document's distinct tokens
+    by ONE global total order (here rarest-first ``(df, token)``); if
+    ``J(A, B) >= t`` then the first ``|X| - ceil(t*|X|) + 1`` tokens of
+    each side must share at least one token.  So candidates come from
+    an equi-join on PREFIX tokens only — rare tokens have short
+    postings, so candidate volume is governed by the df of rare tokens,
+    not |corpus|^2.  A length filter (``t*|A| <= |B| <= |A|/t``)
+    prunes further before the exact intersection count verifies.
+
+    Scale shape: one vocab aggregate (token df), one token->df join
+    feeding a per-doc sort (array_sort of a struct list — row-local),
+    prefix explode, the banded equi-join, and a candidates-only
+    verification join.  No global rank/row_number (the order is the
+    (df, token) STRUCT itself, so no single-partition vocabulary
+    window), no all-pairs anywhere.  The same plan holds with the
+    prefix join salted if one rare token is still hot.
+
+    ``elements`` overrides the set representation (default: distinct
+    lowercase whitespace tokens) — any array<string> column works, e.g.
+    ``word_ngrams(text_col, 3)`` for shingle sets.
+    """
+    if elements is None:
+        elements = F.array_distinct(
+            F.expr(f"split(lower({text_col}), '\\\\s+')")
+        )
+    tok = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(elements).alias("token"),
+        )
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc tokens sorted rarest-first under the global (df, token) order
+    ordered = (
+        tok.join(freq, "token")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "token"))
+            ).alias("st")
+        )
+        .select(
+            "id",
+            F.transform("st", lambda s: s["token"]).alias("toks"),
+            F.size("st").alias("n"),
+        )
+    )
+    # prefix length p = n - ceil(t*n) + 1
+    p = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int")
+    prefix = ordered.select(
+        "id", "n", F.explode(F.slice("toks", F.lit(1), p)).alias("token")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: t*|A| <= |B| <= |A|/t (A the smaller side)
+            & (F.col("b.n") * F.lit(threshold) <= F.col("a.n"))
+            & (F.col("a.n") * F.lit(threshold) <= F.col("b.n")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact verification: intersection size over candidate pairs only
+    ta = tok.select(F.col("id").alias("id_a"), "token")
+    tb = tok.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+    return (
+        inter.filter(jac >= F.lit(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

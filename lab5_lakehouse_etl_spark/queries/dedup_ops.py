@@ -647,3 +647,51 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=3, rounds=5).withColumnRenamed(
         "node", "doc_id"
     )
+
+
+_PREFIX_JACCARD_ORACLE = r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS s
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t,
+               unnest(range(1,
+                 greatest(len(string_split_regex(lower(text), '\s+'))-2, 1) + 1
+               )) AS i
+        FROM documents WHERE text IS NOT NULL)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = inter.id_a
+           JOIN sizes sb ON sb.doc_id = inter.id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+@query("q_dedup_prefix", oracle=_PREFIX_JACCARD_ORACLE)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (PPJoin
+    family) over word-3-gram sets, threshold 0.5 — the deterministic
+    complement to q_dedup_minhash: same pair semantics, but guaranteed
+    100% recall with no signature tuning.  Candidates come from an
+    equi-join on each document's rarest-first prefix (|X| -
+    ceil(t|X|) + 1 elements under the global (df, gram) order); a
+    length ratio filter then an exact intersection count verify.  The
+    oracle is the brute-force all-pairs Jaccard — equality proves both
+    the prefix-filter completeness (no pair missed) and the
+    verification math.  Use MinHash when an approximate answer is
+    acceptable and signatures are reusable; use this when exactness is
+    contractual (e.g. benchmark decontamination audits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.prefix_filter_jaccard_pairs(
+        docs,
+        threshold=0.5,
+        elements=D.word_ngrams("text", 3),
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("jaccard")
+    )

@@ -329,3 +329,15 @@ def test_range_join_binned_is_equi_not_nested_loop(spark):
     # equi-join on the bin id, never a nested loop
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_prefix_join_is_equi_not_cartesian(spark):
+    """The prefix-filter candidate join must plan as a hash/sort-merge
+    EQUI join on the prefix token — a cartesian/BNL plan would mean the
+    length-filter conjuncts swallowed the equi key."""
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_dedup_prefix"](spark, SF_DIR)
+    plan = explain_str(df).lower()
+    assert "cartesianproduct" not in plan
+    assert "broadcastnestedloop" not in plan
