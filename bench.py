@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "q_mixture_temperature",
     "q_kcore",
     "q_window_timerange",
+    "q_dedup_prefix",
+    "q_table_skipping",
 ]
 
 

@@ -501,7 +501,11 @@ def prefix_filter_jaccard_pairs(
         )
     )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    # per-doc tokens sorted rarest-first under the global (df, token) order
+    # per-doc tokens sorted rarest-first under the global (df, token)
+    # order; checkpointed because THREE downstream branches consume it
+    # (both sides of the prefix self-join + verification) — without it
+    # Spark recomputes the vocab join/collect per branch (measured 2×
+    # wall-time at sf0.1)
     ordered = (
         tok.join(freq, "token")
         .groupBy("id")
@@ -515,13 +519,28 @@ def prefix_filter_jaccard_pairs(
             F.transform("st", lambda s: s["token"]).alias("toks"),
             F.size("st").alias("n"),
         )
+        .localCheckpoint(eager=True)
     )
-    # prefix length p = n - ceil(t*n) + 1
+    # prefix length p = n - ceil(t*n) + 1; keep each element's 1-based
+    # position for the positional filter below
     p = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int")
     prefix = ordered.select(
-        "id", "n", F.explode(F.slice("toks", F.lit(1), p)).alias("token")
-    )
+        "id",
+        "n",
+        F.posexplode(F.slice("toks", F.lit(1), p)).alias("pos0", "token"),
+    ).select("id", "n", (F.col("pos0") + 1).alias("pos"), "token")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter: a match at positions (pa, pb) bounds the
+    # best possible overlap at 1 + min(n_a - pa, n_b - pb); the pair is
+    # viable only if that reaches the required overlap
+    # alpha = ceil(t/(1+t) * (n_a + n_b)). Prunes pairs whose prefixes
+    # collide only near the end — the length filter alone cannot.
+    alpha = F.ceil(
+        (F.col("a.n") + F.col("b.n")) * F.lit(threshold / (1.0 + threshold))
+    )
+    ubound = 1 + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
     cands = (
         a.join(
             b,
@@ -529,7 +548,8 @@ def prefix_filter_jaccard_pairs(
             & (F.col("a.id") < F.col("b.id"))
             # length filter: t*|A| <= |B| <= |A|/t (A the smaller side)
             & (F.col("b.n") * F.lit(threshold) <= F.col("a.n"))
-            & (F.col("a.n") * F.lit(threshold) <= F.col("b.n")),
+            & (F.col("a.n") * F.lit(threshold) <= F.col("b.n"))
+            & (ubound >= alpha),
         )
         .select(
             F.col("a.id").alias("id_a"),
@@ -539,14 +559,26 @@ def prefix_filter_jaccard_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact verification: intersection size over candidate pairs only
-    ta = tok.select(F.col("id").alias("id_a"), "token")
-    tb = tok.select(F.col("id").alias("id_b"), "token")
+    # exact verification: row-local array_intersect over candidate
+    # pairs only — the candidate relation is small (that is the point
+    # of prefix filtering), so hydrating each side's checkpointed token
+    # array beats re-shuffling the full (doc, token) relation twice
     inter = (
-        cands.join(ta, "id_a")
-        .join(tb, ["id_b", "token"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+        cands.join(
+            ordered.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")),
+            "id_a",
+        )
+        .join(
+            ordered.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("ta", "tb")).alias("i"),
+        )
     )
     jac = F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i"))
     return (
