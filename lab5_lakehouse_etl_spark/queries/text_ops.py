@@ -192,10 +192,43 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_langid_ngram")
+@query(
+    "q_langid_ngram",
+    oracle=r"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(lower(text)) - 2, 0) + 1),
+               i -> substring(lower(text), CAST(i AS INT), 3)
+             )) AS grams
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(list_filter(grams, x -> list_contains(['der','ein','sch','und','ich'], x))) AS s_de,
+             len(list_filter(grams, x -> list_contains(['the',' th','he ','ing','and'], x))) AS s_en,
+             len(list_filter(grams, x -> list_contains(['los','de ','que','ión','ent'], x))) AS s_es,
+             len(list_filter(grams, x -> list_contains(['les','de ','ent','une','est'], x))) AS s_fr
+      FROM g
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) IS NULL
+                  OR greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'en'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
 def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched pandas-UDF trigram language IDer — rows-only (the
-    UDF is Python; the point is exercising the vectorized escape hatch)."""
+    """Arrow-batched pandas-UDF trigram language IDer.  The UDF is the
+    point (the vectorized Python escape hatch every real langid model
+    rides), but the heuristic itself is closed-form — per-language
+    trigram-profile hit counts, argmax with first-in-(de,en,es,fr)
+    tie-break and an 'en' zero-signal default — so the oracle replays
+    it in pure SQL and the Arrow batch path is HASH-CHECKED end to end
+    instead of merely smoke-run."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", T.lang_id_ngram(F.col("text")).alias("lang_pred"))
 
