@@ -686,7 +686,15 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prefix-filter completeness (no pair missed) and the
     verification math.  Use MinHash when an approximate answer is
     acceptable and signatures are reusable; use this when exactness is
-    contractual (e.g. benchmark decontamination audits)."""
+    contractual (e.g. benchmark decontamination audits).
+
+    Perf note: the synthetic fixture corpus is prefix filtering's WORST
+    case — a small shared vocabulary (27k grams / 5000 docs at sf0.1)
+    makes even rarest-first prefixes collide broadly, so this is the
+    slowest headline query (~4.6 s at sf0.1 vs MinHash's ~0.9 s). On a
+    natural corpus rare tokens have near-unique postings and the
+    candidate set collapses toward the true pair set; when approximate
+    recall suffices, q_dedup_minhash is the fast path at any scale."""
     docs = load_table(spark, sf_dir, "documents")
     return D.prefix_filter_jaccard_pairs(
         docs,

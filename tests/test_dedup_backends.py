@@ -34,3 +34,4 @@ def test_prefilter_verify_matches_corpus_verify(spark):
     a = D.verified_near_dups(docs, cands, threshold=0.5, prefilter=False)
     b = D.verified_near_dups(docs, cands, threshold=0.5, prefilter=True)
     assert _pairs(a) == _pairs(b)
+
