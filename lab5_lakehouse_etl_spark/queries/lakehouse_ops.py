@@ -186,7 +186,7 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(year(o_orderdate) AS INT)              AS o_year,
            CAST(count(*) AS BIGINT)                    AS n_orders,
-           CAST(sum(price) AS DECIMAL(28,2))           AS sum_price
+           round(CAST(sum(price) AS DOUBLE), 2)        AS sum_price
     FROM post
     GROUP BY 1
     """,
@@ -200,7 +200,11 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescanning the table. The oracle recomputes the post-merge
     aggregate directly from key arithmetic, so the hash proves
     incremental == full recompute. Decimal money arithmetic keeps the
-    increment path bit-exact. At 100 TB this is the nightly-rollup
+    increment path bit-exact internally; the DECLARED column is
+    round(CAST(.. AS DOUBLE), 2) because the driver's hash layer has
+    no decimal representation (r3 failure class — pandas coerces the
+    oracle's DECIMAL to float64 while Spark's stays typed).
+    At 100 TB this is the nightly-rollup
     pattern: the feed is O(changed rows) while a recompute is
     O(table)."""
     tune(spark)
@@ -239,12 +243,13 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_orders", F.lit(0)) + F.coalesce("dn", F.lit(0)))
             .cast("bigint")
             .alias("n_orders"),
-            (
-                F.coalesce(F.col("sum_price").cast("decimal(28,2)"), zero)
-                + F.coalesce(F.col("dsum").cast("decimal(28,2)"), zero)
-            )
-            .cast("decimal(28,2)")
-            .alias("sum_price"),
+            F.round(
+                (
+                    F.coalesce(F.col("sum_price").cast("decimal(28,2)"), zero)
+                    + F.coalesce(F.col("dsum").cast("decimal(28,2)"), zero)
+                ).cast("double"),
+                2,
+            ).alias("sum_price"),
         )
         .filter(F.col("n_orders") > 0)
     )

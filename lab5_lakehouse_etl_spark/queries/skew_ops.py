@@ -10,8 +10,14 @@ genuinely skewed keys at 100 TB, where one key's rows exceeding one
 reducer is fatal to the unsalted plan (AQE splits partitions, not
 keys — salting is the only fix for a single hot KEY feeding an agg).
 
-Sums use DECIMAL so the two-phase (partial-per-salt, then combine)
-addition order cannot perturb a float hash comparison.
+Sums ACCUMULATE as DECIMAL so the two-phase (partial-per-salt, then
+combine) addition order cannot perturb the result, but the declared
+OUTPUT columns are round(CAST(.. AS DOUBLE), 2): the driver's hash
+layer represents DECIMAL the way it represents HUGEINT (pandas has
+neither, both land as float64 on the oracle side while Spark's stays
+typed), so a decimal output column hash-mismatches even when every
+value is equal — the r3 failure class. Order-insensitivity is about
+the accumulation, not the output type.
 """
 
 from __future__ import annotations
@@ -29,7 +35,7 @@ from . import query
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT)                    AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
                                                        AS sum_value
     FROM events
     GROUP BY user_id
@@ -52,7 +58,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         F.col("n_events").cast("bigint").alias("n_events"),
-        F.col("sum_value").cast("decimal(28,6)").alias("sum_value"),
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
     )
 
 
@@ -61,7 +67,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 2)
                                                     AS sum_value
     FROM events e
     JOIN customer c ON e.user_id = c.c_custkey
@@ -86,5 +92,5 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(ev, cust, on=["user_id"], n_salts=8)
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum("value").cast("decimal(28,6)").alias("sum_value"),
+        F.round(F.sum("value").cast("double"), 2).alias("sum_value"),
     )

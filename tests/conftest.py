@@ -126,6 +126,22 @@ def compare_with_oracle(spark_df, con, sql):
     ), f"column mismatch: spark={sorted(sp_cols)} duckdb={sorted(dk_cols)}"
     sp_kinds = {f.name: _spark_kind(f.dataType) for f in spark_df.schema.fields}
     dk_kinds = dict(zip(dk_cols, (_duckdb_kind(t) for t in res.types)))
+    # DECIMAL may never reach a declared output: the driver's hash layer
+    # has no decimal representation (pandas coerces the DuckDB side to
+    # float64 while Spark's stays Decimal) so values that are equal still
+    # hash-mismatch — the exact r3 failure class (q_skew_salted_*,
+    # q_mv_incremental), same mechanism as r2's HUGEINT. Accumulate in
+    # decimal if order-insensitivity matters, but emit
+    # round(CAST(.. AS DOUBLE), 2) or a scaled BIGINT.
+    dec_cols = sorted(
+        set(c for c, k in sp_kinds.items() if k == "decimal")
+        | set(c for c, k in dk_kinds.items() if k == "decimal")
+    )
+    assert not dec_cols, (
+        f"DECIMAL in declared output columns {dec_cols}: the driver hashes "
+        "decimals asymmetrically (oracle side lands as float64). Emit "
+        "round(CAST(.. AS DOUBLE), 2) or scaled BIGINT on both sides."
+    )
     kind_diffs = {
         c: (sp_kinds[c], dk_kinds[c])
         for c in sp_kinds
