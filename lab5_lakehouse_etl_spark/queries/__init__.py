@@ -132,23 +132,27 @@ _PRIORITY: tuple[str, ...] = _R3 + _R4 + (
 )
 
 
-def _driver_verified() -> set[str]:
-    """Names with a SUCCESSFUL row in any past CORRECTNESS_r*.json:
-    hash-matched against the oracle, or ran as a rows-only check while
-    the query is STILL rows-only.  A past ``no_oracle`` row does NOT
-    shield a query that has since gained an oracle (q_xlsx_ingest grew
-    one after its r1 rows-only run) — those must re-run for the real
-    hash check.  Failed/erroring rows never count."""
+def _driver_verified() -> dict[str, int]:
+    """Names with a SUCCESSFUL row in any past CORRECTNESS_r*.json,
+    mapped to the LATEST round number that verified them: hash-matched
+    against the oracle, or ran as a rows-only check while the query is
+    STILL rows-only.  A past ``no_oracle`` row does NOT shield a query
+    that has since gained an oracle (q_xlsx_ingest grew one after its
+    r1 rows-only run) — those must re-run for the real hash check.
+    Failed/erroring rows never count."""
     import glob
     import json
     import os
+    import re
 
     root = os.environ.get(
         "SPARK_GRAFT_CORRECTNESS_DIR",
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     )
-    ok: set[str] = set()
+    ok: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -162,7 +166,7 @@ def _driver_verified() -> set[str]:
                 and (rec.get("spark_rows") or 0) >= 0
                 and name not in ORACLES
             ):
-                ok.add(name)
+                ok[name] = max(ok.get(name, 0), rnd)
     return ok
 
 
@@ -172,20 +176,35 @@ def ordered_queries() -> dict[str, QueryFn]:
 
     1. unverified ORACLE-PAIRED queries (in _PRIORITY order, then
        registration order) — each window slot buys a real hash check;
-    2. unverified rows-only queries — can never hash-match, so they
-       only enter the window once every paired query is green;
-    3. already-verified queries, rotating at the back.
+    2. verified ORACLE-PAIRED queries, LEAST-recently-verified first
+       (stable by priority order within a round) — back-half slots
+       become re-checks of the oldest green rows, so code drift since a
+       query's last green round (e.g. q_sql_limit's r1 row predating
+       the persistent-catalog rewrite it now reads through) gets
+       caught;
+    3. rows-only queries (no oracle possible by design) at the
+       permanent tail, never-run ones first (a first ``no_oracle`` row
+       is new signal; a repeat is none): a window slot spent there buys
+       at most a ``no_oracle`` row, strictly less signal than any hash
+       re-check, so they must never displace one.
 
     Self-maintaining across rounds: each round's CORRECTNESS file
-    pushes its green queries into tier 3, so the window sweeps the
-    whole registry without manual reordering."""
+    pushes its green queries into tier 2 and ages everything verified
+    earlier toward the window, so the window sweeps the whole registry
+    without manual reordering."""
     base: list[str] = [n for n in _PRIORITY if n in QUERIES]
     base += [n for n in QUERIES if n not in base]
     verified = _driver_verified()
     unverified = [n for n in base if n not in verified]
+    pos = {n: i for i, n in enumerate(base)}
+    by_age = sorted(
+        (n for n in verified if n in QUERIES),
+        key=lambda n: (verified[n], pos.get(n, len(pos))),
+    )
     ordered = (
         [n for n in unverified if n in ORACLES]
+        + [n for n in by_age if n in ORACLES]
         + [n for n in unverified if n not in ORACLES]
-        + [n for n in base if n in verified]
+        + [n for n in by_age if n not in ORACLES]
     )
     return {n: QUERIES[n] for n in ordered}

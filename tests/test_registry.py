@@ -53,9 +53,13 @@ def test_verified_rotate_to_back(correctness_dir):
         {n: {"hash_match": True} for n in front},
     )
     rotated = list(Q.ordered_queries())
-    # every name that was green moves behind every never-verified name
-    n_unverified = len(all_names) - 50
-    assert set(rotated[:n_unverified]).isdisjoint(front)
+    # every name that was green moves behind every never-verified
+    # ORACLE-PAIRED name (rows-only names sit at the permanent tail,
+    # behind even the verified rotation — they can't buy a hash check)
+    n_unverified_paired = len(
+        [n for n in all_names if n in Q.ORACLES and n not in front]
+    )
+    assert set(rotated[:n_unverified_paired]).isdisjoint(front)
     assert sorted(rotated) == sorted(all_names)
 
 
