@@ -522,8 +522,14 @@ def prefix_filter_jaccard_pairs(
         .localCheckpoint(eager=True)
     )
     # prefix length p = n - ceil(t*n) + 1; keep each element's 1-based
-    # position for the positional filter below
-    p = (F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1).cast("int")
+    # position for the positional filter below.  Same 1e-9 slack as
+    # alpha below: if fl(t*n) rounds just above an exact integer,
+    # ceil() shrinks the prefix by 1 and a true pair can be missed.
+    p = (
+        F.col("n")
+        - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9))
+        + 1
+    ).cast("int")
     prefix = ordered.select(
         "id",
         "n",
@@ -535,8 +541,15 @@ def prefix_filter_jaccard_pairs(
     # viable only if that reaches the required overlap
     # alpha = ceil(t/(1+t) * (n_a + n_b)). Prunes pairs whose prefixes
     # collide only near the end — the length filter alone cannot.
+    # The 1e-9 slack keeps the bound conservative under binary floating
+    # point: when fl(t/(1+t)) rounds ABOVE the exact rational, the
+    # product can land just past an exact integer and ceil() would
+    # overestimate alpha by 1, letting the filter prune a borderline
+    # pair with J exactly == t (recall must stay 1.0 for every t, not
+    # just thresholds where the quotient happens to round down).
     alpha = F.ceil(
         (F.col("a.n") + F.col("b.n")) * F.lit(threshold / (1.0 + threshold))
+        - F.lit(1e-9)
     )
     ubound = 1 + F.least(
         F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
@@ -546,9 +559,11 @@ def prefix_filter_jaccard_pairs(
             b,
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.id") < F.col("b.id"))
-            # length filter: t*|A| <= |B| <= |A|/t (A the smaller side)
-            & (F.col("b.n") * F.lit(threshold) <= F.col("a.n"))
-            & (F.col("a.n") * F.lit(threshold) <= F.col("b.n"))
+            # length filter: t*|A| <= |B| <= |A|/t (A the smaller side);
+            # 1e-9 slack so a boundary pair (t*|B| exactly == |A|) is
+            # never lost to fl(t*|B|) rounding up
+            & (F.col("b.n") * F.lit(threshold) - F.lit(1e-9) <= F.col("a.n"))
+            & (F.col("a.n") * F.lit(threshold) - F.lit(1e-9) <= F.col("b.n"))
             & (ubound >= alpha),
         )
         .select(

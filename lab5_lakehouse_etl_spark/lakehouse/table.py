@@ -274,7 +274,10 @@ class LakeTable:
                         agg.pop(name, None)
                         continue
                 if isinstance(mn, (datetime.datetime, datetime.date)):
-                    mn, mx = mn.isoformat(), mx.isoformat()
+                    # same canonical form as predicate bounds (UTC-naive,
+                    # fixed microsecond width) so prune_files compares
+                    # like shapes lexicographically == chronologically
+                    mn, mx = self._normalize_bound(mn), self._normalize_bound(mx)
                 if isinstance(mn, bool) or not isinstance(
                     mn, (int, float, str)
                 ):
@@ -345,9 +348,22 @@ class LakeTable:
     # -- reads -------------------------------------------------------------
     @staticmethod
     def _normalize_bound(v):
+        """Canonical string form for temporal bounds: tz-aware datetimes
+        convert to UTC-naive, all datetimes print at fixed microsecond
+        width (26 chars), dates stay date-only (10 chars).  Fixed widths
+        make lexicographic order == chronological order WITHIN a kind;
+        :meth:`prune_files` additionally refuses to compare temporal
+        strings of different shapes (a DATE '1997-01-01' vs a midnight
+        datetime '1997-01-01T00:00:00.000000' are chronologically equal
+        but lexicographically ordered — comparing across shapes could
+        prune a file holding matching boundary rows)."""
         import datetime
 
-        if isinstance(v, (datetime.datetime, datetime.date)):
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return v.isoformat(timespec="microseconds")
+        if isinstance(v, datetime.date):
             return v.isoformat()
         return v
 
@@ -374,13 +390,31 @@ class LakeTable:
         m = self._manifest(v)
         stats = m.get("file_stats", {})
 
+        import re
+
+        temporal = re.compile(r"^\d{4}-\d{2}-\d{2}")
+
         def comparable(a, b) -> bool:
             # bounds compare only within a kind (numeric vs string);
             # bool is not a numeric kind here
             if isinstance(a, bool) or isinstance(b, bool):
                 return False
             num = isinstance(a, (int, float)) and isinstance(b, (int, float))
-            return num or (isinstance(a, str) and isinstance(b, str))
+            if num:
+                return True
+            if not (isinstance(a, str) and isinstance(b, str)):
+                return False
+            # temporal-shaped strings compare only within one shape:
+            # same length and same tz-suffix presence.  Mixed shapes
+            # (DATE vs datetime, naive vs offset-suffixed, seconds vs
+            # microseconds precision from older manifests) fall back to
+            # keep-the-file — conservative, never unsound.
+            if temporal.match(a) or temporal.match(b):
+                offset = re.compile(r"(Z|[+-]\d{2}:\d{2})$")
+                return len(a) == len(b) and not (
+                    offset.search(a) or offset.search(b)
+                )
+            return True
 
         def may_match(frel: str) -> bool:
             entry = stats.get(frel) or {}
@@ -393,7 +427,11 @@ class LakeTable:
                 mn, mx = fstats[col]
                 if op == "between":
                     lo, hi = (self._normalize_bound(x) for x in value)
-                    if comparable(mn, lo) and (mx < lo or mn > hi):
+                    if (
+                        comparable(mn, lo)
+                        and comparable(mx, hi)
+                        and (mx < lo or mn > hi)
+                    ):
                         return False
                     continue
                 value = self._normalize_bound(value)
@@ -451,29 +489,61 @@ class LakeTable:
         after each write the reference re-crawls the curated zone so
         Athena's ``lakehouse_dwh`` database sees the new snapshot
         (step_functions/state_machine.json:121); here the same step is
-        one DDL round-trip.  The view text pins the manifest's EXACT
-        file list via a ``_metadata.file_path`` constant-metadata
-        filter, so superseded version files sitting in the same
-        ``data/`` tree are never read; hive-encoded partition dirs
-        still surface as partition columns.  Like a crawler, re-run
-        after each write to advance the registered snapshot.  Scale
-        boundary: the view text embeds one literal per live file —
-        fine to ~10^5 files, the same driver-resident-manifest ceiling
-        as the JSON version log itself."""
+        two DDL round-trips.  A backing TABLE ``{name}__files`` carries
+        the manifest's PINNED schema (columns + types from the version
+        log, NOT footer inference — with heterogeneous footers after
+        schema evolution, inference over the data tree picks an
+        arbitrary file and can expose the wrong column set; the
+        explicit schema also null-fills evolved columns missing from
+        carryover files, exactly like :meth:`read`), and the public
+        VIEW ``{name}`` pins the manifest's EXACT file list via a
+        ``_metadata.file_path`` constant-metadata filter, so superseded
+        version files sitting in the same ``data/`` tree are never
+        read.  Hive-encoded partition dirs surface as partition columns
+        through ``RECOVER PARTITIONS`` (the literal crawler step).
+        Like a crawler, re-run after each write to advance the
+        registered snapshot.  Scale boundary: the view text embeds one
+        literal per live file — fine to ~10^5 files, the same
+        driver-resident-manifest ceiling as the JSON version log
+        itself."""
         v = self.version() if version is None else version
         m = self._manifest(v)
         if not m["files"]:
             raise ValueError(
                 f"cannot register empty table snapshot {name}@v{v}"
             )
+        schema = StructType.fromJson(m["schema"])
+        partition_by = list(m.get("partition_by") or [])
+        data_fields = [f for f in schema.fields if f.name not in partition_by]
+        part_fields = [f for f in schema.fields if f.name in partition_by]
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in data_fields + part_fields
+        )
+        files_table = f"{db}.{name}__files"
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        spark.sql(f"DROP TABLE IF EXISTS {files_table}")
+        part_clause = (
+            " PARTITIONED BY (" + ", ".join(f"`{c}`" for c in partition_by) + ")"
+            if partition_by
+            else ""
+        )
+        loc = "file:" + os.path.abspath(self.data_dir).replace("'", "''")
+        spark.sql(
+            f"CREATE TABLE {files_table} ({ddl}) USING parquet"
+            f"{part_clause} LOCATION '{loc}'"
+        )
+        if partition_by:
+            spark.sql(f"ALTER TABLE {files_table} RECOVER PARTITIONS")
         uris = ", ".join(
-            "'file:" + os.path.join(self.data_dir, f).replace("'", "''") + "'"
+            "'file:"
+            + os.path.abspath(os.path.join(self.data_dir, f)).replace("'", "''")
+            + "'"
             for f in m["files"]
         )
         spark.sql(
             f"CREATE OR REPLACE VIEW {db}.{name} AS "
-            f"SELECT * FROM parquet.`{self.data_dir}` "
+            f"SELECT * FROM {files_table} "
             f"WHERE _metadata.file_path IN ({uris})"
         )
         return f"{db}.{name}"

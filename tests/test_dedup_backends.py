@@ -35,3 +35,58 @@ def test_prefilter_verify_matches_corpus_verify(spark):
     b = D.verified_near_dups(docs, cands, threshold=0.5, prefilter=True)
     assert _pairs(a) == _pairs(b)
 
+
+
+def test_prefix_join_exact_recall_hostile_thresholds(spark):
+    """prefix_filter_jaccard_pairs must equal brute force at EVERY
+    threshold, including ones whose float image rounds above the exact
+    rational (t=0.3: fl(0.3*10)=3.0000000000000004, so an unslacked
+    ceil() shortens the prefix and the length filter prunes the
+    boundary pair |A|=3 ⊂ |B|=10 with J exactly 0.3)."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(60):
+        size = 2 + (i % 11)
+        toks = sorted({(i * 7 + j * 13) % 40 for j in range(size)})
+        rows.append((i, " ".join(f"t{v}" for v in toks)))
+    # hand-built boundary pairs: J exactly == t for hostile thresholds
+    rows.append((1000, "x1 x2 x3"))                       # ⊂ next, J=3/10
+    rows.append((1001, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))
+    rows.append((1002, "y1 y2 y3 y4"))                    # i=2, J=2/8=0.25
+    rows.append((1003, "y3 y4 y5 y6 y7 y8"))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.col("text")), r"\s+")).alias("s"),
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    i_sz = F.size(F.array_intersect("a.s", "b.s"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (i_sz / (F.size("a.s") + F.size("b.s") - i_sz)).alias("j"),
+        )
+    )
+    for t in (0.25, 0.3, 0.5, 0.75, 0.9):
+        expect = sorted(
+            (r.id_a, r.id_b)
+            for r in brute.filter(F.col("j") >= F.lit(t)).collect()
+        )
+        got = sorted(
+            (r.id_a, r.id_b)
+            for r in D.prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+        )
+        assert got == expect, f"t={t}: prefix join != brute force"
+    # the hand-built boundary pairs must actually be in the t they test
+    assert (1000, 1001) in {
+        (r.id_a, r.id_b)
+        for r in D.prefix_filter_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert (1002, 1003) in {
+        (r.id_a, r.id_b)
+        for r in D.prefix_filter_jaccard_pairs(docs, threshold=0.25).collect()
+    }

@@ -387,6 +387,37 @@ def test_register_exposes_current_snapshot_via_catalog(spark, df3, tmp_path):
     ).collect()[0].n == 3
 
 
+def test_register_pins_manifest_schema_after_evolution(spark, df3, tmp_path):
+    """The registered snapshot must carry the MANIFEST's schema, not a
+    footer-inferred one: after evolve_schema merge the data tree holds
+    files with and without the new column, and parquet inference over
+    the directory picks an arbitrary footer — the catalog table instead
+    declares read()'s pinned schema and null-fills carryover files."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path, partition_by=["part"])
+    source = spark.createDataFrame(
+        [(2, "b", 99.0, "x"), (4, "c", 40.0, "y")],
+        "k BIGINT, part STRING, v DOUBLE, extra STRING",
+    )
+    t.merge(spark, source, key=["k"], evolve_schema=True)
+    t.register(spark, "reg_evo")
+    got = spark.sql(
+        "SELECT k, part, v, extra FROM lakehouse_dwh.reg_evo"
+    )
+    # view schema == read() schema (manifest-pinned), including `extra`
+    assert {f.name for f in got.schema.fields} == {
+        f.name for f in t.read(spark).schema.fields
+    }
+    rows = {r.k: (r.v, r.extra) for r in got.collect()}
+    # carryover part=a file (no `extra` in its footer) null-fills
+    assert rows == {
+        1: (10.0, None),
+        2: (99.0, "x"),
+        3: (30.0, None),
+        4: (40.0, "y"),
+    }
+
+
 def test_manifest_stats_collected_on_commit(spark, df3, tmp_path):
     t = LakeTable.create(df3, str(tmp_path / "t"))
     m = t._manifest(t.version())
@@ -436,6 +467,43 @@ def test_data_skipping_is_conservative(spark, df3, tmp_path):
     assert t.prune_files([("k", "between", (100, 200))]) == []
     # equality inside the range keeps it
     assert t.prune_files([("k", "=", 2)]) == t.files()
+
+
+def test_data_skipping_temporal_shapes_never_unsound(spark, tmp_path):
+    """Cross-kind temporal bounds must never prune a matching row: a
+    DATE column's stats ('1997-01-01', 10 chars) pruned with a datetime
+    predicate (26-char canonical form) is chronologically equal at the
+    boundary but lexicographically smaller — prune_files must refuse
+    the comparison and keep the file.  Same-kind comparisons still
+    prune, and tz-aware predicates convert to UTC-naive."""
+    import datetime
+
+    df = spark.sql(
+        "SELECT CAST(d AS DATE) AS d, CAST(d AS TIMESTAMP) AS ts, id FROM ("
+        "  SELECT date_add(DATE '1996-12-30', CAST(id AS INT)) AS d, id"
+        "  FROM range(4))"
+    )
+    t = LakeTable.create(df.coalesce(1), str(tmp_path / "t"))
+    files = t.files()
+    # DATE column vs datetime predicate: boundary-equal — must keep
+    assert (
+        t.prune_files([("d", ">=", datetime.datetime(1997, 1, 2))]) == files
+    )
+    assert (
+        t.prune_files([("d", "<", datetime.datetime(1996, 12, 30))]) == files
+    )
+    # DATE column vs date predicate: same shape — prunes correctly
+    assert t.prune_files([("d", ">", datetime.date(1997, 1, 2))]) == []
+    assert t.prune_files([("d", "<=", datetime.date(1997, 1, 2))]) == files
+    # TIMESTAMP column vs naive datetime: same canonical shape — prunes
+    assert t.prune_files([("ts", ">", datetime.datetime(1997, 1, 2))]) == []
+    # tz-aware predicate: equal instant expressed at +02:00 — the naive
+    # twin of the same instant prunes identically, no lexicographic trap
+    plus2 = datetime.timezone(datetime.timedelta(hours=2))
+    aware = datetime.datetime(1997, 1, 2, 2, 0, tzinfo=plus2)  # = 00:00 UTC
+    assert t.prune_files([("ts", ">", aware)]) == t.prune_files(
+        [("ts", ">", datetime.datetime(1997, 1, 2))]
+    )
 
 
 def test_data_skipping_drops_provably_empty_files(spark, df3, tmp_path):
