@@ -477,64 +477,64 @@ def prefix_filter_jaccard_pairs(
     not |corpus|^2.  A length filter (``t*|A| <= |B| <= |A|/t``)
     prunes further before the exact intersection count verifies.
 
-    Scale shape: one vocab aggregate (token df), one token->df join
-    feeding a per-doc sort (array_sort of a struct list — row-local),
-    prefix explode, the banded equi-join, and a candidates-only
-    verification join.  No global rank/row_number (the order is the
-    (df, token) STRUCT itself, so no single-partition vocabulary
-    window), no all-pairs anywhere.  The same plan holds with the
-    prefix join salted if one rare token is still hot.
+    Scale shape: one checkpointed per-doc set relation feeding every
+    branch (the text scan + n-gram materialization runs ONCE — it was
+    the measured bottleneck when each branch re-derived it), one vocab
+    aggregate (token df), a PER-DOC row_number window over (df, token)
+    to pick prefixes (partitioned by doc id — thousands of small
+    partitions, not a global vocabulary window), the banded equi-join,
+    and a candidates-only verification join against the checkpointed
+    raw arrays (set intersection needs no ordering, so verification
+    never pays the df sort).  No all-pairs anywhere.  The same plan
+    holds with the prefix join salted if one rare token is still hot.
 
     ``elements`` overrides the set representation (default: distinct
     lowercase whitespace tokens) — any array<string> column works, e.g.
     ``word_ngrams(text_col, 3)`` for shingle sets.
     """
+    from pyspark.sql import Window
+
     if elements is None:
         elements = F.array_distinct(
             F.expr(f"split(lower({text_col}), '\\\\s+')")
         )
-    tok = (
+    # one scan+shingle pass, materialized once for all three consumers
+    # (prefix derivation + both verification sides)
+    sets = (
         docs.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(elements).alias("token"),
-        )
-    )
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    # per-doc tokens sorted rarest-first under the global (df, token)
-    # order; checkpointed because THREE downstream branches consume it
-    # (both sides of the prefix self-join + verification) — without it
-    # Spark recomputes the vocab join/collect per branch (measured 2×
-    # wall-time at sf0.1)
-    ordered = (
-        tok.join(freq, "token")
-        .groupBy("id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("df", "token"))
-            ).alias("st")
-        )
-        .select(
-            "id",
-            F.transform("st", lambda s: s["token"]).alias("toks"),
-            F.size("st").alias("n"),
-        )
+        # set semantics: n and the intersection count both assume
+        # distinct elements (idempotent for the default / word_ngrams)
+        .select(F.col(id_col).alias("id"), F.array_distinct(elements).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
         .localCheckpoint(eager=True)
     )
-    # prefix length p = n - ceil(t*n) + 1; keep each element's 1-based
-    # position for the positional filter below.  Same 1e-9 slack as
-    # alpha below: if fl(t*n) rounds just above an exact integer,
-    # ceil() shrinks the prefix by 1 and a true pair can be missed.
+    tok = sets.select("id", "n", F.explode("toks").alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # prefix length p = n - ceil(t*n) + 1; 1-based rarest-first rank
+    # under the global (df, token) total order gives each element's
+    # position for the positional filter below.  The 1e-9 slack (same
+    # as alpha) keeps the bound conservative: if fl(t*n) rounds just
+    # above an exact integer, ceil() shrinks the prefix by 1 and a
+    # true pair can be missed.  (df, token) is unique within a doc, so
+    # row_number is deterministic.
     p = (
         F.col("n")
         - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9))
         + 1
     ).cast("int")
-    prefix = ordered.select(
-        "id",
-        "n",
-        F.posexplode(F.slice("toks", F.lit(1), p)).alias("pos0", "token"),
-    ).select("id", "n", (F.col("pos0") + 1).alias("pos"), "token")
+    w = Window.partitionBy("id").orderBy("df", "token")
+    # NOT checkpointed: both sides of the candidate self-join share
+    # this exact subtree and exchange on the same key, so Spark's
+    # ReusedExchange computes it once already — an eager checkpoint
+    # here measured ~2× SLOWER (blocking materialization, lost
+    # pipelining) than letting the reuse happen.
+    prefix = (
+        tok.join(freq, "token")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= p)
+        .select("id", "n", "pos", "token")
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter: a match at positions (pa, pb) bounds the
     # best possible overlap at 1 + min(n_a - pa, n_b - pb); the pair is
@@ -580,11 +580,11 @@ def prefix_filter_jaccard_pairs(
     # array beats re-shuffling the full (doc, token) relation twice
     inter = (
         cands.join(
-            ordered.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")),
+            sets.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")),
             "id_a",
         )
         .join(
-            ordered.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")),
+            sets.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")),
             "id_b",
         )
         .select(
