@@ -138,6 +138,77 @@ def pagerank(
     return ranks
 
 
+def oriented_edges(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Orient each undirected edge from its lower-(degree, id) endpoint
+    to its higher one — the skew-proof total order for triangle
+    enumeration.  ``edges`` holds one row per undirected edge (any
+    endpoint order, no duplicates).  Returns (x, y, rx, ry): edge
+    x → y with the (deg, id) rank structs of both endpoints, x ≺ y.
+
+    Why degree order: wedges are built at each edge SOURCE, so a
+    vertex's wedge count is C(out-degree, 2).  Under id orientation a
+    hub with degree d and a small id keeps out-degree d → O(d²) wedge
+    rows land on ONE reducer key (fatal at 100 TB where hubs are
+    power-law).  Degree orientation caps every out-degree at O(√m)
+    (a vertex preceding k neighbors in (deg, id) order has degree ≥
+    each of theirs, and Σdeg = 2m), so total wedges are O(m^1.5) with
+    no quadratic key — the standard bound.  The generated TRIANGLE set
+    is identical under any total order; only wedge-intermediate
+    volume changes."""
+    und = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = und.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(
+        deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v"
+    )
+    ru = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    u_first = ru < rv
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(u_first, ru).otherwise(rv).alias("rx"),
+        F.when(u_first, rv).otherwise(ru).alias("ry"),
+    )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts via the degree-oriented wedge algorithm
+    (MapReduce triangle counting with the low-degree-first refinement).
+
+    Each triangle {a, b, c} with a ≺ b ≺ c under the (deg, id) order
+    is generated exactly once: a wedge (a→b, a→c) at its lowest-order
+    corner, closed by the oriented edge b→c.  Two shuffle joins, both
+    O(m^1.5)-bounded regardless of degree skew (see
+    :func:`oriented_edges` — the property that keeps one web-scale hub
+    from melting a single reducer).  Returns (node, n_triangles) for
+    nodes in ≥1 triangle."""
+    o = oriented_edges(edges, src_col, dst_col)
+    w1 = o.select("x", F.col("y").alias("b"), F.col("ry").alias("rb"))
+    w2 = o.select("x", F.col("y").alias("c"), F.col("ry").alias("rc"))
+    wedges = w1.join(w2, "x").filter(F.col("rb") < F.col("rc"))
+    closer = o.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    tri = wedges.join(closer, ["b", "c"]).select("x", "b", "c")
+    corners = tri.select(F.explode(F.array("x", "b", "c")).alias("node"))
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
 def k_core(
     edges: DataFrame,
     k: int,

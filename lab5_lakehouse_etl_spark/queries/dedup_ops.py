@@ -359,17 +359,21 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cliques → many triangles) from chains of borderline pairs (few),
     which PageRank alone can't tell apart.
 
-    Classic distributed shape (the MapReduce triangle algorithm):
-    orient every edge low-id → high-id so each triangle is generated
-    exactly once as (a<b<c), build wedges with one self-join on the
-    shared middle vertex, close them against the oriented edge list
-    with a second join, then explode each triangle to its three
-    corners and count. Two shuffle joins on edge keys, both
-    O(Σ deg²) wedge-bounded — at web scale the standard refinement is
-    orienting by DEGREE (low-degree vertex first) instead of by id,
-    which caps wedge counts at O(m^1.5) under skew; id-orientation is
-    kept here because the oracle must generate the identical triangle
-    set."""
+    Classic distributed shape with the skew refinement
+    (functions/graph.py:triangle_counts): orient every edge
+    low-(degree, id) → high so each triangle is generated exactly once
+    at its lowest-order corner, build wedges with one self-join on the
+    shared source, close them against the oriented edge list with a
+    second join, then explode each triangle to its three corners and
+    count.  Degree orientation caps every out-degree at O(√m), so
+    wedge volume is O(m^1.5) even when one hub document matches
+    thousands of near-twins — under id orientation that hub would put
+    O(d²) wedge rows on one reducer key at 100 TB.  The oracle keeps
+    the simple id orientation: any total order generates the SAME
+    triangle set, so the per-node counts hash-match while the Spark
+    side carries the skew-safe plan."""
+    from ..functions.graph import triangle_counts
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
@@ -388,15 +392,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.abs(F.col("na") - F.col("nb")) <= 20)
         & (F.col("src") < F.col("dst")),
     ).select("src", "dst")
-    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    corners = tri.select(
-        F.explode(F.array("a", "b", "c")).alias("doc_id")
-    )
-    return corners.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    return triangle_counts(edges).select(
+        F.col("node").alias("doc_id"), "n_triangles"
     )
 
 

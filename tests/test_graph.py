@@ -78,3 +78,45 @@ def test_pagerank_isolated_node_gets_teleport_only(spark):
     got = _pr(spark, [0, 1, 2], [(0, 1), (1, 0)], n_iter=3)
     # node 2 has no in-edges: rank = teleport mass only
     assert abs(got[2] - 0.15 / 3) < 1e-12
+
+
+def _tri_counts(spark, pairs):
+    from lab5_lakehouse_etl_spark.functions.graph import triangle_counts
+
+    edges = spark.createDataFrame(pairs, "src BIGINT, dst BIGINT")
+    return {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+
+
+def test_triangle_counts_clique_path_star(spark):
+    # K4: every node is in C(3,2)=3 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _tri_counts(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # path 0-1-2-3: no triangles
+    assert _tri_counts(spark, [(0, 1), (1, 2), (2, 3)]) == {}
+    # star + one closing edge: exactly one triangle (hub, 1, 2)
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    assert _tri_counts(spark, star) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_orientation_is_degree_not_id(spark):
+    """The wedge stage must orient low-(degree, id) first: on a star
+    whose HUB has the smallest id, id orientation would build all
+    C(d, 2) wedges at the hub, degree orientation builds none (every
+    leaf has out-degree 1).  Pinned by counting the wedge relation
+    directly — the skew property that keeps one 100 TB hub off a
+    single reducer."""
+    from pyspark.sql import functions as F
+
+    from lab5_lakehouse_etl_spark.functions.graph import oriented_edges
+
+    hub = 0  # smallest id AND highest degree: adversarial for id order
+    edges = spark.createDataFrame(
+        [(hub, i) for i in range(1, 30)], "src BIGINT, dst BIGINT"
+    )
+    o = oriented_edges(edges)
+    # all edges point INTO the hub
+    assert o.filter(F.col("x") == hub).count() == 0
+    w1 = o.select("x", F.col("y").alias("b"), F.col("ry").alias("rb"))
+    w2 = o.select("x", F.col("y").alias("c"), F.col("ry").alias("rc"))
+    wedges = w1.join(w2, "x").filter(F.col("rb") < F.col("rc"))
+    assert wedges.count() == 0  # id orientation would give C(29,2)=406
