@@ -551,3 +551,22 @@ def test_stats_tolerate_unextractable_types(spark, tmp_path):
     ]
     assert t.prune_files([("price", ">=", 0)]) == nonempty
     assert t.read(spark, prune=[("price", ">=", 0)]).count() == 1
+
+
+def test_delta_flag_behavior(monkeypatch):
+    """The SPARK_GRAFT_DELTA interchange flag: off by default, and when
+    set in an environment without delta-spark it must fail loudly with
+    the install guidance — never silently fall back."""
+    from lab5_lakehouse_etl_spark.lakehouse import delta_adapter as DA
+
+    monkeypatch.delenv("SPARK_GRAFT_DELTA", raising=False)
+    assert DA.delta_requested() is False
+    monkeypatch.setenv("SPARK_GRAFT_DELTA", "1")
+    assert DA.delta_requested() is True
+    if DA.delta_available():  # pragma: no cover - not in this sandbox
+        assert DA.require_delta() is not None
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="delta-spark"):
+            DA.require_delta()
