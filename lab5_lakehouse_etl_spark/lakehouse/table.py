@@ -327,6 +327,88 @@ class LakeTable:
                 "committed_at": time.time(),
             },
         )
+        self._write_stats_checkpoint(version, files, file_stats)
+
+    # -- parquet stats checkpoint (Delta checkpoint-file twin) -------------
+    _EXACT_DOUBLE = 1 << 53  # |int| below this survives a double round-trip
+
+    def _stats_checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"v{version}.stats.parquet")
+
+    def _write_stats_checkpoint(
+        self, version: int, files: list[str], file_stats: dict
+    ) -> None:
+        """Long-format per-(file, column) min/max stats as PARQUET next
+        to the JSON manifest — Delta's checkpoint-file move.  The JSON
+        manifest stays the commit token; this is the snapshot metadata
+        in a form a CLUSTER can scan, which is what lifts the
+        driver-resident ceiling: at 10^6+ files the driver no longer
+        loops a Python dict to prune (see
+        :meth:`prune_files_distributed`), it runs one small Spark job
+        over this relation and collects only the SURVIVING file list
+        (the part that must reach ``spark.read`` anyway).
+
+        One membership row per file (``col`` NULL, carries row count),
+        plus one row per stats column.  Numeric bounds keep an exact
+        int64 image when integral and a double image always;
+        ``num_exact`` records whether the double image is faithful
+        (|v| < 2^53) so distributed comparisons can refuse the lossy
+        case exactly like the driver path refuses unknown kinds."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        recs: list[dict] = []
+        for f in files:
+            st = file_stats.get(f) or {}
+            recs.append({"file": f, "n_rows": st.get("rows")})
+            for cname, (mn, mx) in (st.get("minmax") or {}).items():
+                r: dict = {"file": f, "n_rows": st.get("rows"), "col": cname}
+                if isinstance(mn, bool) or isinstance(mx, bool):
+                    continue
+                if isinstance(mn, (int, float)):
+                    if isinstance(mn, int) and isinstance(mx, int):
+                        r["min_int"], r["max_int"] = mn, mx
+                    r["min_num"], r["max_num"] = float(mn), float(mx)
+                    r["num_exact"] = (
+                        abs(mn) < self._EXACT_DOUBLE
+                        and abs(mx) < self._EXACT_DOUBLE
+                    )
+                elif isinstance(mn, str):
+                    r["min_str"], r["max_str"] = mn, mx
+                else:
+                    continue
+                recs.append(r)
+        schema = pa.schema(
+            [
+                ("file", pa.string()),
+                ("n_rows", pa.int64()),
+                ("col", pa.string()),
+                ("min_int", pa.int64()),
+                ("max_int", pa.int64()),
+                ("min_num", pa.float64()),
+                ("max_num", pa.float64()),
+                ("num_exact", pa.bool_()),
+                ("min_str", pa.string()),
+                ("max_str", pa.string()),
+            ]
+        )
+        table = pa.Table.from_pylist(recs, schema=schema)
+        tmp = os.path.join(self.log_dir, f".v{version}.stats.parquet.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, self._stats_checkpoint_path(version))
+
+    def stats_relation(self, spark: SparkSession, version: int | None = None):
+        """The snapshot's per-file stats as a DataFrame (reads the
+        parquet checkpoint; falls back to materializing the JSON
+        manifest for tables written before checkpoints existed)."""
+        v = self.version() if version is None else version
+        path = self._stats_checkpoint_path(v)
+        if not os.path.exists(path):
+            m = self._manifest(v)
+            self._write_stats_checkpoint(
+                v, m["files"], m.get("file_stats", {})
+            )
+        return spark.read.parquet(path)
 
     @classmethod
     def create(
@@ -449,11 +531,154 @@ class LakeTable:
 
         return [f for f in m["files"] if may_match(f)]
 
+    def prune_files_distributed(
+        self,
+        spark: SparkSession,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> list[str]:
+        """:meth:`prune_files` evaluated as a SPARK JOB over the parquet
+        stats checkpoint instead of a driver loop over the JSON
+        manifest — the 100 TB path: at 10^6 files the driver-side dict
+        walk becomes the scan planner's bottleneck, while this runs one
+        small distributed filter and collects only the SURVIVORS (the
+        list that must reach ``spark.read`` regardless).  Same
+        conservative contract, proven by
+        ``tests/test_lakehouse.py::test_distributed_pruning_matches_driver``:
+        a file is dropped only on an explicit disjointness proof, and
+        every comparison the driver refuses (mixed kinds, temporal
+        shape mismatch, lossy int→double images) is refused here too
+        via the ``num_exact`` column and the same shape guards."""
+        import re
+
+        v = self.version() if version is None else version
+        rel = self.stats_relation(spark, v)
+        temporal = re.compile(r"^\d{4}-\d{2}-\d{2}")
+        offset = re.compile(r"(Z|[+-]\d{2}:\d{2})$")
+
+        def op_disjoint(op, mn, mx, lo, hi):
+            if op == ">=":
+                return mx < lo
+            if op == ">":
+                return mx <= lo
+            if op == "<=":
+                return mn > lo
+            if op == "<":
+                return mn >= lo
+            if op == "=":
+                return (lo < mn) | (lo > mx)
+            if op == "between":
+                return (mx < lo) | (mn > hi)
+            return F.lit(False)
+
+        def str_shape_guard(vals):
+            # mirror of prune_files.comparable(): if EITHER side is
+            # temporal-shaped, require identical length and no tz
+            # offset on either side
+            if any(offset.search(x) for x in vals):
+                return F.lit(False)
+            lens = {len(x) for x in vals}
+            stats_temp = F.col("min_str").rlike(temporal.pattern) | F.col(
+                "max_str"
+            ).rlike(temporal.pattern)
+            same_len = (
+                (F.length("min_str") == F.lit(min(lens)))
+                & (F.length("max_str") == F.lit(min(lens)))
+                & ~F.col("min_str").rlike(offset.pattern)
+                & ~F.col("max_str").rlike(offset.pattern)
+                if len(lens) == 1
+                else F.lit(False)
+            )
+            if any(temporal.match(x) for x in vals):
+                return same_len
+            return F.when(stats_temp, same_len).otherwise(F.lit(True))
+
+        def pred_expr(colname, op, value):
+            if op == "between":
+                lo, hi = (self._normalize_bound(x) for x in value)
+            else:
+                lo, hi = self._normalize_bound(value), None
+            vals = [lo] if hi is None else [lo, hi]
+            if any(isinstance(x, bool) for x in vals):
+                return None
+            base = F.col("col") == colname
+            if all(isinstance(x, (int, float)) for x in vals):
+                exprs = []
+                if all(isinstance(x, int) for x in vals):
+                    exprs.append(
+                        base
+                        & F.col("min_int").isNotNull()
+                        & op_disjoint(
+                            op,
+                            F.col("min_int"),
+                            F.col("max_int"),
+                            F.lit(lo),
+                            F.lit(hi) if hi is not None else None,
+                        )
+                    )
+                # double image: every float is an exact double; an int
+                # participates only below 2^53 (else the image lies)
+                if all(
+                    not isinstance(x, int) or abs(x) < self._EXACT_DOUBLE
+                    for x in vals
+                ):
+                    exprs.append(
+                        base
+                        & F.col("min_int").isNull()
+                        & F.col("min_num").isNotNull()
+                        & F.col("num_exact")
+                        & op_disjoint(
+                            op,
+                            F.col("min_num"),
+                            F.col("max_num"),
+                            F.lit(float(lo)),
+                            F.lit(float(hi)) if hi is not None else None,
+                        )
+                    )
+                out = None
+                for e in exprs:
+                    out = e if out is None else (out | e)
+                return out
+            if all(isinstance(x, str) for x in vals):
+                return (
+                    base
+                    & F.col("min_str").isNotNull()
+                    & str_shape_guard(vals)
+                    & op_disjoint(
+                        op,
+                        F.col("min_str"),
+                        F.col("max_str"),
+                        F.lit(lo),
+                        F.lit(hi) if hi is not None else None,
+                    )
+                )
+            return None  # mixed-kind predicate: no proof possible
+
+        proofs = None
+        for colname, op, value in predicates or []:
+            e = pred_expr(colname, op, value)
+            if e is not None:
+                proofs = e if proofs is None else (proofs | e)
+        members = rel.filter(F.col("col").isNull()).select("file", "n_rows")
+        bad = members.filter(F.col("n_rows") == 0).select("file")
+        if proofs is not None:
+            bad = bad.unionByName(
+                rel.filter(F.col("col").isNotNull() & proofs).select("file")
+            )
+        survivors = {
+            r.file
+            for r in members.select("file")
+            .join(bad.distinct(), "file", "left_anti")
+            .collect()
+        }
+        return [f for f in self._manifest(v)["files"] if f in survivors]
+
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
         prune: list[tuple] | None = None,
+        prune_via: str = "driver",
     ) -> DataFrame:
         """Snapshot scan (S6): read exactly the manifest's file list with
         the stored schema (no inference/listing job) and ``basePath`` set
@@ -463,11 +688,18 @@ class LakeTable:
         ``prune`` applies manifest-level data skipping (see
         :meth:`prune_files`) — the caller STILL applies the same
         predicate as a normal ``filter`` (skipping is a file-set
-        optimization, not a row filter)."""
+        optimization, not a row filter).  ``prune_via="spark"`` routes
+        the skipping decision through the parquet stats checkpoint as
+        a distributed job (:meth:`prune_files_distributed`) — same
+        survivors, no driver manifest walk; the scale default past
+        ~10^5 files."""
         v = self.version() if version is None else version
         m = self._manifest(v)
         schema = StructType.fromJson(m["schema"])
-        files = self.prune_files(prune, v) if prune else m["files"]
+        if prune and prune_via == "spark":
+            files = self.prune_files_distributed(spark, prune, v)
+        else:
+            files = self.prune_files(prune, v) if prune else m["files"]
         if not files:
             return spark.createDataFrame([], schema)
         paths = [os.path.join(self.data_dir, f) for f in files]

@@ -300,3 +300,60 @@ def q_table_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "q_table_skipping_dist",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                          AND TIMESTAMP '1996-12-31 23:59:59.999999'
+      AND o_totalprice >= 1000.0
+    """,
+)
+def q_table_skipping_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping decided by a SPARK JOB over the parquet stats
+    checkpoint (``prune_via="spark"`` →
+    lakehouse/table.py:prune_files_distributed) — the Delta
+    checkpoint-file move that lifts the driver-resident-manifest
+    ceiling: at 10^6 files the scan planner no longer walks a Python
+    dict per predicate, it filters a long-format (file, column,
+    min/max) relation distributed and collects only the survivors.
+    Compound predicate on purpose: a temporal BETWEEN plus a numeric
+    bound exercise both typed comparison lanes (canonical temporal
+    strings with the shape guard; exact int64/double images with the
+    ``num_exact`` lossiness gate).  The oracle hash pins that the
+    distributed prune drops no matching row; the in-code assert pins
+    that it actually skips files."""
+    import datetime
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    path = scratch_dir("q_table_skipping_dist", fresh=True) + "/orders_tbl"
+    t = LakeTable.create(orders, path)
+    t.optimize(spark, target_partitions=8, cluster_by=["o_orderdate"])
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 12, 31, 23, 59, 59, 999999)
+    pred = [
+        ("o_orderdate", "between", (lo, hi)),
+        ("o_totalprice", ">=", 1000.0),
+    ]
+    kept = t.prune_files_distributed(spark, pred)
+    assert 0 < len(kept) < len(t.files()), (
+        f"distributed skipping ineffective: kept {len(kept)}/{len(t.files())}"
+    )
+    return (
+        t.read(spark, prune=pred, prune_via="spark")
+        .filter(
+            F.col("o_orderdate").between(F.lit(lo), F.lit(hi))
+            & (F.col("o_totalprice") >= 1000.0)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -570,3 +570,68 @@ def test_delta_flag_behavior(monkeypatch):
 
         with _pytest.raises(ImportError, match="delta-spark"):
             DA.require_delta()
+
+
+def test_distributed_pruning_matches_driver(spark, tmp_path):
+    """prune_files_distributed (Spark job over the parquet stats
+    checkpoint) must return exactly the driver loop's survivors for
+    every predicate kind: numeric range, string equality, temporal
+    bounds incl. the cross-shape cases the driver refuses, between,
+    and provably-empty files."""
+    import datetime
+
+    df = spark.sql(
+        "SELECT id AS k, CAST(id AS DOUBLE) AS v,"
+        "       concat('s', lpad(CAST(id % 7 AS STRING), 2, '0')) AS s,"
+        "       date_add(DATE '1996-12-30', CAST(id % 40 AS INT)) AS d,"
+        "       CAST(date_add(DATE '1996-12-30', CAST(id % 40 AS INT))"
+        "            AS TIMESTAMP) AS ts "
+        "FROM range(1000)"
+    )
+    t = LakeTable.create(df, str(tmp_path / "t"))
+    t.optimize(spark, target_partitions=8, cluster_by=["k"])
+    cases = [
+        [("k", ">=", 900)],
+        [("k", "<", 10)],
+        [("k", "=", 500)],
+        [("k", "between", (100, 200))],
+        [("v", ">", 950.0)],
+        [("s", ">=", "s05")],
+        [("d", ">", datetime.date(1997, 1, 20))],
+        [("d", ">=", datetime.datetime(1997, 1, 2))],   # cross-shape: keep all
+        [("ts", ">", datetime.datetime(1997, 1, 20))],
+        [("nope", ">=", 5)],                             # unknown col
+        [("k", ">=", True)],                             # bool: unusable
+        [("k", ">=", 900), ("v", "<", 100.0)],           # conjunction
+    ]
+    for pred in cases:
+        drv = t.prune_files(pred)
+        dist = t.prune_files_distributed(spark, pred)
+        assert dist == drv, f"mismatch for {pred}: {dist} != {drv}"
+        # result-transparent through read(prune_via='spark')
+    rows = sorted(
+        r.k
+        for r in t.read(spark, prune=[("k", ">=", 900)], prune_via="spark")
+        .filter(F.col("k") >= 900)
+        .collect()
+    )
+    assert rows == list(range(900, 1000))
+
+
+def test_stats_checkpoint_written_and_fallback(spark, df3, tmp_path):
+    """Every commit writes the parquet stats checkpoint next to the
+    JSON manifest; for pre-checkpoint tables stats_relation
+    materializes it on first use from the JSON."""
+    import os as _os
+
+    t = LakeTable.create(df3, str(tmp_path / "t"))
+    ck = t._stats_checkpoint_path(0)
+    assert _os.path.exists(ck)
+    rel = t.stats_relation(spark)
+    members = rel.filter(F.col("col").isNull()).count()
+    assert members == len(t.files())
+    # fallback path: delete the checkpoint, relation rebuilds from JSON
+    _os.remove(ck)
+    rel2 = t.stats_relation(spark)
+    assert rel2.filter(F.col("col").isNull()).count() == members
+    assert _os.path.exists(ck)
