@@ -186,6 +186,7 @@ def triangle_counts(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts via the degree-oriented wedge algorithm
     (MapReduce triangle counting with the low-degree-first refinement).
@@ -200,8 +201,12 @@ def triangle_counts(
     # checkpointed: three consumers (both wedge arms + the closing
     # join) would otherwise each replay the caller's edge-building
     # subtree AND the degree join — for q_triangle_count that subtree
-    # is itself a join, measured ~2x query time un-checkpointed
-    o = oriented_edges(edges, src_col, dst_col).localCheckpoint(eager=True)
+    # is itself a join, measured ~2x query time un-checkpointed.
+    # ``materialize=False`` keeps the full lineage visible for plan
+    # assertions (tests/test_plans.py scan-schema checks).
+    o = oriented_edges(edges, src_col, dst_col)
+    if materialize:
+        o = o.localCheckpoint(eager=True)
     w1 = o.select("x", F.col("y").alias("b"), F.col("ry").alias("rb"))
     w2 = o.select("x", F.col("y").alias("c"), F.col("ry").alias("rc"))
     wedges = w1.join(w2, "x").filter(F.col("rb") < F.col("rc"))

@@ -61,6 +61,13 @@ from pyspark.sql.window import Window
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A concurrent writer committed the version this operation was
+    about to publish (optimistic-concurrency loser — Delta's
+    ConcurrentModificationException twin). Retry re-reads the winner's
+    snapshot."""
 # Above this many touched partitions a scoped rewrite loses: the
 # OR-of-ANDs pruning predicate grows linearly and the rewrite
 # approaches O(table) anyway — fall back to a plain full rewrite.
@@ -173,12 +180,33 @@ class LakeTable:
         return list(self._manifest(v)["files"])
 
     def _commit(self, version: int, manifest: dict) -> None:
+        """Atomic publish with optimistic concurrency (Delta's
+        ConcurrentModificationException semantics): the version file is
+        created via ``os.link`` — create-if-absent is atomic on POSIX —
+        so of two writers that both staged against the same base
+        snapshot, exactly one wins the version number and the loser
+        raises :class:`ConcurrentWriteError` instead of silently
+        clobbering the winner's manifest.  The loser's staged data
+        files are orphans referenced by no manifest; re-running the
+        loser's operation re-reads the winner's snapshot (correct
+        retry semantics), and orphans are swept by vacuum."""
         os.makedirs(self.log_dir, exist_ok=True)
-        tmp = os.path.join(self.log_dir, f".v{version}.json.tmp")
+        tmp = os.path.join(
+            self.log_dir, f".v{version}-{uuid.uuid4().hex[:8]}.json.tmp"
+        )
         final = os.path.join(self.log_dir, f"v{version}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=2)
-        os.replace(tmp, final)  # atomic publish
+        try:
+            os.link(tmp, final)  # atomic create-if-absent publish
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {version} of {self.path} was committed by a "
+                "concurrent writer after this operation read its base "
+                "snapshot; re-run the operation against the new version"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     # -- writes ------------------------------------------------------------
     def _stage_files(
@@ -843,6 +871,36 @@ class LakeTable:
         table columns absent from the source are kept (inserted rows
         get NULL). Without the flag any column-set difference raises.
         """
+        staged = self.stage_merge(
+            spark,
+            source,
+            key,
+            latest_by=latest_by,
+            evolve_schema=evolve_schema,
+        )
+        return self.publish(staged)
+
+    def stage_merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key: Iterable[str],
+        latest_by: str | None = None,
+        evolve_schema: bool = False,
+    ) -> "StagedCommit":
+        """Write-audit-publish: run the full MERGE plan and WRITE its
+        data files, but do NOT commit — the candidate snapshot is
+        returned as a :class:`StagedCommit` whose ``read()`` serves it
+        for audit queries (DQ gates, row-count deltas, FK checks — the
+        table-level analog of the reference's row-level reject gates,
+        jobs/order_glue_job.py validate steps).  ``publish()`` makes it
+        the next version atomically (losing an optimistic-concurrency
+        race raises, exactly like a direct merge); ``abort()`` removes
+        the staged files.  Until published, readers of the table see
+        nothing: staged files are referenced by no manifest — the same
+        uncommitted-files mechanism Delta/Iceberg WAP uses.  An
+        abandoned stage (crash between stage and publish) is an orphan
+        swept by the next vacuum."""
         key = list(key)
         prev_v = self.version()
         m = self._manifest(prev_v)
@@ -937,15 +995,39 @@ class LakeTable:
         # merged.schema, not the stored one: picks up evolved columns;
         # identical to the stored schema when no evolution happened
         # (all merge paths preserve target column order).
-        self._commit_version(
+        return StagedCommit(
+            self,
             new_version,
             "merge",
             partition_by,
             sorted(carry + new_files),
             merged.schema,
         )
+
+    def publish(self, staged: "StagedCommit") -> int:
+        """Commit a staged snapshot as the next version (atomic;
+        :class:`ConcurrentWriteError` if another writer took the
+        version number — re-stage against the new snapshot to retry)."""
+        self._commit_version(
+            staged.version,
+            staged.operation,
+            staged.partition_by,
+            staged.files,
+            staged.schema,
+        )
         self._vacuum(keep=self.retain_versions)
-        return new_version
+        return staged.version
+
+    def abort(self, staged: "StagedCommit") -> None:
+        """Discard a staged snapshot: delete only the files the stage
+        wrote (version-tagged names), never carryover files owned by
+        published manifests."""
+        tag = f"v{staged.version}-"
+        for f in staged.files:
+            if os.path.basename(f).startswith(tag):
+                p = os.path.join(self.data_dir, f)
+                if os.path.exists(p):
+                    os.remove(p)
 
     def delete(self, spark: SparkSession, condition: F.Column) -> int:
         """Keyed/predicate DELETE (Delta ``DELETE FROM t WHERE cond``
@@ -1159,6 +1241,43 @@ class LakeTable:
                     os.remove(os.path.join(root, fname))
             if root != self.data_dir and not os.listdir(root):
                 os.rmdir(root)
+
+
+class StagedCommit:
+    """A fully-written but uncommitted snapshot (write-audit-publish).
+
+    Holds everything :meth:`LakeTable.publish` needs to make it the
+    next version; :meth:`read` serves the candidate snapshot for audit
+    queries without any manifest existing for it."""
+
+    def __init__(
+        self,
+        table: "LakeTable",
+        version: int,
+        operation: str,
+        partition_by: list[str],
+        files: list[str],
+        schema: StructType,
+    ):
+        self.table = table
+        self.version = version
+        self.operation = operation
+        self.partition_by = partition_by
+        self.files = files
+        self.schema = schema
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The candidate snapshot exactly as it would read after
+        publish (same pinned-schema file-list scan as
+        :meth:`LakeTable.read`)."""
+        if not self.files:
+            return spark.createDataFrame([], self.schema)
+        paths = [os.path.join(self.table.data_dir, f) for f in self.files]
+        return (
+            spark.read.option("basePath", self.table.data_dir)
+            .schema(self.schema)
+            .parquet(*paths)
+        )
 
 
 def create_or_merge(

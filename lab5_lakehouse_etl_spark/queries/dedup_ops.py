@@ -374,9 +374,20 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     side carries the skew-safe plan."""
     from ..functions.graph import triangle_counts
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars"
+    docs = load_table(spark, sf_dir, "documents")
+    return triangle_counts(similarity_edges(docs)).select(
+        F.col("node").alias("doc_id"), "n_triangles"
     )
+
+
+def similarity_edges(docs: DataFrame) -> DataFrame:
+    """The deterministic doc-similarity graph shared by the graph
+    queries: same (lang, source) and |Δ n_chars| <= 20, one (src < dst)
+    row per undirected edge.  Exposed as a function so plan tests can
+    assert scan-side column pruning on compositions that internally
+    materialize (triangle_counts' checkpoint hides upstream lineage
+    from the final plan)."""
+    docs = docs.select("doc_id", "lang", "source", "n_chars")
     a = docs.select(
         F.col("doc_id").alias("src"), "lang", "source",
         F.col("n_chars").alias("na"),
@@ -385,16 +396,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("dst"), F.col("lang").alias("lang_b"),
         F.col("source").alias("source_b"), F.col("n_chars").alias("nb"),
     )
-    edges = a.join(
+    return a.join(
         b,
         (F.col("lang") == F.col("lang_b"))
         & (F.col("source") == F.col("source_b"))
         & (F.abs(F.col("na") - F.col("nb")) <= 20)
         & (F.col("src") < F.col("dst")),
     ).select("src", "dst")
-    return triangle_counts(edges).select(
-        F.col("node").alias("doc_id"), "n_triangles"
-    )
 
 
 def _pagerank_oracle(n_iter: int = 5) -> str:

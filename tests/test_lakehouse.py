@@ -635,3 +635,77 @@ def test_stats_checkpoint_written_and_fallback(spark, df3, tmp_path):
     rel2 = t.stats_relation(spark)
     assert rel2.filter(F.col("col").isNull()).count() == members
     assert _os.path.exists(ck)
+
+
+def test_concurrent_commit_loser_raises(spark, df3, tmp_path):
+    """Optimistic concurrency: if another writer publishes the version
+    this operation staged against, the commit must raise
+    ConcurrentWriteError — never clobber the winner's manifest — and a
+    retry against the advanced snapshot must succeed."""
+    import json as _json
+    import os as _os
+
+    from lab5_lakehouse_etl_spark.lakehouse.table import ConcurrentWriteError
+
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path)
+    # both writers read base v0 and target v1; the winner publishes
+    # first (the loser's version() + 1 is now stale)
+    target = t.version() + 1
+    winner = dict(t._manifest(0), version=target, operation="concurrent")
+    with open(_os.path.join(t.log_dir, f"v{target}.json"), "w") as fh:
+        _json.dump(winner, fh)
+    loser = dict(t._manifest(0), version=target, operation="loser")
+    with pytest.raises(ConcurrentWriteError, match="concurrent writer"):
+        t._commit(target, loser)
+    # winner's manifest untouched, no stray tmp files left behind
+    assert t._manifest(target)["operation"] == "concurrent"
+    assert not [f for f in _os.listdir(t.log_dir) if f.endswith(".tmp")]
+    # a fresh operation re-reads the advanced snapshot and lands v2
+    source = spark.createDataFrame(
+        [(9, "z", 1.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    t.merge(spark, source, key=["k"])
+    assert t.version() == 2
+    assert {r.k for r in t.read(spark).collect()} == {1, 2, 3, 9}
+
+
+def test_write_audit_publish(spark, df3, tmp_path):
+    """WAP: stage_merge writes data files but commits nothing — the
+    table is unchanged and the staged snapshot is auditable; publish
+    makes it the next version atomically; abort removes exactly the
+    staged files (never carryover) and leaves the table untouched."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path, partition_by=["part"])
+    source = spark.createDataFrame(
+        [(2, "b", 99.0), (4, "c", 40.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    staged = t.stage_merge(spark, source, key=["k"])
+    # nothing committed: table still serves v0
+    assert t.version() == 0
+    assert {r.k: r.v for r in t.read(spark).collect()} == {
+        1: 10.0, 2: 20.0, 3: 30.0,
+    }
+    # audit the candidate snapshot (the DQ-gate hook)
+    audit = {r.k: r.v for r in staged.read(spark).collect()}
+    assert audit == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+    # publish: candidate becomes v1
+    assert t.publish(staged) == 1
+    assert {r.k: r.v for r in t.read(spark).collect()} == audit
+
+    # second stage, this time audited-and-rejected
+    bad = spark.createDataFrame(
+        [(5, "d", -1.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    staged2 = t.stage_merge(spark, bad, key=["k"])
+    assert staged2.read(spark).filter(F.col("v") < 0).count() == 1  # audit fails
+    carry_before = [f for f in staged2.files if not f.split("/")[-1].startswith("v2-")]
+    t.abort(staged2)
+    # staged files gone, carryover intact, table unchanged
+    import os as _os
+
+    for f in staged2.files:
+        exists = _os.path.exists(_os.path.join(t.data_dir, f))
+        assert exists == (f in carry_before), f
+    assert t.version() == 1
+    assert {r.k for r in t.read(spark).collect()} == {1, 2, 3, 4}
