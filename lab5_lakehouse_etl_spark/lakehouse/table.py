@@ -1151,12 +1151,42 @@ class LakeTable:
             .unionByName(deletes)
         )
 
+    def append(self, spark: SparkSession, source: DataFrame) -> int:
+        """Blind INSERT ALL (Delta ``mode("append")`` parity): stage the
+        source rows as NEW files and commit prev ∪ new — no key
+        matching, no rewrite, no read of existing data.  The O(new
+        rows) ingest path (MERGE is O(touched partitions)); the cost is
+        small-file accumulation, which incremental
+        ``optimize(max_file_bytes=...)`` repays."""
+        prev_v = self.version()
+        m = self._manifest(prev_v)
+        partition_by: list[str] = m["partition_by"]
+        schema = StructType.fromJson(m["schema"])
+        if set(source.columns) != {f.name for f in schema.fields}:
+            raise ValueError(
+                f"append schema mismatch: table {sorted(f.name for f in schema.fields)} "
+                f"vs source {sorted(source.columns)}"
+            )
+        source = source.select(*[f.name for f in schema.fields])
+        new_version = prev_v + 1
+        new_files = self._stage_files(source, new_version, partition_by)
+        self._commit_version(
+            new_version,
+            "append",
+            partition_by,
+            sorted(list(m["files"]) + new_files),
+            schema,
+        )
+        self._vacuum(keep=self.retain_versions)
+        return new_version
+
     def optimize(
         self,
         spark: SparkSession,
         target_partitions: int = 1,
         cluster_by: Iterable[str] = (),
         zorder_by: Iterable[str] = (),
+        max_file_bytes: int | None = None,
     ) -> int:
         """Small-file compaction (Delta ``OPTIMIZE`` parity). Streaming
         merges and per-batch upserts accumulate many small parquet
@@ -1186,7 +1216,18 @@ class LakeTable:
         predicates on ANY of the columns — the property linear
         ``cluster_by`` only gives the leading column. Numeric columns
         only (quantile ranks need an ordered domain); one extra scan for
-        the sketch + the same single range shuffle as ``cluster_by``."""
+        the sketch + the same single range shuffle as ``cluster_by``.
+
+        ``max_file_bytes`` switches to INCREMENTAL compaction (Delta's
+        actual OPTIMIZE semantics — it only rewrites files below
+        minFileSize): only files smaller than the threshold are read
+        and rebinned; files already at healthy size carry over BY
+        REFERENCE, so repeated OPTIMIZE after append-heavy ingest is
+        O(small files), not O(table).  Plain compaction only
+        (clustering must see every row, so ``cluster_by``/``zorder_by``
+        reject the flag); a snapshot with fewer than two small files
+        is already optimal and returns the current version without
+        committing."""
         prev_v = self.version()
         m = self._manifest(prev_v)
         partition_by: list[str] = m["partition_by"]
@@ -1194,6 +1235,39 @@ class LakeTable:
         zorder_by = list(zorder_by)
         if cluster_by and zorder_by:
             raise ValueError("pass cluster_by or zorder_by, not both")
+        if max_file_bytes is not None:
+            if cluster_by or zorder_by:
+                raise ValueError(
+                    "max_file_bytes is incremental plain compaction; "
+                    "clustering rewrites every row — drop one or the other"
+                )
+            schema = StructType.fromJson(m["schema"])
+            small = [
+                f
+                for f in m["files"]
+                if os.path.getsize(os.path.join(self.data_dir, f))
+                < max_file_bytes
+            ]
+            if len(small) < 2:
+                return prev_v  # nothing worth compacting
+            carry = [f for f in m["files"] if f not in set(small)]
+            small_df = (
+                spark.read.option("basePath", self.data_dir)
+                .schema(schema)
+                .parquet(*[os.path.join(self.data_dir, f) for f in small])
+            )
+            compacted = small_df.coalesce(target_partitions)
+            new_version = prev_v + 1
+            new_files = self._stage_files(compacted, new_version, partition_by)
+            self._commit_version(
+                new_version,
+                "optimize",
+                partition_by,
+                sorted(carry + new_files),
+                schema,
+            )
+            self._vacuum(keep=self.retain_versions)
+            return new_version
         snapshot = self.read(spark)
         if zorder_by:
             z = _zvalue(snapshot, zorder_by)

@@ -709,3 +709,57 @@ def test_write_audit_publish(spark, df3, tmp_path):
         assert exists == (f in carry_before), f
     assert t.version() == 1
     assert {r.k for r in t.read(spark).collect()} == {1, 2, 3, 4}
+
+
+def test_append_blind_insert(spark, df3, tmp_path):
+    """append(): O(new rows) ingest — no key matching, no rewrite of
+    existing files; schema must match; CDF/time-travel see it as a new
+    version."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path)
+    v0_files = set(t.files())
+    more = spark.createDataFrame(
+        [(2, "b", 99.0), (9, "z", 1.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    assert t.append(spark, more) == 1
+    # old files untouched and still referenced; duplicates allowed (blind)
+    assert v0_files <= set(t.files())
+    rows = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert rows == [(1, 10.0), (2, 20.0), (2, 99.0), (3, 30.0), (9, 1.0)]
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        t.append(spark, spark.createDataFrame([(1, "x")], "k BIGINT, other STRING"))
+
+
+def test_incremental_optimize_compacts_only_small_files(spark, tmp_path):
+    """optimize(max_file_bytes=...): append-accumulated small files are
+    rebinned, the healthy big file carries over BY REFERENCE, rows are
+    unchanged, and an already-optimal snapshot is a no-op (no new
+    version)."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    big = spark.range(0, 200_000).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS part", "CAST(id AS DOUBLE) AS v"
+    )
+    t = LakeTable.create(big.coalesce(1), path)
+    assert len(t.files()) == 1
+    big_file = t.files()[0]
+    for i in range(3):  # small-file accumulation via appends
+        t.append(
+            spark,
+            spark.createDataFrame(
+                [(1_000_000 + i, "s", 0.5)], "k BIGINT, part STRING, v DOUBLE"
+            ).coalesce(1),
+        )
+    assert len(t.files()) == 4
+    threshold = _os.path.getsize(_os.path.join(t.data_dir, big_file))
+    v = t.optimize(spark, max_file_bytes=threshold)
+    assert v == 4
+    files = t.files()
+    assert big_file in files            # carried by reference
+    assert len(files) == 2              # big + one compacted bin
+    assert t.read(spark).count() == 200_003
+    # already optimal: no-op, version unchanged
+    assert t.optimize(spark, max_file_bytes=threshold) == 4
+    with pytest.raises(ValueError, match="incremental"):
+        t.optimize(spark, max_file_bytes=1024, cluster_by=["k"])
