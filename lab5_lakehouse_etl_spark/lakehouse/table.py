@@ -1180,6 +1180,41 @@ class LakeTable:
         self._vacuum(keep=self.retain_versions)
         return new_version
 
+    def restore(self, spark: SparkSession, version: int) -> int:
+        """``RESTORE TABLE ... TO VERSION AS OF v`` (Delta parity):
+        commit a NEW version whose file list is the target snapshot's —
+        a metadata-only rollback (no data movement, history preserved,
+        the bad versions stay queryable for forensics).  Only possible
+        while the target's files survive vacuum: with the default
+        ``retain_versions=2`` that means the previous version; raise
+        retention for a deeper rollback horizon.  Restoring to a
+        vacuumed snapshot raises instead of committing a manifest whose
+        files are gone."""
+        prev_v = self.version()
+        m = self._manifest(version)
+        missing = [
+            f
+            for f in m["files"]
+            if not os.path.exists(os.path.join(self.data_dir, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore {self.path} to v{version}: "
+                f"{len(missing)} of its files were vacuumed "
+                f"(first: {missing[0]}); raise retain_versions to keep "
+                "a deeper rollback horizon"
+            )
+        new_version = prev_v + 1
+        self._commit_version(
+            new_version,
+            "restore",
+            m["partition_by"],
+            list(m["files"]),
+            StructType.fromJson(m["schema"]),
+        )
+        self._vacuum(keep=self.retain_versions)
+        return new_version
+
     def optimize(
         self,
         spark: SparkSession,

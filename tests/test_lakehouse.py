@@ -763,3 +763,31 @@ def test_incremental_optimize_compacts_only_small_files(spark, tmp_path):
     assert t.optimize(spark, max_file_bytes=threshold) == 4
     with pytest.raises(ValueError, match="incremental"):
         t.optimize(spark, max_file_bytes=1024, cluster_by=["k"])
+
+
+def test_restore_metadata_only_rollback(spark, df3, tmp_path):
+    """restore(): rollback as a NEW version referencing the target
+    snapshot's files — no data movement, bad version stays queryable;
+    restoring past the vacuum horizon raises."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path)
+    bad = spark.createDataFrame(
+        [(2, "b", -999.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    t.merge(spark, bad, key=["k"])
+    assert t.version() == 1
+    v = t.restore(spark, 0)
+    assert v == 2
+    assert {r.k: r.v for r in t.read(spark).collect()} == {
+        1: 10.0, 2: 20.0, 3: 30.0,
+    }
+    # same files as v0, no new data written; bad version still queryable
+    assert t.files(2) == t.files(0)
+    assert {r.v for r in t.read(spark, version=1).collect() if r.k == 2} == {-999.0}
+    assert [m["operation"] for m in t.history()] == ["create", "merge", "restore"]
+    # push v0's files past the vacuum horizon (retain 2: v2's files ==
+    # v0's, so two more rewriting commits evict them)
+    t.delete(spark, F.col("k") == 1)
+    t.delete(spark, F.col("k") == 2)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(spark, 0)
