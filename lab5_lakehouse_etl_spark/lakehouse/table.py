@@ -104,6 +104,26 @@ def _partition_dirname(partition_by: list[str], values: tuple) -> str:
     )
 
 
+def _unescape_partition_value(s: str) -> str | None:
+    """Inverse of :func:`_escape_partition_value` (Hive
+    unescapePathName); ``None`` for the default (null) partition."""
+    if s == _HIVE_DEFAULT_PARTITION:
+        return None
+    out = []
+    i = 0
+    while i < len(s):
+        if s[i] == "%" and i + 3 <= len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
 def _zvalue(df: DataFrame, cols: list[str], bits: int = 4) -> F.Column:
     """Bit-interleaved z-order key: per-column quantile bucket rank
     (2**bits buckets from driver-side ``approxQuantile`` boundaries —
@@ -343,6 +363,8 @@ class LakeTable:
             f: prev_stats[f] if f in prev_stats else self._footer_stats(f)
             for f in files
         }
+        if partition_by:
+            self._add_partition_stats(file_stats, partition_by, schema)
         self._commit(
             version,
             {
@@ -356,6 +378,59 @@ class LakeTable:
             },
         )
         self._write_stats_checkpoint(version, files, file_stats)
+
+    @staticmethod
+    def _add_partition_stats(
+        file_stats: dict, partition_by: list[str], schema: StructType
+    ) -> None:
+        """Partition-column min/max derived from each file's hive dir
+        values: partition columns never appear in parquet footers (they
+        live in the path), so without this a predicate on the PARTITION
+        column — the most common pruning predicate on a partitioned
+        table — could never skip at the manifest.  Each file carries
+        exactly one value per partition column ([v, v] bounds), coerced
+        to the same canonical kind footer stats use (ints/floats
+        native, date/timestamp via the canonical temporal form);
+        null/default partitions and uncoercible values contribute no
+        stats (conservative)."""
+        import datetime
+
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+
+        def coerce(col: str, raw: str):
+            t = types.get(col, "")
+            try:
+                if t in ("tinyint", "smallint", "int", "bigint"):
+                    return int(raw)
+                if t in ("float", "double"):
+                    return float(raw)
+                if t == "date":
+                    return datetime.date.fromisoformat(raw).isoformat()
+                if t.startswith("timestamp"):
+                    return LakeTable._normalize_bound(
+                        datetime.datetime.fromisoformat(raw.replace(" ", "T"))
+                    )
+                if t == "string":
+                    return raw
+            except (ValueError, TypeError):
+                return None
+            return None  # bool/decimal/nested: no partition stats
+
+        for f, st in file_stats.items():
+            parts = f.split("/")[:-1][: len(partition_by)]
+            minmax = st.setdefault("minmax", {})
+            for seg in parts:
+                if "=" not in seg:
+                    continue
+                col, _, enc = seg.partition("=")
+                if col not in partition_by or col in minmax:
+                    continue
+                raw = _unescape_partition_value(enc)
+                if raw is None:
+                    continue
+                v = coerce(col, raw)
+                if v is not None:
+                    minmax[col] = [v, v]
 
     # -- parquet stats checkpoint (Delta checkpoint-file twin) -------------
     _EXACT_DOUBLE = 1 << 53  # |int| below this survives a double round-trip

@@ -791,3 +791,70 @@ def test_restore_metadata_only_rollback(spark, df3, tmp_path):
     t.delete(spark, F.col("k") == 2)
     with pytest.raises(ValueError, match="vacuumed"):
         t.restore(spark, 0)
+
+
+def test_partition_column_stats_enable_pruning(spark, tmp_path):
+    """Partition columns never appear in parquet footers, so their
+    min/max must come from the hive dir values: predicates on the
+    partition column — the most common pruning predicate — must skip
+    whole partitions at the MANIFEST, on the driver and the
+    distributed path alike, without ever dropping a matching row."""
+    import datetime
+
+    df = spark.sql(
+        "SELECT id AS k,"
+        "       CAST(id % 4 AS INT) AS bucket,"
+        "       concat('g', CAST(id % 3 AS STRING)) AS grp,"
+        "       date_add(DATE '1997-01-01', CAST(id % 5 AS INT)) AS d "
+        "FROM range(200)"
+    )
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df, path, partition_by=["bucket", "grp"])
+    files = t.files()
+    # int partition predicate prunes to the matching dirs only
+    kept = t.prune_files([("bucket", "=", 3)])
+    assert kept and all(f.startswith("bucket=3/") for f in kept)
+    assert set(kept) < set(files)
+    # string partition predicate, second-level dir
+    kept2 = t.prune_files([("grp", "=", "g1")])
+    assert kept2 and all("/grp=g1/" in f for f in kept2)
+    # distributed path agrees on every predicate shape
+    for pred in (
+        [("bucket", "=", 3)],
+        [("grp", ">=", "g2")],
+        [("bucket", "between", (1, 2)), ("grp", "=", "g0")],
+    ):
+        assert t.prune_files_distributed(spark, pred) == t.prune_files(pred)
+    # result-transparent
+    rows = sorted(
+        r.k
+        for r in t.read(spark, prune=[("bucket", "=", 3)])
+        .filter(F.col("bucket") == 3)
+        .collect()
+    )
+    assert rows == [k for k in range(200) if k % 4 == 3]
+
+    # DATE partition column: same-kind predicate prunes, cross-kind kept
+    t2 = LakeTable.create(df, str(tmp_path / "t2"), partition_by=["d"])
+    pred_d = [("d", "=", datetime.date(1997, 1, 3))]
+    kept_d = t2.prune_files(pred_d)
+    assert kept_d and all(f.startswith("d=1997-01-03/") for f in kept_d)
+    assert t2.prune_files_distributed(spark, pred_d) == kept_d
+    # datetime predicate vs date stats: conservative, keeps everything
+    assert (
+        t2.prune_files([("d", "=", datetime.datetime(1997, 1, 3))])
+        == t2.files()
+    )
+
+
+def test_partition_stats_null_partition_conservative(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None, 1.0), (2, "b", 2.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    t = LakeTable.create(df, str(tmp_path / "t"), partition_by=["part"])
+    # the null partition has no stats → every predicate keeps it
+    null_files = [f for f in t.files() if "__HIVE_DEFAULT_PARTITION__" in f]
+    assert null_files
+    kept = t.prune_files([("part", "=", "zzz")])
+    assert set(null_files) <= set(kept)
+    assert [f for f in kept if f.startswith("part=b/")] == []
