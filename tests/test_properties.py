@@ -104,3 +104,75 @@ def test_sketch_quantile_error_bounded(spark):
             assert abs(rank / n - q) <= n / 10000 / n + 2.0 / n, (
                 r["event_type"], q, approx, rank / n,
             )
+
+
+_prune_rows = st.lists(
+    st.tuples(
+        st.integers(-5, 40),
+        st.one_of(st.none(), st.floats(-4, 4, allow_nan=False, width=32)),
+        st.text(alphabet="abc197-", min_size=0, max_size=10),
+        st.dates(
+            min_value=__import__("datetime").date(1996, 12, 25),
+            max_value=__import__("datetime").date(1997, 1, 15),
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+_prune_op = st.sampled_from([">=", ">", "<=", "<", "=", "between"])
+_prune_col = st.sampled_from(["k", "v", "s", "d"])
+_prune_val = st.one_of(
+    st.integers(-5, 40),
+    st.floats(-4, 4, allow_nan=False),
+    st.text(alphabet="abc197-", max_size=8),
+    st.dates(
+        min_value=__import__("datetime").date(1996, 12, 20),
+        max_value=__import__("datetime").date(1997, 1, 20),
+    ),
+    st.datetimes(
+        min_value=__import__("datetime").datetime(1996, 12, 20),
+        max_value=__import__("datetime").datetime(1997, 1, 20),
+    ),
+    st.booleans(),
+)
+
+
+@given(data=_prune_rows, col=_prune_col, op=_prune_op, val=_prune_val, hi=_prune_val)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_manifest_pruning_sound_and_backend_agnostic(
+    spark, tmp_path_factory, data, col, op, val, hi
+):
+    """For ANY predicate — matched, mismatched, or cross-kind — data
+    skipping must (1) never drop a file holding a matching row
+    (read(prune) ∘ filter ≡ filter: soundness) and (2) agree between
+    the driver manifest walk and the distributed stats-checkpoint job.
+    Hypothesis hunts the type-boundary cases (bools, temporal shapes,
+    mixed kinds) the fixtures don't cover."""
+    from lab5_lakehouse_etl_spark.lakehouse import LakeTable
+
+    df = spark.createDataFrame(
+        data, "k int, v float, s string, d date"
+    ).repartitionByRange(3, "k")
+    t = LakeTable.create(df, str(tmp_path_factory.mktemp("prop") / "t"))
+    pred = [(col, "between", (val, hi)) if op == "between" else (col, op, val)]
+    drv = t.prune_files(pred)
+    dist = t.prune_files_distributed(spark, pred)
+    assert drv == dist, f"driver/distributed disagree for {pred}"
+    # soundness: pruned scan + row filter == full scan + row filter
+    if op == "between":
+        expr = F.col(col).between(F.lit(val), F.lit(hi))
+    else:
+        expr = {
+            ">=": F.col(col) >= F.lit(val),
+            ">": F.col(col) > F.lit(val),
+            "<=": F.col(col) <= F.lit(val),
+            "<": F.col(col) < F.lit(val),
+            "=": F.col(col) == F.lit(val),
+        }[op]
+    try:
+        full = sorted(map(str, t.read(spark).filter(expr).collect()))
+    except Exception:
+        return  # Spark itself rejects the cross-kind comparison: no contract
+    pruned = sorted(map(str, t.read(spark, prune=pred).filter(expr).collect()))
+    assert pruned == full, f"skipping dropped matching rows for {pred}"
