@@ -252,17 +252,28 @@ def stream_merge_to_table(
     upsert (jobs/order_glue_job.py:151-155), incrementalized. Each
     micro-batch upserts on event_id with latest-wins on ts — re-running
     the stream (or replaying a batch after failure) converges to the
-    same table, which is the exactly-once story."""
+    same table, which is the exactly-once story.  Losing an
+    optimistic-concurrency race to an out-of-band writer (backfill,
+    OPTIMIZE job) is retried: merge re-reads the winner's snapshot, and
+    latest-wins makes the replay order-insensitive, so a bounded retry
+    is exactly-once safe."""
+    from ..lakehouse.table import ConcurrentWriteError
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if LakeTable.is_table(table_path):
-            LakeTable(table_path).merge(
-                spark, batch_df, key=["event_id"], latest_by="ts"
-            )
-        else:
-            LakeTable.create(batch_df, table_path)
+        for attempt in range(3):
+            try:
+                if LakeTable.is_table(table_path):
+                    LakeTable(table_path).merge(
+                        spark, batch_df, key=["event_id"], latest_by="ts"
+                    )
+                else:
+                    LakeTable.create(batch_df, table_path)
+                return
+            except ConcurrentWriteError:
+                if attempt == 2:
+                    raise
 
     q = (
         events.writeStream.foreachBatch(upsert)
