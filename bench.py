@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q_window_timerange",
     "q_dedup_prefix",
     "q_table_skipping",
+    "q_table_skipping_dist",
 ]
 
 

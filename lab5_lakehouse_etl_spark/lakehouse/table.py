@@ -194,6 +194,58 @@ class LakeTable:
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]
 
+    def version_as_of(self, ts) -> int:
+        """Newest version committed at or before ``ts`` (Delta
+        ``TIMESTAMP AS OF`` resolution; ``ts`` is a unix timestamp or
+        datetime). Raises if the table didn't exist yet."""
+        if hasattr(ts, "timestamp"):
+            ts = ts.timestamp()
+        best = None
+        for m in self.history():
+            if m.get("committed_at", float("inf")) <= ts:
+                best = m["version"]
+        if best is None:
+            raise ValueError(
+                f"no version of {self.path} existed at or before {ts}"
+            )
+        return best
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """``DESCRIBE HISTORY`` twin: one row per version (metadata
+        only — version, operation, file/row counts, commit time)."""
+        rows = [
+            (
+                m["version"],
+                m["operation"],
+                len(m["files"]),
+                sum(
+                    (s or {}).get("rows") or 0
+                    for s in m.get("file_stats", {}).values()
+                ),
+                float(m.get("committed_at", 0.0)),
+            )
+            for m in self.history()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version INT, operation STRING, n_files INT, n_rows BIGINT, "
+            "committed_at DOUBLE",
+        )
+
+    def files_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Per-file metadata relation (Iceberg ``.files`` twin):
+        membership rows of the parquet stats checkpoint — file path,
+        row count, on-disk bytes."""
+        rel = self.stats_relation(spark, version).filter(
+            F.col("col").isNull()
+        ).select("file", "n_rows")
+        sizes = [
+            (f, os.path.getsize(os.path.join(self.data_dir, f)))
+            for f in self.files(version)
+        ]
+        sz = spark.createDataFrame(sizes, "file STRING, bytes BIGINT")
+        return rel.join(sz, "file")
+
     def files(self, version: int | None = None) -> list[str]:
         """Data files (relative to ``data/``) making up a snapshot."""
         v = self.version() if version is None else version
@@ -782,6 +834,7 @@ class LakeTable:
         version: int | None = None,
         prune: list[tuple] | None = None,
         prune_via: str = "driver",
+        as_of=None,
     ) -> DataFrame:
         """Snapshot scan (S6): read exactly the manifest's file list with
         the stored schema (no inference/listing job) and ``basePath`` set
@@ -795,7 +848,13 @@ class LakeTable:
         the skipping decision through the parquet stats checkpoint as
         a distributed job (:meth:`prune_files_distributed`) — same
         survivors, no driver manifest walk; the scale default past
-        ~10^5 files."""
+        ~10^5 files.  ``as_of`` resolves a commit timestamp to a
+        version (Delta ``TIMESTAMP AS OF``); mutually exclusive with
+        ``version``."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version or as_of, not both")
+            version = self.version_as_of(as_of)
         v = self.version() if version is None else version
         m = self._manifest(v)
         schema = StructType.fromJson(m["schema"])

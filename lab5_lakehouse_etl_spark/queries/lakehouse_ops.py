@@ -357,3 +357,51 @@ def q_table_skipping_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "q_table_skipping_zorder",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000.0 AND 100000.0
+      AND o_custkey    BETWEEN 100 AND 400
+    """,
+)
+def q_table_skipping_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data skipping through Z-order clustering:
+    OPTIMIZE ZORDER BY (o_totalprice, o_custkey) interleaves the
+    quantile-rank bits of BOTH columns, so each file owns a compact
+    hyper-rectangle of the 2-D space and a predicate on EITHER column
+    prunes files at the manifest — the property linear cluster_by only
+    gives its leading column.  The in-code asserts pin exactly that:
+    each single-dimension predicate alone must skip files.  The oracle
+    hash pins that 2-D skipping never drops a matching row."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = scratch_dir("q_table_skipping_zorder", fresh=True) + "/orders_tbl"
+    t = LakeTable.create(orders, path)
+    t.optimize(
+        spark, target_partitions=16, zorder_by=["o_totalprice", "o_custkey"]
+    )
+    p_price = [("o_totalprice", "between", (50000.0, 100000.0))]
+    p_cust = [("o_custkey", "between", (100, 400))]
+    n = len(t.files())
+    kept_price, kept_cust = t.prune_files(p_price), t.prune_files(p_cust)
+    assert 0 < len(kept_price) < n, f"price dim: {len(kept_price)}/{n}"
+    assert 0 < len(kept_cust) < n, f"cust dim: {len(kept_cust)}/{n}"
+    pred = p_price + p_cust
+    return (
+        t.read(spark, prune=pred)
+        .filter(
+            F.col("o_totalprice").between(50000.0, 100000.0)
+            & F.col("o_custkey").between(100, 400)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -858,3 +858,31 @@ def test_partition_stats_null_partition_conservative(spark, tmp_path):
     kept = t.prune_files([("part", "=", "zzz")])
     assert set(null_files) <= set(kept)
     assert [f for f in kept if f.startswith("part=b/")] == []
+
+
+def test_timestamp_time_travel_and_metadata_tables(spark, df3, tmp_path):
+    """TIMESTAMP AS OF resolution, DESCRIBE HISTORY twin, and the
+    .files metadata relation."""
+    import time as _time
+
+    t = LakeTable.create(df3, str(tmp_path / "t"))
+    between = _time.time()
+    _time.sleep(0.02)
+    t.merge(
+        spark,
+        spark.createDataFrame([(9, "z", 1.0)], "k BIGINT, part STRING, v DOUBLE"),
+        key=["k"],
+    )
+    assert t.version_as_of(between) == 0
+    assert t.version_as_of(_time.time()) == 1
+    with pytest.raises(ValueError, match="no version"):
+        t.version_as_of(between - 1000)
+    assert t.read(spark, as_of=between).count() == 3
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, version=0, as_of=between)
+    h = {r.version: (r.operation, r.n_rows) for r in t.history_df(spark).collect()}
+    assert h[0] == ("create", 3) and h[1] == ("merge", 4)
+    fdf = t.files_df(spark).collect()
+    assert {r.file for r in fdf} == set(t.files())
+    assert all(r.bytes > 0 for r in fdf)
+    assert sum(r.n_rows for r in fdf) == 4

@@ -85,12 +85,16 @@ def test_declared_skew_queries_match_unsalted(spark):
     Q.load_all()
     agg = Q.QUERIES["q_skew_salted_agg"](spark, SF_DIR)
     ev = load_table(spark, SF_DIR, "events")
+    # same output convention as the declared query: decimal
+    # ACCUMULATION (order-insensitive sum) but round(double, 2) output
+    # — DECIMAL may not reach declared outputs (driver hash asymmetry,
+    # see tests/conftest.py)
     plain = (
         ev.select("user_id", F.col("value").cast("decimal(18,6)").alias("value"))
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum("value").cast("decimal(28,6)").alias("sum_value"),
+            F.round(F.sum("value").cast("double"), 2).alias("sum_value"),
         )
     )
     assert _rows(agg) == _rows(plain)
