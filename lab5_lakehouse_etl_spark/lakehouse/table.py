@@ -401,14 +401,18 @@ class LakeTable:
         partition_by: list[str],
         files: list[str],
         schema: StructType,
+        dv_dirs: list[str] | None = None,
     ) -> None:
         # data-skipping stats: carryover files keep their previous
         # manifest's stats (byte-identical files), only new files pay a
         # footer read
         prev_stats: dict = {}
+        prev_dv: list[str] = []
         if version > 0:
             try:
-                prev_stats = self._manifest(version - 1).get("file_stats", {})
+                prev_m = self._manifest(version - 1)
+                prev_stats = prev_m.get("file_stats", {})
+                prev_dv = list(prev_m.get("dv_dirs", []))
             except (OSError, ValueError, KeyError):
                 prev_stats = {}
         file_stats = {
@@ -427,6 +431,12 @@ class LakeTable:
                 "file_stats": file_stats,
                 "schema": schema.jsonValue(),
                 "committed_at": time.time(),
+                # deletion vectors CARRY by default: a carried file's
+                # bytes still hold its DV'd rows, so the pointers must
+                # survive every commit that doesn't rewrite the file
+                # (entries for rewritten files are inert: the anti-join
+                # matches nothing)
+                "dv_dirs": prev_dv if dv_dirs is None else dv_dirs,
             },
         )
         self._write_stats_checkpoint(version, files, file_stats)
@@ -828,6 +838,102 @@ class LakeTable:
         }
         return [f for f in self._manifest(v)["files"] if f in survivors]
 
+    # -- deletion vectors (merge-on-read DELETE) ---------------------------
+    _DV_SCHEMA = "file_path STRING, row_index BIGINT"
+
+    def _dv_df(self, spark: SparkSession, manifest: dict) -> DataFrame | None:
+        """Union of a snapshot's deletion-vector pointer files, or None
+        when the snapshot has no DVs (the fast path: zero plan change)."""
+        dirs = manifest.get("dv_dirs") or []
+        if not dirs:
+            return None
+        paths = [os.path.join(self.log_dir, d) for d in dirs]
+        return spark.read.schema(self._DV_SCHEMA).parquet(*paths)
+
+    def _apply_dv(
+        self, spark: SparkSession, df: DataFrame, manifest: dict, keep_meta: bool = False
+    ) -> DataFrame:
+        """Filter a raw file scan through the snapshot's deletion
+        vectors: broadcast anti-join on (file_path, row_index) — the
+        fact side never shuffles; DV relations are point-delete-sized
+        by design (a delete too big to broadcast belongs in
+        copy-on-write :meth:`delete`)."""
+        dv = self._dv_df(spark, manifest)
+        if dv is None and not keep_meta:
+            return df
+        out = df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        if dv is not None:
+            out = out.join(
+                F.broadcast(
+                    dv.select(
+                        F.col("file_path").alias("__fp"),
+                        F.col("row_index").alias("__ri"),
+                    )
+                ),
+                ["__fp", "__ri"],
+                "left_anti",
+            )
+        return out if keep_meta else out.drop("__fp", "__ri")
+
+    def delete_dv(self, spark: SparkSession, condition: F.Column) -> int:
+        """Merge-on-read DELETE (Delta deletion-vector parity): instead
+        of rewriting every file containing a matching row
+        (copy-on-write :meth:`delete` — O(touched files) WRITE), record
+        (file, row_index) pointers for the matching rows and commit the
+        SAME file list — O(matching rows) write, no data movement.
+        Readers apply the pointers as a broadcast anti-join; rewriting
+        operations (merge, OPTIMIZE) materialize them away naturally
+        because they read through the DV-aware scan.  The point-delete
+        path a 100 TB GDPR erasure needs: deleting one user's rows
+        from a year of 1 GB files rewrites nothing.
+
+        Same NULL semantics as :meth:`delete`: only rows where
+        ``condition`` is TRUE are deleted."""
+        prev_v = self.version()
+        m = self._manifest(prev_v)
+        if not m["files"]:
+            return prev_v  # empty snapshot: nothing to delete
+        raw = self._scan_files(spark, m["files"], m)
+        hits = self._apply_dv(spark, raw, m, keep_meta=True).filter(
+            condition
+        ).select(
+            F.col("__fp").alias("file_path"),
+            F.col("__ri").alias("row_index"),
+        )
+        new_version = prev_v + 1
+        dv_dir = f"dv_v{new_version}"
+        hits.write.mode("overwrite").parquet(
+            os.path.join(self.log_dir, dv_dir)
+        )
+        self._commit_version(
+            new_version,
+            "delete_dv",
+            m["partition_by"],
+            list(m["files"]),
+            StructType.fromJson(m["schema"]),
+            dv_dirs=list(m.get("dv_dirs", [])) + [dv_dir],
+        )
+        return new_version
+
+    def _scan_files(
+        self, spark: SparkSession, files: list[str], manifest: dict
+    ) -> DataFrame:
+        """Raw pinned-schema scan of a manifest's files (no DV
+        application)."""
+        schema = StructType.fromJson(manifest["schema"])
+        if not files:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.data_dir, f) for f in files]
+        return (
+            spark.read.option("basePath", self.data_dir)
+            .schema(schema)
+            .parquet(*paths)
+        )
+
     def read(
         self,
         spark: SparkSession,
@@ -857,19 +963,17 @@ class LakeTable:
             version = self.version_as_of(as_of)
         v = self.version() if version is None else version
         m = self._manifest(v)
-        schema = StructType.fromJson(m["schema"])
         if prune and prune_via == "spark":
             files = self.prune_files_distributed(spark, prune, v)
         else:
             files = self.prune_files(prune, v) if prune else m["files"]
+        # deletion vectors apply on top of any file pruning (a pruned
+        # file's pointers are inert); snapshots without DVs take the
+        # identical plan as before — no metadata columns, no join
+        scan = self._scan_files(spark, files, m)
         if not files:
-            return spark.createDataFrame([], schema)
-        paths = [os.path.join(self.data_dir, f) for f in files]
-        return (
-            spark.read.option("basePath", self.data_dir)
-            .schema(schema)
-            .parquet(*paths)
-        )
+            return scan  # empty relation has no _metadata to filter on
+        return self._apply_dv(spark, scan, m)
 
     # -- catalog registration ----------------------------------------------
     def register(
@@ -905,6 +1009,16 @@ class LakeTable:
         if not m["files"]:
             raise ValueError(
                 f"cannot register empty table snapshot {name}@v{v}"
+            )
+        if m.get("dv_dirs"):
+            # the catalog view is plain SQL over parquet and cannot
+            # apply deletion vectors; a registered view that served
+            # DV'd rows would be silently wrong — refuse loudly (the
+            # same reader restriction early Delta DV tables had)
+            raise ValueError(
+                f"snapshot {name}@v{v} carries deletion vectors; "
+                "materialize them first (optimize() full rewrite) "
+                "before catalog registration"
             )
         schema = StructType.fromJson(m["schema"])
         partition_by = list(m.get("partition_by") or [])
@@ -1254,6 +1368,10 @@ class LakeTable:
                 .schema(sch)
                 .parquet(*paths)
             )
+            # each side's DELETION-VECTOR state applies to its bytes: a
+            # row already DV'd at `manifest` logically doesn't exist in
+            # that snapshot and must not enter the diff
+            df = self._apply_dv(spark, df, manifest)
             # align to the to-version schema (evolution adds columns;
             # old files read them as NULL)
             for f in schema.fields:
@@ -1279,11 +1397,50 @@ class LakeTable:
         inserts = new_only.join(old_keys, on=key, how="left_anti").withColumn(
             "_change_type", F.lit("insert")
         )
-        return (
+        feed = (
             updates_pre.unionByName(updates_post)
             .unionByName(inserts)
             .unionByName(deletes)
         )
+        # deletion-vector delta on CARRIED files: bytes identical in
+        # both versions, so the file diff is blind to them — pointer
+        # additions hydrate as deletes, pointer removals (a restore to
+        # a pre-DV snapshot) as inserts.  Pointers into added/removed
+        # files are already covered by the file diff (each side read
+        # its own DV state) and are excluded here by the semi-join
+        # against carried bytes.
+        carried = files_from & files_to
+        dvf, dvt = self._dv_df(spark, m_from), self._dv_df(spark, m_to)
+        if carried and (dvf is not None or dvt is not None):
+            empty = spark.createDataFrame([], self._DV_SCHEMA)
+            dvf = empty if dvf is None else dvf
+            dvt = empty if dvt is None else dvt
+            snap = self._scan_files(spark, sorted(carried), m_to).select(
+                "*",
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+
+            def hydrate(pointers: DataFrame, change: str) -> DataFrame:
+                return (
+                    snap.join(
+                        F.broadcast(
+                            pointers.select(
+                                F.col("file_path").alias("__fp"),
+                                F.col("row_index").alias("__ri"),
+                            )
+                        ),
+                        ["__fp", "__ri"],
+                        "left_semi",
+                    )
+                    .select(*cols)
+                    .withColumn("_change_type", F.lit(change))
+                )
+
+            feed = feed.unionByName(
+                hydrate(dvt.exceptAll(dvf), "delete")
+            ).unionByName(hydrate(dvf.exceptAll(dvt), "insert"))
+        return feed
 
     def append(self, spark: SparkSession, source: DataFrame) -> int:
         """Blind INSERT ALL (Delta ``mode("append")`` parity): stage the
@@ -1345,6 +1502,8 @@ class LakeTable:
             m["partition_by"],
             list(m["files"]),
             StructType.fromJson(m["schema"]),
+            # the restored snapshot's DV state, not the current one's
+            dv_dirs=list(m.get("dv_dirs", [])),
         )
         self._vacuum(keep=self.retain_versions)
         return new_version
@@ -1420,10 +1579,11 @@ class LakeTable:
             if len(small) < 2:
                 return prev_v  # nothing worth compacting
             carry = [f for f in m["files"] if f not in set(small)]
-            small_df = (
-                spark.read.option("basePath", self.data_dir)
-                .schema(schema)
-                .parquet(*[os.path.join(self.data_dir, f) for f in small])
+            # DV-aware: compacting a file with deletion-vector pointers
+            # must not resurrect its deleted rows (pointers for the
+            # compacted files become inert; carried files' stay live)
+            small_df = self._apply_dv(
+                spark, self._scan_files(spark, small, m), m
             )
             compacted = small_df.coalesce(target_partitions)
             new_version = prev_v + 1
@@ -1434,6 +1594,10 @@ class LakeTable:
                 partition_by,
                 sorted(carry + new_files),
                 schema,
+                # if nothing carried, every deletion-vector pointer was
+                # materialized by this rewrite; with carryover the
+                # carried files' pointers must survive (default)
+                dv_dirs=[] if not carry else None,
             )
             self._vacuum(keep=self.retain_versions)
             return new_version
@@ -1461,6 +1625,8 @@ class LakeTable:
             partition_by,
             new_files,
             StructType.fromJson(m["schema"]),
+            # full rewrite materializes every deletion vector away
+            dv_dirs=[],
         )
         self._vacuum(keep=self.retain_versions)
         return new_version

@@ -886,3 +886,87 @@ def test_timestamp_time_travel_and_metadata_tables(spark, df3, tmp_path):
     assert {r.file for r in fdf} == set(t.files())
     assert all(r.bytes > 0 for r in fdf)
     assert sum(r.n_rows for r in fdf) == 4
+
+
+def test_deletion_vector_delete(spark, df3, tmp_path):
+    """Merge-on-read DELETE: rows disappear from read() while the file
+    list is untouched; DVs stack; NULL predicates keep rows; time
+    travel sees the pre-delete snapshot."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path)
+    files_before = t.files()
+    assert t.delete_dv(spark, F.col("k") == 2) == 1
+    assert t.files() == files_before           # no data movement
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3]
+    assert t.read(spark, version=0).count() == 3  # time travel pre-DV
+    # stacked second DV
+    t.delete_dv(spark, F.col("k") == 3)
+    assert [r.k for r in t.read(spark).collect()] == [1]
+    assert t.files() == files_before
+    # NULL predicate keeps the row (SQL DELETE semantics)
+    df_null = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    t2 = LakeTable.create(df_null, str(tmp_path / "t2"))
+    t2.delete_dv(spark, F.col("v") > 5.0)
+    assert sorted(r.k for r in t2.read(spark).collect()) == [2]
+
+
+def test_deletion_vectors_interact_with_rewrites(spark, df3, tmp_path):
+    """Rewriting operations must materialize DVs, never resurrect
+    deleted rows: merge reads through DVs; incremental OPTIMIZE
+    compacts DV'd files without bringing rows back; a full OPTIMIZE
+    clears the pointers and re-enables catalog registration."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path)
+    t.delete_dv(spark, F.col("k") == 2)
+    # register refuses a DV'd snapshot (the view cannot apply pointers)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t.register(spark, "dv_reg")
+    # merge on top of DVs: deleted row must not resurrect
+    t.merge(
+        spark,
+        spark.createDataFrame([(9, "z", 1.0)], "k BIGINT, part STRING, v DOUBLE"),
+        key=["k"],
+    )
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3, 9]
+    # incremental optimize over DV'd small files: still no resurrection
+    t3 = LakeTable.create(df3, str(tmp_path / "t3"))
+    t3.delete_dv(spark, F.col("k") == 1)
+    t3.append(
+        spark,
+        spark.createDataFrame([(7, "q", 7.0)], "k BIGINT, part STRING, v DOUBLE"),
+    )
+    t3.optimize(spark, max_file_bytes=10_000_000)
+    assert sorted(r.k for r in t3.read(spark).collect()) == [2, 3, 7]
+    assert not t3._manifest(t3.version()).get("dv_dirs")  # all rewritten
+    # full optimize clears DVs and registration works again
+    t4 = LakeTable.create(df3, str(tmp_path / "t4"))
+    t4.delete_dv(spark, F.col("k") == 3)
+    t4.optimize(spark, target_partitions=1)
+    assert not t4._manifest(t4.version()).get("dv_dirs")
+    t4.register(spark, "dv_reg_ok")
+    assert spark.sql(
+        "SELECT count(*) n FROM lakehouse_dwh.dv_reg_ok"
+    ).collect()[0].n == 2
+
+
+def test_deletion_vector_change_feed_and_restore(spark, df3, tmp_path):
+    """CDF across a DV commit reports the DV'd rows as deletes (carried
+    files are byte-identical, so only pointer hydration can see them);
+    restore to the pre-DV snapshot resurrects them and the feed shows
+    the resurrection as inserts."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path)
+    t.retain_versions = 4
+    t.delete_dv(spark, F.col("k") == 2)
+    feed = t.changes(spark, key=["k"], from_version=0, to_version=1)
+    rows = [(r.k, r._change_type) for r in feed.collect()]
+    assert rows == [(2, "delete")]
+    # restore to v0: pointers dropped, row back
+    t.restore(spark, 0)
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2, 3]
+    feed2 = t.changes(spark, key=["k"], from_version=1, to_version=2)
+    assert [(r.k, r._change_type) for r in feed2.collect()] == [(2, "insert")]
+    # end-to-end: v0 -> v2 shows no net change
+    assert t.changes(spark, key=["k"], from_version=0, to_version=2).count() == 0
