@@ -360,6 +360,91 @@ def q_table_skipping_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_table_dv",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE NOT (o_custkey % 10 = 3)
+      AND NOT (o_orderkey % 97 = 0)
+    """,
+)
+def q_table_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors end to end under the hash gate: write orders as
+    a LakeTable, merge-on-read DELETE two predicates as STACKED
+    deletion vectors (``delete_dv`` — pointers only, file list pinned
+    unchanged by the in-code assert), then aggregate the survivors.
+    The oracle recomputes the survivor set from key arithmetic, so the
+    hash proves the broadcast anti-join applies exactly the pointed-at
+    rows — no more (over-delete), no fewer (resurrection).  At 100 TB
+    this is the GDPR-erasure path: deleting one customer's rows from a
+    year of 1 GB files writes O(matching rows), not O(files)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = scratch_dir("q_table_dv", fresh=True) + "/orders_tbl"
+    t = LakeTable.create(orders, path)
+    files_before = t.files()
+    t.delete_dv(spark, F.col("o_custkey") % 10 == 3)
+    t.delete_dv(spark, F.col("o_orderkey") % 97 == 0)
+    assert t.files() == files_before, "DV delete must not touch files"
+    return t.read(spark).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "q_table_append",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderkey, round(o_totalprice + 1.0, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS total
+    FROM unioned
+    """,
+)
+def q_table_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blind append + incremental compaction under the hash gate: seed
+    a LakeTable with orders, ``append()`` a price-adjusted slice (no key
+    matching — duplicates allowed by design), compact ONLY the small
+    appended files with ``optimize(max_file_bytes=...)`` (the seed
+    files carry by reference — asserted), and aggregate.  The oracle is
+    the plain UNION ALL, so the hash proves append added exactly the
+    source rows and compaction moved bytes without changing them.
+    This is the streaming-ingest maintenance loop at 100 TB: cheap
+    appends accumulate small files, incremental OPTIMIZE repays them
+    at O(small files), never O(table)."""
+    import os
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = scratch_dir("q_table_append", fresh=True) + "/orders_tbl"
+    t = LakeTable.create(orders.coalesce(4), path)
+    seed_files = set(t.files())
+    extra = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", F.round(F.col("o_totalprice") + 1.0, 2).alias("o_totalprice")
+    )
+    t.append(spark, extra.coalesce(2))
+    smallest_seed = min(
+        os.path.getsize(os.path.join(t.data_dir, f)) for f in seed_files
+    )
+    t.optimize(spark, max_file_bytes=smallest_seed)
+    assert seed_files <= set(t.files()), "seed files must carry by reference"
+    return t.read(spark).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
     "q_table_skipping_zorder",
     oracle="""
     SELECT CAST(count(*) AS BIGINT)    AS n_rows,
