@@ -68,6 +68,11 @@ class ConcurrentWriteError(RuntimeError):
     about to publish (optimistic-concurrency loser — Delta's
     ConcurrentModificationException twin). Retry re-reads the winner's
     snapshot."""
+
+
+class ConstraintViolationError(ValueError):
+    """Rows about to be written violate an active CHECK constraint
+    (Delta InvariantViolationException twin)."""
 # Above this many touched partitions a scoped rewrite loses: the
 # OR-of-ANDs pruning predicate grows linearly and the rewrite
 # approaches O(table) anyway — fall back to a plain full rewrite.
@@ -402,17 +407,20 @@ class LakeTable:
         files: list[str],
         schema: StructType,
         dv_dirs: list[str] | None = None,
+        constraints: dict | None = None,
     ) -> None:
         # data-skipping stats: carryover files keep their previous
         # manifest's stats (byte-identical files), only new files pay a
         # footer read
         prev_stats: dict = {}
         prev_dv: list[str] = []
+        prev_constraints: dict = {}
         if version > 0:
             try:
                 prev_m = self._manifest(version - 1)
                 prev_stats = prev_m.get("file_stats", {})
                 prev_dv = list(prev_m.get("dv_dirs", []))
+                prev_constraints = dict(prev_m.get("constraints", {}))
             except (OSError, ValueError, KeyError):
                 prev_stats = {}
         file_stats = {
@@ -437,6 +445,10 @@ class LakeTable:
                 # (entries for rewritten files are inert: the anti-join
                 # matches nothing)
                 "dv_dirs": prev_dv if dv_dirs is None else dv_dirs,
+                # CHECK constraints carry across every commit
+                "constraints": prev_constraints
+                if constraints is None
+                else constraints,
             },
         )
         self._write_stats_checkpoint(version, files, file_stats)
@@ -838,6 +850,92 @@ class LakeTable:
         }
         return [f for f in self._manifest(v)["files"] if f in survivors]
 
+    # -- CHECK constraints (Delta ADD CONSTRAINT parity) -------------------
+    def constraints(self, version: int | None = None) -> dict:
+        """Active CHECK constraints of a snapshot: {name: sql_expr}."""
+        v = self.version() if version is None else version
+        return dict(self._manifest(v).get("constraints", {}))
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, check_expr: str
+    ) -> int:
+        """``ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)`` (Delta
+        parity): validates the EXISTING snapshot once (O(table) — the
+        one-time price Delta also pays), then commits a metadata-only
+        version carrying the constraint.  Every subsequent write
+        validates its WRITTEN rows (O(written), never O(table)) and
+        raises :class:`ConstraintViolationError` listing the count.
+        Same NULL semantics as SQL CHECK: NULL evaluations pass."""
+        cons = self.constraints()
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        bad = (
+            self.read(spark)
+            .filter(~F.coalesce(F.expr(check_expr), F.lit(True)))
+            .limit(1_000_000)
+            .count()
+        )
+        if bad:
+            raise ConstraintViolationError(
+                f"cannot add constraint {name!r}: {bad} existing row(s) "
+                f"violate CHECK ({check_expr})"
+            )
+        cons[name] = check_expr
+        prev_v = self.version()
+        m = self._manifest(prev_v)
+        self._commit_version(
+            prev_v + 1,
+            "add_constraint",
+            m["partition_by"],
+            list(m["files"]),
+            StructType.fromJson(m["schema"]),
+            constraints=cons,
+        )
+        return prev_v + 1
+
+    def drop_constraint(self, name: str) -> int:
+        """``ALTER TABLE ... DROP CONSTRAINT`` — metadata-only."""
+        cons = self.constraints()
+        if name not in cons:
+            raise ValueError(f"no such constraint: {name!r}")
+        del cons[name]
+        prev_v = self.version()
+        m = self._manifest(prev_v)
+        self._commit_version(
+            prev_v + 1,
+            "drop_constraint",
+            m["partition_by"],
+            list(m["files"]),
+            StructType.fromJson(m["schema"]),
+            constraints=cons,
+        )
+        return prev_v + 1
+
+    def _enforce_constraints(self, df: DataFrame, what: str) -> None:
+        """Validate rows about to be WRITTEN against the active CHECK
+        constraints (one filter pass over the written rows only)."""
+        cons = self.constraints()
+        if not cons:
+            return
+        row = df.select(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(e), F.lit(True)), 1
+                    ).otherwise(0)
+                ).alias(n)
+                for n, e in cons.items()
+            ]
+        ).collect()[0]
+        bad = {n: row[n] for n in cons if row[n]}
+        if bad:
+            raise ConstraintViolationError(
+                f"{what} violates CHECK constraint(s) "
+                + ", ".join(
+                    f"{n} ({cons[n]}): {c} row(s)" for n, c in bad.items()
+                )
+            )
+
     # -- deletion vectors (merge-on-read DELETE) ---------------------------
     _DV_SCHEMA = "file_path STRING, row_index BIGINT"
 
@@ -1236,6 +1334,7 @@ class LakeTable:
                 source.select(*key).dropDuplicates(), on=key, how="left_anti"
             )
             merged = kept.unionByName(source.select(*kept.columns))
+        self._enforce_constraints(merged, "merge")
         new_version = prev_v + 1
         new_files = self._stage_files(
             merged, new_version, partition_by, allowed_dirs=touched_dirs
@@ -1459,6 +1558,7 @@ class LakeTable:
                 f"vs source {sorted(source.columns)}"
             )
         source = source.select(*[f.name for f in schema.fields])
+        self._enforce_constraints(source, "append")
         new_version = prev_v + 1
         new_files = self._stage_files(source, new_version, partition_by)
         self._commit_version(

@@ -970,3 +970,44 @@ def test_deletion_vector_change_feed_and_restore(spark, df3, tmp_path):
     assert [(r.k, r._change_type) for r in feed2.collect()] == [(2, "insert")]
     # end-to-end: v0 -> v2 shows no net change
     assert t.changes(spark, key=["k"], from_version=0, to_version=2).count() == 0
+
+
+def test_check_constraints(spark, df3, tmp_path):
+    """ADD CONSTRAINT validates the existing snapshot once; every
+    later write validates its WRITTEN rows; NULL checks pass (SQL CHECK
+    semantics); drop re-opens the gate; constraints carry across
+    commits."""
+    from lab5_lakehouse_etl_spark.lakehouse.table import (
+        ConstraintViolationError,
+    )
+
+    t = LakeTable.create(df3, str(tmp_path / "t"))
+    t.add_constraint(spark, "v_positive", "v > 0")
+    assert t.constraints() == {"v_positive": "v > 0"}
+    # violating merge rejected before any commit
+    bad = spark.createDataFrame(
+        [(9, "z", -1.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    with pytest.raises(ConstraintViolationError, match="v_positive"):
+        t.merge(spark, bad, key=["k"])
+    assert t.version() == 1  # nothing committed
+    # violating append rejected too
+    with pytest.raises(ConstraintViolationError, match="append"):
+        t.append(spark, bad)
+    # NULL check passes (SQL CHECK), valid rows pass
+    ok = spark.createDataFrame(
+        [(9, "z", None), (10, "w", 5.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    t.merge(spark, ok, key=["k"])
+    assert t.read(spark).count() == 5
+    # carries across commits; duplicate add rejected
+    assert t.constraints() == {"v_positive": "v > 0"}
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint(spark, "v_positive", "v > 0")
+    # cannot add a constraint the existing data violates
+    with pytest.raises(ConstraintViolationError, match="existing"):
+        t.add_constraint(spark, "v_big", "v > 100")
+    # drop re-opens the gate
+    t.drop_constraint("v_positive")
+    t.merge(spark, bad, key=["k"])
+    assert {r.v for r in t.read(spark).collect() if r.k == 9} == {-1.0}
