@@ -546,9 +546,12 @@ class LakeTable:
                     if isinstance(mn, int) and isinstance(mx, int):
                         r["min_int"], r["max_int"] = mn, mx
                     r["min_num"], r["max_num"] = float(mn), float(mx)
-                    r["num_exact"] = (
-                        abs(mn) < self._EXACT_DOUBLE
-                        and abs(mx) < self._EXACT_DOUBLE
+                    # the double image is lossy only for INT bounds at
+                    # or beyond 2^53 — a double image of a double is
+                    # always faithful, whatever its magnitude
+                    r["num_exact"] = all(
+                        not isinstance(x, int) or abs(x) < self._EXACT_DOUBLE
+                        for x in (mn, mx)
                     )
                 elif isinstance(mn, str):
                     r["min_str"], r["max_str"] = mn, mx
@@ -660,6 +663,16 @@ class LakeTable:
                 return False
             num = isinstance(a, (int, float)) and isinstance(b, (int, float))
             if num:
+                # mixed int/float comparisons go through the double
+                # image in the distributed twin, so mirror its guard:
+                # an int at or beyond 2^53 has a lying double image —
+                # refuse (keep the file) exactly where it refuses,
+                # keeping the two backends bit-identical
+                if type(a) is not type(b):
+                    return all(
+                        not isinstance(x, int) or abs(x) < self._EXACT_DOUBLE
+                        for x in (a, b)
+                    )
                 return True
             if not (isinstance(a, str) and isinstance(b, str)):
                 return False
@@ -686,15 +699,21 @@ class LakeTable:
                 mn, mx = fstats[col]
                 if op == "between":
                     lo, hi = (self._normalize_bound(x) for x in value)
-                    if (
+                    if not (
                         comparable(mn, lo)
+                        and comparable(mx, lo)
+                        and comparable(mn, hi)
                         and comparable(mx, hi)
-                        and (mx < lo or mn > hi)
                     ):
+                        continue
+                    if mx < lo or mn > hi:
                         return False
                     continue
                 value = self._normalize_bound(value)
-                if not comparable(mn, value):
+                # both bounds participate in every op's comparison, so
+                # both must be comparable to the predicate value (the
+                # distributed twin's num_exact covers min AND max)
+                if not (comparable(mn, value) and comparable(mx, value)):
                     continue
                 if (
                     (op == ">=" and mx < value)
@@ -794,14 +813,17 @@ class LakeTable:
                         )
                     )
                 # double image: every float is an exact double; an int
-                # participates only below 2^53 (else the image lies)
+                # participates only below 2^53 (else the image lies).
+                # Applies to int-stats files too (num_exact gates the
+                # lossy int bounds) — a float predicate against an int
+                # column must still be able to prove disjointness, or
+                # this path silently keeps files the driver walk drops.
                 if all(
                     not isinstance(x, int) or abs(x) < self._EXACT_DOUBLE
                     for x in vals
                 ):
                     exprs.append(
                         base
-                        & F.col("min_int").isNull()
                         & F.col("min_num").isNotNull()
                         & F.col("num_exact")
                         & op_disjoint(
