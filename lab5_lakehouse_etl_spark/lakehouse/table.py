@@ -399,6 +399,73 @@ class LakeTable:
                     agg[name] = [mn, mx]
         return {"rows": n_rows, "minmax": agg}
 
+    def _file_bloom(self, relpath: str, cfg: dict) -> dict:
+        """Per-file Bloom filters for the configured columns (see
+        lakehouse/bloom.py): one columns-only parquet read per new file
+        at commit time — the write-side price Delta's bloom-filter
+        index also pays (it hashes during the write task; here the
+        staged file is re-read driver-side, documented like the
+        footer-stats pass).  Only int and string arrow kinds get
+        filters; any other kind contributes none (conservative)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from . import bloom as B
+
+        out: dict = {}
+        try:
+            pf = pq.ParquetFile(os.path.join(self.data_dir, relpath))
+            names = set(pf.schema_arrow.names)
+            cols = [c for c in cfg if c in names]
+            if not cols:
+                return out
+            tbl = pf.read(columns=cols)
+        except Exception:
+            return out
+        for c in cols:
+            t = tbl.schema.field(c).type
+            if pa.types.is_integer(t):
+                kind = "i"
+            elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                kind = "s"
+            else:
+                continue
+            m, k = int(cfg[c]["m"]), int(cfg[c]["k"])
+            vals = {v for v in tbl.column(c).to_pylist() if v is not None}
+            out[c] = {
+                "m": m,
+                "k": k,
+                "kind": kind,
+                "words": B.build(vals, m, k),
+            }
+        return out
+
+    def _ensure_blooms(self, file_stats: dict, cfg: dict) -> None:
+        """Attach missing/outdated per-file Bloom filters in place:
+        carried files already holding a filter at the configured (m, k)
+        keep it for free; new files (and every file right after an
+        ``add_bloom_index``) pay one columns-only read."""
+        if not cfg:
+            return
+        for f, st in list(file_stats.items()):
+            have = (st or {}).get("bloom") or {}
+            missing = {
+                c: s
+                for c, s in cfg.items()
+                if c not in have
+                or have[c].get("m") != s["m"]
+                or have[c].get("k") != s["k"]
+            }
+            if not missing:
+                continue
+            newb = self._file_bloom(f, missing)
+            if newb:
+                st = dict(st or {})
+                merged = dict(have)
+                merged.update(newb)
+                st["bloom"] = merged
+                file_stats[f] = st
+
     def _commit_version(
         self,
         version: int,
@@ -408,6 +475,7 @@ class LakeTable:
         schema: StructType,
         dv_dirs: list[str] | None = None,
         constraints: dict | None = None,
+        bloom_config: dict | None = None,
     ) -> None:
         # data-skipping stats: carryover files keep their previous
         # manifest's stats (byte-identical files), only new files pay a
@@ -415,12 +483,14 @@ class LakeTable:
         prev_stats: dict = {}
         prev_dv: list[str] = []
         prev_constraints: dict = {}
+        prev_bloom: dict = {}
         if version > 0:
             try:
                 prev_m = self._manifest(version - 1)
                 prev_stats = prev_m.get("file_stats", {})
                 prev_dv = list(prev_m.get("dv_dirs", []))
                 prev_constraints = dict(prev_m.get("constraints", {}))
+                prev_bloom = dict(prev_m.get("bloom", {}))
             except (OSError, ValueError, KeyError):
                 prev_stats = {}
         file_stats = {
@@ -429,6 +499,8 @@ class LakeTable:
         }
         if partition_by:
             self._add_partition_stats(file_stats, partition_by, schema)
+        bloom_cfg = prev_bloom if bloom_config is None else bloom_config
+        self._ensure_blooms(file_stats, bloom_cfg)
         self._commit(
             version,
             {
@@ -449,6 +521,8 @@ class LakeTable:
                 "constraints": prev_constraints
                 if constraints is None
                 else constraints,
+                # bloom-filter index config carries like constraints
+                "bloom": bloom_cfg,
             },
         )
         self._write_stats_checkpoint(version, files, file_stats)
@@ -538,26 +612,37 @@ class LakeTable:
         for f in files:
             st = file_stats.get(f) or {}
             recs.append({"file": f, "n_rows": st.get("rows")})
-            for cname, (mn, mx) in (st.get("minmax") or {}).items():
+            mm = st.get("minmax") or {}
+            blooms = st.get("bloom") or {}
+            for cname in sorted(set(mm) | set(blooms)):
                 r: dict = {"file": f, "n_rows": st.get("rows"), "col": cname}
-                if isinstance(mn, bool) or isinstance(mx, bool):
-                    continue
-                if isinstance(mn, (int, float)):
-                    if isinstance(mn, int) and isinstance(mx, int):
-                        r["min_int"], r["max_int"] = mn, mx
-                    r["min_num"], r["max_num"] = float(mn), float(mx)
-                    # the double image is lossy only for INT bounds at
-                    # or beyond 2^53 — a double image of a double is
-                    # always faithful, whatever its magnitude
-                    r["num_exact"] = all(
-                        not isinstance(x, int) or abs(x) < self._EXACT_DOUBLE
-                        for x in (mn, mx)
-                    )
-                elif isinstance(mn, str):
-                    r["min_str"], r["max_str"] = mn, mx
-                else:
-                    continue
-                recs.append(r)
+                if cname in mm:
+                    mn, mx = mm[cname]
+                    if isinstance(mn, bool) or isinstance(mx, bool):
+                        pass
+                    elif isinstance(mn, (int, float)):
+                        if isinstance(mn, int) and isinstance(mx, int):
+                            r["min_int"], r["max_int"] = mn, mx
+                        r["min_num"], r["max_num"] = float(mn), float(mx)
+                        # the double image is lossy only for INT bounds
+                        # at or beyond 2^53 — a double image of a
+                        # double is always faithful, whatever its
+                        # magnitude
+                        r["num_exact"] = all(
+                            not isinstance(x, int)
+                            or abs(x) < self._EXACT_DOUBLE
+                            for x in (mn, mx)
+                        )
+                    elif isinstance(mn, str):
+                        r["min_str"], r["max_str"] = mn, mx
+                if cname in blooms:
+                    b = blooms[cname]
+                    r["bloom"] = list(b["words"])
+                    r["bloom_m"] = int(b["m"])
+                    r["bloom_k"] = int(b["k"])
+                    r["bloom_kind"] = b["kind"]
+                if len(r) > 3:
+                    recs.append(r)
         schema = pa.schema(
             [
                 ("file", pa.string()),
@@ -570,6 +655,10 @@ class LakeTable:
                 ("num_exact", pa.bool_()),
                 ("min_str", pa.string()),
                 ("max_str", pa.string()),
+                ("bloom", pa.list_(pa.int64())),
+                ("bloom_m", pa.int64()),
+                ("bloom_k", pa.int64()),
+                ("bloom_kind", pa.string()),
             ]
         )
         table = pa.Table.from_pylist(recs, schema=schema)
@@ -651,8 +740,11 @@ class LakeTable:
         v = self.version() if version is None else version
         m = self._manifest(v)
         stats = m.get("file_stats", {})
+        bloom_cfg = m.get("bloom", {})
 
         import re
+
+        from . import bloom as B
 
         temporal = re.compile(r"^\d{4}-\d{2}-\d{2}")
 
@@ -693,7 +785,30 @@ class LakeTable:
             if entry.get("rows") == 0:
                 return False  # provably empty file
             fstats = entry.get("minmax") or {}
+            blooms = entry.get("bloom") or {}
             for col, op, value in predicates:
+                # bloom membership lane: an equality probe whose kind
+                # matches the stored filter and whose bits are not all
+                # set PROVES the value absent from the file.  Only the
+                # ORIGINAL int/str value participates (never a
+                # normalized temporal image — string-column equality
+                # against a temporal value goes through Spark casts the
+                # filter knows nothing about), and only while the
+                # file's (m, k) equals the snapshot's config — the
+                # exact guard the distributed twin applies, keeping the
+                # backends bit-identical.
+                if op == "=" and col in blooms and col in bloom_cfg:
+                    b, cfgc = blooms[col], bloom_cfg[col]
+                    if (
+                        b.get("m") == cfgc["m"]
+                        and b.get("k") == cfgc["k"]
+                        and B.kind_tag(value) == b.get("kind")
+                    ):
+                        pos = B.positions(value, b["m"], b["k"])
+                        if pos is not None and not B.might_contain(
+                            b["words"], pos
+                        ):
+                            return False
                 if col not in fstats:
                     continue
                 mn, mx = fstats[col]
@@ -747,8 +862,15 @@ class LakeTable:
         via the ``num_exact`` column and the same shape guards."""
         import re
 
+        from . import bloom as B
+
         v = self.version() if version is None else version
         rel = self.stats_relation(spark, v)
+        bloom_cfg = self._manifest(v).get("bloom", {})
+        # checkpoints written before bloom indexes existed lack the
+        # columns; such snapshots also carry no bloom config, but guard
+        # structurally so a hand-rolled checkpoint can't break the plan
+        has_bloom = "bloom" in rel.columns
         temporal = re.compile(r"^\d{4}-\d{2}-\d{2}")
         offset = re.compile(r"(Z|[+-]\d{2}:\d{2})$")
 
@@ -795,9 +917,39 @@ class LakeTable:
             else:
                 lo, hi = self._normalize_bound(value), None
             vals = [lo] if hi is None else [lo, hi]
-            if any(isinstance(x, bool) for x in vals):
-                return None
             base = F.col("col") == colname
+            # bloom membership lane (the equality twin of the range
+            # lanes below): bit positions are LITERALS computed once
+            # driver-side from the ORIGINAL probe value, so the JVM
+            # filter is plain word/shift arithmetic — no per-row
+            # hashing.  Guards mirror prune_files exactly: original
+            # int/str kinds only, stored kind must match, stored (m, k)
+            # must equal the snapshot's config.
+            bexpr = None
+            if op == "=" and has_bloom:
+                cfgc = bloom_cfg.get(colname)
+                tag = B.kind_tag(value)
+                if cfgc and tag is not None:
+                    pos = B.positions(
+                        value, int(cfgc["m"]), int(cfgc["k"])
+                    )
+                    miss = None
+                    for pnt in sorted(set(pos)):
+                        w, bit = divmod(pnt, 64)
+                        e = F.expr(
+                            f"((element_at(bloom, {w + 1}) >> {bit}) & 1) = 0"
+                        )
+                        miss = e if miss is None else (miss | e)
+                    bexpr = (
+                        base
+                        & F.col("bloom").isNotNull()
+                        & (F.col("bloom_m") == int(cfgc["m"]))
+                        & (F.col("bloom_k") == int(cfgc["k"]))
+                        & (F.col("bloom_kind") == F.lit(tag))
+                        & miss
+                    )
+            if any(isinstance(x, bool) for x in vals):
+                return bexpr
             if all(isinstance(x, (int, float)) for x in vals):
                 exprs = []
                 if all(isinstance(x, int) for x in vals):
@@ -834,12 +986,12 @@ class LakeTable:
                             F.lit(float(hi)) if hi is not None else None,
                         )
                     )
-                out = None
+                out = bexpr
                 for e in exprs:
                     out = e if out is None else (out | e)
                 return out
             if all(isinstance(x, str) for x in vals):
-                return (
+                sexpr = (
                     base
                     & F.col("min_str").isNotNull()
                     & str_shape_guard(vals)
@@ -851,7 +1003,8 @@ class LakeTable:
                         F.lit(hi) if hi is not None else None,
                     )
                 )
-            return None  # mixed-kind predicate: no proof possible
+                return sexpr if bexpr is None else (sexpr | bexpr)
+            return bexpr  # mixed-kind predicate: min/max proof impossible
 
         proofs = None
         for colname, op, value in predicates or []:
@@ -871,6 +1024,85 @@ class LakeTable:
             .collect()
         }
         return [f for f in self._manifest(v)["files"] if f in survivors]
+
+    # -- bloom-filter indexes (Delta delta.bloomFilter.* parity) -----------
+    def bloom_index(self, version: int | None = None) -> dict:
+        """Active bloom-filter index config of a snapshot:
+        {column: {"m": bits, "k": probes}}."""
+        v = self.version() if version is None else version
+        return dict(self._manifest(v).get("bloom", {}))
+
+    def add_bloom_index(
+        self,
+        column: str,
+        m: int | None = None,
+        k: int | None = None,
+    ) -> int:
+        """Register a per-file Bloom filter index on ``column`` (the
+        ``CREATE BLOOMFILTER INDEX`` / ``delta.bloomFilter.enabled``
+        twin) and BACKFILL it: commits a new version whose every file
+        carries an m-bit filter over the column's values, after which
+        ``prune_files``/``prune_files_distributed`` can skip files on
+        equality probes that min/max stats can never refute (point
+        lookups on unclustered columns — the needle-in-100 TB case).
+        Backfill pays one columns-only parquet read per file, exactly
+        once; subsequent writes hash only their new files.  Only int
+        and string columns participate; others raise (a silent no-op
+        index would read as skipping working when it cannot)."""
+        from . import bloom as B
+
+        cfg = self.bloom_index()
+        cfg[column] = {
+            "m": int(m or B.DEFAULT_M),
+            "k": int(k or B.DEFAULT_K),
+        }
+        prev_v = self.version()
+        man = self._manifest(prev_v)
+        schema = StructType.fromJson(man["schema"])
+        kinds = {f.name: f.dataType.simpleString() for f in schema.fields}
+        ok = ("tinyint", "smallint", "int", "bigint", "string")
+        if kinds.get(column) not in ok:
+            raise ValueError(
+                f"bloom index on {column!r} ({kinds.get(column)}): only "
+                "integer and string columns have a sound equality-probe "
+                "representation"
+            )
+        if column in (man.get("partition_by") or []):
+            raise ValueError(
+                f"bloom index on partition column {column!r}: partition "
+                "dir values already give exact [v, v] bounds — equality "
+                "pruning there needs no filter (and the column has no "
+                "parquet pages to hash)"
+            )
+        self._commit_version(
+            prev_v + 1,
+            "add_bloom_index",
+            man["partition_by"],
+            list(man["files"]),
+            schema,
+            bloom_config=cfg,
+        )
+        return prev_v + 1
+
+    def drop_bloom_index(self, column: str) -> int:
+        """Drop the index config (metadata-only — stale per-file
+        filters become inert because both pruning paths consult the
+        SNAPSHOT config before probing)."""
+        cfg = self.bloom_index()
+        if column not in cfg:
+            raise ValueError(f"no bloom index on {column!r}")
+        del cfg[column]
+        prev_v = self.version()
+        man = self._manifest(prev_v)
+        self._commit_version(
+            prev_v + 1,
+            "drop_bloom_index",
+            man["partition_by"],
+            list(man["files"]),
+            StructType.fromJson(man["schema"]),
+            bloom_config=cfg,
+        )
+        return prev_v + 1
 
     # -- CHECK constraints (Delta ADD CONSTRAINT parity) -------------------
     def constraints(self, version: int | None = None) -> dict:

@@ -490,3 +490,56 @@ def q_table_skipping_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "q_table_bloom",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+    """,
+)
+def q_table_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter index end to end (lakehouse/bloom.py — the Delta
+    ``delta.bloomFilter.*`` twin): orders land HASH-SCATTERED on
+    o_custkey, so every file spans nearly the whole key domain and
+    min/max stats can refute nothing — the layout every point-lookup
+    table has before someone pays for clustering.  ``add_bloom_index``
+    backfills a per-file membership filter; an equality probe for one
+    customer then skips the files whose filters prove absence (asserted:
+    strictly fewer than the snapshot, on BOTH pruning backends), and the
+    oracle hash pins that skipping never drops a matching row.  At
+    100 TB this is the needle-lookup path: min/max skipping needs the
+    table clustered BY the probed column (one sort order per table);
+    bloom filters give sub-linear point reads on any indexed column at
+    ~1 KiB of manifest per file each."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # the probed key: smallest customer with orders — data-derived so
+    # every scale factor probes a key that exists (a 1-value aggregate,
+    # same scale class as the other metadata collects)
+    probe = int(orders.agg(F.min("o_custkey")).collect()[0][0])
+    path = scratch_dir("q_table_bloom", fresh=True) + "/orders_tbl"
+    t = LakeTable.create(
+        orders.repartition(8, F.col("o_custkey") % 64), path
+    )
+    t.add_bloom_index("o_custkey")
+    pred = [("o_custkey", "=", probe)]
+    kept = t.prune_files(pred)
+    n = len(t.files())
+    assert 0 < len(kept) < n, f"bloom skipping ineffective: {len(kept)}/{n}"
+    assert kept == t.prune_files_distributed(spark, pred), (
+        "driver/distributed bloom pruning disagree"
+    )
+    return (
+        t.read(spark, prune=pred)
+        .filter(F.col("o_custkey") == probe)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

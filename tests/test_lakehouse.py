@@ -1011,3 +1011,77 @@ def test_check_constraints(spark, df3, tmp_path):
     t.drop_constraint("v_positive")
     t.merge(spark, bad, key=["k"])
     assert {r.v for r in t.read(spark).collect() if r.k == 9} == {-1.0}
+
+
+def test_bloom_index_equality_skipping(spark, tmp_path):
+    """Bloom-filter index (Delta delta.bloomFilter.* twin): a point
+    lookup on an UNCLUSTERED column — every file spans the whole id
+    range, so min/max can never refute — skips files via per-file
+    membership filters; unset bits prove absence (sound), kind
+    mismatches and dropped indexes are conservative, and the driver
+    and distributed pruning paths stay bit-identical."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 499).alias("ck"),
+        F.concat(F.lit("u"), (F.col("id") % 499).cast("string")).alias("nm"),
+        F.col("id").alias("rowid"),
+    ).repartition(6, F.col("ck") % 48)
+    t = LakeTable.create(df, str(tmp_path / "t"))
+    pred = [("ck", "=", 123)]
+    # no index: min/max cannot prune interleaved ids
+    assert len(t.prune_files(pred)) == len(t.files())
+    t.add_bloom_index("ck", m=4096, k=5)
+    t.add_bloom_index("nm", m=4096, k=5)
+    kept = t.prune_files(pred)
+    assert 0 < len(kept) < len(t.files())
+    assert kept == t.prune_files_distributed(spark, pred)
+    # soundness: pruned scan + filter == full scan + filter
+    full = t.read(spark).filter(F.col("ck") == 123).count()
+    assert t.read(spark, prune=pred).filter(F.col("ck") == 123).count() == full
+    assert (
+        t.read(spark, prune=pred, prune_via="spark")
+        .filter(F.col("ck") == 123)
+        .count()
+        == full
+    )
+    # absent value: every file provably excluded, both backends
+    gone = [("ck", "=", 10**6)]
+    assert t.prune_files(gone) == [] == t.prune_files_distributed(spark, gone)
+    # string column probes work; cross-kind probes never prune
+    assert 0 < len(t.prune_files([("nm", "=", "u123")])) < len(t.files())
+    for p in ([("ck", "=", "123")], [("nm", "=", 123)], [("ck", "=", 123.0)]):
+        assert len(t.prune_files(p)) == len(t.files())
+        assert t.prune_files(p) == t.prune_files_distributed(spark, p)
+    # new files hash on append; carried files keep their filters.
+    # ck is SCATTERED (id*131 mod 499) so the appended files also span
+    # the whole domain — min/max must stay powerless, isolating the
+    # bloom lane in every assertion below
+    t.append(
+        spark,
+        spark.range(4000, 4400).select(
+            ((F.col("id") * 131) % 499).alias("ck"),
+            F.concat(
+                F.lit("u"), ((F.col("id") * 131) % 499).cast("string")
+            ).alias("nm"),
+            F.col("id").alias("rowid"),
+        ),
+    )
+    kept2 = t.prune_files(pred)
+    assert 0 < len(kept2) < len(t.files())
+    assert kept2 == t.prune_files_distributed(spark, pred)
+    assert t.read(spark, prune=pred).filter(F.col("ck") == 123).count() == (
+        t.read(spark).filter(F.col("ck") == 123).count()
+    )
+    # drop is metadata-only and conservative on both backends
+    t.drop_bloom_index("ck")
+    assert len(t.prune_files(pred)) == len(t.files())
+    assert t.prune_files(pred) == t.prune_files_distributed(spark, pred)
+    # the indexed snapshot remains queryable via time travel
+    assert 0 < len(t.prune_files(pred, version=3)) < len(t.files())
+    # guardrails: unknown / non-int-string / partition columns raise
+    with pytest.raises(ValueError, match="only"):
+        t.add_bloom_index("nosuch")
+    pt = LakeTable.create(df, str(tmp_path / "pt"), partition_by=["ck"])
+    with pytest.raises(ValueError, match="partition"):
+        pt.add_bloom_index("ck")

@@ -155,6 +155,11 @@ def test_manifest_pruning_sound_and_backend_agnostic(
         data, "k int, v float, s string, d date"
     ).repartitionByRange(3, "k")
     t = LakeTable.create(df, str(tmp_path_factory.mktemp("prop") / "t"))
+    # bloom indexes join the contract: every "=" predicate below now
+    # exercises the membership lane too (kind mismatches, empty
+    # strings, values absent from every file)
+    t.add_bloom_index("k", m=512, k=4)
+    t.add_bloom_index("s", m=512, k=4)
     pred = [(col, "between", (val, hi)) if op == "between" else (col, op, val)]
     drv = t.prune_files(pred)
     dist = t.prune_files_distributed(spark, pred)
