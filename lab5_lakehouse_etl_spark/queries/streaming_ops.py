@@ -303,3 +303,62 @@ def q_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.run_to_memory(
         E.stream_dedup_within_watermark(stream), "q_stream_dedup_wm_sink", spark
     )
+
+
+@query(
+    "q_stream_multibatch",
+    oracle="""
+    SELECT make_timestamp(
+             (CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) AS BIGINT) * 600)
+             * 1000000) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 3)     AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation whose state provably merges ACROSS
+    micro-batches under the hash gate — the multi-batch claim the
+    single-file fixtures cannot make.  The events land as THREE
+    range-partitioned parquet chunks; maxFilesPerTrigger=1 turns the
+    availableNow drain into (at least) three micro-batches, asserted
+    from query progress, so every window that spans a chunk boundary
+    must combine partial state from different batches to reach the
+    batch-equal answer the oracle hashes.  The watermark is present
+    (the production shape) but its delay exceeds the fixture's whole
+    time span, so NO replay order can drop a row — the final
+    complete-mode state is a deterministic function of the input
+    regardless of how the file source orders the chunks.  Late-drop
+    timing itself is measured separately in tests/test_streaming.py;
+    the complete-mode memory sink is the same documented test-harness
+    drain as q_stream_tumbling."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    chunks = scratch_dir("q_stream_multibatch", fresh=True) + "/chunks"
+    ev.repartitionByRange(3, "ts").write.mode("overwrite").parquet(chunks)
+    stream = E.read_events_stream(spark, chunks)
+    agg = (
+        stream.withWatermark("ts", "87600 hours")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return E.run_to_memory(
+        agg,
+        "q_stream_multibatch_sink",
+        spark,
+        "complete",
+        expect_min_batches=2,
+    )

@@ -199,11 +199,21 @@ def view_purchase_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
 
 
 def run_to_memory(
-    df: DataFrame, name: str, spark: SparkSession, output_mode: str = "append"
+    df: DataFrame,
+    name: str,
+    spark: SparkSession,
+    output_mode: str = "append",
+    expect_min_batches: int | None = None,
 ) -> DataFrame:
     """Drain a streaming DF into an in-memory table (availableNow) and
     return the materialized result — the deterministic test harness.
-    Windowed aggregations need ``output_mode='complete'``."""
+    Windowed aggregations need ``output_mode='complete'``.
+
+    ``expect_min_batches`` asserts the drain really exercised
+    MULTI-batch state merging (q_stream_multibatch's contract): with
+    maxFilesPerTrigger=1 a multi-file input must produce one progress
+    entry per file, so fewer means the source silently collapsed the
+    replay and the query would be testing less than it claims."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -212,6 +222,12 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    if expect_min_batches is not None:
+        n = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+        assert n >= expect_min_batches, (
+            f"expected >= {expect_min_batches} non-empty micro-batches, "
+            f"saw {n} — multi-batch replay collapsed"
+        )
     return spark.table(name)
 
 
