@@ -472,3 +472,48 @@ def q_bin_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_decile"
         ),
     )
+
+
+@query("q_sketch_hll_merge")
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase mergeable distinct counting — the 100 TB cardinality
+    architecture that one-shot ``approx_count_distinct`` (q_agg_approx)
+    cannot express: per-source Datasketches HLL sketches are built ONCE
+    (`hll_sketch_agg`, lgK=12, ~4 KiB bounded state per group),
+    PERSISTED as a binary column in a LakeTable sketch store, then a
+    later reader unions the stored sketches (`hll_union_agg`) into the
+    global estimate without re-touching the corpus.  That persist-and-
+    merge step is what makes sketches incremental at scale: daily
+    partitions each write their sketch row, and any cross-partition
+    distinct count is a union over kilobytes instead of a scan over
+    terabytes.  Output: per-source estimates plus an ``__all__`` row
+    whose estimate came from the stored-sketch union.  Rows-only by
+    contract (sketch estimates are algorithm-defined, not
+    SQL-stateable); tests/test_properties.py pins the relative-error
+    bound against exact distinct counts AND that the union of persisted
+    per-source sketches tracks a direct whole-corpus sketch to within
+    the estimator's own envelope — merging introduces no partitioning-
+    or order-dependent error."""
+    from ..lakehouse import LakeTable
+    from ..session import scratch_dir
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", F.xxhash64("text").alias("h"))
+    )
+    sketches = docs.groupBy("source").agg(
+        F.hll_sketch_agg("h", 12).alias("sk")
+    )
+    path = scratch_dir("q_sketch_hll_merge", fresh=True) + "/sketch_store"
+    t = LakeTable.create(sketches, path)
+    stored = t.read(spark)
+    per_source = stored.select(
+        "source", F.hll_sketch_estimate("sk").cast("bigint").alias("estimate")
+    )
+    merged = stored.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("estimate")
+    ).select(F.lit("__all__").alias("source"), "estimate")
+    return per_source.unionByName(merged)

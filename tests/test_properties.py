@@ -181,3 +181,52 @@ def test_manifest_pruning_sound_and_backend_agnostic(
         return  # Spark itself rejects the cross-kind comparison: no contract
     pruned = sorted(map(str, t.read(spark, prune=pred).filter(expr).collect()))
     assert pruned == full, f"skipping dropped matching rows for {pred}"
+
+
+def test_hll_sketch_merge_lossless_and_bounded(spark):
+    """The persisted-sketch union must estimate what a direct
+    whole-corpus sketch estimates to within the sketch's own error
+    envelope (Datasketches HLL union is register-lossless, but the
+    union target runs HLL_8 vs the sketch's HLL_4, so the ESTIMATOR can
+    differ by a hair — the property that matters for a two-phase store
+    is that merging adds no scan-order or partitioning error), and
+    every estimate must sit within the lgK=12 relative-error envelope
+    of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from lab5_lakehouse_etl_spark import queries as Q
+    from lab5_lakehouse_etl_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    Q.load_all()
+    rows = {
+        r["source"]: r["estimate"]
+        for r in Q.QUERIES["q_sketch_hll_merge"](spark, SF_DIR).collect()
+    }
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", F.xxhash64("text").alias("h"))
+    )
+    exact = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct("h").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = docs.select("h").distinct().count()
+    direct_global = docs.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("h", 12)).cast("bigint")
+    ).collect()[0][0]
+    # merging adds no partitioning-dependent error: union-of-stored
+    # tracks the direct whole-corpus sketch to well under the sketch's
+    # own RSE (observed off-by-2 at n=500 from the HLL_4 vs HLL_8
+    # estimator difference)
+    n_all = exact["__all__"]
+    assert abs(rows["__all__"] - direct_global) <= max(3, 0.01 * n_all)
+    # lgK=12 HLL relative standard error ~1.04/sqrt(2^12) ≈ 1.6%; allow
+    # 5 sigma plus the small-n exactness floor
+    assert set(rows) == set(exact)
+    for src, est in rows.items():
+        n = exact[src]
+        assert abs(est - n) <= max(3, 0.081 * n), (src, est, n)
