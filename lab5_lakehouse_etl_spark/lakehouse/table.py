@@ -1025,6 +1025,96 @@ class LakeTable:
         }
         return [f for f in self._manifest(v)["files"] if f in survivors]
 
+    # -- clone (Delta SHALLOW CLONE parity) --------------------------------
+    def clone(self, dest_path: str) -> "LakeTable":
+        """``CREATE TABLE dest SHALLOW CLONE src`` parity: a new,
+        fully independent table over the CURRENT snapshot with zero
+        data-byte copying — every data file is HARD-LINKED into the
+        clone's tree (O(files) metadata ops; same-filesystem falls back
+        to a real copy per file on EXDEV), and the snapshot's stats,
+        bloom filters, CHECK constraints, bloom config and deletion
+        vectors carry verbatim, so pruning works on the clone without
+        recomputing anything.
+
+        Deliberate deviation from Delta, documented: Delta's shallow
+        clone keeps POINTERS into the source table, so vacuuming the
+        source breaks every clone (a known operational footgun).  Hard
+        links make each file's bytes refcounted by the filesystem —
+        source vacuum, clone vacuum, and rewrites on either side are
+        all safe, while the clone itself is still created in O(files)
+        with no data movement.  Writes after the clone diverge freely:
+        copy-on-write rewrites allocate NEW files on whichever table
+        wrote, never mutating shared bytes (LakeTable never modifies a
+        committed file in place, which is what makes hard-link sharing
+        sound)."""
+        v = self.version()
+        m = self._manifest(v)
+        if os.path.exists(dest_path):
+            raise ValueError(f"clone destination exists: {dest_path}")
+        dest = LakeTable(dest_path)
+        os.makedirs(dest.data_dir, exist_ok=True)
+        for f in m["files"]:
+            src = os.path.join(self.data_dir, f)
+            dst = os.path.join(dest.data_dir, f)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device: degrade to copy
+        # DV pointer files key on ABSOLUTE scan paths
+        # (_metadata.file_path), so a verbatim copy would silently
+        # resurrect deleted rows on the clone — rewrite the data-dir
+        # prefix while copying (DV relations are point-delete-sized by
+        # design, so a driver-side pyarrow pass is the right tool)
+        if m.get("dv_dirs"):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            src_abs = os.path.abspath(self.data_dir)
+            dst_abs = os.path.abspath(dest.data_dir)
+            for d in m.get("dv_dirs", []):
+                sdir = os.path.join(self.log_dir, d)
+                ddir = os.path.join(dest.log_dir, d)
+                os.makedirs(ddir, exist_ok=True)
+                for fn in os.listdir(sdir):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    tbl = pq.read_table(os.path.join(sdir, fn))
+                    idx = tbl.schema.get_field_index("file_path")
+                    fp = pa.array(
+                        [
+                            v.replace(src_abs, dst_abs)
+                            if isinstance(v, str)
+                            else v
+                            for v in tbl.column("file_path").to_pylist()
+                        ],
+                        pa.string(),
+                    )
+                    pq.write_table(
+                        tbl.set_column(idx, "file_path", fp),
+                        os.path.join(ddir, fn),
+                    )
+        dest._commit(
+            0,
+            {
+                "version": 0,
+                "operation": "clone",
+                "source": self.path,
+                "partition_by": m.get("partition_by", []),
+                "files": list(m["files"]),
+                "file_stats": m.get("file_stats", {}),
+                "schema": m["schema"],
+                "committed_at": time.time(),
+                "dv_dirs": list(m.get("dv_dirs", [])),
+                "constraints": dict(m.get("constraints", {})),
+                "bloom": dict(m.get("bloom", {})),
+            },
+        )
+        dest._write_stats_checkpoint(
+            0, m["files"], m.get("file_stats", {})
+        )
+        return dest
+
     # -- bloom-filter indexes (Delta delta.bloomFilter.* parity) -----------
     def bloom_index(self, version: int | None = None) -> dict:
         """Active bloom-filter index config of a snapshot:

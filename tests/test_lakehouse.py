@@ -1085,3 +1085,59 @@ def test_bloom_index_equality_skipping(spark, tmp_path):
     pt = LakeTable.create(df, str(tmp_path / "pt"), partition_by=["ck"])
     with pytest.raises(ValueError, match="partition"):
         pt.add_bloom_index("ck")
+
+
+def test_shallow_clone(spark, df3, tmp_path):
+    """SHALLOW CLONE parity: O(files) hard-link clone — no data bytes
+    copied (inode-shared), snapshot stats/constraints/bloom config and
+    deletion vectors carry, both tables evolve independently afterward,
+    and vacuuming the source never breaks the clone (the documented
+    improvement over Delta's pointer-style clones)."""
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(df3, str(tmp_path / "src"))
+    t.add_bloom_index("k", m=512, k=4)
+    t.add_constraint(spark, "v_notneg", "v >= 0")
+    t.delete_dv(spark, "k = 1")
+    src_rows = sorted(map(str, t.read(spark).collect()))
+
+    c = t.clone(str(tmp_path / "dst"))
+    # zero-copy: every carried data file shares an inode with the source
+    for f in c.files():
+        assert os.stat(os.path.join(c.data_dir, f)).st_ino == os.stat(
+            os.path.join(t.data_dir, f)
+        ).st_ino
+    # snapshot equality incl. DV application
+    assert sorted(map(str, c.read(spark).collect())) == src_rows
+    # metadata carried: constraints, bloom config (pruning works
+    # immediately, no recompute), stats checkpoint
+    assert c.constraints() == t.constraints()
+    assert c.bloom_index() == t.bloom_index()
+    assert c.prune_files([("k", "=", 10**6)]) == []
+    # independent evolution: write to clone, source unchanged
+    c.merge(
+        spark,
+        spark.createDataFrame([(7, "z", 9.0)], "k BIGINT, part STRING, v DOUBLE"),
+        key=["k"],
+    )
+    assert sorted(map(str, t.read(spark).collect())) == src_rows
+    assert c.read(spark).count() == t.read(spark).count() + 1
+    # constraint carried ACTIVELY on the clone
+    import pytest as _pt
+    from lab5_lakehouse_etl_spark.lakehouse.table import (
+        ConstraintViolationError,
+    )
+    with _pt.raises(ConstraintViolationError):
+        c.append(
+            spark,
+            spark.createDataFrame(
+                [(8, "z", -1.0)], "k BIGINT, part STRING, v DOUBLE"
+            ),
+        )
+    # source rewrite + vacuum: clone still reads its snapshot
+    t.delete(spark, F.col("k") >= 0)
+    t._vacuum(keep=1)
+    assert sorted(map(str, c.read(spark, version=0).collect())) == src_rows
+    # destination must not already exist
+    with _pt.raises(ValueError, match="exists"):
+        t.clone(str(tmp_path / "dst"))
