@@ -86,6 +86,32 @@ _ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
 _HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _apply_generated(df: DataFrame, gen: dict, what: str) -> DataFrame:
+    """GENERATED ALWAYS AS write semantics (Delta parity): a generated
+    column the writer OMITS is materialized from its expression (the
+    common case — zero extra jobs, just extra plan columns); one the
+    writer PROVIDES must match the expression on every row (null-safe
+    equality), validated with one bounded check before any file is
+    staged — a mismatch raises :class:`ConstraintViolationError`, never
+    lands."""
+    for name, expr in (gen or {}).items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+        else:
+            bad = (
+                df.filter(~F.col(name).eqNullSafe(F.expr(expr)))
+                .limit(1_000_000)
+                .count()
+            )
+            if bad:
+                raise ConstraintViolationError(
+                    f"{what} provides generated column {name!r} with "
+                    f"{bad} row(s) not matching GENERATED ALWAYS AS "
+                    f"({expr})"
+                )
+    return df
+
+
 def _escape_partition_value(v) -> str:
     if v is None:
         return _HIVE_DEFAULT_PARTITION
@@ -476,6 +502,7 @@ class LakeTable:
         dv_dirs: list[str] | None = None,
         constraints: dict | None = None,
         bloom_config: dict | None = None,
+        generated: dict | None = None,
     ) -> None:
         # data-skipping stats: carryover files keep their previous
         # manifest's stats (byte-identical files), only new files pay a
@@ -484,6 +511,7 @@ class LakeTable:
         prev_dv: list[str] = []
         prev_constraints: dict = {}
         prev_bloom: dict = {}
+        prev_generated: dict = {}
         if version > 0:
             try:
                 prev_m = self._manifest(version - 1)
@@ -491,6 +519,7 @@ class LakeTable:
                 prev_dv = list(prev_m.get("dv_dirs", []))
                 prev_constraints = dict(prev_m.get("constraints", {}))
                 prev_bloom = dict(prev_m.get("bloom", {}))
+                prev_generated = dict(prev_m.get("generated", {}))
             except (OSError, ValueError, KeyError):
                 prev_stats = {}
         file_stats = {
@@ -523,6 +552,10 @@ class LakeTable:
                 else constraints,
                 # bloom-filter index config carries like constraints
                 "bloom": bloom_cfg,
+                # generated-column expressions carry like constraints
+                "generated": prev_generated
+                if generated is None
+                else generated,
             },
         )
         self._write_stats_checkpoint(version, files, file_stats)
@@ -685,16 +718,36 @@ class LakeTable:
         df: DataFrame,
         path: str,
         partition_by: Iterable[str] = (),
+        generated: dict | None = None,
     ) -> "LakeTable":
         """Initial partitioned write, mode=overwrite (S8 semantics:
-        jobs/order_glue_job.py:158 — first load clobbers the path)."""
+        jobs/order_glue_job.py:158 — first load clobbers the path).
+
+        ``generated`` declares GENERATED ALWAYS AS columns (Delta
+        parity, creation-time only as in Delta): {name: sql_expr}.
+        Writers may omit the column (it is materialized from the
+        expression — the common case, zero extra jobs) or provide it
+        (validated row-by-row against the expression, one bounded
+        check per write).  The headline use is expression-derived
+        PARTITION columns — ``generated={"o_year": "year(o_orderdate)"},
+        partition_by=["o_year"]`` gives hive-layout pruning on a column
+        no writer ever has to compute correctly by hand."""
         t = cls(path)
         if os.path.isdir(path):
             shutil.rmtree(path)
         partition_by = list(partition_by)
+        generated = dict(generated or {})
+        df = _apply_generated(df, generated, "create")
         files = t._stage_files(df, 0, partition_by)
-        t._commit_version(0, "create", partition_by, files, df.schema)
+        t._commit_version(
+            0, "create", partition_by, files, df.schema, generated=generated
+        )
         return t
+
+    def generated_columns(self, version: int | None = None) -> dict:
+        """GENERATED ALWAYS AS expressions of a snapshot: {name: expr}."""
+        v = self.version() if version is None else version
+        return dict(self._manifest(v).get("generated", {}))
 
     # -- reads -------------------------------------------------------------
     @staticmethod
@@ -1108,6 +1161,7 @@ class LakeTable:
                 "dv_dirs": list(m.get("dv_dirs", [])),
                 "constraints": dict(m.get("constraints", {})),
                 "bloom": dict(m.get("bloom", {})),
+                "generated": dict(m.get("generated", {})),
             },
         )
         dest._write_stats_checkpoint(
@@ -1595,6 +1649,9 @@ class LakeTable:
         prev_v = self.version()
         m = self._manifest(prev_v)
         partition_by: list[str] = m["partition_by"]
+        source = _apply_generated(
+            source, m.get("generated", {}), "merge source"
+        )
         target = self.read(spark)
         if set(target.columns) != set(source.columns):
             if not evolve_schema:
@@ -1896,6 +1953,9 @@ class LakeTable:
         m = self._manifest(prev_v)
         partition_by: list[str] = m["partition_by"]
         schema = StructType.fromJson(m["schema"])
+        source = _apply_generated(
+            source, m.get("generated", {}), "append source"
+        )
         if set(source.columns) != {f.name for f in schema.fields}:
             raise ValueError(
                 f"append schema mismatch: table {sorted(f.name for f in schema.fields)} "

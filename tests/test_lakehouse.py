@@ -1141,3 +1141,67 @@ def test_shallow_clone(spark, df3, tmp_path):
     # destination must not already exist
     with _pt.raises(ValueError, match="exists"):
         t.clone(str(tmp_path / "dst"))
+
+
+def test_generated_columns(spark, tmp_path):
+    """GENERATED ALWAYS AS parity: omitted generated columns are
+    materialized from their expression on create, merge, and append;
+    provided values are validated row-by-row (a mismatch raises before
+    anything lands); the headline case — an expression-derived
+    PARTITION column — yields hive layout + manifest pruning without
+    any writer computing the value by hand."""
+    from lab5_lakehouse_etl_spark.lakehouse.table import (
+        ConstraintViolationError,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-05", 10.0), (2, "2025-07-01", 20.0)],
+        "k BIGINT, d STRING, v DOUBLE",
+    )
+    t = LakeTable.create(
+        df,
+        str(tmp_path / "t"),
+        partition_by=["y"],
+        generated={"y": "CAST(substring(d, 1, 4) AS INT)"},
+    )
+    assert t.generated_columns() == {"y": "CAST(substring(d, 1, 4) AS INT)"}
+    assert {(r.k, r.y) for r in t.read(spark).collect()} == {(1, 2024), (2, 2025)}
+    assert os.path.isdir(os.path.join(str(tmp_path / "t"), "data", "y=2024"))
+    # append without the column: materialized, lands in the right
+    # partition, partition stats prune on it
+    t.append(
+        spark,
+        spark.createDataFrame([(3, "2024-11-11", 30.0)], "k BIGINT, d STRING, v DOUBLE"),
+    )
+    assert {r.k for r in t.read(spark).filter(F.col("y") == 2024).collect()} == {1, 3}
+    kept = t.prune_files([("y", "=", 2025)])
+    assert 0 < len(kept) < len(t.files())
+    # merge without the column: materialized
+    t.merge(
+        spark,
+        spark.createDataFrame([(2, "2026-01-01", 21.0)], "k BIGINT, d STRING, v DOUBLE"),
+        key=["k"],
+    )
+    assert {(r.k, r.y) for r in t.read(spark).collect()} == {
+        (1, 2024), (2, 2026), (3, 2024),
+    }
+    # provided-and-correct passes; provided-and-wrong raises pre-commit
+    v_before = t.version()
+    t.append(
+        spark,
+        spark.createDataFrame(
+            [(4, "2027-05-05", 40.0, 2027)], "k BIGINT, d STRING, v DOUBLE, y INT"
+        ),
+    )
+    with pytest.raises(ConstraintViolationError, match="GENERATED"):
+        t.append(
+            spark,
+            spark.createDataFrame(
+                [(5, "2028-05-05", 50.0, 1999)],
+                "k BIGINT, d STRING, v DOUBLE, y INT",
+            ),
+        )
+    assert t.version() == v_before + 1  # the bad append committed nothing
+    # config survives clone
+    c = t.clone(str(tmp_path / "c"))
+    assert c.generated_columns() == t.generated_columns()
