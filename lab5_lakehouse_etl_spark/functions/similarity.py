@@ -272,3 +272,218 @@ def ivf_topk(
             probes.extend(cells_at(radius))
     cell = bucketed.filter(F.col("__bucket").isin([int(p) for p in probes]))
     return topk_cosine(cell.drop("__bucket"), query_vec, k, id_col, vec_col)
+
+
+# -- product quantization (IVF's memory-side sibling) ----------------------
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    decimals: int = 6,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split each d-dim vector
+    into ``m`` subvectors of d/m dims and run Lloyd's k-means with
+    ``k`` centroids INDEPENDENTLY per subspace — but jointly in the
+    plan: one (subspace, cluster, pos) aggregate per round covers all
+    m trainings (one tiny shuffle per round, never m).  Deterministic
+    like kmeans_fit_assign: init from the k lowest-id vectors'
+    subvectors, per-round means rounded to ``decimals``, fixed
+    iteration count.
+
+    Returns ``codebooks[s][j]`` = centroid j of subspace s.  The point
+    at 100 TB is MEMORY, not speed: a 64-dim float32 vector is 256
+    bytes; its PQ code is m bytes (32x at m=8), which is what lets an
+    ANN index over billions of vectors stay in RAM — accuracy traded
+    for it is measured in tests/test_ann_recall.py."""
+    first = emb.select(F.size(vec_col)).first()
+    if first is None:
+        raise ValueError("pq_train: empty input")
+    dim = int(first[0])
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    subs = base.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("v", s * sub + 1, sub) for s in range(m)])
+        ).alias("s", "sv"),
+    )
+    subs = subs.localCheckpoint(eager=True)  # m rounds reuse it
+    init = subs.filter(F.col("vec_id") < k).orderBy("vec_id", "s").collect()
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in init:
+        books[int(r["s"])].append(
+            [round(float(x), decimals) for x in r["sv"]]
+        )
+
+    def book_lit(bks):
+        return F.array(
+            *[
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(x)) for x in c])
+                        for c in bk
+                    ]
+                )
+                for bk in bks
+            ]
+        )
+
+    def code_expr(bks):
+        cents = F.element_at(book_lit(bks), F.col("s") + 1)
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("sv"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0).cast("double"),
+                lambda acc, z: acc + z,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    for _ in range(iters):
+        assigned = subs.withColumn("j", code_expr(books))
+        stats = (
+            assigned.select("s", "j", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("s", "j", "pos")
+            .agg(F.sum("val").alias("tot"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in stats:
+            upd.setdefault((int(r["s"]), int(r["j"])), {})[int(r["pos"])] = (
+                round(float(r["tot"]) / int(r["n"]), decimals)
+            )
+        for (s, j), vals in upd.items():
+            books[s][j] = [vals[p] for p in sorted(vals)]
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector to its m nearest-subcentroid indexes — one
+    row-local map under broadcast-literal codebooks (codes fit a byte
+    each at k<=256; stored as int array for arithmetic friendliness)."""
+    m = len(books)
+    sub = len(books[0][0])
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+    def sub_code(s):
+        sv = F.slice("v", s * sub + 1, sub)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sv,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, z: acc + z,
+                )
+                for c in books[s]
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return base.select(
+        "vec_id", F.array(*[sub_code(s) for s in range(m)]).alias("codes")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    query_vec,
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query's
+    distance table T[s][j] = ||q_s - c_sj||^2 is computed ONCE on the
+    driver (m*k floats) and broadcast as a literal; each row's
+    approximate distance is m table lookups summed — no float vectors
+    are read at query time, which is the whole point of the
+    compressed index.  TakeOrderedAndProject keeps the top-k without a
+    global sort; (dist, vec_id) ordering makes ties deterministic."""
+    m = len(books)
+    sub = len(books[0][0])
+    q = [float(x) for x in query_vec]
+    table = [
+        [
+            sum((q[s * sub + i] - c[i]) ** 2 for i in range(sub))
+            for c in books[s]
+        ]
+        for s in range(m)
+    ]
+    t_lit = F.array(
+        *[F.array(*[F.lit(round(x, 9)) for x in row]) for row in table]
+    )
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, s: F.element_at(
+                F.element_at(t_lit, s + 1), code + 1
+            ),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, z: acc + z,
+    )
+    return (
+        codes.select("vec_id", F.round(adist, 6).alias("approx_dist"))
+        .orderBy("approx_dist", "vec_id")
+        .limit(k)
+    )
+
+
+def pq_search(
+    codes: DataFrame,
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    query_vec,
+    k: int = 10,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ shortlist + exact re-rank — the production ANN read path:
+    ADC over the compressed codes selects a ``shortlist`` (default
+    10k) of candidates WITHOUT touching float vectors, then only those
+    rows hydrate their true embeddings (a semi-join against the
+    shortlist ids, broadcast-sized by construction) for an exact
+    squared-L2 re-rank.  Quantization error then only costs recall if
+    a true neighbor falls outside the 10x shortlist, which
+    tests/test_ann_recall.py bounds; the full-precision store is read
+    for ~10k rows instead of the corpus."""
+    shortlist = shortlist or 10 * k
+    cand = pq_topk(codes, books, query_vec, k=shortlist).select("vec_id")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    d = F.aggregate(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            q,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, z: acc + z,
+    )
+    return (
+        emb.withColumnRenamed(id_col, "vec_id")
+        .join(F.broadcast(cand), "vec_id")
+        .select("vec_id", F.round(d, 6).alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(k)
+    )

@@ -443,3 +443,24 @@ def q_arrow_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInArrow(batches, "vec_id long, l2_norm double")
+
+
+@query("q_ann_pq")
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (functions/similarity.pq_*): train
+    per-subspace codebooks (m=8 subspaces x 16 centroids, deterministic
+    Lloyd's like q_kmeans_embed), compress every vector to 8 one-byte
+    codes (32x smaller than float32 — the memory trade that keeps a
+    billion-vector index in RAM), then answer top-10 by ADC shortlist
+    (distance-table lookups over the codes, no float reads) + exact
+    re-rank of the 100-candidate shortlist.  IVF (q_ann_ivf) cuts how
+    many vectors a query SCANS; PQ cuts how many bytes each vector
+    COSTS — production indexes (IVF-PQ) compose both.  Rows-only
+    (approximate by contract); recall and the shortlist contract are
+    pinned in tests/test_ann_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_train(emb, m=8, k=16, iters=5)
+    codes = S.pq_encode(emb, books)
+    return S.pq_search(
+        codes, emb, books, _query_vec(spark, sf_dir), k=_K
+    )

@@ -79,3 +79,51 @@ def test_lsh_pairs_subset_of_exact_with_exact_scores(spark):
         key = (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
         assert key in exact  # precision 1.0: no false pairs
         assert exact[key] == r.cosine_sim
+
+
+def test_pq_recall_and_compression(spark):
+    """PQ shortlist+re-rank recall: for 5 planted queries, the 10x-ADC
+    shortlist followed by exact re-rank must recover most of the true
+    L2 top-10 (each query >= 0.6, mean >= 0.75 on the fixture), and the
+    code representation must actually be m integers per vector — the
+    32x-vs-float32 memory claim."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from lab5_lakehouse_etl_spark.functions import similarity as S
+    from lab5_lakehouse_etl_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = S.pq_train(emb, m=8, k=16, iters=5)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    codes = S.pq_encode(emb, books).localCheckpoint()
+    row = codes.first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 16 for c in row["codes"])
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    recalls = []
+    for qid in (0, 7, 33, 101, 250):
+        q = emb.filter(F.col("vec_id") == qid).select("embedding").first()[0]
+        got = {r.vec_id for r in S.pq_search(codes, emb, books, q, k=10).collect()}
+        ql = F.array(*[F.lit(float(x)) for x in q])
+        d = F.aggregate(
+            F.zip_with("v", ql, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0).cast("double"),
+            lambda acc, z: acc + z,
+        )
+        exact = {
+            r.vec_id
+            for r in base.select("vec_id", d.alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(10)
+            .collect()
+        }
+        rec = len(got & exact) / 10
+        assert rec >= 0.6, (qid, rec)
+        recalls.append(rec)
+    assert statistics.mean(recalls) >= 0.75, recalls
