@@ -2019,6 +2019,7 @@ class LakeTable:
         cluster_by: Iterable[str] = (),
         zorder_by: Iterable[str] = (),
         max_file_bytes: int | None = None,
+        where: list[tuple] | None = None,
     ) -> int:
         """Small-file compaction (Delta ``OPTIMIZE`` parity). Streaming
         merges and per-batch upserts accumulate many small parquet
@@ -2059,7 +2060,15 @@ class LakeTable:
         (clustering must see every row, so ``cluster_by``/``zorder_by``
         reject the flag); a snapshot with fewer than two small files
         is already optimal and returns the current version without
-        committing."""
+        committing.
+
+        ``where`` scopes the rewrite to PARTITIONS (Delta ``OPTIMIZE
+        ... WHERE`` parity: predicates may reference partition columns
+        only): ``[("part", "=", "b")]``-style tuples select the scope
+        via the manifest's exact per-partition [v, v] stats; every file
+        outside the scope carries by reference untouched.  The daily
+        shape at 100 TB — compact or re-cluster yesterday's partition
+        without reading the other 364."""
         prev_v = self.version()
         m = self._manifest(prev_v)
         partition_by: list[str] = m["partition_by"]
@@ -2067,6 +2076,20 @@ class LakeTable:
         zorder_by = list(zorder_by)
         if cluster_by and zorder_by:
             raise ValueError("pass cluster_by or zorder_by, not both")
+        if where:
+            bad = [c for c, _op, _v in where if c not in partition_by]
+            if bad:
+                raise ValueError(
+                    f"optimize where= may reference partition columns "
+                    f"{partition_by} only, got {bad} (a non-partition "
+                    "predicate cannot scope whole-file rewrites exactly)"
+                )
+            scope = set(self.prune_files(list(where), version=prev_v))
+            if not scope:
+                return prev_v  # no partition matches: nothing to do
+        else:
+            scope = set(m["files"])
+        carried_out = [f for f in m["files"] if f not in scope]
         if max_file_bytes is not None:
             if cluster_by or zorder_by:
                 raise ValueError(
@@ -2077,7 +2100,8 @@ class LakeTable:
             small = [
                 f
                 for f in m["files"]
-                if os.path.getsize(os.path.join(self.data_dir, f))
+                if f in scope
+                and os.path.getsize(os.path.join(self.data_dir, f))
                 < max_file_bytes
             ]
             if len(small) < 2:
@@ -2105,7 +2129,16 @@ class LakeTable:
             )
             self._vacuum(keep=self.retain_versions)
             return new_version
-        snapshot = self.read(spark)
+        if where:
+            snapshot = self._apply_dv(
+                spark,
+                self._scan_files(
+                    spark, [f for f in m["files"] if f in scope], m
+                ),
+                m,
+            )
+        else:
+            snapshot = self.read(spark)
         if zorder_by:
             z = _zvalue(snapshot, zorder_by)
             compacted = (
@@ -2127,10 +2160,13 @@ class LakeTable:
             new_version,
             "optimize",
             partition_by,
-            new_files,
+            sorted(carried_out + new_files),
             StructType.fromJson(m["schema"]),
-            # full rewrite materializes every deletion vector away
-            dv_dirs=[],
+            # a whole-table rewrite materializes every deletion vector
+            # away; a where-scoped one must keep pointers for the
+            # carried partitions (pointers for rewritten files are
+            # inert — the anti-join matches nothing)
+            dv_dirs=[] if not carried_out else None,
         )
         self._vacuum(keep=self.retain_versions)
         return new_version

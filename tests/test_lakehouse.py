@@ -1205,3 +1205,46 @@ def test_generated_columns(spark, tmp_path):
     # config survives clone
     c = t.clone(str(tmp_path / "c"))
     assert c.generated_columns() == t.generated_columns()
+
+
+def test_optimize_where_partition_scoped(spark, tmp_path):
+    """OPTIMIZE ... WHERE parity: the rewrite touches only files of
+    matching PARTITIONS — everything else carries by reference (same
+    file names, same bytes), deletion vectors on carried partitions
+    stay live, non-partition predicates are rejected, and an empty
+    scope commits nothing."""
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(40)],
+        "k BIGINT, part STRING, v DOUBLE",
+    ).repartition(4)
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df, path, partition_by=["part"])
+    a_before = [f for f in t.files() if f.startswith("part=a/")]
+    b_before = [f for f in t.files() if f.startswith("part=b/")]
+    assert len(a_before) > 1 and len(b_before) > 1
+    # DV on partition b: must survive an optimize scoped to a
+    t.delete_dv(spark, "k = 1")
+    assert not [r.k for r in t.read(spark).collect() if r.k == 1]
+
+    v = t.optimize(spark, target_partitions=1, where=[("part", "=", "a")])
+    assert v == t.version()
+    a_after = [f for f in t.files() if f.startswith("part=a/")]
+    b_after = [f for f in t.files() if f.startswith("part=b/")]
+    assert len(a_after) == 1  # compacted
+    assert b_after == b_before  # carried by reference, untouched
+    ks = sorted(r.k for r in t.read(spark).collect())
+    assert ks == [k for k in range(40) if k != 1]  # rows intact, DV live
+
+    # empty scope: no commit
+    assert t.optimize(spark, where=[("part", "=", "zzz")]) == t.version()
+    # non-partition predicate rejected
+    with pytest.raises(ValueError, match="partition columns"):
+        t.optimize(spark, where=[("k", ">=", 0)])
+    # where + clustering: scope rows re-clustered, scope only
+    v2 = t.optimize(
+        spark, target_partitions=2, cluster_by=["k"], where=[("part", "=", "b")]
+    )
+    assert v2 == t.version()
+    assert [f for f in t.files() if f.startswith("part=a/")] == a_after
+    ks2 = sorted(r.k for r in t.read(spark).collect())
+    assert ks2 == ks
