@@ -543,3 +543,82 @@ def q_table_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "q_table_clone",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)           AS n_rows,
+           round(sum(o_totalprice), 2)        AS total,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+    FROM orders
+    """,
+)
+def q_table_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone under the hash gate: clone the orders LakeTable
+    (O(files) hard links, zero data-byte copy — inode sharing and
+    metadata carry pinned in tests/test_lakehouse.py), then DIVERGE the
+    source with an extra append.  The returned aggregate reads the
+    CLONE, and the oracle hashes it against the original orders — so a
+    clone that leaked source writes, double-counted shared files, or
+    dropped rows in the link step mismatches.  At 100 TB this is the
+    dev/test-against-production-data move: a full-fidelity table copy
+    in seconds of metadata work."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = scratch_dir("q_table_clone", fresh=True)
+    t = LakeTable.create(orders, base + "/src")
+    c = t.clone(base + "/dst")
+    # diverge the SOURCE after the clone: the clone must not see it
+    t.append(spark, orders.limit(7))
+    return c.read(spark).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_cust"),
+    )
+
+
+@query(
+    "q_table_generated",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE year(o_orderdate) = 1996
+    """,
+)
+def q_table_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated partition column under the hash gate: orders land in
+    a table whose partition column ``o_year`` is GENERATED ALWAYS AS
+    ``year(o_orderdate)`` — the writer never computes it — and a
+    one-year read is served through manifest partition-stats pruning
+    on that derived column (asserted: strictly fewer files than the
+    snapshot).  The oracle hashes the pruned read against a plain
+    year() filter on the raw table, pinning both the generation
+    expression and the skipping soundness."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    path = scratch_dir("q_table_generated", fresh=True) + "/orders_tbl"
+    t = LakeTable.create(
+        orders,
+        path,
+        partition_by=["o_year"],
+        generated={"o_year": "year(o_orderdate)"},
+    )
+    pred = [("o_year", "=", 1996)]
+    kept = t.prune_files(pred)
+    assert 0 < len(kept) < len(t.files()), (
+        f"generated-partition pruning ineffective: {len(kept)}/{len(t.files())}"
+    )
+    return (
+        t.read(spark, prune=pred)
+        .filter(F.col("o_year") == 1996)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
