@@ -517,3 +517,125 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("estimate")
     ).select(F.lit("__all__").alias("source"), "estimate")
     return per_source.unionByName(merged)
+
+
+_RESAMPLE_ORACLE = """
+WITH obs AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) AS BIGINT) AS b,
+         CAST(round(avg(value) * 10000) AS BIGINT) AS v10k
+  FROM events
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, unnest(range(mn, mx + 1)) AS b
+  FROM (SELECT event_type, min(b) AS mn, max(b) AS mx
+        FROM obs GROUP BY 1)
+),
+j AS (
+  SELECT g.event_type, g.b, o.v10k,
+         last_value(o.v10k IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN o.v10k IS NOT NULL THEN g.b END IGNORE NULLS)
+           OVER (PARTITION BY g.event_type ORDER BY g.b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+         first_value(o.v10k IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN o.v10k IS NOT NULL THEN g.b END IGNORE NULLS)
+           OVER (PARTITION BY g.event_type ORDER BY g.b
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM grid g LEFT JOIN obs o USING (event_type, b)
+)
+SELECT event_type,
+       make_timestamp(b * 1800 * 1000000) AS bucket_ts,
+       CAST(round(CASE WHEN v10k IS NOT NULL THEN v10k
+                       WHEN pv IS NULL THEN nv
+                       WHEN nv IS NULL THEN pv
+                       ELSE pv + (nv - pv) * ((b - pb) / (nb - pb))
+                  END) AS BIGINT) AS value_x10k,
+       (v10k IS NOT NULL) AS observed
+FROM j
+"""
+
+
+@query("q_resample_interp", oracle=_RESAMPLE_ORACLE)
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling — the
+    ``time_bucket_gapfill`` + ``interpolate`` operator of
+    TimescaleDB/QuestDB that plain SQL engines lack: per event type,
+    average value onto a 30-minute grid spanning that type's observed
+    range, then fill every empty bucket by LINEAR interpolation
+    between its nearest observed neighbors (leading/trailing edges
+    fall back to nearest-value fill so the output is total).
+
+    Plan shape: one partial-combining aggregate builds the observed
+    points (the only pass over the fact table), the grid explodes
+    from a per-type (min, max) aggregate — |types| rows before the
+    explode — and filling is ONE window pass per direction over
+    grid-sized data (ignore-nulls last/first + the bucket arithmetic
+    row-local).  At 100 TB the fact table is touched exactly once;
+    everything after is proportional to |types| x |buckets|, not
+    |events|.  The oracle replays the identical grid and window
+    math in DuckDB (IGNORE NULLS windows), hash-matched including
+    interpolated fractions."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp("ts") / F.lit(1800))
+        .cast("bigint")
+        .alias("b"),
+        "value",
+    )
+    obs = ev.groupBy("event_type", "b").agg(
+        F.round(F.avg("value") * 10000)
+        .cast("bigint")
+        .alias("v10k")
+    )
+    grid = (
+        obs.groupBy("event_type")
+        .agg(F.min("b").alias("mn"), F.max("b").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx")).alias("b"),
+        )
+    )
+    j = grid.join(obs, ["event_type", "b"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    pv = F.last("v10k", ignorenulls=True).over(wp)
+    pb = F.last(
+        F.when(F.col("v10k").isNotNull(), F.col("b")), ignorenulls=True
+    ).over(wp)
+    nv = F.first("v10k", ignorenulls=True).over(wn)
+    nb = F.first(
+        F.when(F.col("v10k").isNotNull(), F.col("b")), ignorenulls=True
+    ).over(wn)
+    # scaled-integer domain: endpoints are exact BIGINTs, the fraction
+    # is a small-rational double, and final rounding ties (exact .5)
+    # resolve half-away-from-zero identically in both engines — the
+    # 4-decimal float domain instead lands interpolants exactly on
+    # x.00005 boundaries where Spark's BigDecimal HALF_UP and DuckDB's
+    # multiply-then-nearbyint disagree by an ulp
+    filled = (
+        F.when(F.col("v10k").isNotNull(), F.col("v10k"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * ((F.col("b") - pb) / (nb - pb)))
+    )
+    return j.select(
+        "event_type",
+        F.timestamp_seconds(F.col("b") * 1800).alias("bucket_ts"),
+        F.round(filled).cast("bigint").alias("value_x10k"),
+        F.col("v10k").isNotNull().alias("observed"),
+    )
