@@ -639,3 +639,90 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(filled).cast("bigint").alias("value_x10k"),
         F.col("v10k").isNotNull().alias("observed"),
     )
+
+
+_EWMA_ORACLE = """
+WITH obs AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) AS BIGINT) AS b,
+         CAST(round(avg(value) * 10000) AS BIGINT) AS v10k
+  FROM events
+  GROUP BY 1, 2
+),
+ser AS (
+  SELECT event_type,
+         list(b ORDER BY b)                     AS bs,
+         list(CAST(v10k AS DOUBLE) ORDER BY b)  AS xs
+  FROM obs GROUP BY 1
+),
+folded AS (
+  SELECT event_type, bs,
+         list_transform(
+           range(1, len(xs) + 1),
+           i -> list_reduce(
+                  xs[1:i],
+                  (acc, x) -> CAST(0.3 AS DOUBLE) * x
+                              + CAST(0.7 AS DOUBLE) * acc)
+         ) AS ew
+  FROM ser
+),
+z AS (
+  SELECT event_type, unnest(list_zip(bs, ew)) AS u FROM folded
+)
+SELECT event_type,
+       make_timestamp(u[1] * 1800 * 1000000) AS bucket_ts,
+       round(u[2] / 10000, 4)                AS ewma
+FROM z
+"""
+
+
+@query("q_ewma", oracle=_EWMA_ORACLE)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average — the stateful recursion
+    y_t = a*x_t + (1-a)*y_{t-1} that SQL window frames cannot state
+    (every y depends on the previous OUTPUT, not a frame of inputs).
+    Expressed Spark-first as a higher-order array fold: the fact table
+    collapses to per-type 30-minute buckets in one aggregate (the only
+    pass over events), each type's bounded bucket series collects into
+    ONE row, and the EWMA series materializes row-locally as prefix
+    folds (`F.aggregate` over `F.slice`) — no UDF, no driver loop, no
+    per-row state exchange.  At 100 TB the shuffle carries |types| x
+    |buckets| points, never events; the quadratic prefix-fold cost is
+    confined to the bounded resampled series (the same containment
+    argument as SemDeDup's per-cluster matmul).  The fold is written
+    identically in both engines (0.3*x + 0.7*acc over the same ordered
+    doubles), so IEEE evaluation matches bit-for-bit and the oracle
+    hash pins the whole trajectory, not just the final value."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp("ts") / F.lit(1800)).cast("bigint").alias("b"),
+        "value",
+    )
+    obs = ev.groupBy("event_type", "b").agg(
+        F.round(F.avg("value") * 10000).cast("bigint").alias("v10k")
+    )
+    ser = obs.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("b", "v10k"))).alias("pts")
+    )
+    xs = F.transform(F.col("pts"), lambda p: p["v10k"].cast("double"))
+    folded = ser.select(
+        "event_type",
+        F.transform(F.col("pts"), lambda p: p["b"]).alias("bs"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("pts")),
+            lambda i: F.aggregate(
+                F.slice(xs, 2, i - 1),
+                F.element_at(xs, 1),
+                lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+            ),
+        ).alias("ew"),
+    )
+    z = folded.select(
+        "event_type",
+        F.explode(F.arrays_zip("bs", "ew")).alias("u"),
+    )
+    return z.select(
+        "event_type",
+        F.timestamp_seconds(F.col("u.bs") * 1800).alias("bucket_ts"),
+        F.round(F.col("u.ew") / 10000, 4).alias("ewma"),
+    )
