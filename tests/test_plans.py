@@ -350,3 +350,44 @@ def test_dedup_prefix_join_is_equi_not_cartesian(spark):
     plan = explain_str(df).lower()
     assert "cartesianproduct" not in plan
     assert "broadcastnestedloop" not in plan
+
+
+def test_resample_interp_single_fact_scan(spark):
+    """Gap filling touches the events table exactly once: the observed
+    aggregate is the only scan of the fact; the grid derives from a
+    |types|-row aggregate, and interpolation is window math over
+    grid-sized data."""
+    from lab5_lakehouse_etl_spark.plans.inspect import explain_str
+
+    df = Q.QUERIES["q_resample_interp"](spark, SF_DIR)
+    txt = explain_str(df)
+    import re
+
+    scans = re.findall(r"Scan parquet[^\n]*", txt)
+    assert len([s for s in scans if "events" in s]) <= 2  # obs + grid share
+    # the fact-side aggregate partial-combines before any exchange
+    assert "HashAggregate" in txt
+
+
+def test_ewma_shuffles_points_not_events(spark):
+    """EWMA's shuffles carry (type, bucket) points and per-type series
+    rows only — bucket aggregate + per-type collect are the whole
+    exchange budget; the trajectory fold is row-local."""
+    df = Q.QUERIES["q_ewma"](spark, SF_DIR)
+    assert shuffle_count(df) <= 2
+
+
+def test_pq_search_broadcasts_shortlist(spark):
+    """PQ re-rank hydrates true vectors through a BROADCAST semi-join
+    against the ADC shortlist — the embedding store never shuffles."""
+    from pyspark.sql import functions as F
+
+    from lab5_lakehouse_etl_spark.functions import similarity as S
+    from lab5_lakehouse_etl_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = S.pq_train(emb, m=8, k=16, iters=1)
+    codes = S.pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    df = S.pq_search(codes, emb, books, q, k=10)
+    assert has_broadcast_join(df)
