@@ -362,3 +362,46 @@ def q_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "complete",
         expect_min_batches=2,
     )
+
+
+@query(
+    "q_stream_enrich",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, round(avg(value), 4) AS type_avg
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value, s.type_avg,
+           round(e.value - s.type_avg, 4) AS deviation
+    FROM events e JOIN stats s USING (event_type)
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the dimension-join shape every
+    production stream has and the stream-stream join (q_stream_join)
+    does not cover: each streamed event joins a STATIC, batch-computed
+    per-type statistics relation (broadcast — the stream side never
+    shuffles, no state store involved, arbitrarily late events still
+    enrich correctly because the static side is not watermarked).
+    Here the static side is itself derived from the same fixture
+    (per-type mean), so the drained append-mode result is a
+    deterministic function of the input the oracle states as a plain
+    join.  At 100 TB the static side refreshes per micro-batch epoch
+    from its table — exactly this plan with the aggregate swapped for
+    a LakeTable read."""
+    tune(spark)
+    ev_static = load_table(spark, sf_dir, "events")
+    stats = ev_static.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("type_avg")
+    )
+    stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
+    enriched = stream.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "type_avg",
+        F.round(F.col("value") - F.col("type_avg"), 4).alias("deviation"),
+    )
+    return E.run_to_memory(
+        enriched, "q_stream_enrich_sink", spark, "append"
+    )
