@@ -726,3 +726,117 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_seconds(F.col("u.bs") * 1800).alias("bucket_ts"),
         F.round(F.col("u.ew") / 10000, 4).alias("ewma"),
     )
+
+
+_HOLT_ORACLE = """
+WITH obs AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) AS BIGINT) AS b,
+         CAST(round(avg(value) * 10000) AS BIGINT) AS v10k
+  FROM events
+  GROUP BY 1, 2
+),
+ser AS (
+  SELECT event_type,
+         list(b ORDER BY b)                    AS bs,
+         list(CAST(v10k AS DOUBLE) ORDER BY b) AS xs
+  FROM obs GROUP BY 1
+),
+folded AS (
+  SELECT event_type, bs,
+         list_transform(
+           range(1, len(xs) + 1),
+           i -> list_reduce(
+                  list_transform(xs[1:i],
+                    x -> [x, CAST(0 AS DOUBLE)]),
+                  (acc, e) -> [
+                    CAST(0.2 AS DOUBLE) * e[1]
+                      + CAST(0.8 AS DOUBLE) * acc[1]
+                      + CAST(0.8 AS DOUBLE) * acc[2],
+                    CAST(0.06 AS DOUBLE) * e[1]
+                      - CAST(0.06 AS DOUBLE) * acc[1]
+                      + CAST(0.94 AS DOUBLE) * acc[2]])
+         ) AS hw
+  FROM ser
+),
+z AS (
+  SELECT event_type, unnest(list_zip(bs, hw)) AS u FROM folded
+)
+SELECT event_type,
+       make_timestamp(u[1] * 1800 * 1000000)       AS bucket_ts,
+       round(u[2][1] / 10000, 4)                   AS level_,
+       round(u[2][2] / 10000, 4)                   AS trend,
+       round((u[2][1] + u[2][2]) / 10000, 4)       AS forecast
+FROM z
+"""
+
+
+@query("q_holt_trend", oracle=_HOLT_ORACLE)
+def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing — TWO coupled
+    recursions (level_t needs trend_t-1, trend_t needs level_t) that
+    no window frame can state and that q_ewma's scalar fold cannot
+    carry: the accumulator is a PAIR [level, trend] threaded through a
+    higher-order fold.  Same scale shape as q_ewma (one fact-table
+    aggregate, per-type bounded series on one row, trajectory as
+    row-local prefix folds); the pair-state fold is the general
+    template for any finite-state per-key recursion — Kalman-style
+    filters, debounce automata, balance tracking.
+
+    Two cross-engine determinism notes, both load-bearing: (1) the
+    update is algebraically EXPANDED to the linear form
+    l' = 0.2x + 0.8l + 0.8t, t' = 0.06x - 0.06l + 0.94t so both
+    engines evaluate one identical IEEE expression tree per field;
+    (2) the accumulator is an ARRAY, not a struct — DuckDB 1.0's
+    list_reduce evaluates struct_pack fields sequentially against an
+    accumulator it mutates IN PLACE, so a struct state's second field
+    reads the first field's NEW value (measured: the trend lane
+    diverges from the third element on); list-valued accumulators
+    evaluate functionally in both engines.  Whole (level, trend,
+    one-step forecast) trajectory under the hash gate (alpha=0.2,
+    beta=0.3)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_timestamp("ts") / F.lit(1800)).cast("bigint").alias("b"),
+        "value",
+    )
+    obs = ev.groupBy("event_type", "b").agg(
+        F.round(F.avg("value") * 10000).cast("bigint").alias("v10k")
+    )
+    ser = obs.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("b", "v10k"))).alias("pts")
+    )
+    xs = F.transform(F.col("pts"), lambda p: p["v10k"].cast("double"))
+    folded = ser.select(
+        "event_type",
+        F.transform(F.col("pts"), lambda p: p["b"]).alias("bs"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("pts")),
+            lambda i: F.aggregate(
+                F.slice(xs, 2, i - 1),
+                F.array(
+                    F.element_at(xs, 1), F.lit(0.0).cast("double")
+                ),
+                lambda acc, x: F.array(
+                    F.lit(0.2) * x
+                    + F.lit(0.8) * F.element_at(acc, 1)
+                    + F.lit(0.8) * F.element_at(acc, 2),
+                    F.lit(0.06) * x
+                    - F.lit(0.06) * F.element_at(acc, 1)
+                    + F.lit(0.94) * F.element_at(acc, 2),
+                ),
+            ),
+        ).alias("hw"),
+    )
+    z = folded.select(
+        "event_type", F.explode(F.arrays_zip("bs", "hw")).alias("u")
+    )
+    lvl = F.element_at(F.col("u.hw"), 1)
+    trd = F.element_at(F.col("u.hw"), 2)
+    return z.select(
+        "event_type",
+        F.timestamp_seconds(F.col("u.bs") * 1800).alias("bucket_ts"),
+        F.round(lvl / 10000, 4).alias("level_"),
+        F.round(trd / 10000, 4).alias("trend"),
+        F.round((lvl + trd) / 10000, 4).alias("forecast"),
+    )
