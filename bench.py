@@ -164,13 +164,17 @@ def main() -> None:
         )
     )
 
-    # Two full passes, report the per-query MINIMUM: pass 1 still pays
-    # residual JIT/codegen-cache warm-up for whichever operators run
-    # first, which round-over-round diffing then misreads as plan
+    # Multiple full passes, report the per-query MINIMUM: pass 1 still
+    # pays residual JIT/codegen-cache warm-up for whichever operators
+    # run first, which round-over-round diffing then misreads as plan
     # regressions (r1→r2 flagged 5 front-of-suite queries ±40% with
-    # untouched code). min-of-2 keeps the plan signal, drops the
-    # warm-up ordering artifact.
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # untouched code). min-of-N keeps the plan signal, drops the
+    # warm-up ordering artifact. Default raised to 3 in round 4 after
+    # measuring 1.5-2x host-load variance on byte-identical code (see
+    # README "Bench environment variance"): a third pass materially
+    # tightens the minimum under background load at ~+50% bench wall
+    # time.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
     for _ in range(max(1, passes)):
         for name in BENCH_QUERIES:
