@@ -56,7 +56,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 _LOG_DIR = "_log"
@@ -326,6 +326,24 @@ class LakeTable:
         ``allowed_dirs`` is a safety net for partition-scoped rewrites:
         every staged partition dir must be one we predicted as touched,
         else carried-over files could double-count rows."""
+        # column mapping (RENAME COLUMN support): files ALWAYS carry
+        # the original physical names — a logical-named frame arriving
+        # here translates back, so every file in the tree shares one
+        # physical schema forever and a rename never rewrites data.
+        # Frames already in physical names (internal _scan_files-fed
+        # rewrites) pass through untouched: their logical names are
+        # absent by construction.
+        mapping: dict = {}
+        if version > 0:
+            try:
+                mapping = (
+                    self._manifest(version - 1).get("column_mapping") or {}
+                )
+            except (OSError, ValueError, KeyError):
+                mapping = {}
+        for log, phys in mapping.items():
+            if phys != log and log in df.columns:
+                df = df.withColumnRenamed(log, phys)
         stage = os.path.join(self.path, f".stage_v{version}-{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -503,6 +521,7 @@ class LakeTable:
         constraints: dict | None = None,
         bloom_config: dict | None = None,
         generated: dict | None = None,
+        column_mapping: dict | None = None,
     ) -> None:
         # data-skipping stats: carryover files keep their previous
         # manifest's stats (byte-identical files), only new files pay a
@@ -512,6 +531,7 @@ class LakeTable:
         prev_constraints: dict = {}
         prev_bloom: dict = {}
         prev_generated: dict = {}
+        prev_mapping: dict = {}
         if version > 0:
             try:
                 prev_m = self._manifest(version - 1)
@@ -520,6 +540,7 @@ class LakeTable:
                 prev_constraints = dict(prev_m.get("constraints", {}))
                 prev_bloom = dict(prev_m.get("bloom", {}))
                 prev_generated = dict(prev_m.get("generated", {}))
+                prev_mapping = dict(prev_m.get("column_mapping", {}))
             except (OSError, ValueError, KeyError):
                 prev_stats = {}
         file_stats = {
@@ -556,6 +577,10 @@ class LakeTable:
                 "generated": prev_generated
                 if generated is None
                 else generated,
+                # logical->physical column mapping carries likewise
+                "column_mapping": prev_mapping
+                if column_mapping is None
+                else column_mapping,
             },
         )
         self._write_stats_checkpoint(version, files, file_stats)
@@ -794,6 +819,13 @@ class LakeTable:
         m = self._manifest(v)
         stats = m.get("file_stats", {})
         bloom_cfg = m.get("bloom", {})
+        # stats/bloom are keyed by PHYSICAL column names (footers never
+        # change across renames) — translate logical predicate columns
+        cm = m.get("column_mapping") or {}
+        if cm and predicates:
+            predicates = [
+                (cm.get(c, c), op, val) for c, op, val in predicates
+            ]
 
         import re
 
@@ -919,7 +951,14 @@ class LakeTable:
 
         v = self.version() if version is None else version
         rel = self.stats_relation(spark, v)
-        bloom_cfg = self._manifest(v).get("bloom", {})
+        man = self._manifest(v)
+        bloom_cfg = man.get("bloom", {})
+        # same physical-name translation as the driver walk
+        cm = man.get("column_mapping") or {}
+        if cm and predicates:
+            predicates = [
+                (cm.get(c, c), op, val) for c, op, val in predicates
+            ]
         # checkpoints written before bloom indexes existed lack the
         # columns; such snapshots also carry no bloom config, but guard
         # structurally so a hand-rolled checkpoint can't break the plan
@@ -1078,6 +1117,71 @@ class LakeTable:
         }
         return [f for f in self._manifest(v)["files"] if f in survivors]
 
+    # -- RENAME COLUMN (Delta column-mapping parity) -----------------------
+    def rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE ... RENAME COLUMN`` — metadata-only, via
+        column mapping (Delta ``columnMapping.mode=name`` parity): data
+        files keep their ORIGINAL physical column names forever; the
+        manifest records {logical: physical} and every reader/writer
+        translates at the scan/stage choke points.  No file is
+        rewritten, footer stats and bloom filters stay valid (they key
+        on physical names), time travel shows each version under its
+        own names, and a second rename of the same column just
+        repoints the logical name at the unchanged physical one.
+
+        Refused for partition columns (hive dir names are physical and
+        user-visible), for columns referenced by CHECK constraints or
+        GENERATED expressions (their SQL text would silently break —
+        Delta restricts these too), and for names already taken."""
+        prev_v = self.version()
+        m = self._manifest(prev_v)
+        schema = StructType.fromJson(m["schema"])
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if old in (m.get("partition_by") or []):
+            raise ValueError(
+                f"cannot rename partition column {old!r}: hive directory "
+                "names are physical and would need a full rewrite"
+            )
+        import re as _re
+
+        word = _re.compile(rf"\b{_re.escape(old)}\b")
+        refs = {**m.get("constraints", {}), **m.get("generated", {})}
+        for nm, expr in refs.items():
+            if word.search(expr):
+                raise ValueError(
+                    f"cannot rename {old!r}: referenced by {nm!r} "
+                    f"({expr}) — drop it first"
+                )
+        if old in m.get("generated", {}):
+            raise ValueError(
+                f"cannot rename generated column {old!r}"
+            )
+        mapping = dict(m.get("column_mapping", {}))
+        phys = mapping.pop(old, old)
+        if new != phys:
+            mapping[new] = phys
+        new_schema = StructType(
+            [
+                StructField(
+                    new if f.name == old else f.name, f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+        self._commit_version(
+            prev_v + 1,
+            "rename_column",
+            m["partition_by"],
+            list(m["files"]),
+            new_schema,
+            column_mapping=mapping,
+        )
+        return prev_v + 1
+
     # -- clone (Delta SHALLOW CLONE parity) --------------------------------
     def clone(self, dest_path: str) -> "LakeTable":
         """``CREATE TABLE dest SHALLOW CLONE src`` parity: a new,
@@ -1162,6 +1266,7 @@ class LakeTable:
                 "constraints": dict(m.get("constraints", {})),
                 "bloom": dict(m.get("bloom", {})),
                 "generated": dict(m.get("generated", {})),
+                "column_mapping": dict(m.get("column_mapping", {})),
             },
         )
         dest._write_stats_checkpoint(
@@ -1195,13 +1300,16 @@ class LakeTable:
         index would read as skipping working when it cannot)."""
         from . import bloom as B
 
+        prev_v = self.version()
+        man = self._manifest(prev_v)
         cfg = self.bloom_index()
-        cfg[column] = {
+        # cfg keys are PHYSICAL names (what the parquet files carry),
+        # so the index survives later RENAME COLUMN untouched
+        cm = man.get("column_mapping") or {}
+        cfg[cm.get(column, column)] = {
             "m": int(m or B.DEFAULT_M),
             "k": int(k or B.DEFAULT_K),
         }
-        prev_v = self.version()
-        man = self._manifest(prev_v)
         schema = StructType.fromJson(man["schema"])
         kinds = {f.name: f.dataType.simpleString() for f in schema.fields}
         ok = ("tinyint", "smallint", "int", "bigint", "string")
@@ -1232,12 +1340,13 @@ class LakeTable:
         """Drop the index config (metadata-only — stale per-file
         filters become inert because both pruning paths consult the
         SNAPSHOT config before probing)."""
+        prev_v = self.version()
+        man = self._manifest(prev_v)
         cfg = self.bloom_index()
+        column = (man.get("column_mapping") or {}).get(column, column)
         if column not in cfg:
             raise ValueError(f"no bloom index on {column!r}")
         del cfg[column]
-        prev_v = self.version()
-        man = self._manifest(prev_v)
         self._commit_version(
             prev_v + 1,
             "drop_bloom_index",
@@ -1419,16 +1528,37 @@ class LakeTable:
         self, spark: SparkSession, files: list[str], manifest: dict
     ) -> DataFrame:
         """Raw pinned-schema scan of a manifest's files (no DV
-        application)."""
+        application).  Column mapping applies HERE — the single scan
+        choke point — so every reader (read, CDF, DV delete, optimize
+        rewrites) uniformly sees LOGICAL names: the scan pins the
+        PHYSICAL schema (what the parquet files actually store, which
+        never changes across renames) and renames to the snapshot's
+        logical names immediately after."""
         schema = StructType.fromJson(manifest["schema"])
+        mapping = manifest.get("column_mapping") or {}
         if not files:
             return spark.createDataFrame([], schema)
+        if mapping:
+            phys_schema = StructType(
+                [
+                    StructField(
+                        mapping.get(f.name, f.name), f.dataType, f.nullable
+                    )
+                    for f in schema.fields
+                ]
+            )
+        else:
+            phys_schema = schema
         paths = [os.path.join(self.data_dir, f) for f in files]
-        return (
+        df = (
             spark.read.option("basePath", self.data_dir)
-            .schema(schema)
+            .schema(phys_schema)
             .parquet(*paths)
         )
+        for log, phys in mapping.items():
+            if phys != log:
+                df = df.withColumnRenamed(phys, log)
+        return df
 
     def read(
         self,
@@ -1518,10 +1648,13 @@ class LakeTable:
             )
         schema = StructType.fromJson(m["schema"])
         partition_by = list(m.get("partition_by") or [])
+        cm = m.get("column_mapping") or {}
         data_fields = [f for f in schema.fields if f.name not in partition_by]
         part_fields = [f for f in schema.fields if f.name in partition_by]
+        # the backing table reads raw parquet, so its DDL must use the
+        # PHYSICAL names; the view below aliases them back to logical
         ddl = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}"
+            f"`{cm.get(f.name, f.name)}` {f.dataType.simpleString()}"
             for f in data_fields + part_fields
         )
         files_table = f"{db}.{name}__files"
@@ -1545,9 +1678,15 @@ class LakeTable:
             + "'"
             for f in m["files"]
         )
+        proj = ", ".join(
+            f"`{cm.get(f.name, f.name)}` AS `{f.name}`"
+            if cm.get(f.name, f.name) != f.name
+            else f"`{f.name}`"
+            for f in data_fields + part_fields
+        )
         spark.sql(
             f"CREATE OR REPLACE VIEW {db}.{name} AS "
-            f"SELECT * FROM {files_table} "
+            f"SELECT {proj} FROM {files_table} "
             f"WHERE _metadata.file_path IN ({uris})"
         )
         return f"{db}.{name}"

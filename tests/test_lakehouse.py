@@ -1248,3 +1248,78 @@ def test_optimize_where_partition_scoped(spark, tmp_path):
     assert [f for f in t.files() if f.startswith("part=a/")] == a_after
     ks2 = sorted(r.k for r in t.read(spark).collect())
     assert ks2 == ks
+
+
+def test_rename_column_mapping(spark, df3, tmp_path):
+    """RENAME COLUMN via column mapping: metadata-only (data files keep
+    their original physical names — verified in the footer), reads and
+    writes translate at the choke points, stats/bloom stay valid,
+    pruning predicates translate, time travel shows per-version names,
+    clones carry the mapping, and guarded cases raise."""
+    import pyarrow.parquet as pq
+
+    t = LakeTable.create(df3, str(tmp_path / "t"))
+    t.add_bloom_index("k", m=512, k=4)
+    files_before = list(t.files())
+    t.rename_column("v", "amount")
+    # metadata-only: identical file list, physical footer still says v
+    assert t.files() == files_before
+    footer = pq.ParquetFile(
+        os.path.join(t.data_dir, t.files()[0])
+    ).schema_arrow.names
+    assert "v" in footer and "amount" not in footer
+    # logical read
+    got = {r.k: r.amount for r in t.read(spark).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0}
+    assert "v" not in t.read(spark).columns
+    # writes with logical names; new files still carry physical names
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(4, "c", 40.0)], "k BIGINT, part STRING, amount DOUBLE"
+        ),
+        key=["k"],
+    )
+    assert {r.k: r.amount for r in t.read(spark).collect()}[4] == 40.0
+    newest = [f for f in t.files() if f.startswith(f"v{t.version()}-")]
+    assert newest
+    assert "v" in pq.ParquetFile(
+        os.path.join(t.data_dir, newest[0])
+    ).schema_arrow.names
+    # rename the renamed column again: still points at physical v
+    t.rename_column("amount", "total")
+    assert {r.k: r.total for r in t.read(spark).collect()}[4] == 40.0
+    # pruning predicates translate (min/max + bloom on renamed k)
+    t.rename_column("k", "id")
+    kept = t.prune_files([("id", "=", 10**6)])
+    assert kept == [] == t.prune_files_distributed(spark, [("id", "=", 10**6)])
+    assert t.read(spark, prune=[("id", "=", 4)]).filter(
+        F.col("id") == 4
+    ).count() == 1
+    # time travel: old versions keep old names
+    assert "v" in t.read(spark, version=0).columns
+    # delete through the logical name
+    t.delete(spark, F.col("id") == 1)
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 3, 4]
+    # clone carries the mapping
+    c = t.clone(str(tmp_path / "c"))
+    assert sorted(r.id for r in c.read(spark).collect()) == [2, 3, 4]
+    # catalog view exposes logical names over physical files
+    c2 = LakeTable.create(df3, str(tmp_path / "reg"))
+    c2.rename_column("v", "price")
+    view = c2.register(spark, "renamed_tbl", db="lakehouse_test_cm")
+    cols = spark.table(view).columns
+    assert "price" in cols and "v" not in cols
+    assert spark.table(view).count() == 3
+    # guards
+    pt = LakeTable.create(df3, str(tmp_path / "pt"), partition_by=["part"])
+    with pytest.raises(ValueError, match="partition"):
+        pt.rename_column("part", "category")
+    g = LakeTable.create(df3, str(tmp_path / "g"))
+    g.add_constraint(spark, "v_pos", "v > 0")
+    with pytest.raises(ValueError, match="referenced"):
+        g.rename_column("v", "w")
+    with pytest.raises(ValueError, match="already exists"):
+        g.rename_column("k", "part")
+    with pytest.raises(ValueError, match="no such column"):
+        g.rename_column("zzz", "w")
