@@ -622,3 +622,52 @@ def q_table_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "q_table_rename",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0
+                  THEN o_totalprice + 1.5 ELSE o_totalprice END AS price
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT)  AS n_rows,
+           round(sum(price), 2)      AS total,
+           CAST(count(CASE WHEN o_orderkey % 100 = 0 THEN 1 END) AS BIGINT)
+                                     AS n_updated
+    FROM merged
+    """,
+)
+def q_table_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN under the hash gate: orders land as a LakeTable,
+    ``o_totalprice`` renames to ``price`` (metadata-only — the data
+    files keep their physical name), then a MERGE arrives using the
+    NEW logical name and the final read aggregates through the
+    mapping.  The oracle replays the same update on the raw table with
+    plain CASE arithmetic — a mapping bug in either direction (reads
+    resolving the wrong physical column, writes staging under the
+    logical name and forking the physical schema) mismatches.  This is
+    the schema-evolution path a 100 TB table needs: renames cost one
+    manifest commit, never a rewrite."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = scratch_dir("q_table_rename", fresh=True) + "/orders_tbl"
+    t = LakeTable.create(orders, path)
+    t.rename_column("o_totalprice", "price")
+    updates = (
+        t.read(spark)
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", (F.col("price") + 1.5).alias("price"))
+    )
+    t.merge(spark, updates, key=["o_orderkey"])
+    return t.read(spark).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("price"), 2).alias("total"),
+        F.sum(F.when(F.col("o_orderkey") % 100 == 0, 1))
+        .cast("bigint")
+        .alias("n_updated"),
+    )
