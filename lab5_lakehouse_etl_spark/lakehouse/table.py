@@ -522,6 +522,7 @@ class LakeTable:
         bloom_config: dict | None = None,
         generated: dict | None = None,
         column_mapping: dict | None = None,
+        dropped_physical: list[str] | None = None,
     ) -> None:
         # data-skipping stats: carryover files keep their previous
         # manifest's stats (byte-identical files), only new files pay a
@@ -532,6 +533,7 @@ class LakeTable:
         prev_bloom: dict = {}
         prev_generated: dict = {}
         prev_mapping: dict = {}
+        prev_dropped: list[str] = []
         if version > 0:
             try:
                 prev_m = self._manifest(version - 1)
@@ -541,6 +543,7 @@ class LakeTable:
                 prev_bloom = dict(prev_m.get("bloom", {}))
                 prev_generated = dict(prev_m.get("generated", {}))
                 prev_mapping = dict(prev_m.get("column_mapping", {}))
+                prev_dropped = list(prev_m.get("dropped_physical", []))
             except (OSError, ValueError, KeyError):
                 prev_stats = {}
         file_stats = {
@@ -581,6 +584,10 @@ class LakeTable:
                 "column_mapping": prev_mapping
                 if column_mapping is None
                 else column_mapping,
+                # physical names of dropped columns (re-add guard)
+                "dropped_physical": prev_dropped
+                if dropped_physical is None
+                else dropped_physical,
             },
         )
         self._write_stats_checkpoint(version, files, file_stats)
@@ -1182,6 +1189,60 @@ class LakeTable:
         )
         return prev_v + 1
 
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE ... DROP COLUMN`` — metadata-only (Delta
+        column-mapping drop parity): the column leaves the logical
+        schema; data files are untouched (old files still carry the
+        physical bytes, unprojected by the pinned-schema scan — the
+        same lazy-delete Delta does).  The physical name lands on a
+        TOMBSTONE list so a later schema-evolution add of the same
+        name is refused instead of silently resurrecting old data.
+        Refused for partition columns and for columns referenced by
+        CHECK constraints or GENERATED expressions."""
+        prev_v = self.version()
+        m = self._manifest(prev_v)
+        schema = StructType.fromJson(m["schema"])
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no such column: {name!r}")
+        if name in (m.get("partition_by") or []):
+            raise ValueError(
+                f"cannot drop partition column {name!r}: the hive "
+                "layout is keyed on it"
+            )
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        import re as _re
+
+        word = _re.compile(rf"\b{_re.escape(name)}\b")
+        refs = {**m.get("constraints", {}), **m.get("generated", {})}
+        for nm, expr in refs.items():
+            if word.search(expr):
+                raise ValueError(
+                    f"cannot drop {name!r}: referenced by {nm!r} "
+                    f"({expr}) — drop it first"
+                )
+        if name in m.get("generated", {}):
+            raise ValueError(f"cannot drop generated column {name!r}")
+        mapping = dict(m.get("column_mapping", {}))
+        phys = mapping.pop(name, name)
+        bloom_cfg = dict(m.get("bloom", {}))
+        bloom_cfg.pop(phys, None)  # stale index config goes with it
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        self._commit_version(
+            prev_v + 1,
+            "drop_column",
+            m["partition_by"],
+            list(m["files"]),
+            new_schema,
+            bloom_config=bloom_cfg,
+            column_mapping=mapping,
+            dropped_physical=list(m.get("dropped_physical", [])) + [phys],
+        )
+        return prev_v + 1
+
     # -- clone (Delta SHALLOW CLONE parity) --------------------------------
     def clone(self, dest_path: str) -> "LakeTable":
         """``CREATE TABLE dest SHALLOW CLONE src`` parity: a new,
@@ -1267,6 +1328,7 @@ class LakeTable:
                 "bloom": dict(m.get("bloom", {})),
                 "generated": dict(m.get("generated", {})),
                 "column_mapping": dict(m.get("column_mapping", {})),
+                "dropped_physical": list(m.get("dropped_physical", [])),
             },
         )
         dest._write_stats_checkpoint(
@@ -1801,8 +1863,21 @@ class LakeTable:
                 )
             src_fields = {f.name: f for f in source.schema.fields}
             tgt_fields = {f.name: f for f in target.schema.fields}
+            tombstones = set(m.get("dropped_physical", []))
             for name, f in src_fields.items():
                 if name not in tgt_fields:
+                    # a DROPPED column's physical name still lives in
+                    # old files; re-adding the same name would silently
+                    # resurrect that old data through the pinned-schema
+                    # scan — refuse (full remapping to a fresh physical
+                    # id is the column-mapping extension we don't need
+                    # until someone hits this)
+                    if name in tombstones:
+                        raise ValueError(
+                            f"column {name!r} was previously dropped; "
+                            "old files still carry its physical data — "
+                            "re-add it under a different name"
+                        )
                     target = target.withColumn(
                         name, F.lit(None).cast(f.dataType)
                     )

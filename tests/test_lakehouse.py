@@ -1323,3 +1323,74 @@ def test_rename_column_mapping(spark, df3, tmp_path):
         g.rename_column("k", "part")
     with pytest.raises(ValueError, match="no such column"):
         g.rename_column("zzz", "w")
+
+
+def test_drop_column_metadata_only(spark, df3, tmp_path):
+    """DROP COLUMN: metadata-only — files untouched (footer still
+    carries the bytes), reads project it away, writes proceed with the
+    narrowed schema, re-adding the name via schema evolution is
+    refused (tombstone — a silent re-add would resurrect old data),
+    time travel shows the column, and guards raise."""
+    import pyarrow.parquet as pq
+
+    t = LakeTable.create(df3, str(tmp_path / "t"))
+    files_before = list(t.files())
+    t.drop_column("v")
+    assert t.files() == files_before  # no rewrite
+    assert "v" in pq.ParquetFile(
+        os.path.join(t.data_dir, t.files()[0])
+    ).schema_arrow.names
+    assert t.read(spark).columns == ["k", "part"]
+    # time travel pre-drop still shows v with data (checked before the
+    # merges below advance the vacuum horizon past v0)
+    assert {r.v for r in t.read(spark, version=0).collect()} == {
+        10.0, 20.0, 30.0,
+    }
+    # writes with the narrowed schema
+    t.merge(
+        spark,
+        spark.createDataFrame([(4, "c")], "k BIGINT, part STRING"),
+        key=["k"],
+    )
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2, 3, 4]
+    # evolve re-add of the dropped name refused
+    with pytest.raises(ValueError, match="previously dropped"):
+        t.merge(
+            spark,
+            spark.createDataFrame(
+                [(5, "d", 1.0)], "k BIGINT, part STRING, v DOUBLE"
+            ),
+            key=["k"],
+            evolve_schema=True,
+        )
+    # a DIFFERENT evolved name is fine
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(5, "d", 1.0)], "k BIGINT, part STRING, v2 DOUBLE"
+        ),
+        key=["k"],
+        evolve_schema=True,
+    )
+    assert "v2" in t.read(spark).columns
+    # interplay with rename: drop a RENAMED column tombstones the
+    # PHYSICAL name
+    t2 = LakeTable.create(df3, str(tmp_path / "t2"))
+    t2.rename_column("v", "amount")
+    t2.drop_column("amount")
+    with pytest.raises(ValueError, match="previously dropped"):
+        t2.merge(
+            spark,
+            spark.createDataFrame(
+                [(9, "z", 2.0)], "k BIGINT, part STRING, v DOUBLE"
+            ),
+            key=["k"],
+            evolve_schema=True,
+        )
+    # guards
+    g = LakeTable.create(df3, str(tmp_path / "g"), partition_by=["part"])
+    with pytest.raises(ValueError, match="partition"):
+        g.drop_column("part")
+    g.add_constraint(spark, "v_pos", "v > 0")
+    with pytest.raises(ValueError, match="referenced"):
+        g.drop_column("v")
