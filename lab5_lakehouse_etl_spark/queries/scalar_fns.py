@@ -338,3 +338,110 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         # non-integer value (string extraction succeeds for any scalar)
         F.try_variant_get(v, "$.k", "string").isNotNull().alias("has_k"),
     )
+
+
+@query(
+    "q_fn_try",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           CASE WHEN (l_linenumber - 1) = 0 THEN NULL
+                ELSE round(l_quantity / (l_linenumber - 1), 4) END
+             AS per_prior_line,
+           TRY_CAST(CASE WHEN l_quantity < 25 THEN CAST(CAST(l_quantity AS INT) AS VARCHAR)
+                         ELSE 'not-a-number' END AS INTEGER) AS qty_int,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             AS net_cents
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: under Spark 4's default ANSI mode a
+    division by zero or an invalid cast THROWS mid-job — the
+    ``try_*`` family (`try_divide`, `try_cast`) returns NULL instead,
+    which is the only sane semantics for a 100 TB batch where one
+    malformed row must not kill hour-long jobs.  The driver runs a
+    DEFAULT session (ANSI on), so this query also guards the repo
+    against accidentally relying on legacy non-ANSI behavior.  Oracle:
+    DuckDB's CASE-guarded division and TRY_CAST state the identical
+    NULL-on-error contract."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_quantity"), F.col("l_linenumber") - 1), 4
+        ).alias("per_prior_line"),
+        F.when(
+            F.col("l_quantity") < 25,
+            F.col("l_quantity").cast("int").cast("string"),
+        )
+        .otherwise(F.lit("not-a-number"))
+        .try_cast("int")
+        .alias("qty_int"),
+        # per-row money rounding in CENTS (scaled BIGINT): across 10^5
+        # rows some product always lands on a .xx5 boundary where
+        # Spark's BigDecimal HALF_UP and DuckDB's
+        # multiply-then-nearbyint 2-decimal rounding disagree by a
+        # cent; integer-scale rounding of the IDENTICAL double is
+        # tie-stable in both engines (the aggregate queries never hit
+        # this because they round SUMS, not rows)
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("bigint")
+        .alias("net_cents"),
+    )
+
+
+@query(
+    "q_fn_regr",
+    oracle="""
+    SELECT event_type,
+           CAST(regr_count(value, user_id) AS BIGINT) AS n,
+           round(regr_slope(value,
+             (epoch(CAST(ts AS TIMESTAMP)) - 1704067200) / 86400.0), 4)
+             AS slope_per_day,
+           round(regr_intercept(value,
+             (epoch(CAST(ts AS TIMESTAMP)) - 1704067200) / 86400.0), 2)
+             AS intercept,
+           round(regr_r2(value,
+             (epoch(CAST(ts AS TIMESTAMP)) - 1704067200) / 86400.0), 4)
+             AS r2
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_fn_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ordinary-least-squares via the SQL:2016 ``regr_*``
+    aggregates — per event type, the linear trend of value over time
+    (slope per day, intercept at the fixture epoch, R²).  One partial-combining aggregate
+    pass: regr state is six mergeable moments (n, Σx, Σy, Σxx, Σyy,
+    Σxy), so the 100 TB plan is identical to any sum — map-side
+    partials, one tiny shuffle.  The everyday drift-detection /
+    trend-monitoring primitive; both engines implement the identical
+    SQL-standard definitions over the identical epoch-day x-axis."""
+    ev = load_table(spark, sf_dir, "events")
+    # x = days since 2024-01-01 (the fixture epoch): intercept is
+    # y-at-x=0, so an x-axis two decades from the data would multiply
+    # the engines' last-ulp slope difference by ~2e4 and break the
+    # 4-decimal hash — shifting the origin into the data kills the
+    # amplification (measured: intercept differed at the 3rd decimal
+    # on raw epoch-days, stable at 4 decimals after the shift)
+    x = (F.unix_timestamp("ts") - F.lit(1704067200)) / F.lit(86400.0)
+    return ev.groupBy("event_type").agg(
+        F.regr_count(F.col("value"), F.col("user_id"))
+        .cast("bigint")
+        .alias("n"),
+        # 4/2-decimal rounding, coarser than the repo's usual 4-6: the
+        # regr moments suffer catastrophic cancellation (Sxy = sums of
+        # near-cancelling terms), so the engines' true values differ by
+        # ~1e-6 — not last-ulp noise — and fine rounding would straddle
+        # boundaries at some scale factor
+        F.round(F.regr_slope(F.col("value"), x), 4).alias("slope_per_day"),
+        F.round(F.regr_intercept(F.col("value"), x), 2).alias("intercept"),
+        F.round(F.regr_r2(F.col("value"), x), 4).alias("r2"),
+    )
