@@ -97,6 +97,12 @@ _R4: tuple[str, ...] = (
     "q_stream_join", "q_stream_stateful",
 )
 _PRIORITY: tuple[str, ...] = _R3 + _R4 + (
+    # highest-priority RE-CHECK (tier-2 ordering only — never displaces
+    # an unverified query): q_sql_limit's r1 green predates the
+    # persistent-catalog rewrite it now reads through, and round 4's
+    # new declared queries pushed its natural re-check slot past the
+    # 50-query window
+    "q_sql_limit",
     # TPC-H composites
     "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q10",
     "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
