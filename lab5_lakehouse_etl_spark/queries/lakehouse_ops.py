@@ -671,3 +671,53 @@ def q_table_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_updated"),
     )
+
+
+@query(
+    "q_table_optimize_where",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)    AS n_rows,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE year(o_orderdate) = 1995
+    """,
+)
+def q_table_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped OPTIMIZE under the hash gate: orders land
+    year-partitioned with deliberately many small files, then
+    ``optimize(where=[("o_year", "=", 1995)])`` compacts ONLY that
+    partition — asserted: 1995's file count drops, every other
+    partition's files carry with identical names — and the returned
+    aggregate reads the optimized table through partition pruning.
+    The oracle hashes it against the raw table, so a scoped rewrite
+    that lost, duplicated, or leaked rows across the scope boundary
+    mismatches.  This is the nightly maintenance shape at 100 TB:
+    compact yesterday's ingest partition without touching the other
+    364."""
+    tune(spark)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .repartition(6)
+    )
+    path = scratch_dir("q_table_optimize_where", fresh=True) + "/orders_tbl"
+    t = LakeTable.create(orders, path, partition_by=["o_year"])
+    tgt = "o_year=1995/"
+    before_tgt = [f for f in t.files() if f.startswith(tgt)]
+    before_rest = [f for f in t.files() if not f.startswith(tgt)]
+    assert len(before_tgt) > 1, "fixture layout: expected multiple files"
+    t.optimize(spark, target_partitions=1, where=[("o_year", "=", 1995)])
+    after_tgt = [f for f in t.files() if f.startswith(tgt)]
+    after_rest = [f for f in t.files() if not f.startswith(tgt)]
+    assert len(after_tgt) == 1, f"scoped compaction ineffective: {after_tgt}"
+    assert after_rest == before_rest, "out-of-scope files were touched"
+    pred = [("o_year", "=", 1995)]
+    return (
+        t.read(spark, prune=pred)
+        .filter(F.col("o_year") == 1995)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
