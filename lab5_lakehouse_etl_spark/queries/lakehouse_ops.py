@@ -721,3 +721,50 @@ def q_table_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "q_table_drop",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT)        AS n_rows,
+           round(sum(o_totalprice), 2)     AS total
+    FROM merged
+    """,
+)
+def q_table_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP COLUMN under the hash gate: orders land with three
+    columns, ``o_custkey`` drops (metadata-only — the files keep the
+    bytes, the scan stops projecting them), and a MERGE then arrives
+    with the NARROWED schema.  The final aggregate over the surviving
+    columns hashes against the raw-table oracle — a drop that
+    corrupted the projection, or a post-drop write that forked the
+    physical schema, mismatches.  Composes the lazy-drop path with
+    real writes, which the pytest pin alone exercises only at toy
+    scale."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = scratch_dir("q_table_drop", fresh=True) + "/orders_tbl"
+    t = LakeTable.create(orders, path)
+    files_before = list(t.files())
+    t.drop_column("o_custkey")
+    assert t.files() == files_before, "drop must not rewrite files"
+    updates = (
+        t.read(spark)
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+        )
+    )
+    t.merge(spark, updates, key=["o_orderkey"])
+    return t.read(spark).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
