@@ -499,9 +499,17 @@ def prefix_filter_jaccard_pairs(
             F.expr(f"split(lower({text_col}), '\\\\s+')")
         )
     # one scan+shingle pass, materialized once for all three consumers
-    # (prefix derivation + both verification sides)
+    # (prefix derivation + both verification sides).  The repartition
+    # matters more than it looks: the fixture corpus is one small
+    # parquet file -> ONE scan partition, so without it the CPU-heavy
+    # shingle+distinct map runs on a single core (measured 3.3 s of
+    # the query's 3.9 s at sf0.1; 0.95 s after).  On a real corpus the
+    # scan splits naturally and the exchange is a no-op-sized text
+    # shuffle either way.
+    n_par = docs.sparkSession.sparkContext.defaultParallelism
     sets = (
         docs.filter(F.col(text_col).isNotNull())
+        .repartition(n_par, F.col(id_col))
         # set semantics: n and the intersection count both assume
         # distinct elements (idempotent for the default / word_ngrams)
         .select(F.col(id_col).alias("id"), F.array_distinct(elements).alias("toks"))
