@@ -234,12 +234,11 @@ def minhash_candidate_pairs(
       backends to the same verified output.
     """
     spark = df.sparkSession
-    # The fixture corpora arrive as one small parquet file = ONE input
-    # partition; the signature map would run on a single core. Spread
-    # by id first. (At 100 TB the scan already has thousands of
-    # partitions and this is a no-op knob.)
+    # Fixture-parallelism: see session.spread — conditional, so a real
+    # corpus whose scan is already split shuffles nothing.
     n_part = max(spark.sparkContext.defaultParallelism, 8)
-    spread = df.repartition(n_part, F.col(id_col))
+    from ..session import spread as _spread
+    spread = _spread(df, id_col, n_part)
     if backend == "arrow":
         if shingle_fn is not None:
             raise ValueError("custom shingle_fn requires backend='expr'")
@@ -330,7 +329,8 @@ def verified_near_dups(
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     if prefilter is None:
         prefilter = df.rdd.getNumPartitions() > 64
-    base = df.repartition(n_part, F.col(id_col))
+    from ..session import spread as _spread
+    base = _spread(df, id_col, n_part)
     if prefilter:
         # candidates cached: three consumers (two id projections + the
         # verify join) would each re-run the whole LSH pipeline.
@@ -414,7 +414,8 @@ def simhash_near_dups(
     widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    fp = df.repartition(n_part, F.col(id_col)).select(
+    from ..session import spread as _spread
+    fp = _spread(df, id_col, n_part).select(
         F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
     )
     chunks = fp.select(
@@ -506,10 +507,10 @@ def prefix_filter_jaccard_pairs(
     # the query's 3.9 s at sf0.1; 0.95 s after).  On a real corpus the
     # scan splits naturally and the exchange is a no-op-sized text
     # shuffle either way.
-    n_par = docs.sparkSession.sparkContext.defaultParallelism
+    from ..session import spread as _spread
+
     sets = (
-        docs.filter(F.col(text_col).isNotNull())
-        .repartition(n_par, F.col(id_col))
+        _spread(docs.filter(F.col(text_col).isNotNull()), id_col)
         # set semantics: n and the intersection count both assume
         # distinct elements (idempotent for the default / word_ngrams)
         .select(F.col(id_col).alias("id"), F.array_distinct(elements).alias("toks"))

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dedup as D
-from ..session import load_table
+from ..session import load_table, spread
 from . import query
 
 
@@ -292,7 +292,7 @@ def q_dup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions import text as T
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     t = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
     spans = t.select(
         "doc_id",
@@ -572,7 +572,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     than whole-document dropping, which is exactly why span-level
     dedup exists as a separate operator from q_dedup_exact_docs.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     grams = docs.select(
         "doc_id", F.explode(D.word_ngrams("text", 8)).alias("span")
     )

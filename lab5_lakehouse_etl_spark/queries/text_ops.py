@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..session import load_table
+from ..session import load_table, spread
 from . import query
 
 
@@ -366,7 +366,7 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared BM25 top-20 scorer (also the lexical leg of
     `q_hybrid_search` — see queries/similarity_ops.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tf_cols = {
         t: F.size(F.expr(f"filter(toks, x -> x = '{t}')")) for t in _BM25_TERMS
     }
@@ -459,9 +459,13 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The standard cheap repetition gate in LLM pretraining curation —
     one narrow map over documents (see functions/text.py
-    gopher_repetition_stats), no shuffle, scan-speed at 100 TB.
+    gopher_repetition_stats), no shuffle, scan-speed at 100 TB (the
+    session.spread call below is the conditional fixture-parallelism
+    knob — a no-op on any corpus whose scan is already split).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # compute-bound narrow map: spread the (possibly one-partition)
+    # fixture scan across cores — conditional no-op on a split corpus
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id", T.gopher_repetition_stats("text").alias("s")
     ).select(
@@ -513,7 +517,7 @@ def q_lm_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, partial-sum) pairs. Scores round before returning so
     cross-engine libm summation order cannot perturb the hash.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     # total token count via a narrow per-row size() aggregate — NOT

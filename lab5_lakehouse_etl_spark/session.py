@@ -169,3 +169,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df, by: str, min_partitions: int | None = None):
+    """Fixture-parallelism knob for CPU-heavy narrow maps: when the
+    upstream scan yields fewer partitions than cores (the test corpora
+    are single small parquet files with one row group — Spark cannot
+    split below a row-group boundary, so the whole map runs on ONE
+    core), hash-spread by ``by`` first.  CONDITIONAL on purpose: on a
+    real corpus the scan is already split and this returns the input
+    untouched — the 100 TB plan stays shuffle-free, while the local
+    fixture stops serializing a 32-core box onto one thread (measured
+    3.3 s -> 0.95 s on the prefix-join shingle pass at sf0.1)."""
+    from pyspark.sql import functions as F
+
+    n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, F.col(by))
