@@ -517,7 +517,7 @@ def q_lm_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, partial-sum) pairs. Scores round before returning so
     cross-engine libm summation order cannot perturb the hash.
     """
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     # total token count via a narrow per-row size() aggregate — NOT
