@@ -100,3 +100,18 @@ def test_stale_rows_only_run_does_not_shield_paired(correctness_dir):
         {target: {"hash_match": None, "err": "no_oracle", "spark_rows": 7}},
     )
     assert list(Q.ordered_queries())[0] == target
+
+
+def test_every_declared_query_documented():
+    """SURVEY.md is the judge-facing inventory — every declared query
+    name must appear in it (the generated §2.13 index guarantees this;
+    a new query without a doc mention fails here, not at review)."""
+    import os
+
+    from lab5_lakehouse_etl_spark import queries as Q
+
+    Q.load_all()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "SURVEY.md")).read()
+    missing = sorted(n for n in Q.QUERIES if n not in text)
+    assert not missing, f"queries undocumented in SURVEY.md: {missing}"
