@@ -277,6 +277,47 @@ class LakeTable:
         sz = spark.createDataFrame(sizes, "file STRING, bytes BIGINT")
         return rel.join(sz, "file")
 
+    def detail(self, spark: SparkSession) -> DataFrame:
+        """``DESCRIBE DETAIL`` twin: a one-row metadata summary of the
+        current snapshot — version, file/row/byte counts, partition
+        columns, and which table features are active (constraints,
+        bloom indexes, generated columns, column mapping, deletion
+        vectors).  Pure manifest read; no data touched."""
+        v = self.version()
+        m = self._manifest(v)
+        n_rows = sum(
+            (s or {}).get("rows") or 0
+            for s in m.get("file_stats", {}).values()
+        )
+        n_bytes = sum(
+            os.path.getsize(os.path.join(self.data_dir, f))
+            for f in m["files"]
+        )
+        row = (
+            self.path,
+            int(v),
+            m.get("operation", ""),
+            len(m["files"]),
+            int(n_rows),
+            int(n_bytes),
+            list(m.get("partition_by") or []),
+            sorted(m.get("constraints", {})),
+            sorted(m.get("bloom", {})),
+            sorted(m.get("generated", {})),
+            dict(m.get("column_mapping", {})),
+            bool(m.get("dv_dirs")),
+            float(m.get("committed_at", 0.0)),
+        )
+        return spark.createDataFrame(
+            [row],
+            "location STRING, version INT, last_operation STRING, "
+            "num_files INT, num_rows BIGINT, size_bytes BIGINT, "
+            "partition_columns ARRAY<STRING>, constraints ARRAY<STRING>, "
+            "bloom_indexes ARRAY<STRING>, generated_columns ARRAY<STRING>, "
+            "column_mapping MAP<STRING, STRING>, has_deletion_vectors "
+            "BOOLEAN, committed_at DOUBLE",
+        )
+
     def files(self, version: int | None = None) -> list[str]:
         """Data files (relative to ``data/``) making up a snapshot."""
         v = self.version() if version is None else version

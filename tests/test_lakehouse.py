@@ -1394,3 +1394,21 @@ def test_drop_column_metadata_only(spark, df3, tmp_path):
     g.add_constraint(spark, "v_pos", "v > 0")
     with pytest.raises(ValueError, match="referenced"):
         g.drop_column("v")
+
+
+def test_describe_detail(spark, df3, tmp_path):
+    """DESCRIBE DETAIL twin: one-row metadata summary reflecting the
+    active table features, manifest-only."""
+    t = LakeTable.create(df3, str(tmp_path / "t"), partition_by=["part"])
+    t.add_constraint(spark, "v_pos", "v > 0")
+    t.add_bloom_index("k", m=512, k=4)
+    d = t.detail(spark).collect()[0]
+    assert d["version"] == t.version()
+    assert d["num_rows"] == 3
+    assert d["num_files"] == len(t.files())
+    assert d["partition_columns"] == ["part"]
+    assert d["constraints"] == ["v_pos"]
+    assert d["bloom_indexes"] == ["k"]
+    assert not d["has_deletion_vectors"]
+    t.delete_dv(spark, "k = 1")
+    assert t.detail(spark).collect()[0]["has_deletion_vectors"]
