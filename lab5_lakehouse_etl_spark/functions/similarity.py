@@ -316,7 +316,23 @@ def pq_train(
         ).alias("s", "sv"),
     )
     subs = subs.localCheckpoint(eager=True)  # m rounds reuse it
-    init = subs.filter(F.col("vec_id") < k).orderBy("vec_id", "s").collect()
+    # the k LOWEST ids, selected explicitly — filter(vec_id < k) would
+    # require ids 0..k-1 to exist and come up short on sparse or
+    # non-zero-based id spaces, leaving some codebooks under-seeded
+    low_ids = [
+        int(r[0])
+        for r in base.select("vec_id").orderBy("vec_id").limit(k).collect()
+    ]
+    if len(low_ids) < k:
+        raise ValueError(
+            f"pq_train: need >= {k} vectors to seed codebooks, "
+            f"got {len(low_ids)}"
+        )
+    init = (
+        subs.filter(F.col("vec_id").isin(low_ids))
+        .orderBy("vec_id", "s")
+        .collect()
+    )
     books: list[list[list[float]]] = [[] for _ in range(m)]
     for r in init:
         books[int(r["s"])].append(

@@ -2261,8 +2261,20 @@ class LakeTable:
             m["partition_by"],
             list(m["files"]),
             StructType.fromJson(m["schema"]),
-            # the restored snapshot's DV state, not the current one's
+            # the restored snapshot's metadata state, not the current
+            # one's: without these explicit passes _commit_version
+            # carries the CURRENT version's column_mapping /
+            # dropped_physical / constraints / bloom / generated, so a
+            # restore across rename_column/drop_column would pair the
+            # OLD schema with the NEW mapping — reads then rename
+            # physical columns to the wrong logical names and every
+            # later append fails the schema check
             dv_dirs=list(m.get("dv_dirs", [])),
+            constraints=dict(m.get("constraints", {})),
+            bloom_config=dict(m.get("bloom", {})),
+            generated=dict(m.get("generated", {})),
+            column_mapping=dict(m.get("column_mapping", {})),
+            dropped_physical=list(m.get("dropped_physical", [])),
         )
         self._vacuum(keep=self.retain_versions)
         return new_version

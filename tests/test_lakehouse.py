@@ -793,6 +793,39 @@ def test_restore_metadata_only_rollback(spark, df3, tmp_path):
         t.restore(spark, 0)
 
 
+def test_restore_across_rename_restores_mapping(spark, df3, tmp_path):
+    """restore() must commit the TARGET snapshot's column_mapping /
+    dropped_physical alongside its schema — not carry the current
+    version's. Otherwise restoring across a rename pairs the old
+    logical schema with the new mapping: reads return misnamed
+    columns and subsequent appends fail the schema check."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path)           # v0: columns k, part, v
+    t.rename_column("v", "amount")            # v1: k, part, amount
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(9, "c", 90.0)], "k BIGINT, part STRING, amount DOUBLE"
+        ),
+        key=["k"],
+    )                                         # v2
+    v = t.restore(spark, 0)                   # back to the pre-rename world
+    assert v == 3
+    got = t.read(spark)
+    assert set(got.columns) == {"k", "part", "v"}
+    assert {r.k: r.v for r in got.collect()} == {1: 10.0, 2: 20.0, 3: 30.0}
+    # the renamed version stays queryable under its own names (until
+    # later commits push it past the vacuum horizon)
+    assert "amount" in t.read(spark, version=2).columns
+    # the restored snapshot accepts appends under its OWN schema
+    t.append(
+        spark,
+        spark.createDataFrame([(4, "a", 40.0)], "k BIGINT, part STRING, v DOUBLE"),
+    )
+    assert t.read(spark).count() == 4
+    assert set(t.read(spark).columns) == {"k", "part", "v"}
+
+
 def test_partition_column_stats_enable_pruning(spark, tmp_path):
     """Partition columns never appear in parquet footers, so their
     min/max must come from the hive dir values: predicates on the
