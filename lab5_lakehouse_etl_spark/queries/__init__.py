@@ -188,11 +188,15 @@ def ordered_queries() -> dict[str, QueryFn]:
        query's last green round (e.g. q_sql_limit's r1 row predating
        the persistent-catalog rewrite it now reads through) gets
        caught;
-    3. rows-only queries (no oracle possible by design) at the
-       permanent tail, never-run ones first (a first ``no_oracle`` row
-       is new signal; a repeat is none): a window slot spent there buys
-       at most a ``no_oracle`` row, strictly less signal than any hash
-       re-check, so they must never displace one.
+    3. NEVER-RUN rows-only queries (no oracle possible by design) get a
+       ONE-TIME promotion ahead of the re-check rotation: a first
+       ``no_oracle`` row is new signal ("does every declared query run
+       under the driver?"), worth one window slot each, exactly once.
+       The moment a query has any successful driver row it is
+       "verified" and falls through to tier 4 forever;
+    4. previously-run rows-only queries at the permanent tail: a
+       repeat ``no_oracle`` row is strictly less signal than any hash
+       re-check, so they never displace one.
 
     Self-maintaining across rounds: each round's CORRECTNESS file
     pushes its green queries into tier 2 and ages everything verified
@@ -209,8 +213,8 @@ def ordered_queries() -> dict[str, QueryFn]:
     )
     ordered = (
         [n for n in unverified if n in ORACLES]
+        + [n for n in unverified if n not in ORACLES]  # one-time promotion
         + [n for n in by_age if n in ORACLES]
-        + [n for n in unverified if n not in ORACLES]
         + [n for n in by_age if n not in ORACLES]
     )
     return {n: QUERIES[n] for n in ordered}

