@@ -101,6 +101,40 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def calibration_query(spark, sf_dir):
+    """Fixed host-speed probe: scan -> shuffle agg -> shuffle join ->
+    final agg over lineitem+orders, written INLINE here so it never
+    changes when the engine's operator code does. Its wall time moves
+    only with ambient host load / IO, so `ratio = query_sec /
+    calibration_sec` is comparable across rounds even when raw seconds
+    drift uniformly (round 5 measured a ~10% whole-suite swing with
+    zero perf commits — this query exists to factor that out).
+    DO NOT EDIT this plan; a code change here invalidates cross-round
+    ratio comparisons."""
+    from pyspark.sql import functions as F
+
+    from lab5_lakehouse_etl_spark.session import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("cal_qty"),
+            F.count(F.lit(1)).alias("cal_lines"),
+        )
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("cal_qty").alias("cal_sum_qty"),
+            F.sum("cal_lines").alias("cal_sum_lines"),
+            F.count(F.lit(1)).alias("cal_orders"),
+        )
+    )
+
+
 def preflight() -> None:
     """Correctness gate before timing: run the differential-oracle suite
     at sf0.01 (the driver's correctness scale — fixture-scale edge cases
@@ -176,7 +210,12 @@ def main() -> None:
     # time.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
+    cal_sec = float("inf")
     for _ in range(max(1, passes)):
+        # calibration first in each pass, same min-of-N treatment
+        t0 = time.perf_counter()
+        force(calibration_query(spark, sf_dir))
+        cal_sec = min(cal_sec, round(time.perf_counter() - t0, 3))
         for name in BENCH_QUERIES:
             fn = Q.QUERIES[name]
             t0 = time.perf_counter()
@@ -193,6 +232,11 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "queries": timings,
+                "calibration_sec": cal_sec,
+                "queries_ratio": {
+                    n: round(t / cal_sec, 2) if cal_sec > 0 else None
+                    for n, t in timings.items()
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

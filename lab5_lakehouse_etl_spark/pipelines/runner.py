@@ -57,14 +57,61 @@ _RUNNERS = {
 }
 
 
-def run_all(spark: SparkSession, zones: ZoneConfig) -> list[dict]:
+def _run_with_retry(
+    fn,
+    *args,
+    max_attempts: int = 3,
+    interval: float = 5.0,
+    backoff: float = 2.0,
+    sleep=None,
+):
+    """Step Functions Retry block twin (state_machine.json:52-59:
+    IntervalSeconds 5, MaxAttempts 3, BackoffRate 2): re-run a failed
+    job up to ``max_attempts`` times with exponential backoff, then
+    re-raise (the Catch → "Notify Job Failed" path maps to the raised
+    exception per this module's docstring).  ``sleep`` is injectable
+    for tests; delays are 5s, 10s for the default policy."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    delay = interval
+    for attempt in range(1, max_attempts + 1):
+        try:
+            return fn(*args)
+        except Exception:
+            if attempt == max_attempts:
+                raise
+            sleep(delay)
+            delay *= backoff
+
+
+def run_all(
+    spark: SparkSession,
+    zones: ZoneConfig,
+    *,
+    max_attempts: int = 3,
+    retry_interval: float = 5.0,
+    backoff: float = 2.0,
+    _sleep=None,
+) -> list[dict]:
     """Run every job with input, in FK dependency order, each followed
-    by its validation read."""
+    by its validation read.  Each job gets the reference's per-job
+    retry policy (3 attempts, backoff 2 — state_machine.json:52-59);
+    a job that exhausts its retries raises, matching the Catch →
+    SNS-notify terminal state."""
     metrics = []
     for job in ("orders", "order_items", "products"):
         if not _has_files(zones, job):
             continue
-        m = _RUNNERS[job](spark, zones)
+        m = _run_with_retry(
+            _RUNNERS[job],
+            spark,
+            zones,
+            max_attempts=max_attempts,
+            interval=retry_interval,
+            backoff=backoff,
+            sleep=_sleep,
+        )
         m["validated_rows"] = validate(spark, zones, job)
         metrics.append(m)
     return metrics

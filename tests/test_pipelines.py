@@ -181,6 +181,44 @@ def test_rerun_is_idempotent(spark, zones):
     assert orders_tbl.version() == v_before + 1  # but a new version committed
 
 
+def test_run_all_retries_transient_failure(spark, zones, monkeypatch):
+    """Step Functions Retry twin (state_machine.json:52-59): a job that
+    fails transiently is re-run with 5s/10s backoff and the pipeline
+    completes; metrics are those of the successful attempt."""
+    from lab5_lakehouse_etl_spark.pipelines import runner as R
+
+    real = R._RUNNERS["orders"]
+    calls = {"n": 0}
+
+    def flaky(spark_, zones_):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient: simulated executor loss")
+        return real(spark_, zones_)
+
+    monkeypatch.setitem(R._RUNNERS, "orders", flaky)
+    delays: list[float] = []
+    metrics = {m["job"]: m for m in run_all(spark, zones, _sleep=delays.append)}
+    assert calls["n"] == 3
+    assert delays[:2] == [5.0, 10.0]  # IntervalSeconds 5, BackoffRate 2
+    assert metrics["orders"]["deduplicated_rows"] == 3
+
+
+def test_run_all_raises_after_max_attempts(spark, zones, monkeypatch):
+    from lab5_lakehouse_etl_spark.pipelines import runner as R
+
+    calls = {"n": 0}
+
+    def broken(spark_, zones_):
+        calls["n"] += 1
+        raise RuntimeError("permanent failure")
+
+    monkeypatch.setitem(R._RUNNERS, "orders", broken)
+    with pytest.raises(RuntimeError, match="permanent failure"):
+        run_all(spark, zones, _sleep=lambda _: None)
+    assert calls["n"] == 3  # MaxAttempts 3, then Catch -> notify (raise)
+
+
 def test_orders_missing_column_hard_fails(spark, tmp_path):
     z = ZoneConfig(str(tmp_path / "lake2"))
     bad_header = [c for c in ORDERS_HEADER if c != "user_id"]
