@@ -97,15 +97,32 @@ def kmeans_fit_assign(
     )
     base = base.cache()
     try:
-        init = (
-            base.filter(F.col("vec_id") < k)
+        # the k LOWEST DISTINCT ids — filter(vec_id < k) requires a
+        # dense zero-based id space and under-seeds on sparse ids (the
+        # exact bug pq_train fixed in r5; now consistent across both
+        # trainers, with kmeans_cte_prefix's c0 updated in lockstep).
+        low = [
+            int(r[0])
+            for r in base.select("vec_id")
+            .distinct()
             .orderBy("vec_id")
+            .limit(k)
+            .collect()
+        ]
+        init = (
+            base.filter(F.col("vec_id").isin(low))
+            .orderBy("vec_id", "v")
             .collect()
         )
-        cents = [
-            (int(r["vec_id"]), [round(float(x), decimals) for x in r["v"]])
-            for r in init
-        ]
+        cents, seen = [], set()
+        for r in init:
+            vid = int(r["vec_id"])
+            if vid in seen:  # duplicated id: keep the lexi-min vector
+                continue
+            seen.add(vid)
+            cents.append(
+                (vid, [round(float(x), decimals) for x in r["v"]])
+            )
         for _ in range(iters):
             assigned = assign_clusters(base, cents)
             stats = (
@@ -145,8 +162,16 @@ def kmeans_cte_prefix(
     parts = [
         "WITH e AS (SELECT vec_id, list_transform(embedding,"
         " x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
-        f"c0 AS (SELECT vec_id AS cl, list_transform(v, x -> round(x, {decimals}))"
-        f" AS cent FROM e WHERE vec_id < {k}),",
+        # lockstep with kmeans_fit_assign's init: k lowest DISTINCT
+        # vec_ids, duplicate-id rows collapsed to the lexi-min vector
+        f"c0 AS (SELECT cl, cent FROM ("
+        f"SELECT vec_id AS cl,"
+        f" list_transform(v, x -> round(x, {decimals})) AS cent,"
+        f" row_number() OVER (PARTITION BY vec_id ORDER BY"
+        f" list_transform(v, x -> round(x, {decimals}))) AS rn"
+        f" FROM e WHERE vec_id IN"
+        f" (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT {k})"
+        f") WHERE rn = 1),",
     ]
     dist = (
         f"list_sum(list_transform(range(1, {dim + 1}),"

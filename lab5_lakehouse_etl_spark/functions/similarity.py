@@ -316,25 +316,40 @@ def pq_train(
         ).alias("s", "sv"),
     )
     subs = subs.localCheckpoint(eager=True)  # m rounds reuse it
-    # the k LOWEST ids, selected explicitly — filter(vec_id < k) would
-    # require ids 0..k-1 to exist and come up short on sparse or
-    # non-zero-based id spaces, leaving some codebooks under-seeded
+    # the k LOWEST DISTINCT ids, selected explicitly — filter(vec_id < k)
+    # would require ids 0..k-1 to exist and come up short on sparse or
+    # non-zero-based id spaces, leaving some codebooks under-seeded;
+    # distinct guards duplicated ids (limit(k) over raw ids could
+    # return < k distinct while isin() matches every duplicate row).
+    # Read the seed ids from the CHECKPOINTED lineage so this collect
+    # costs a checkpoint scan, not a re-evaluation of the upstream plan.
     low_ids = [
         int(r[0])
-        for r in base.select("vec_id").orderBy("vec_id").limit(k).collect()
+        for r in subs.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
     ]
     if len(low_ids) < k:
         raise ValueError(
-            f"pq_train: need >= {k} vectors to seed codebooks, "
-            f"got {len(low_ids)}"
+            f"pq_train: need >= {k} distinct-id vectors to seed "
+            f"codebooks, got {len(low_ids)}"
         )
+    # ties between duplicate-id rows break on the subvector values, so
+    # the chosen seed is deterministic; one seed per (vec_id, s)
     init = (
         subs.filter(F.col("vec_id").isin(low_ids))
-        .orderBy("vec_id", "s")
+        .orderBy("vec_id", "s", "sv")
         .collect()
     )
     books: list[list[list[float]]] = [[] for _ in range(m)]
+    seen: set[tuple[int, int]] = set()
     for r in init:
+        key = (int(r["vec_id"]), int(r["s"]))
+        if key in seen:
+            continue
+        seen.add(key)
         books[int(r["s"])].append(
             [round(float(x), decimals) for x in r["sv"]]
         )

@@ -520,14 +520,29 @@ def q_table_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     # the probed key: smallest customer with orders — data-derived so
-    # every scale factor probes a key that exists (a 1-value aggregate,
-    # same scale class as the other metadata collects)
-    probe = int(orders.agg(F.min("o_custkey")).collect()[0][0])
+    # every scale factor probes a key that exists; countDistinct rides
+    # the same 1-row metadata collect and sizes the filters below
+    probe_row = orders.agg(
+        F.min("o_custkey"), F.countDistinct("o_custkey")
+    ).collect()[0]
+    probe, n_distinct = int(probe_row[0]), int(probe_row[1])
     path = scratch_dir("q_table_bloom", fresh=True) + "/orders_tbl"
+    n_files = 8
     t = LakeTable.create(
-        orders.repartition(8, F.col("o_custkey") % 64), path
+        orders.repartition(n_files, F.col("o_custkey") % 64), path
     )
-    t.add_bloom_index("o_custkey")
+    # Size m for ~1% FPR at the EXPECTED per-file key count (hash
+    # scatter → ~n_distinct/n_files distinct keys per file): m =
+    # n·ln(1/p)/ln²2 ≈ 9.6n, k = (m/n)·ln2. The library default
+    # (8192 bits) saturates at sf≥1 (~10⁵ keys/file → FPR→1, every
+    # file "matches", the skipping assert fails on correct filters);
+    # floor at the default so tiny fixtures keep their pinned layout.
+    import math
+
+    per_file = max(1, n_distinct // n_files)
+    m_bits = max(8192, int(per_file * 9.6))
+    k_hash = min(16, max(1, round(m_bits / per_file * math.log(2))))
+    t.add_bloom_index("o_custkey", m=m_bits, k=k_hash)
     pred = [("o_custkey", "=", probe)]
     kept = t.prune_files(pred)
     n = len(t.files())
