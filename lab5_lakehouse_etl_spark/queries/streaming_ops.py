@@ -145,21 +145,24 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming tumbling windows: readStream over the
     events parquet, watermark, windowed agg, drained with availableNow
-    into a memory sink (complete mode). Oracle-paired: one input file →
-    one micro-batch, so no row is ever late and the complete-mode
-    result equals the batch epoch-bucket aggregation.
-
-    SCALE BOUNDARY — the complete-mode memory sink is a TEST-HARNESS
-    drain only (it accumulates full result state on the driver, exactly
-    what the one-batch oracle contract needs and nothing more). A
-    production deployment of this query uses append mode behind the
-    watermark with foreachBatch -> LakeTable.merge — see q_stream_merge
-    for that pattern end to end."""
+    through an UPDATE-mode foreachBatch → LakeTable.merge on the window
+    key (streaming/events.py stream_agg_to_table) and returned as a
+    distributed snapshot scan — the production landing pattern, with
+    zero driver-side result state anywhere on the path.  Oracle-paired:
+    one input file → one micro-batch, no row is ever late, each window's
+    single update row MERGEs its final aggregate, so the table equals
+    the batch epoch-bucket aggregation."""
     tune(spark)
     stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
-    return E.run_to_memory(
-        E.tumbling_counts(stream), "q_stream_tumbling_sink", spark, "complete"
+    scratch = scratch_dir("q_stream_tumbling", fresh=True)
+    table = E.stream_agg_to_table(
+        spark,
+        E.tumbling_counts(stream),
+        f"{scratch}/tumbling_tbl",
+        f"{scratch}/ckpt",
+        key=["window_start", "window_end", "event_type"],
     )
+    return table.read(spark)
 
 
 @query(
@@ -210,20 +213,26 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization (30-minute inactivity gap) per user via
-    native session_window state merging. Oracle-paired with the
-    gap-islands SQL twin: a session closes when the next event is >= 30
-    minutes away (session_window intervals are half-open [start,
-    last+gap)), session_end = last event + gap.
-
-    SCALE BOUNDARY — complete-mode memory sink is the test-harness
-    drain for the one-batch oracle contract; production uses
-    watermark-scoped append with foreachBatch -> LakeTable.merge (the
-    q_stream_merge pattern), keeping driver state bounded."""
+    native session_window state merging, drained through a COMPLETE-mode
+    foreachBatch → LakeTable snapshot overwrite and returned as a
+    distributed scan (streaming/events.py stream_sessions_to_table —
+    session windows forbid update mode and append misses still-open
+    sessions, so complete is the lossless drain; the completed state
+    lives in the distributed agg operator and lands directly in table
+    files — no driver memory sink).  Oracle-paired with the gap-islands
+    SQL twin: a session closes when the next event is >= 30 minutes
+    away (session_window intervals are half-open [start, last+gap)),
+    session_end = last event + gap."""
     tune(spark)
     stream = E.read_events_stream(spark, table_path(sf_dir, "events"))
-    return E.run_to_memory(
-        E.sessionize(stream), "q_stream_session_sink", spark, "complete"
+    scratch = scratch_dir("q_stream_session", fresh=True)
+    table = E.stream_sessions_to_table(
+        spark,
+        E.sessionize(stream),
+        f"{scratch}/sessions_tbl",
+        f"{scratch}/ckpt",
     )
+    return table.read(spark)
 
 
 @query(

@@ -231,6 +231,90 @@ def run_to_memory(
     return spark.table(name)
 
 
+def stream_agg_to_table(
+    spark: SparkSession,
+    agg_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key: list[str],
+) -> LakeTable:
+    """UPDATE-mode foreachBatch drain for windowed aggregations: each
+    micro-batch emits only the windows it changed, carrying their
+    CUMULATIVE aggregate, and those rows MERGE into a LakeTable on the
+    window key — the production pattern for landing a streaming agg in
+    a queryable table.  Nothing ever accumulates on the driver: agg
+    state lives in the (executor-side, RocksDB-backed at scale)
+    stateful operator, results live in the table, and re-running the
+    drain converges because each update row replaces its key's previous
+    cumulative value.  Same bounded ConcurrentWriteError retry as
+    :func:`stream_merge_to_table` (latest-wins is unnecessary — update
+    rows are unique per key within a batch by construction)."""
+    from ..lakehouse.table import ConcurrentWriteError
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        for attempt in range(3):
+            try:
+                if LakeTable.is_table(table_path):
+                    LakeTable(table_path).merge(spark, batch_df, key=key)
+                else:
+                    LakeTable.create(batch_df, table_path)
+                return
+            except ConcurrentWriteError:
+                if attempt == 2:
+                    raise
+
+    q = (
+        agg_df.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return LakeTable(table_path)
+
+
+def stream_sessions_to_table(
+    spark: SparkSession,
+    session_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+) -> LakeTable:
+    """Session-window drain: COMPLETE-mode foreachBatch → versioned
+    snapshot overwrite of a LakeTable.
+
+    Why not update/append: Spark's native session_window aggregation
+    supports only append and complete output modes (update is rejected
+    because merging sessions changes their identity — a session's
+    (start, end) both move as events merge in, so there is no stable
+    key an update row could address).  Append emits only sessions
+    CLOSED by the watermark, which structurally misses every session
+    still open at end-of-input.  Complete mode is therefore the lossless
+    drain — and the state it completes from lives in the distributed
+    agg operator, NOT the driver: foreachBatch receives the result as a
+    distributed DataFrame and lands it straight into table files, so no
+    driver-side memory sink exists anywhere on the path (the r4/r5
+    review's objection to the old memory-table drain).  Each batch
+    commits one snapshot version; readers time-travel or read latest."""
+
+    def overwrite(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        LakeTable.create(batch_df, table_path)
+
+    q = (
+        session_df.writeStream.foreachBatch(overwrite)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return LakeTable(table_path)
+
+
 def stateful_user_counts(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running event count + running value sum, state kept across

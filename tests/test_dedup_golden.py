@@ -49,6 +49,43 @@ def test_ngram_pairs_equal_truth_sf001(spark, ddb_01):
     ) == rows_key(truth.fetchall(), truth.columns)
 
 
+def test_prefix_filter_collapse_path_parity(spark):
+    """The adaptive identical-set pre-collapse (functions/dedup.py,
+    prefix_filter_jaccard_pairs) engages when >2% of docs share an
+    exact token set; its output must equal brute force — intra-class
+    pairs at J=1 and cross-class pairs expanded from representatives.
+    The parquet fixtures are below the dup threshold, so this corpus
+    force-engages the path."""
+    import itertools
+
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "one two three four five six seven eight nine ten",
+        "completely different words entirely here now today folks",
+    ]
+    rows = []
+    did = 0
+    for i, tx in enumerate(texts):
+        for _ in range(3 if i < 2 else 1):  # two texts duplicated 3x
+            rows.append((did, tx))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in D.prefix_filter_jaccard_pairs(docs, threshold=0.5).collect()
+    )
+    sets = {i: set(t.split()) for i, t in rows}
+    exp = sorted(
+        (x, y, round(len(sets[x] & sets[y]) / len(sets[x] | sets[y]), 6))
+        for x, y in itertools.combinations(sorted(sets), 2)
+        if len(sets[x] & sets[y]) / len(sets[x] | sets[y]) >= 0.5
+    )
+    assert got == exp
+
+
 def test_simhash_contains_all_true_dups_sf001(spark, ddb_01):
     # simhash (Hamming ≤ 6 over 64-bit fingerprints) measures a
     # different similarity than Jaccard, so no value oracle — but every
