@@ -63,6 +63,16 @@ _LOG_DIR = "_log"
 _DATA_DIR = "data"
 
 
+def _inline_files_max() -> int:
+    """Snapshots above this file count commit as ``files_external``:
+    the JSON manifest stays an O(metadata) commit token and the file
+    list + per-file stats live ONLY in the parquet stats checkpoint
+    (Delta's checkpoint-file design).  20k inline files ≈ a few MB of
+    JSON — past that, parsing the manifest becomes the scan planner's
+    fixed cost, which is exactly what the checkpoint exists to kill."""
+    return int(os.environ.get("SPARK_GRAFT_INLINE_FILES_MAX", "20000"))
+
+
 class ConcurrentWriteError(RuntimeError):
     """A concurrent writer committed the version this operation was
     about to publish (optimistic-concurrency loser — Delta's
@@ -193,6 +203,10 @@ class LakeTable:
         #: metadata is never dropped). Raise it to keep a longer
         #: time-travel / change-feed horizon (Delta retention parity).
         self.retain_versions = retain_versions
+        #: version -> (files, file_stats) hydrated from the parquet
+        #: checkpoint for files_external manifests (paid once per
+        #: instance; manifests are immutable so the cache never stales)
+        self._hydrate_cache: dict[int, tuple[list, dict]] = {}
 
     # -- existence probe (DeltaTable.isDeltaTable equivalent, S7) ----------
     @staticmethod
@@ -218,9 +232,75 @@ class LakeTable:
             raise FileNotFoundError(f"not a LakeTable: {self.path}")
         return vs[-1]
 
-    def _manifest(self, version: int) -> dict:
+    def _manifest_meta(self, version: int) -> dict:
+        """Raw JSON commit token, NO file-list hydration: for a
+        ``files_external`` snapshot this is O(metadata) — schema,
+        partition spec, constraints, bloom config, DV pointers — with
+        ``files``/``file_stats`` empty.  Hot paths (:meth:`read`,
+        :meth:`prune_files_distributed`) use this plus the parquet
+        checkpoint so the driver never walks the file list as JSON."""
         with open(os.path.join(self.log_dir, f"v{version}.json")) as fh:
             return json.load(fh)
+
+    def _manifest(self, version: int) -> dict:
+        """Commit token with ``files``/``file_stats`` ALWAYS populated.
+        Inline manifests (≤ :func:`_inline_files_max` files) carry them
+        in the JSON; ``files_external`` snapshots hydrate them from the
+        parquet stats checkpoint on first access (compat path for the
+        operational methods — merge carryover, clone, optimize — which
+        are O(files) on the driver by their own contracts anyway)."""
+        m = self._manifest_meta(version)
+        if m.get("files_external"):
+            cached = self._hydrate_cache.get(version)
+            if cached is None:
+                cached = self._hydrate_external(version)
+                self._hydrate_cache[version] = cached
+            m["files"], m["file_stats"] = cached
+        return m
+
+    def _hydrate_external(self, version: int) -> tuple[list, dict]:
+        """Rebuild (files, file_stats) from the parquet stats
+        checkpoint — exact inverse of :meth:`_write_stats_checkpoint`
+        for the three bound kinds it stores (int, double, str) plus
+        bloom words and row counts.  A ``files_external`` snapshot
+        whose checkpoint is missing (crash in the commit→checkpoint
+        window) is unreadable and raises; the previous version is the
+        recovery point, same as a torn Delta checkpoint."""
+        import pyarrow.parquet as pq
+
+        path = self._stats_checkpoint_path(version)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"external manifest v{version} of {self.path} has no "
+                "stats checkpoint — torn commit; time-travel to "
+                f"v{version - 1}"
+            )
+        files: list[str] = []
+        stats: dict = {}
+        for r in pq.read_table(path).to_pylist():
+            st = stats.setdefault(r["file"], {})
+            if r["col"] is None:
+                files.append(r["file"])
+                st["rows"] = r["n_rows"]
+                continue
+            if r["min_int"] is not None:
+                bounds = [r["min_int"], r["max_int"]]
+            elif r["min_num"] is not None:
+                bounds = [r["min_num"], r["max_num"]]
+            elif r["min_str"] is not None:
+                bounds = [r["min_str"], r["max_str"]]
+            else:
+                bounds = None
+            if bounds is not None:
+                st.setdefault("minmax", {})[r["col"]] = bounds
+            if r["bloom"] is not None:
+                st.setdefault("bloom", {})[r["col"]] = {
+                    "words": list(r["bloom"]),
+                    "m": int(r["bloom_m"]),
+                    "k": int(r["bloom_k"]),
+                    "kind": r["bloom_kind"],
+                }
+        return files, stats
 
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]
@@ -595,14 +675,24 @@ class LakeTable:
             self._add_partition_stats(file_stats, partition_by, schema)
         bloom_cfg = prev_bloom if bloom_config is None else bloom_config
         self._ensure_blooms(file_stats, bloom_cfg)
+        # big snapshots externalize the file list: JSON keeps only the
+        # O(metadata) commit token; membership + stats live in the
+        # parquet checkpoint written below (readers: _manifest hydrates
+        # for compat paths, read()/prune_files_distributed go straight
+        # to the checkpoint).  Crash between _commit and the checkpoint
+        # write leaves v{N} torn (explicit error on read) — v{N-1}
+        # remains the recovery point.
+        external = len(files) > _inline_files_max()
         self._commit(
             version,
             {
                 "version": version,
                 "operation": operation,
                 "partition_by": partition_by,
-                "files": files,
-                "file_stats": file_stats,
+                "files": [] if external else files,
+                "file_stats": {} if external else file_stats,
+                "files_external": external,
+                "n_files": len(files),
                 "schema": schema.jsonValue(),
                 "committed_at": time.time(),
                 # deletion vectors CARRY by default: a carried file's
@@ -632,6 +722,13 @@ class LakeTable:
             },
         )
         self._write_stats_checkpoint(version, files, file_stats)
+        if external:
+            # the writer already holds the exact hydration — seed the
+            # cache so its own follow-up reads never re-parse the
+            # checkpoint (note: hydration via parquet drops bound kinds
+            # the checkpoint doesn't store, so seed with the SAME
+            # reduced view a fresh reader would see for consistency)
+            self._hydrate_cache[version] = self._hydrate_external(version)
 
     @staticmethod
     def _add_partition_stats(
@@ -999,7 +1096,7 @@ class LakeTable:
 
         v = self.version() if version is None else version
         rel = self.stats_relation(spark, v)
-        man = self._manifest(v)
+        man = self._manifest_meta(v)  # metadata only — no hydration
         bloom_cfg = man.get("bloom", {})
         # same physical-name translation as the driver walk
         cm = man.get("column_mapping") or {}
@@ -1163,6 +1260,10 @@ class LakeTable:
             .join(bad.distinct(), "file", "left_anti")
             .collect()
         }
+        if man.get("files_external"):
+            # no inline list to preserve the order of — deterministic
+            # sorted order; scan semantics are order-independent
+            return sorted(survivors)
         return [f for f in self._manifest(v)["files"] if f in survivors]
 
     # -- RENAME COLUMN (Delta column-mapping parity) -----------------------
@@ -1691,11 +1792,27 @@ class LakeTable:
                 raise ValueError("pass version or as_of, not both")
             version = self.version_as_of(as_of)
         v = self.version() if version is None else version
-        m = self._manifest(v)
+        # metadata only — for a files_external snapshot the file list
+        # is NEVER parsed as JSON on this path: pruned reads collect
+        # survivors from a Spark job over the stats checkpoint, full
+        # reads collect just the membership file column (the strings
+        # that must reach spark.read regardless — the same driver-side
+        # floor Delta's file index has)
+        m = self._manifest_meta(v)
         if prune and prune_via == "spark":
             files = self.prune_files_distributed(spark, prune, v)
+        elif prune:
+            files = self.prune_files(prune, v)
+        elif m.get("files_external"):
+            files = [
+                r.file
+                for r in self.stats_relation(spark, v)
+                .filter(F.col("col").isNull())
+                .select("file")
+                .collect()
+            ]
         else:
-            files = self.prune_files(prune, v) if prune else m["files"]
+            files = m["files"]
         # deletion vectors apply on top of any file pruning (a pruned
         # file's pointers are inert); snapshots without DVs take the
         # identical plan as before — no metadata columns, no join

@@ -1,0 +1,128 @@
+"""files_external manifests (lakehouse/table.py): above
+SPARK_GRAFT_INLINE_FILES_MAX files, the JSON manifest is an O(metadata)
+commit token and membership + per-file stats live only in the parquet
+stats checkpoint.  The read path assembles scans from the checkpoint
+relation — the driver never parses the file list as JSON (Delta
+checkpoint-file parity; the r4 verdict's 10^5-file stretch goal)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab5_lakehouse_etl_spark.lakehouse import LakeTable
+
+
+def _mk_df(spark, n=200, offset=10_000_000):
+    return spark.range(n).select(
+        (F.col("id") + offset).alias("k"),
+        (F.col("id") % 7).cast("double").alias("amt"),
+    )
+
+
+def test_external_commit_roundtrip(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INLINE_FILES_MAX", "4")
+    path = str(tmp_path / "ext_tbl")
+    df = _mk_df(spark).repartition(8)
+    t = LakeTable.create(df, path)
+
+    # the commit token carries no file list
+    with open(os.path.join(t.log_dir, "v0.json")) as fh:
+        raw = json.load(fh)
+    assert raw["files_external"] is True
+    assert raw["files"] == [] and raw["file_stats"] == {}
+    assert raw["n_files"] == 8
+
+    # hydrated compat surface
+    assert len(t.files()) == 8
+    got = sorted((r.k, r.amt) for r in t.read(spark).collect())
+    exp = sorted((r.k, r.amt) for r in _mk_df(spark).collect())
+    assert got == exp
+
+    # driver and distributed pruning agree on an external snapshot
+    pred = [("k", ">=", 10_000_000), ("k", "<", 10_000_050)]
+    assert sorted(t.prune_files(pred)) == sorted(
+        t.prune_files_distributed(spark, pred)
+    )
+    pruned = sorted(
+        r.k for r in t.read(spark, prune=pred, prune_via="spark")
+        .filter((F.col("k") >= 10_000_000) & (F.col("k") < 10_000_050))
+        .collect()
+    )
+    assert pruned == list(range(10_000_000, 10_000_050))
+
+
+def test_external_merge_and_time_travel(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INLINE_FILES_MAX", "4")
+    path = str(tmp_path / "ext_tbl2")
+    t = LakeTable.create(_mk_df(spark, n=100).repartition(6), path)
+    src = spark.createDataFrame(
+        [(10_000_000, 99.0), (20_000_000, 1.0)], "k long, amt double"
+    )
+    t.merge(spark, src, key=["k"])
+    assert t.version() == 1
+    cur = {r.k: r.amt for r in t.read(spark).collect()}
+    assert cur[10_000_000] == 99.0 and cur[20_000_000] == 1.0
+    assert len(cur) == 101
+    v0 = {r.k: r.amt for r in t.read(spark, version=0).collect()}
+    assert v0[10_000_000] == 0.0 and 20_000_000 not in v0
+
+
+def test_hundred_thousand_file_snapshot(spark, tmp_path):
+    """A synthetic 10^5-file snapshot: real data files plus 10^5
+    fabricated membership rows with disjoint key ranges.  Commits as
+    an O(KB) JSON token, prunes via one Spark job, and READS correctly
+    — the only file-list bytes the driver ever holds are the surviving
+    path strings that spark.read requires (the same floor as Delta's
+    file index)."""
+    path = str(tmp_path / "big_tbl")
+    t = LakeTable.create(_mk_df(spark, n=50).repartition(2), path)
+    m0 = t._manifest(0)
+    real_files = list(m0["files"])
+    stats = dict(m0["file_stats"])
+    files = list(real_files)
+    for i in range(100_000):
+        f = f"part-fake-{i:06d}.parquet"
+        files.append(f)
+        stats[f] = {"rows": 1000, "minmax": {"k": [i * 10, i * 10 + 9]}}
+    t._write_stats_checkpoint(1, files, stats)
+    t._commit(
+        1,
+        {
+            "version": 1,
+            "operation": "synthetic-bulk-register",
+            "partition_by": [],
+            "files": [],
+            "file_stats": {},
+            "files_external": True,
+            "n_files": len(files),
+            "schema": m0["schema"],
+            "committed_at": m0["committed_at"] + 1,
+            "dv_dirs": [],
+            "constraints": {},
+            "bloom": {},
+            "generated": {},
+            "column_mapping": {},
+            "dropped_physical": [],
+        },
+    )
+
+    # the commit token stays tiny at 10^5 files
+    assert os.path.getsize(os.path.join(t.log_dir, "v1.json")) < 10_000
+    assert len(t.files(1)) == 100_002
+
+    # distributed pruning over the checkpoint: every fake file has
+    # k < 1_000_000, the real data lives at 10_000_000+
+    pred = [("k", ">=", 10_000_000)]
+    survivors = t.prune_files_distributed(spark, pred, version=1)
+    assert sorted(survivors) == sorted(real_files)
+
+    got = sorted(
+        r.k for r in t.read(spark, version=1, prune=pred, prune_via="spark")
+        .filter(F.col("k") >= 10_000_000)
+        .collect()
+    )
+    assert got == [10_000_000 + i for i in range(50)]
