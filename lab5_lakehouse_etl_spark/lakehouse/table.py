@@ -612,6 +612,7 @@ class LakeTable:
         ``add_bloom_index``) pay one columns-only read."""
         if not cfg:
             return
+        todo: list[tuple[str, dict]] = []
         for f, st in list(file_stats.items()):
             have = (st or {}).get("bloom") or {}
             missing = {
@@ -621,12 +622,25 @@ class LakeTable:
                 or have[c].get("m") != s["m"]
                 or have[c].get("k") != s["k"]
             }
-            if not missing:
-                continue
-            newb = self._file_bloom(f, missing)
+            if missing:
+                todo.append((f, missing))
+        if not todo:
+            return
+        # columns-only reads, IO-bound with GIL-free hashing in
+        # pyarrow — parallel like the footer-stat reads above
+        if len(todo) > 8:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(32, len(todo))) as ex:
+                built = list(
+                    ex.map(lambda t: self._file_bloom(t[0], t[1]), todo)
+                )
+        else:
+            built = [self._file_bloom(f, miss) for f, miss in todo]
+        for (f, _), newb in zip(todo, built):
             if newb:
-                st = dict(st or {})
-                merged = dict(have)
+                st = dict(file_stats[f] or {})
+                merged = dict(st.get("bloom") or {})
                 merged.update(newb)
                 st["bloom"] = merged
                 file_stats[f] = st
@@ -667,9 +681,22 @@ class LakeTable:
                 prev_dropped = list(prev_m.get("dropped_physical", []))
             except (OSError, ValueError, KeyError):
                 prev_stats = {}
+        # carryover files keep prior stats for free; NEW files pay one
+        # footer read each — parallelized, since at bulk-load scale
+        # (10^4-10^5 new files) a serial driver loop is the commit's
+        # wall clock.  Footer reads are IO-bound and pyarrow releases
+        # the GIL, so threads give near-linear speedup with zero
+        # cluster cost.
+        new = [f for f in files if f not in prev_stats]
+        if len(new) > 8:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(32, len(new))) as ex:
+                fresh = dict(zip(new, ex.map(self._footer_stats, new)))
+        else:
+            fresh = {f: self._footer_stats(f) for f in new}
         file_stats = {
-            f: prev_stats[f] if f in prev_stats else self._footer_stats(f)
-            for f in files
+            f: prev_stats[f] if f in prev_stats else fresh[f] for f in files
         }
         if partition_by:
             self._add_partition_stats(file_stats, partition_by, schema)
