@@ -534,14 +534,22 @@ def prefix_filter_jaccard_pairs(
     # pairs are emitted directly (J = 1 by identity) and cross-class
     # pairs expand from the representative result (identical sets have
     # identical similarity to everything).  Engaged ADAPTIVELY: the
-    # probe is one O(input) count over 16-byte signatures on the
-    # checkpointed relation; below 2% dups the collapse can't pay for
-    # its own group/expand stages (the synthetic fixture: 8/5000), so
-    # the straight path runs and the probe is the only cost.
-    sig = F.md5(F.to_json(F.array_sort("toks")))
+    # probe is one O(input) count on the checkpointed relation; below
+    # 2% dups the collapse can't pay for its own group/expand stages
+    # (the synthetic fixture: 8/5000), so the straight path runs and
+    # the probe is the only cost.  Signature soundness: classes key on
+    # the token ARRAY as stored (md5 of its JSON image — no canonical
+    # sort), so identical-text duplicates (the real-world exact-dup
+    # class) merge, while an equal SET in a different order merely
+    # fails to merge — under-merging only skips an optimization (the
+    # unmerged pair still flows through the exact join); a false merge
+    # would need an md5 collision.  The probe uses xxhash64 for the
+    # same reason a count tolerates it: a 64-bit collision can only
+    # undercount dups by one and nudge a heuristic threshold.
+    sig = F.md5(F.to_json("toks"))
     sets_sig = sets.withColumn("sig", sig)
-    nc = sets_sig.agg(
-        F.count(F.lit(1)), F.countDistinct("sig")
+    nc = sets.agg(
+        F.count(F.lit(1)), F.countDistinct(F.xxhash64("toks"))
     ).collect()[0]
     n_rows, n_sig = int(nc[0]), int(nc[1])
     collapsed = n_sig <= n_rows * 0.98
