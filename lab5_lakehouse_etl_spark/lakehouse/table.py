@@ -1481,6 +1481,9 @@ class LakeTable:
                         tbl.set_column(idx, "file_path", fp),
                         os.path.join(ddir, fn),
                     )
+        # a clone of a big snapshot stays files_external: the dest
+        # commit token keeps the same O(metadata) shape as the source's
+        external = len(m["files"]) > _inline_files_max()
         dest._commit(
             0,
             {
@@ -1488,8 +1491,10 @@ class LakeTable:
                 "operation": "clone",
                 "source": self.path,
                 "partition_by": m.get("partition_by", []),
-                "files": list(m["files"]),
-                "file_stats": m.get("file_stats", {}),
+                "files": [] if external else list(m["files"]),
+                "file_stats": {} if external else m.get("file_stats", {}),
+                "files_external": external,
+                "n_files": len(m["files"]),
                 "schema": m["schema"],
                 "committed_at": time.time(),
                 "dv_dirs": list(m.get("dv_dirs", [])),
@@ -1503,6 +1508,8 @@ class LakeTable:
         dest._write_stats_checkpoint(
             0, m["files"], m.get("file_stats", {})
         )
+        if external:
+            dest._hydrate_cache[0] = dest._hydrate_external(0)
         return dest
 
     # -- bloom-filter indexes (Delta delta.bloomFilter.* parity) -----------

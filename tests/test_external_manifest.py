@@ -71,6 +71,20 @@ def test_external_merge_and_time_travel(spark, tmp_path, monkeypatch):
     assert v0[10_000_000] == 0.0 and 20_000_000 not in v0
 
 
+def test_external_clone_stays_external(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INLINE_FILES_MAX", "4")
+    src = LakeTable.create(
+        _mk_df(spark, n=60).repartition(6), str(tmp_path / "src")
+    )
+    dest = src.clone(str(tmp_path / "dst"))
+    with open(os.path.join(dest.log_dir, "v0.json")) as fh:
+        raw = json.load(fh)
+    assert raw["files_external"] is True and raw["files"] == []
+    assert sorted(r.k for r in dest.read(spark).collect()) == sorted(
+        r.k for r in src.read(spark).collect()
+    )
+
+
 def test_hundred_thousand_file_snapshot(spark, tmp_path):
     """A synthetic 10^5-file snapshot: real data files plus 10^5
     fabricated membership rows with disjoint key ranges.  Commits as
