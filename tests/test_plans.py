@@ -355,6 +355,36 @@ def test_dedup_prefix_join_is_equi_not_cartesian(spark):
     assert "broadcastnestedloop" not in plan
 
 
+def test_dedup_prefix_verify_stage_full_width(spark):
+    """The candidate-dedupe exchange before exact verification must be
+    an explicit full-width repartition on (id_a, id_b): AQE's byte-based
+    coalescing collapsed the CPU-dense array_intersect stage to a
+    handful of tasks (r6 fix — measured 5 tasks / 0.9 s serial wall at
+    sf0.1; full width cut the query ~25%)."""
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_dedup_prefix"](spark, SF_DIR)
+    plan = explain_str(df).lower()
+    assert "repartitionbyexpression" in plan.replace(" ", "") or (
+        "hashpartitioning(id_a" in plan
+    ), "verify-stage width repartition missing from the prefix plan"
+
+
+def test_stream_drains_return_table_scans(spark):
+    """q_stream_tumbling / q_stream_session results must be LakeTable
+    parquet scans (foreachBatch-landed), not driver memory-sink tables
+    — the r4/r5 review's production-shape requirement."""
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    for name in ("q_stream_tumbling", "q_stream_session"):
+        df = Q.QUERIES[name](spark, SF_DIR)
+        plan = explain_str(df)
+        assert "Scan parquet" in plan, f"{name} no longer scans a table"
+        assert "MemoryPlan" not in plan and "LocalTableScan" not in plan, (
+            f"{name} result still driver-resident"
+        )
+
+
 def test_resample_interp_single_fact_scan(spark):
     """Gap filling touches the events table exactly once: the observed
     aggregate is the only scan of the fact; the grid derives from a
