@@ -133,9 +133,23 @@ _PRIORITY: tuple[str, ...] = _R3 + _R4 + (
     "q_scd2_intervals", "q_funnel",
     # batch windowed aggs (streaming_ops module, batch semantics)
     "q_window_tumbling", "q_window_sliding",
-    # rows-only sketch (no oracle possible; runs once paired queries are green)
+    # sketch invariant pair (array-output formulation retired in r7)
     "q_sketch_quantile",
 )
+
+#: Queries whose implementation was REWRITTEN after their newest green
+#: driver row, mapped to the round the rewrite landed: they are treated
+#: as unverified (tier 1) until a green row from >= that round exists,
+#: then age normally.  r7 entries: the two complete-mode streaming
+#: drains re-expressed through foreachBatch -> LakeTable in r6
+#: (streaming/events.py) and q_stream_merge, whose LakeTable internals
+#: changed via the r6 external-manifest work — their newest green rows
+#: are r3/r4, before the rewrites.
+_REWRITTEN_IN: dict[str, int] = {
+    "q_stream_tumbling": 7,
+    "q_stream_session": 7,
+    "q_stream_merge": 7,
+}
 
 
 def _driver_verified() -> dict[str, int]:
@@ -169,10 +183,17 @@ def _driver_verified() -> dict[str, int]:
                 continue
             if rec.get("hash_match") is True or (
                 rec.get("err") == "no_oracle"
-                and (rec.get("spark_rows") or 0) >= 0
+                # a row with no spark_rows is a crash wearing the
+                # no_oracle label, not a successful rows-only run
+                and rec.get("spark_rows") is not None
                 and name not in ORACLES
             ):
                 ok[name] = max(ok.get(name, 0), rnd)
+    # a rewrite after a green row invalidates that row: drop the query
+    # back to "unverified" until the driver re-checks the new code path
+    for name, rewritten_rnd in _REWRITTEN_IN.items():
+        if name in ok and ok[name] < rewritten_rnd:
+            del ok[name]
     return ok
 
 

@@ -107,15 +107,42 @@ def q_agg_countd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx")
+@query(
+    "q_agg_approx",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — rows-only by design: the
-    estimate is engine-specific. At 100 TB this replaces exact countd
-    wherever a ±2% answer is acceptable (one pass, tiny sketch state)."""
+    """approx_count_distinct (HyperLogLog++, rsd 0.02) next to the
+    exact count — at 100 TB the sketch replaces exact countd wherever a
+    ±2% answer is acceptable (one pass, bounded state, no expand).
+
+    The raw estimate is engine-specific, so the declared output is the
+    SQL-stateable invariant instead: the exact count (hash-checked
+    against DuckDB) plus the sketch's deterministic accuracy guarantee
+    as a boolean — |approx/exact − 1| ≤ 0.06 (3× the configured rsd;
+    HLL++ bias correction keeps the fixture well inside), which the
+    oracle states as TRUE. The estimate itself stays pinned by
+    tests/test_properties-style bounds through this boolean."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("__approx") / F.col("exact_parts") - 1.0) <= 0.06
+            ).alias("approx_ok"),
+        )
     )
 
 

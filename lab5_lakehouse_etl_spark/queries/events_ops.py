@@ -274,23 +274,72 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sketch_quantile")
+#: rank slack for the quantile-sketch invariant: the GK sketch at
+#: accuracy=10000 guarantees rank error ≤ 1e-4; 0.005 leaves 50× margin
+#: (plus the ±1-element discreteness at small n) while still being a
+#: meaningful statement — a p95 that drifted to p94.5 would fail it.
+_GK_EPS = 0.005
+
+
+@query(
+    "q_sketch_quantile",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.50), 4) AS p50_exact,
+           round(quantile_cont(value, 0.95), 4) AS p95_exact,
+           round(quantile_cont(value, 0.99), 4) AS p99_exact,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
 def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch profile: per event-type p50/p95/p99 via
-    `approx_percentile` (Greenwald-Khanna sketch, accuracy 10k) next to
-    the exact percentiles. The sketch is the 100 TB path — mergeable
-    partial state of bounded size per partition, no per-group sort —
-    while the exact column exists to expose sketch error; rows-only by
-    contract (sketch outputs are algorithm-defined, not SQL-stateable),
-    with the error bound pinned in tests/test_properties.py."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    return ev.groupBy("event_type").agg(
-        F.expr(
-            "approx_percentile(value, array(0.5, 0.95, 0.99), 10000)"
-        ).alias("approx_p"),
-        F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("exact_p"),
-        F.count(F.lit(1)).alias("n"),
+    `approx_percentile` (Greenwald-Khanna sketch, accuracy 10k). The
+    sketch is the 100 TB path — mergeable partial state of bounded size
+    per partition, no per-group sort.
+
+    Sketch outputs are algorithm-defined, so the declared output is the
+    SQL-stateable invariant: the exact interpolated percentiles (which
+    DuckDB's quantile_cont reproduces bit-for-bit at 4 decimals) plus
+    the sketch's rank-error guarantee as booleans — each approximate
+    quantile must lie between the exact quantiles at q ± _GK_EPS, which
+    the oracle states as TRUE. Scalar columns throughout (the r6
+    array-typed formulation crashed the driver canonicalizer)."""
+    qs = (0.50, 0.95, 0.99)
+    lo = [max(q - _GK_EPS, 0.0) for q in qs]
+    hi = [min(q + _GK_EPS, 1.0) for q in qs]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
     )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"approx_percentile(value, array({qs[0]}, {qs[1]}, {qs[2]}), 10000)"
+        ).alias("ap"),
+        F.expr(f"percentile(value, array({qs[0]}, {qs[1]}, {qs[2]}))").alias("ex"),
+        F.expr(
+            f"percentile(value, array({lo[0]}, {lo[1]}, {lo[2]}))"
+        ).alias("exlo"),
+        F.expr(
+            f"percentile(value, array({hi[0]}, {hi[1]}, {hi[2]}))"
+        ).alias("exhi"),
+    )
+    cols = [F.col("event_type"), F.col("n")]
+    for i, label in enumerate(("p50", "p95", "p99")):
+        cols.append(F.round(F.col("ex")[i], 4).alias(f"{label}_exact"))
+    for i, label in enumerate(("p50", "p95", "p99")):
+        cols.append(
+            (
+                (F.col("ap")[i] >= F.col("exlo")[i])
+                & (F.col("ap")[i] <= F.col("exhi")[i])
+            ).alias(f"{label}_ok")
+        )
+    return agg.select(*cols)
 
 
 @query(
@@ -474,7 +523,21 @@ def q_bin_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sketch_hll_merge")
+@query(
+    "q_sketch_hll_merge",
+    oracle="""
+    SELECT source,
+           CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
+           TRUE AS est_ok
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY source
+    UNION ALL
+    SELECT '__all__' AS source,
+           CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
+           TRUE AS est_ok
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
 def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase mergeable distinct counting — the 100 TB cardinality
     architecture that one-shot ``approx_count_distinct`` (q_agg_approx)
@@ -487,13 +550,18 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions each write their sketch row, and any cross-partition
     distinct count is a union over kilobytes instead of a scan over
     terabytes.  Output: per-source estimates plus an ``__all__`` row
-    whose estimate came from the stored-sketch union.  Rows-only by
-    contract (sketch estimates are algorithm-defined, not
-    SQL-stateable); tests/test_properties.py pins the relative-error
-    bound against exact distinct counts AND that the union of persisted
-    per-source sketches tracks a direct whole-corpus sketch to within
-    the estimator's own envelope — merging introduces no partitioning-
-    or order-dependent error."""
+    whose estimate came from the stored-sketch union.
+
+    Sketch estimates are algorithm-defined, so the declared output is
+    the SQL-stateable invariant: the exact distinct count per source
+    (count(DISTINCT xxhash64(text)) ≡ count(DISTINCT text) absent a
+    64-bit collision — none on the fixtures, and at 100 TB the hash
+    column IS the identity being counted) plus the lgK=12 accuracy
+    guarantee as a boolean, |est − exact| ≤ max(3, 0.081·exact)
+    (5σ of the ~1.6% RSE plus a small-n exactness floor — the same
+    envelope tests/test_properties.py pins), which the oracle states
+    as TRUE. The exact column is the verification twin; at scale a
+    consumer reads only the sketch store."""
     from ..lakehouse import LakeTable
     from ..session import scratch_dir
 
@@ -516,7 +584,24 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("estimate")
     ).select(F.lit("__all__").alias("source"), "estimate")
-    return per_source.unionByName(merged)
+    estimates = per_source.unionByName(merged)
+    exact = (
+        docs.groupBy("source")
+        .agg(F.countDistinct("h").alias("exact_distinct"))
+        .unionByName(
+            docs.agg(F.countDistinct("h").alias("exact_distinct")).select(
+                F.lit("__all__").alias("source"), "exact_distinct"
+            )
+        )
+    )
+    return estimates.join(exact, "source").select(
+        "source",
+        "exact_distinct",
+        (
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            <= F.greatest(F.lit(3.0), 0.081 * F.col("exact_distinct"))
+        ).alias("est_ok"),
+    )
 
 
 _RESAMPLE_ORACLE = """

@@ -2,13 +2,17 @@
 
 Brute-force cosine top-k carries a DuckDB oracle (explicit double
 dot-product on both sides, rounded to 4 — both engines fold the list
-sequentially, so agreement holds far past 4 decimals). LSH variants are
-deterministic but hash-seeded → rows-only.
+sequentially, so agreement holds far past 4 decimals). The approximate
+operators (LSH/IVF/PQ) are deterministic but hash-seeded, so their
+declared outputs are SQL-stateable invariants instead: exact-result
+checksums the oracle recomputes plus the operator's accuracy guarantee
+(precision / recall floor) as a boolean the oracle states as TRUE.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions import similarity as S
 from ..session import load_table
@@ -57,25 +61,133 @@ def q_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_cosine(emb, _query_vec(spark, sf_dir), k=_K)
 
 
-@query("q_ann_lsh")
+@query(
+    "q_ann_lsh",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 4) AS c
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+           TRUE AS precision_ok
+    FROM pairs WHERE c >= 0.5
+    """,
+)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-neighbor pairs (12 planes, seed 42)
     with exact cosine re-rank inside buckets — the scale path that
-    avoids the all-pairs join. Rows-only (seeded hyperplanes)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return S.ann_pairs_lsh(emb, n_planes=12, seed=42, min_cosine=0.5)
+    avoids the all-pairs join.
+
+    The LSH pair set is seed-defined (recall is probabilistic by
+    design), so the declared output is the SQL-stateable invariant:
+    the brute-force count of TRUE cosine-≥0.5 pairs (which the DuckDB
+    oracle recomputes all-pairs — fine at fixture scale, exactly what
+    LSH exists to avoid at corpus scale) plus the operator's hard
+    precision guarantee as a boolean — every pair LSH returns IS a
+    true pair with its exact cosine (the in-bucket re-rank computes
+    true cosine; tests/test_ann_recall.py pins the same subset
+    property). exact_pairs_blocked at threshold 0.4999 absorbs the
+    round-to-4 boundary so a pair whose cosine rounds UP to 0.5000
+    still finds its exact twin."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lsh = S.ann_pairs_lsh(emb, n_planes=12, seed=42, min_cosine=0.5)
+    exact = S.exact_pairs_blocked(emb, threshold=0.4999).select(
+        "id_a", "id_b", F.col("cosine_sim").alias("__exact_cos")
+    )
+    n_true = (
+        exact.filter(F.col("__exact_cos") >= 0.5)
+        .agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    )
+    prec = (
+        lsh.join(exact, ["id_a", "id_b"], "left")
+        .agg(
+            F.coalesce(
+                F.bool_and(
+                    F.col("__exact_cos").isNotNull()
+                    & (F.col("__exact_cos") == F.col("cosine_sim"))
+                ),
+                F.lit(True),  # empty LSH result: vacuously precise
+            ).alias("precision_ok")
+        )
+    )
+    return n_true.crossJoin(prec)
 
 
-@query("q_ann_ivf")
+#: recall floors for the approximate top-k invariants, from
+#: tests/test_ann_recall.py: IVF's adaptive budget clears 5/10 on the
+#: isotropic fixture (measured 8/10 at sf0.01); PQ's 10× shortlist +
+#: exact re-rank clears 6/10 per planted query.
+_IVF_RECALL_FLOOR = 5
+_PQ_RECALL_FLOOR = 6
+
+
+@query(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             round(
+               list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+               / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim
+      FROM embeddings e, q
+      ORDER BY cosine_sim DESC, e.vec_id ASC
+      LIMIT {_K}
+    )
+    SELECT CAST({_K} AS BIGINT) AS k,
+           CAST(sum(vec_id) AS BIGINT) AS sum_topk_ids,
+           round(sum(cosine_sim), 4) AS sum_topk_cos,
+           TRUE AS recall_ok
+    FROM scored
+    """,
+)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style top-k: multi-probe LSH cells around the query's cell,
     exact scan only inside probed cells, probe radius chosen adaptively
     by candidate budget (see functions/similarity.ivf_topk — clustered
     corpora stay narrow, the fixture's isotropic vectors widen).
-    Rows-only (approximate by contract); recall pinned in
-    tests/test_ann_recall.py."""
+
+    Which k ids the probe surfaces is index-defined, so the declared
+    output is the SQL-stateable invariant: checksums of the EXACT
+    brute-force top-k (id sum + rounded cosine sum, both restated by
+    the oracle) plus the operator's recall guarantee as a boolean —
+    |IVF∩exact| ≥ _IVF_RECALL_FLOOR (5) of 10 on the isotropic
+    worst-case fixture (measured 8/10 at sf0.01; clustered corpora
+    recall 1.0 — both pinned in tests/test_ann_recall.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, _query_vec(spark, sf_dir), k=_K, n_planes=8)
+    qv = _query_vec(spark, sf_dir)
+    exact = S.topk_cosine(emb, qv, k=_K)
+    # candidate budget 64×k: isotropic vectors (the fixture) spread
+    # true neighbors across many Hamming cells, so the declared query
+    # doubles the default 32×k budget — recall 10/10 at sf0.001/0.01
+    # and 6/10 at sf0.1, all above the floor; on clustered (real)
+    # embeddings the adaptive probe stops far earlier anyway
+    ivf_ids = S.ivf_topk(
+        emb, qv, k=_K, n_planes=8, min_candidates_factor=64
+    ).select("vec_id")
+    sums = exact.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("vec_id").cast("bigint").alias("sum_topk_ids"),
+        F.round(F.sum("cosine_sim"), 4).alias("sum_topk_cos"),
+    )
+    overlap = (
+        exact.select("vec_id")
+        .join(ivf_ids, "vec_id", "left_semi")
+        .agg((F.count(F.lit(1)) >= _IVF_RECALL_FLOOR).alias("recall_ok"))
+    )
+    return sums.crossJoin(overlap)
 
 
 @query(
@@ -445,7 +557,31 @@ def q_arrow_l2norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInArrow(batches, "vec_id long, l2_norm double")
 
 
-@query("q_ann_pq")
+@query(
+    "q_ann_pq",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             round(
+               list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+               - 2 * list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+               + list_dot_product(q.qv, q.qv), 6) AS dist
+      FROM embeddings e, q
+      ORDER BY dist ASC, e.vec_id ASC
+      LIMIT {_K}
+    )
+    SELECT CAST({_K} AS BIGINT) AS k,
+           CAST(sum(vec_id) AS BIGINT) AS sum_topk_ids,
+           round(sum(dist), 4) AS sum_topk_dist,
+           TRUE AS recall_ok
+    FROM scored
+    """,
+)
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (functions/similarity.pq_*): train
     per-subspace codebooks (m=8 subspaces x 16 centroids, deterministic
@@ -455,12 +591,41 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distance-table lookups over the codes, no float reads) + exact
     re-rank of the 100-candidate shortlist.  IVF (q_ann_ivf) cuts how
     many vectors a query SCANS; PQ cuts how many bytes each vector
-    COSTS — production indexes (IVF-PQ) compose both.  Rows-only
-    (approximate by contract); recall and the shortlist contract are
-    pinned in tests/test_ann_recall.py."""
+    COSTS — production indexes (IVF-PQ) compose both.
+
+    The shortlist is codebook-defined, so the declared output is the
+    SQL-stateable invariant: checksums of the EXACT squared-L2 top-k
+    (id sum + rounded distance sum, restated by the oracle via the
+    ‖a‖² − 2a·q + ‖q‖² expansion) plus the recall guarantee as a
+    boolean — |PQ∩exact| ≥ _PQ_RECALL_FLOOR (6) of 10
+    (tests/test_ann_recall.py pins ≥6/10 per planted query, mean
+    ≥7.5)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
     books = S.pq_train(emb, m=8, k=16, iters=5)
     codes = S.pq_encode(emb, books)
-    return S.pq_search(
-        codes, emb, books, _query_vec(spark, sf_dir), k=_K
+    got = S.pq_search(codes, emb, books, qv, k=_K).select("vec_id")
+    # same ‖a‖² − 2a·q + ‖q‖² expansion as the oracle: both engines
+    # fold each dot product sequentially, so the rounded values agree
+    # bit-for-bit (the elementwise Σ(a−b)² form sums in a different
+    # order and can flip the 6th decimal)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q_sq = float(sum(float(x) * float(x) for x in qv))
+    d = S.dot(v, v) - 2 * S.dot(v, q) + F.lit(q_sq)
+    exact = (
+        emb.select("vec_id", F.round(d, 6).alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(_K)
     )
+    sums = exact.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("vec_id").cast("bigint").alias("sum_topk_ids"),
+        F.round(F.sum("dist"), 4).alias("sum_topk_dist"),
+    )
+    overlap = (
+        exact.select("vec_id")
+        .join(got, "vec_id", "left_semi")
+        .agg((F.count(F.lit(1)) >= _PQ_RECALL_FLOOR).alias("recall_ok"))
+    )
+    return sums.crossJoin(overlap)

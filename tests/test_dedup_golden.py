@@ -88,11 +88,19 @@ def test_prefix_filter_collapse_path_parity(spark):
 
 def test_simhash_contains_all_true_dups_sf001(spark, ddb_01):
     # simhash (Hamming ≤ 6 over 64-bit fingerprints) measures a
-    # different similarity than Jaccard, so no value oracle — but every
-    # planted near-identical pair (char-5-shingle J ≥ 0.5) must be
-    # recalled, and the pipeline is deterministic (fixed xxhash64), so
-    # the total pair count is stable run to run.
-    got = Q.QUERIES["q_dedup_simhash"](spark, SF_001)
+    # different similarity than Jaccard, so no value oracle on the raw
+    # pair set — but at sf0.01 every planted near-identical pair
+    # (char-5-shingle J ≥ 0.5) happens to land within Hamming 6 and
+    # must be recalled, and the pipeline is deterministic (fixed
+    # xxhash64), so the pair set is stable run to run. (The DECLARED
+    # query q_dedup_simhash emits the cross-SF-safe invariant — truth
+    # count + recall-floor boolean — because other fixtures hold
+    # J≥0.5 pairs out to Hamming 12; see _SIMHASH_RECALL_FLOOR.)
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+    from lab5_lakehouse_etl_spark.session import load_table
+
+    docs = load_table(spark, SF_001, "documents")
+    got = D.simhash_near_dups(docs, max_hamming=6)
     pairs = {(r.id_a, r.id_b) for r in got.collect()}
     truth = set(
         _truth_pairs(ddb_01, Q.ORACLES["q_dedup_minhash"])
@@ -101,6 +109,11 @@ def test_simhash_contains_all_true_dups_sf001(spark, ddb_01):
     assert not missing, f"simhash missed true near-dups: {sorted(missing)}"
     rerun = {
         (r.id_a, r.id_b)
-        for r in Q.QUERIES["q_dedup_simhash"](spark, SF_001).collect()
+        for r in D.simhash_near_dups(docs, max_hamming=6).collect()
     }
     assert rerun == pairs  # deterministic
+    # and the declared invariant query agrees with the brute-force
+    # truth count + states its recall floor
+    row = Q.QUERIES["q_dedup_simhash"](spark, SF_001).collect()[0]
+    assert row.n_true_pairs == len(truth)
+    assert row.recall_ok is True

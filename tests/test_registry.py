@@ -37,19 +37,39 @@ def test_no_files_uses_priority_order(correctness_dir):
     assert sorted(names) == sorted(Q.QUERIES)
 
 
-def test_unpaired_sink_behind_paired(correctness_dir):
+@pytest.fixture()
+def synthetic_rows_only(monkeypatch):
+    """As of r7 every declared query is oracle-paired, so the tier-3/4
+    rows-only mechanics are exercised against a synthetic rows-only
+    query: temporarily strip the oracle from one registered name."""
+    target = sorted(Q.ORACLES)[0]
+    oracles = {n: s for n, s in Q.ORACLES.items() if n != target}
+    monkeypatch.setattr(Q, "ORACLES", oracles)
+    return target
+
+
+def test_all_declared_queries_oracle_paired():
+    """r7 goal state: zero rows-only queries — every operator's
+    correctness claim is a driver hash check, with approximate
+    operators emitting SQL-stateable invariants instead of raw
+    sketch/index output."""
+    assert set(Q.QUERIES) == set(Q.ORACLES)
+
+
+def test_unpaired_sink_behind_paired(correctness_dir, synthetic_rows_only):
     names = list(Q.ordered_queries())
-    rows_only = set(Q.QUERIES) - set(Q.ORACLES)
-    first_unpaired = min(names.index(n) for n in rows_only)
-    assert first_unpaired > 50, "rows-only query burning a window slot"
+    # the synthetic rows-only query has no driver row -> one-time
+    # promotion tier: behind every unverified PAIRED query
+    assert names.index(synthetic_rows_only) == len(Q.ORACLES)
 
 
 def test_verified_rotate_to_back(correctness_dir):
     all_names = list(Q.ordered_queries())
     front = all_names[:50]
+    # r09 >= every _REWRITTEN_IN stamp, so no rewrite invalidation
     _write(
         correctness_dir,
-        "CORRECTNESS_r05.json",
+        "CORRECTNESS_r09.json",
         {n: {"hash_match": True} for n in front},
     )
     rotated = list(Q.ordered_queries())
@@ -75,49 +95,100 @@ def test_failed_rows_rerun_up_front(correctness_dir):
     assert list(Q.ordered_queries())[0] == target
 
 
-def test_rows_only_success_counts(correctness_dir):
-    # a no_oracle row verifies a query that is STILL rows-only
-    rows_only = set(Q.QUERIES) - set(Q.ORACLES)
+def test_rows_only_success_counts(correctness_dir, monkeypatch):
+    # a no_oracle row verifies a query that is STILL rows-only: of two
+    # rows-only queries, the one with a successful driver row drops to
+    # the permanent tail, behind the never-run one
+    ran, never_ran = sorted(Q.ORACLES)[:2]
+    monkeypatch.setattr(
+        Q,
+        "ORACLES",
+        {n: s for n, s in Q.ORACLES.items() if n not in (ran, never_ran)},
+    )
+    _write(
+        correctness_dir,
+        "CORRECTNESS_r09.json",
+        {ran: {"hash_match": None, "err": "no_oracle", "spark_rows": 7}},
+    )
     names = list(Q.ordered_queries())
-    target = min(rows_only, key=names.index)  # front of tier 2
-    before = names.index(target)
+    assert names[-1] == ran  # verified rows-only: permanent tail
+    assert names.index(never_ran) < names.index(ran)
+
+
+def test_erroring_no_oracle_row_does_not_verify(
+    correctness_dir, synthetic_rows_only
+):
+    """A crash wearing the no_oracle label (spark_rows absent — the
+    exact shape q_sketch_quantile produced in r6 when the driver
+    canonicalizer died on its array columns) must NOT count as a
+    successful rows-only run: the query keeps its promotion slot."""
+    target = synthetic_rows_only
+    before = list(Q.ordered_queries()).index(target)
     _write(
         correctness_dir,
         "CORRECTNESS_r05.json",
-        {target: {"hash_match": None, "err": "no_oracle", "spark_rows": 7}},
+        {target: {"hash_match": None, "err": "no_oracle", "spark_rows": None}},
     )
-    assert list(Q.ordered_queries()).index(target) > before
+    assert list(Q.ordered_queries()).index(target) == before
 
 
-def test_never_run_rows_only_promoted_once(correctness_dir):
+def test_never_run_rows_only_promoted_once(correctness_dir, synthetic_rows_only):
     """A rows-only query with NO driver row ever outranks tier-2
     re-checks exactly once; after its first ``no_oracle`` row it drops
     to the permanent tail (q_ann_pq / q_sketch_* r6 promotion)."""
-    rows_only = sorted(set(Q.QUERIES) - set(Q.ORACLES))
+    target = synthetic_rows_only
     paired = sorted(Q.ORACLES)
-    # every oracle-paired query verified; rows-only never run
+    # every oracle-paired query verified in r5 or later (>= every
+    # _REWRITTEN_IN stamp, so no rewrite invalidation); rows-only
+    # never run
     _write(
         correctness_dir,
-        "CORRECTNESS_r05.json",
+        "CORRECTNESS_r09.json",
         {n: {"hash_match": True} for n in paired},
     )
     names = list(Q.ordered_queries())
-    assert names[: len(rows_only)] == sorted(names[: len(rows_only)]) or True
-    assert set(names[: len(rows_only)]) == set(rows_only), (
-        "never-run rows-only queries must take the front slots when no "
+    assert names[0] == target, (
+        "a never-run rows-only query must take the front slot when no "
         "unverified oracle-paired query remains"
     )
-    # after their first no_oracle row, they fall behind every re-check
+    # after its first no_oracle row, it falls behind every re-check
     _write(
         correctness_dir,
-        "CORRECTNESS_r06.json",
-        {n: {"hash_match": None, "err": "no_oracle", "spark_rows": 3}
-         for n in rows_only},
+        "CORRECTNESS_r10.json",
+        {target: {"hash_match": None, "err": "no_oracle", "spark_rows": 3}},
     )
-    demoted = list(Q.ordered_queries())
-    assert demoted[-len(rows_only):] == [
-        n for n in demoted if n not in Q.ORACLES
-    ], "once-run rows-only queries must sit at the permanent tail"
+    assert list(Q.ordered_queries())[-1] == target, (
+        "a once-run rows-only query must sit at the permanent tail"
+    )
+
+
+def test_rewritten_query_green_row_invalidated(correctness_dir):
+    """_REWRITTEN_IN drops green rows older than the rewrite round, so
+    the driver re-checks the new code path (r6 streaming drains)."""
+    target = sorted(Q._REWRITTEN_IN)[0]
+    stamp = Q._REWRITTEN_IN[target]
+    paired = sorted(Q.ORACLES)
+    _write(
+        correctness_dir,
+        f"CORRECTNESS_r{stamp - 1:02d}.json",
+        {n: {"hash_match": True} for n in paired},
+    )
+    names = list(Q.ordered_queries())
+    # every _REWRITTEN_IN query with a pre-rewrite green row leads the
+    # window; everything else is verified
+    stale = sorted(
+        n for n, r in Q._REWRITTEN_IN.items()
+        if r > stamp - 1 and n in Q.QUERIES
+    )
+    assert sorted(names[: len(stale)]) == stale
+    # a green row from the rewrite round itself re-verifies it
+    _write(
+        correctness_dir,
+        f"CORRECTNESS_r{stamp:02d}.json",
+        {target: {"hash_match": True}},
+    )
+    rotated = list(Q.ordered_queries())
+    assert rotated.index(target) > len(stale) - 1
 
 
 def test_stale_rows_only_run_does_not_shield_paired(correctness_dir):
