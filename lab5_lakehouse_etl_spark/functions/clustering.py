@@ -164,11 +164,14 @@ def kmeans_cte_prefix(
         " x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
         # lockstep with kmeans_fit_assign's init: k lowest DISTINCT
         # vec_ids, duplicate-id rows collapsed to the lexi-min vector
+        # tie-break duplicate-id rows on the RAW vector (ORDER BY v),
+        # matching the Python path's orderBy("vec_id", "v") — ordering
+        # by the rounded vector could pick a different lexi-min when
+        # two duplicates collide after rounding in a leading element
         f"c0 AS (SELECT cl, cent FROM ("
         f"SELECT vec_id AS cl,"
         f" list_transform(v, x -> round(x, {decimals})) AS cent,"
-        f" row_number() OVER (PARTITION BY vec_id ORDER BY"
-        f" list_transform(v, x -> round(x, {decimals}))) AS rn"
+        f" row_number() OVER (PARTITION BY vec_id ORDER BY v) AS rn"
         f" FROM e WHERE vec_id IN"
         f" (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT {k})"
         f") WHERE rn = 1),",

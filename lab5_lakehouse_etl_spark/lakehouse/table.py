@@ -262,19 +262,29 @@ class LakeTable:
         """Rebuild (files, file_stats) from the parquet stats
         checkpoint — exact inverse of :meth:`_write_stats_checkpoint`
         for the three bound kinds it stores (int, double, str) plus
-        bloom words and row counts.  A ``files_external`` snapshot
-        whose checkpoint is missing (crash in the commit→checkpoint
-        window) is unreadable and raises; the previous version is the
-        recovery point, same as a torn Delta checkpoint."""
+        bloom words and row counts.  The writer stages the checkpoint
+        BEFORE publishing the JSON commit token and renames it into
+        place immediately after, so a live reader that races the
+        commit can only miss it for the duration of one rename — the
+        brief retry below absorbs that window.  A checkpoint still
+        missing after the retries means the writer crashed between
+        link and rename: the snapshot is unreadable and raises; the
+        previous version is the recovery point, same as a torn Delta
+        checkpoint."""
         import pyarrow.parquet as pq
 
         path = self._stats_checkpoint_path(version)
         if not os.path.exists(path):
-            raise FileNotFoundError(
-                f"external manifest v{version} of {self.path} has no "
-                "stats checkpoint — torn commit; time-travel to "
-                f"v{version - 1}"
-            )
+            for _ in range(5):  # live-writer race: ~250 ms grace
+                time.sleep(0.05)
+                if os.path.exists(path):
+                    break
+            else:
+                raise FileNotFoundError(
+                    f"external manifest v{version} of {self.path} has "
+                    "no stats checkpoint — torn commit; time-travel "
+                    f"to v{version - 1}"
+                )
         files: list[str] = []
         stats: dict = {}
         for r in pq.read_table(path).to_pylist():
@@ -704,51 +714,63 @@ class LakeTable:
         self._ensure_blooms(file_stats, bloom_cfg)
         # big snapshots externalize the file list: JSON keeps only the
         # O(metadata) commit token; membership + stats live in the
-        # parquet checkpoint written below (readers: _manifest hydrates
-        # for compat paths, read()/prune_files_distributed go straight
-        # to the checkpoint).  Crash between _commit and the checkpoint
-        # write leaves v{N} torn (explicit error on read) — v{N-1}
-        # remains the recovery point.
+        # parquet checkpoint.  The checkpoint is STAGED before _commit
+        # and renamed into place immediately after winning the version,
+        # so the torn window a concurrent reader can observe (JSON
+        # token visible, checkpoint not yet) is one rename syscall —
+        # _hydrate_external retries across it.  A crash exactly between
+        # link and rename still leaves v{N} torn (explicit error on
+        # read) — v{N-1} remains the recovery point.
         external = len(files) > _inline_files_max()
-        self._commit(
-            version,
-            {
-                "version": version,
-                "operation": operation,
-                "partition_by": partition_by,
-                "files": [] if external else files,
-                "file_stats": {} if external else file_stats,
-                "files_external": external,
-                "n_files": len(files),
-                "schema": schema.jsonValue(),
-                "committed_at": time.time(),
-                # deletion vectors CARRY by default: a carried file's
-                # bytes still hold its DV'd rows, so the pointers must
-                # survive every commit that doesn't rewrite the file
-                # (entries for rewritten files are inert: the anti-join
-                # matches nothing)
-                "dv_dirs": prev_dv if dv_dirs is None else dv_dirs,
-                # CHECK constraints carry across every commit
-                "constraints": prev_constraints
-                if constraints is None
-                else constraints,
-                # bloom-filter index config carries like constraints
-                "bloom": bloom_cfg,
-                # generated-column expressions carry like constraints
-                "generated": prev_generated
-                if generated is None
-                else generated,
-                # logical->physical column mapping carries likewise
-                "column_mapping": prev_mapping
-                if column_mapping is None
-                else column_mapping,
-                # physical names of dropped columns (re-add guard)
-                "dropped_physical": prev_dropped
-                if dropped_physical is None
-                else dropped_physical,
-            },
-        )
-        self._write_stats_checkpoint(version, files, file_stats)
+        staged_ckpt = self._stage_stats_checkpoint(version, files, file_stats)
+        try:
+            self._commit(
+                version,
+                {
+                    "version": version,
+                    "operation": operation,
+                    "partition_by": partition_by,
+                    "files": [] if external else files,
+                    "file_stats": {} if external else file_stats,
+                    "files_external": external,
+                    "n_files": len(files),
+                    "schema": schema.jsonValue(),
+                    "committed_at": time.time(),
+                    # deletion vectors CARRY by default: a carried
+                    # file's bytes still hold its DV'd rows, so the
+                    # pointers must survive every commit that doesn't
+                    # rewrite the file (entries for rewritten files are
+                    # inert: the anti-join matches nothing)
+                    "dv_dirs": prev_dv if dv_dirs is None else dv_dirs,
+                    # CHECK constraints carry across every commit
+                    "constraints": prev_constraints
+                    if constraints is None
+                    else constraints,
+                    # bloom-filter index config carries like constraints
+                    "bloom": bloom_cfg,
+                    # generated-column expressions carry like constraints
+                    "generated": prev_generated
+                    if generated is None
+                    else generated,
+                    # logical->physical column mapping carries likewise
+                    "column_mapping": prev_mapping
+                    if column_mapping is None
+                    else column_mapping,
+                    # physical names of dropped columns (re-add guard)
+                    "dropped_physical": prev_dropped
+                    if dropped_physical is None
+                    else dropped_physical,
+                },
+            )
+        except BaseException:
+            # commit lost (or crashed): the staged checkpoint belongs
+            # to no published version — discard it
+            try:
+                os.unlink(staged_ckpt)
+            except OSError:
+                pass
+            raise
+        os.replace(staged_ckpt, self._stats_checkpoint_path(version))
         if external:
             # the writer already holds the exact hydration — seed the
             # cache so its own follow-up reads never re-parse the
@@ -816,9 +838,9 @@ class LakeTable:
     def _stats_checkpoint_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"v{version}.stats.parquet")
 
-    def _write_stats_checkpoint(
+    def _stage_stats_checkpoint(
         self, version: int, files: list[str], file_stats: dict
-    ) -> None:
+    ) -> str:
         """Long-format per-(file, column) min/max stats as PARQUET next
         to the JSON manifest — Delta's checkpoint-file move.  The JSON
         manifest stays the commit token; this is the snapshot metadata
@@ -834,7 +856,14 @@ class LakeTable:
         int64 image when integral and a double image always;
         ``num_exact`` records whether the double image is faithful
         (|v| < 2^53) so distributed comparisons can refuse the lossy
-        case exactly like the driver path refuses unknown kinds."""
+        case exactly like the driver path refuses unknown kinds.
+
+        Writes to a writer-unique tmp and RETURNS the staged path; the
+        caller publishes it by renaming onto
+        :meth:`_stats_checkpoint_path` — create() does so immediately
+        after winning ``_commit`` (keeping the reader-visible torn
+        window to one rename), :meth:`_write_stats_checkpoint` wraps
+        stage+publish for race-free call sites."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -892,9 +921,23 @@ class LakeTable:
             ]
         )
         table = pa.Table.from_pylist(recs, schema=schema)
-        tmp = os.path.join(self.log_dir, f".v{version}.stats.parquet.tmp")
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = os.path.join(
+            self.log_dir,
+            f".v{version}.stats-{uuid.uuid4().hex[:8]}.parquet.tmp",
+        )
         pq.write_table(table, tmp)
-        os.replace(tmp, self._stats_checkpoint_path(version))
+        return tmp
+
+    def _write_stats_checkpoint(
+        self, version: int, files: list[str], file_stats: dict
+    ) -> None:
+        """Stage + publish in one step — for call sites with no
+        concurrent-commit race (stats_relation backfill, clone)."""
+        os.replace(
+            self._stage_stats_checkpoint(version, files, file_stats),
+            self._stats_checkpoint_path(version),
+        )
 
     def stats_relation(self, spark: SparkSession, version: int | None = None):
         """The snapshot's per-file stats as a DataFrame (reads the
@@ -2182,6 +2225,38 @@ class LakeTable:
                 p = os.path.join(self.data_dir, f)
                 if os.path.exists(p):
                     os.remove(p)
+
+    def overwrite(self, df: DataFrame, partition_by=None) -> int:
+        """Full-content overwrite as a NEW snapshot version (Delta
+        ``mode=overwrite`` on an existing table): replaces the logical
+        contents while PRESERVING history — unlike :meth:`create`,
+        nothing is rmtree'd, so time travel to every pre-overwrite
+        snapshot keeps working until retention vacuums it.  This is
+        the correct drain for complete-mode streaming sinks
+        (streaming/events.py): each micro-batch commits one version
+        and a reader pinned to version N is never torn out from under
+        its scan.  Prior DV pointers carry but are inert (they
+        reference files the new manifest no longer lists); CHECK
+        constraints, bloom config, generated and mapped columns carry
+        like every other commit, and generated columns are
+        (re)materialized or validated against the new rows."""
+        prev_v = self.version()
+        m = self._manifest(prev_v)
+        pb = (
+            list(partition_by)
+            if partition_by is not None
+            else list(m["partition_by"])
+        )
+        generated = dict(m.get("generated", {}))
+        df = _apply_generated(df, generated, "overwrite")
+        self._enforce_constraints(df, "overwrite")
+        new_v = prev_v + 1
+        files = self._stage_files(df, new_v, pb)
+        self._commit_version(
+            new_v, "overwrite", pb, files, df.schema, generated=generated
+        )
+        self._vacuum(keep=self.retain_versions)
+        return new_v
 
     def delete(self, spark: SparkSession, condition: F.Column) -> int:
         """Keyed/predicate DELETE (Delta ``DELETE FROM t WHERE cond``

@@ -297,12 +297,26 @@ def stream_sessions_to_table(
     distributed DataFrame and lands it straight into table files, so no
     driver-side memory sink exists anywhere on the path (the r4/r5
     review's objection to the old memory-table drain).  Each batch
-    commits one snapshot version; readers time-travel or read latest."""
+    commits one snapshot VERSION via :meth:`LakeTable.overwrite`
+    (first batch creates v0): history is preserved across batches, so
+    readers time-travel to any earlier batch's complete result or
+    read latest — retention (``retain_versions``) bounds how far
+    back."""
+    from ..lakehouse.table import ConcurrentWriteError
 
     def overwrite(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        LakeTable.create(batch_df, table_path)
+        for attempt in range(3):
+            try:
+                if LakeTable.is_table(table_path):
+                    LakeTable(table_path).overwrite(batch_df)
+                else:
+                    LakeTable.create(batch_df, table_path)
+                return
+            except ConcurrentWriteError:
+                if attempt == 2:
+                    raise
 
     q = (
         session_df.writeStream.foreachBatch(overwrite)

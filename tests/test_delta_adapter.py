@@ -80,6 +80,10 @@ def test_merge_delete_time_travel_parity(dspark, paths):
     v0 = _fixture_df(dspark, [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)])
     DA.write_delta(v0, dpath)
     lt = LakeTable.create(v0, lpath)
+    # unpartitioned merge + delete are both full rewrites; the default
+    # retain_versions=2 vacuum at the delete commit would physically
+    # drop v0's files and break the time-travel parity read below
+    lt.retain_versions = 3
 
     # MERGE: update k=2, insert k=4 (update-all / insert-all)
     src = _fixture_df(dspark, [(2, "B", 22.0), (4, "d", 40.0)])
@@ -133,9 +137,12 @@ def test_cdf_matches_laketable_changes(dspark, paths):
         .select("k", "_change_type")
         .collect()
     }
+    # Delta's startingVersion=1 feeds the changes COMMITTED IN v1 (the
+    # merge); LakeTable.changes takes base/target SNAPSHOTS, so the
+    # equivalent diff is v0 -> latest
     lake_changed = {
         (r.k, r._change_type)
-        for r in lt.changes(dspark, key=["k"], from_version=1)
+        for r in lt.changes(dspark, key=["k"], from_version=0)
         .select("k", "_change_type")
         .collect()
     }

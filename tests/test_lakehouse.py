@@ -151,6 +151,44 @@ def test_vacuum_keeps_two_versions(spark, df3, tmp_path):
     assert set(_data_files(path)) == live
 
 
+def test_overwrite_preserves_history(spark, df3, tmp_path):
+    """overwrite() commits a NEW version (unlike create's rmtree): the
+    pre-overwrite snapshot stays time-travel-readable until retention
+    vacuums it — the contract the complete-mode streaming drain
+    (stream_sessions_to_table) relies on for cross-batch history."""
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path, partition_by=["part"])
+    t.retain_versions = 3
+    df_new = spark.createDataFrame(
+        [(9, "z", 90.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    v = t.overwrite(df_new)
+    assert v == 1 and t.version() == 1
+    assert [(r.k, r.part, r.v) for r in t.read(spark).collect()] == [
+        (9, "z", 90.0)
+    ]
+    assert sorted((r.k, r.part, r.v) for r in t.read(spark, version=0).collect()) == [
+        (1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0),
+    ]
+    # partitioning carries from the previous snapshot by default
+    assert t._manifest(1)["partition_by"] == ["part"]
+
+
+def test_overwrite_enforces_constraints(spark, df3, tmp_path):
+    from lab5_lakehouse_etl_spark.lakehouse.table import (
+        ConstraintViolationError,
+    )
+
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df3, path)
+    t.add_constraint(spark, "v_pos", "v > 0")
+    bad = spark.createDataFrame(
+        [(7, "q", -1.0)], "k BIGINT, part STRING, v DOUBLE"
+    )
+    with pytest.raises(ConstraintViolationError):
+        t.overwrite(bad)
+
+
 def test_create_or_merge_branch(spark, df3, tmp_path):
     path = str(tmp_path / "t")
     create_or_merge(spark, df3, path, key=["k"])  # create branch
