@@ -1,7 +1,15 @@
-"""Benchmark harness: times the headline declared queries at
+"""Benchmark harness: times the declared queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two tiers since r7: the 67-query HEADLINE set (min-of-3-passes; its
+total is `value`, unchanged in composition since r4 so it stays
+cross-round comparable) plus a single-pass sweep of EVERY other
+declared query (lakehouse mutations, streaming drains, multimodal,
+long-tail relational) so no code path is perf-invisible. All entries
+carry `queries_ratio` (wall / calibration_sec) for host-load-immune
+cross-round comparison.
 
 Each query is forced with a cheap but complete action
 (df.foreach no-op would still move rows to Python; we use
@@ -96,6 +104,18 @@ BENCH_QUERIES = [
 ]
 
 
+def tier2_queries() -> list[str]:
+    """Everything declared but not in the headline set — lakehouse
+    mutation paths (merge/DV/clone/optimize), streaming drains,
+    multimodal, sources, the long tail of relational/scalar ops.
+    Timed ONCE per bench run (no min-of-N): the goal is regression
+    VISIBILITY — a merge path that doubles in cost shows up here even
+    at n=1, where before r7 it was never timed at all.  Side-effect
+    queries include their sink setup by design (that IS their cost);
+    cross-round comparison uses the calibration ratio like tier 1."""
+    return [n for n in Q.QUERIES if n not in BENCH_QUERIES]
+
+
 def force(df) -> None:
     """Execute the full plan JVM-side (noop sink: no collect, no IO)."""
     df.write.format("noop").mode("overwrite").save()
@@ -159,6 +179,7 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_PREFLIGHT"
     ) == "1":
         preflight()
+    globals()["_BENCH_START"] = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     Q.load_all()
@@ -237,18 +258,54 @@ def main() -> None:
             gc.collect()
     total = sum(timings.values())
 
+    # tier 2: single-pass sweep of every other declared query so no
+    # code path is perf-invisible; skip via SPARK_GRAFT_BENCH_TIER2=0.
+    # A wall-clock budget (whole-bench, default 480 s) guards the
+    # driver's run window: if it trips, the DROPPED names are reported
+    # explicitly (tier2_skipped) — never a silent cap.
+    t2_timings: dict[str, float] = {}
+    t2_skipped: list[str] = []
+    bench_start = globals().get("_BENCH_START", None)
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+    if os.environ.get("SPARK_GRAFT_BENCH_TIER2", "1") == "1":
+        for name in tier2_queries():
+            if (
+                bench_start is not None
+                and time.perf_counter() - bench_start > budget
+            ):
+                t2_skipped.append(name)
+                continue
+            fn = Q.QUERIES[name]
+            t0 = time.perf_counter()
+            try:
+                force(fn(spark, sf_dir))
+                t2_timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception:
+                t2_timings[name] = -1.0  # errored: visible, not fatal
+            spark.catalog.clearCache()
+            gc.collect()
+
+    all_timings = {**timings, **t2_timings}
     print(
         json.dumps(
             {
                 "metric": "declared_query_wall_time",
+                # `value` stays the TIER-1 total (same 67-query set
+                # since r4) so it remains comparable across rounds
                 "value": round(total, 3),
                 "unit": "sec",
-                "n_queries": len(timings),
-                "queries": timings,
+                "n_queries": len(all_timings),
+                "tier1_n": len(timings),
+                "tier2_n": len(t2_timings),
+                "tier2_total": round(
+                    sum(t for t in t2_timings.values() if t > 0), 3
+                ),
+                "tier2_skipped": t2_skipped,
+                "queries": all_timings,
                 "calibration_sec": cal_sec,
                 "queries_ratio": {
-                    n: round(t / cal_sec, 2) if cal_sec > 0 else None
-                    for n, t in timings.items()
+                    n: round(t / cal_sec, 2) if cal_sec > 0 and t > 0 else None
+                    for n, t in all_timings.items()
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
