@@ -140,3 +140,124 @@ def test_hundred_thousand_file_snapshot(spark, tmp_path):
         .collect()
     )
     assert got == [10_000_000 + i for i in range(50)]
+
+
+# -- hypothesis: threshold-straddling twin parity ---------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_OPS = st.lists(
+    st.sampled_from(["grow", "merge", "dv", "optimize"]),
+    min_size=2,
+    max_size=4,
+)
+
+
+def _mk_typed(spark, n, offset, parts):
+    return (
+        spark.range(n)
+        .select(
+            (F.col("id") + offset).alias("k"),
+            (F.col("id") % 5).cast("double").alias("amt"),
+            F.concat(F.lit("c"), (F.col("id") % 11).cast("string")).alias("ck"),
+        )
+        .repartition(parts)
+    )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS, thr=st.integers(2, 5))
+def test_threshold_straddling_twin_parity(spark, ops, thr):
+    """The JSON<->parquet-checkpoint transition is REPRESENTATION, not
+    semantics: the same op sequence applied to a twin pair — one
+    committing external above a tiny file threshold, one always inline
+    — must round-trip identical logical state (rows, every historical
+    version, bloom point-prunes, minmax range-prunes, DV-masked reads),
+    with ops drawn so commits STRADDLE the threshold in both directions
+    (grow fans out above it, optimize compacts back below).  Mirrors
+    the driver/distributed pruning parity pin, one level up."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="straddle_")
+    key = "SPARK_GRAFT_INLINE_FILES_MAX"
+    saved = os.environ.get(key)
+    try:
+        tables = {}
+        for mode, mode_thr in (("ext", thr), ("inl", 10**6)):
+            os.environ[key] = str(mode_thr)
+            t = LakeTable.create(
+                _mk_typed(spark, 40, 10_000_000, parts=thr + 1),
+                os.path.join(root, mode),
+            )
+            t.retain_versions = 50  # keep every version for time travel
+            t.add_bloom_index("ck", m=2048, k=4)
+            tables[mode] = (t, mode_thr)
+
+        step = 0
+        for op in ops:
+            step += 1
+            for mode, (t, mode_thr) in tables.items():
+                os.environ[key] = str(mode_thr)
+                if op == "grow":  # fan out: external side goes external
+                    t.merge(
+                        spark,
+                        _mk_typed(spark, 20, 20_000_000 + step * 100, parts=thr + 2),
+                        key=["k"],
+                    )
+                elif op == "merge":  # update existing + few inserts
+                    src = spark.createDataFrame(
+                        [(10_000_001, 99.0 + step, "cX"),
+                         (30_000_000 + step, 1.0, "cY")],
+                        "k long, amt double, ck string",
+                    )
+                    t.merge(spark, src, key=["k"])
+                elif op == "dv":
+                    t.delete_dv(spark, F.col("k") % 9 == step % 9)
+                elif op == "optimize":  # compact: back below threshold
+                    t.optimize(spark, target_partitions=1)
+
+        ext, inl = tables["ext"][0], tables["inl"][0]
+        assert ext.version() == inl.version()
+        # the external twin actually exercised BOTH representations
+        reps = {
+            ext._manifest(v).get("files_external", False)
+            for v in range(ext.version() + 1)
+        }
+        assert True in reps, "no commit ever externalized — thr too high"
+        for v in range(ext.version() + 1):
+            rows_e = sorted(
+                map(tuple, ext.read(spark, version=v).collect())
+            )
+            rows_i = sorted(
+                map(tuple, inl.read(spark, version=v).collect())
+            )
+            assert rows_e == rows_i, f"version {v} diverged"
+        # prune lanes on the latest snapshot: bloom point probe,
+        # minmax range, each through driver AND distributed pruning
+        for pred in (
+            [("ck", "=", "c3")],
+            [("k", ">=", 20_000_000)],
+        ):
+            exp = sorted(
+                map(tuple, inl.read(spark, prune=pred).collect())
+            )
+            assert exp == sorted(
+                map(tuple, ext.read(spark, prune=pred).collect())
+            )
+            assert exp == sorted(
+                map(
+                    tuple,
+                    ext.read(spark, prune=pred, prune_via="spark").collect(),
+                )
+            )
+    finally:
+        if saved is None:
+            os.environ.pop(key, None)
+        else:
+            os.environ[key] = saved
+        shutil.rmtree(root, ignore_errors=True)
