@@ -2,6 +2,9 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+The printed line is kept under 1900 bytes (the recording driver
+parses the final line of a 2000-byte stdout tail); the full payload
+(tier-2 timings, calibration ratios) is written to bench_detail.json.
 
 Two tiers since r7: the 67-query HEADLINE set (min-of-3-passes; its
 total is `value`, unchanged in composition since r4 so it stays
@@ -155,6 +158,54 @@ def calibration_query(spark, sf_dir):
     )
 
 
+#: Budget for the PRINTED summary line: the recording driver keeps the
+#: last 2000 bytes of stdout and json-parses the final line within it,
+#: so the line must fit entirely inside that tail (plus newline slack).
+LINE_BUDGET = 1900
+
+
+def compact_line(
+    total: float,
+    all_timings: dict[str, float],
+    tier1: dict[str, float],
+    detail: dict,
+    cal_sec: float,
+    sf_val,
+) -> str:
+    """Size-guarded summary line: TIER-1 timings only, then degrade
+    decimals, then drop the FASTEST queries (slow ones are the signal)
+    — each step reported via queries_omitted, never silent. The full
+    payload is in bench_detail.json (see `detail` key)."""
+
+    def _line(qdict: dict[str, float], omitted: int, ndigits: int) -> str:
+        payload = {
+            "metric": "declared_query_wall_time",
+            # `value` stays the TIER-1 total (same 67-query set since
+            # r4) so it remains comparable across rounds
+            "value": round(total, 3),
+            "unit": "sec",
+            "n_queries": len(all_timings),
+            "tier2_total": detail["tier2_total"],
+            "tier2_skipped_n": len(detail["tier2_skipped"]),
+            "calibration_sec": cal_sec,
+            "queries": {n: round(t, ndigits) for n, t in qdict.items()},
+            "queries_omitted": omitted,
+            "detail": "bench_detail.json",
+            "sf": sf_val,
+        }
+        return json.dumps(payload, separators=(",", ":"))
+
+    n_t2 = len(all_timings) - len(tier1)
+    line = _line(tier1, n_t2, 3)
+    if len(line.encode()) > LINE_BUDGET:
+        line = _line(tier1, n_t2, 2)
+    kept = dict(sorted(tier1.items(), key=lambda kv: -kv[1]))
+    while len(line.encode()) > LINE_BUDGET and kept:
+        kept.pop(next(reversed(kept)))
+        line = _line(kept, len(all_timings) - len(kept), 2)
+    return line
+
+
 def preflight() -> None:
     """Correctness gate before timing: run the differential-oracle suite
     at sf0.01 (the driver's correctness scale — fixture-scale edge cases
@@ -286,31 +337,39 @@ def main() -> None:
             gc.collect()
 
     all_timings = {**timings, **t2_timings}
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_wall_time",
-                # `value` stays the TIER-1 total (same 67-query set
-                # since r4) so it remains comparable across rounds
-                "value": round(total, 3),
-                "unit": "sec",
-                "n_queries": len(all_timings),
-                "tier1_n": len(timings),
-                "tier2_n": len(t2_timings),
-                "tier2_total": round(
-                    sum(t for t in t2_timings.values() if t > 0), 3
-                ),
-                "tier2_skipped": t2_skipped,
-                "queries": all_timings,
-                "calibration_sec": cal_sec,
-                "queries_ratio": {
-                    n: round(t / cal_sec, 2) if cal_sec > 0 and t > 0 else None
-                    for n, t in all_timings.items()
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "declared_query_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "n_queries": len(all_timings),
+        "tier1_n": len(timings),
+        "tier2_n": len(t2_timings),
+        "tier2_total": round(sum(t for t in t2_timings.values() if t > 0), 3),
+        "tier2_skipped": t2_skipped,
+        "queries": all_timings,
+        "calibration_sec": cal_sec,
+        "queries_ratio": {
+            n: round(t / cal_sec, 2) if cal_sec > 0 and t > 0 else None
+            for n, t in all_timings.items()
+        },
+        "sf": sf_val,
+    }
+    # Full payload goes to a SIDECAR file: the driver that records
+    # BENCH_r{N}.json keeps only the last 2000 BYTES of stdout and
+    # json-parses the final line within it. Round 6's line (tier-2
+    # timings + ratios inline) was ~6 KB, so the driver saw a
+    # mid-string fragment and recorded parsed=null — the bench data
+    # existed but was machine-invisible. The printed line below is
+    # size-guarded to stay inside that tail window; everything else
+    # lives here.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    print(compact_line(total, all_timings, timings, detail, cal_sec, sf_val))
     spark.stop()
 
 

@@ -1,0 +1,53 @@
+"""The bench summary line must fit the recording driver's stdout-tail
+window: the driver keeps the LAST 2000 BYTES of bench stdout and
+json-parses the final line found there. Round 6's line (tier-2 timings
+and ratios inlined) was ~6 KB, so the driver captured a mid-string
+fragment and recorded ``parsed: null`` — a whole round of bench data
+machine-invisible. These pins make that failure mode impossible to
+reintroduce: every shape the line can take stays under LINE_BUDGET and
+parses back, and omissions are always declared, never silent."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _detail(skipped=()):
+    return {"tier2_total": 54.0, "tier2_skipped": list(skipped)}
+
+
+def test_line_fits_and_parses_with_real_query_names():
+    t1 = {n: 1.234 for n in bench.BENCH_QUERIES}
+    t2 = {f"q_tier2_{i:03d}": 0.5 for i in range(108)}
+    line = bench.compact_line(42.1, {**t1, **t2}, t1, _detail(), 0.644, 0.1)
+    assert len(line.encode()) <= bench.LINE_BUDGET
+    assert "\n" not in line
+    p = json.loads(line)
+    assert p["metric"] == "declared_query_wall_time"
+    assert p["value"] == 42.1
+    assert len(p["queries"]) == len(t1)
+    # tier-2 entries are omitted from the line (they live in the
+    # sidecar) and the omission is DECLARED
+    assert p["queries_omitted"] == len(t2)
+    assert p["detail"] == "bench_detail.json"
+
+
+def test_line_truncates_slowest_first_and_declares_it():
+    # pathological names force the drop-fastest fallback
+    t1 = {("q_" + "y" * 40 + str(i)): float(i) for i in range(67)}
+    line = bench.compact_line(42.1, t1, t1, _detail(), 0.644, 0.1)
+    assert len(line.encode()) <= bench.LINE_BUDGET
+    p = json.loads(line)
+    kept = p["queries"]
+    assert 0 < len(kept) < 67
+    assert p["queries_omitted"] == 67 - len(kept)
+    # the SLOWEST queries are the ones kept
+    kept_vals = sorted(kept.values())
+    assert min(kept_vals) >= 67 - len(kept)
+
+
+def test_line_budget_inside_driver_tail_window():
+    # 2000-byte tail minus newline and a safety margin
+    assert bench.LINE_BUDGET <= 1950
