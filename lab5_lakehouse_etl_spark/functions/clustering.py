@@ -89,66 +89,81 @@ def kmeans_fit_assign(
     Fixed iteration count, not convergence-tested — same contract as
     the PageRank query, which is what makes the unrolled-CTE DuckDB
     oracle expressible.
-    """
-    spark = emb.sparkSession
+
+    TRAINING IS SAMPLE-BOUNDED since r7 (same move as pq_train): the
+    65536 lowest-id vectors are collected once and Lloyd-iterated
+    driver-side in vectorized numpy; only the FINAL ASSIGNMENT — the
+    corpus-scale pass — runs distributed, as a narrow JVM map under
+    literal centroids.  k*dim centroid parameters saturate long before
+    10^5 training vectors, so training cost must be O(sample): the
+    pre-r7 loop re-scanned the corpus once per round and paid per-round
+    job scheduling + a 512-literal assignment expression, ~1 s/round of
+    pure overhead at bench scale.  Numeric parity with the DuckDB CTE
+    twin is the SAME argument as before, now strictly tighter: centroid
+    means are rounded to ``decimals`` every round, and float-summation-
+    order differences (~1e-13 relative) sit far below the rounding
+    quantum — numpy's id-sorted accumulation replaces a shuffle order
+    that was itself nondeterministic.  Assignment ties break to the
+    first (lowest-cl) minimum in both the numpy argmin and the
+    distributed array_position(array_min).  For corpora above the
+    sample cap the CTE twin states the sample-trained trajectory
+    (test corpora sit far below the cap)."""
+    import numpy as np
+
     base = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    base = base.cache()
-    try:
-        # the k LOWEST DISTINCT ids — filter(vec_id < k) requires a
-        # dense zero-based id space and under-seeds on sparse ids (the
-        # exact bug pq_train fixed in r5; now consistent across both
-        # trainers, with kmeans_cte_prefix's c0 updated in lockstep).
-        low = [
-            int(r[0])
-            for r in base.select("vec_id")
-            .distinct()
-            .orderBy("vec_id")
-            .limit(k)
-            .collect()
-        ]
-        init = (
-            base.filter(F.col("vec_id").isin(low))
-            .orderBy("vec_id", "v")
-            .collect()
-        )
-        cents, seen = [], set()
-        for r in init:
-            vid = int(r["vec_id"])
-            if vid in seen:  # duplicated id: keep the lexi-min vector
-                continue
-            seen.add(vid)
-            cents.append(
-                (vid, [round(float(x), decimals) for x in r["v"]])
-            )
+    # the sample_n LOWEST DISTINCT ids (TakeOrdered, broadcast
+    # semi-join) — filter(vec_id < k) would require a dense zero-based
+    # id space and under-seed on sparse ids (the exact bug pq_train
+    # fixed in r5; the two trainers remain in lockstep, with
+    # kmeans_cte_prefix's c0 matching the init).
+    sample_n = 65536
+    ids = base.select("vec_id").distinct().orderBy("vec_id").limit(sample_n)
+    rows = (
+        base.join(F.broadcast(ids), "vec_id", "inner")
+        .orderBy("vec_id", "v")
+        .collect()
+    )
+    cents: list[tuple[int, list[float]]] = []
+    if rows:
+        vec_ids = [int(r["vec_id"]) for r in rows]
+        X = np.array([r["v"] for r in rows], dtype=np.float64)
+        # init: for each of the k lowest distinct ids, that id's
+        # lexi-min vector (rows are (id, v)-sorted), rounded
+        seen: set[int] = set()
+        for i, vid in enumerate(vec_ids):
+            if vid not in seen:
+                seen.add(vid)
+                cents.append(
+                    (vid, [round(float(x), decimals) for x in X[i]])
+                )
+                if len(cents) == k:
+                    break
         for _ in range(iters):
-            assigned = assign_clusters(base, cents)
-            stats = (
-                assigned.select(
-                    "cluster", F.posexplode("v").alias("pos", "val")
-                )
-                .groupBy("cluster", "pos")
-                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-            by_cl: dict[int, dict[int, float]] = {}
-            for r in stats:
-                by_cl.setdefault(int(r["cluster"]), {})[int(r["pos"])] = round(
-                    float(r["s"]) / int(r["n"]), decimals
-                )
-            cents = [
-                (cl, [vals[p] for p in sorted(vals)])
-                for cl, vals in sorted(by_cl.items())
-            ]
-        cols = ["vec_id", "cluster"] + (["dist"] if with_dist else [])
-        final = assign_clusters(base, cents, with_dist=with_dist).select(*cols)
-        # Materialize before releasing the cache (collect happens driver-side
-        # later); the plan is tiny so recompute-on-uncache is also fine.
-        return final
-    finally:
-        base.unpersist(blocking=False)
+            C = np.array([vec for _, vec in cents])
+            # sequential fold over dim (<128 -> numpy's plain loop),
+            # matching assign_clusters' ordered F.aggregate
+            d2 = np.sum((X[:, None, :] - C[None, :, :]) ** 2, axis=2)
+            assign = np.argmin(d2, axis=1)  # first-min tie-break
+            nxt: list[tuple[int, list[float]]] = []
+            for idx, (cl, _) in enumerate(cents):
+                members = X[assign == idx]
+                if len(members):  # empty clusters drop out, as in the
+                    # old groupBy (no stats row) and the CTE (no group)
+                    nxt.append(
+                        (
+                            cl,
+                            [
+                                round(float(t) / len(members), decimals)
+                                for t in members.sum(axis=0)
+                            ],
+                        )
+                    )
+            cents = sorted(nxt)
+    cols = ["vec_id", "cluster"] + (["dist"] if with_dist else [])
+    return assign_clusters(base, cents, with_dist=with_dist).select(*cols)
 
 
 def kmeans_cte_prefix(
