@@ -41,6 +41,18 @@ def connected_components(
     ``dst_col``, must contain BOTH directions of each undirected edge
     (callers build symmetric pairs). Returns (node, component).
 
+    Each round does edge min-propagation PLUS pointer jumping
+    (``component <- label(component)`` — path doubling): plain label
+    propagation moves the minimum one hop per round, so a
+    diameter-``d`` graph costs d shuffle rounds (the r6 dup-cluster
+    graph chains length bands into d≈25 and q_dedup_clusters paid ~20
+    rounds); the jump halves the remaining label distance every round,
+    giving O(log d) rounds for one extra O(V) join per round —
+    Kiveris et al.'s "Connected Components in MapReduce" two-phase
+    idea collapsed into the same loop.  Labels stay node ids from the
+    node's own component and only decrease, so correctness and the
+    convergence witness are unchanged.
+
     Early-exits when an iteration changes no label (monotone decreasing
     integer labels ⇒ the sum is a convergence witness costing one tiny
     agg per round, not a full dataframe compare).
@@ -57,10 +69,28 @@ def connected_components(
         msgs = edges.join(
             labels, edges.src == labels.node, "inner"
         ).select(F.col("dst").alias("node"), "component")
-        labels = (
+        stepped = (
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: adopt the component's OWN current label when
+        # smaller (component values are node ids, so the join always
+        # finds a row; left+coalesce guards isolated self-labels)
+        jump = stepped.select(
+            F.col("node").alias("j_node"), F.col("component").alias("j_comp")
+        )
+        labels = (
+            stepped.join(
+                jump, stepped.component == jump.j_node, "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("j_comp"), F.col("component")),
+                ).alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]

@@ -245,40 +245,106 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity-pair graph, canonical survivor = min doc_id per
     component. Pair relations are NOT transitive (A~B and B~C don't
     imply A~C), so grouping by any pair key under-merges; components
-    are the correct dedup unit. Edges here are the deterministic
-    SQL-expressible relation same (lang, source) AND |Δn_chars| ≤ 20
-    — the same graph the minhash/simhash candidate pairs would feed in
-    production (those are declared rows-only; this one is
-    oracle-verified against a recursive CTE). The (lang, source)
-    equi-join bounds group sizes; at corpus scale the length band
-    would additionally bucket n_chars (see functions/dedup.py banding)
-    so no single join group exceeds a reducer."""
-    from ..functions.graph import connected_components
+    are the correct dedup unit. Edges are the deterministic
+    SQL-expressible relation same (lang, source) AND |Δn_chars| ≤ 20.
+
+    Plan shape (r7): this edge relation is an INTERVAL-OVERLAP graph
+    per (lang, source) — so its transitive closure is exactly the
+    gap-island partition of the sorted band values: a component
+    breaks where consecutive n_chars (sorted within the group)
+    differ by more than 20.  The whole computation reduces to one
+    window pass (lag → cumulative break count) plus a per-island
+    min — O(sort) with bounded range-sorts per group at corpus
+    scale, instead of the O(diameter) shuffle rounds generic label
+    propagation pays (~19 rounds on this graph even with pointer
+    jumping, measured r7: the min label must physically traverse
+    band hops, so doubling cannot shortcut it).  The generic
+    operator stays in functions/graph.py for graphs with no such
+    structure, and tests/test_graph.py pins the island plan against
+    it on this very relation.  The oracle is UNCHANGED — a
+    recursive-CTE closure over the pair relation — so the island
+    reduction is verified against an independent formulation, not
+    against itself."""
+    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
+    w = Window.partitionBy("lang", "source").orderBy("n_chars", "doc_id")
+    brk = (F.col("n_chars") - F.lag("n_chars").over(w) > 20).cast("int")
+    islands = docs.withColumn(
+        "island", F.sum(F.coalesce(brk, F.lit(0))).over(w)
+    )
+    return islands.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy("lang", "source", "island"))
+        .alias("component"),
+    )
+
+
+@query(
+    "q_dedup_fuzzy",
+    oracle="""
+    SELECT id_a, id_b, lev FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.text, b.text) AS INT) AS lev
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.source = b.source
+       AND abs(a.n_chars - b.n_chars) <= 10
+       AND a.doc_id < b.doc_id
+    ) WHERE lev <= 12
+    """,
+)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level fuzzy dedup: edit-distance (Levenshtein <= 12) pairs
+    under blocking — the third near-dup regime next to set-overlap
+    (minhash/ngram Jaccard) and bit-signature (simhash): character
+    edits that barely move a shingle set (OCR noise, template fills,
+    version strings) but make texts byte-unequal.
+
+    Shape at scale: NEVER all-pairs-levenshtein (it is O(n^2) pairs x
+    O(len^2) per pair). Blocking first — (lang, source) equi-join keys
+    bound candidate groups exactly like q_dedup_clusters' edge
+    relation, plus a |delta n_chars| <= 10 length band. The band is
+    tighter than the edit-distance-≥-length-gap bound would allow
+    at threshold 12, so it is part of the DECLARED pair relation (the
+    oracle states the identical predicate), not a lossless pre-filter.
+    Only the blocked candidates pay the quadratic verify, JVM-side via
+    the built-in levenshtein codegen — no UDF. At corpus scale the
+    band becomes a binned range join (q_range_join_binned's layout) so
+    no reducer sees an unbounded group."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
     a = docs.select(
-        F.col("doc_id").alias("src"),
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("text_a"),
         "lang",
         "source",
         F.col("n_chars").alias("na"),
     )
     b = docs.select(
-        F.col("doc_id").alias("dst"),
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("text_b"),
         F.col("lang").alias("lang_b"),
         F.col("source").alias("source_b"),
         F.col("n_chars").alias("nb"),
     )
-    edges = a.join(
-        b,
-        (a.lang == b.lang_b)
-        & (a.source == b.source_b)
-        & (F.abs(F.col("na") - F.col("nb")) <= 20)
-        & (F.col("src") != F.col("dst")),
-    ).select("src", "dst")
-    comp = connected_components(docs.select("doc_id"), edges, node_col="doc_id")
-    return comp.select(F.col("node").alias("doc_id"), "component")
+    return (
+        a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.source == b.source_b)
+            & (F.abs(F.col("na") - F.col("nb")) <= 10)
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn(
+            "lev", F.levenshtein("text_a", "text_b").cast("int")
+        )
+        .filter(F.col("lev") <= 12)
+        .select("id_a", "id_b", "lev")
+    )
 
 
 @query(

@@ -120,3 +120,46 @@ def test_triangle_orientation_is_degree_not_id(spark):
     w2 = o.select("x", F.col("y").alias("c"), F.col("ry").alias("rc"))
     wedges = w1.join(w2, "x").filter(F.col("rb") < F.col("rc"))
     assert wedges.count() == 0  # id orientation would give C(29,2)=406
+
+
+def test_island_plan_matches_generic_cc_on_band_graph(spark):
+    """q_dedup_clusters' interval-island reduction must equal generic
+    label-propagation components on the very relation it specializes:
+    same (lang, source) AND |delta n_chars| <= 20 over sf0.001
+    documents (the pin that keeps the one-window plan honest if the
+    band predicate ever changes shape)."""
+    from pyspark.sql import functions as F
+
+    from lab5_lakehouse_etl_spark.queries.dedup_ops import q_dedup_clusters
+    from lab5_lakehouse_etl_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    a = docs.select(
+        F.col("doc_id").alias("src"), "lang", "source",
+        F.col("n_chars").alias("na"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("dst"), F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"), F.col("n_chars").alias("nb"),
+    )
+    edges = a.join(
+        b,
+        (a.lang == b.lang_b)
+        & (a.source == b.source_b)
+        & (F.abs(F.col("na") - F.col("nb")) <= 20)
+        & (F.col("src") != F.col("dst")),
+    ).select("src", "dst")
+    generic = {
+        r.node: r.component
+        for r in connected_components(
+            docs.select("doc_id"), edges, node_col="doc_id"
+        ).collect()
+    }
+    island = {
+        r.doc_id: r.component
+        for r in q_dedup_clusters(spark, SF_DIR).collect()
+    }
+    assert island == generic
