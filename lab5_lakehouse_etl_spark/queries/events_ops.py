@@ -13,12 +13,55 @@ because per-entity history is small even when the fact is not.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..session import load_table
 from . import query
+
+
+@F.pandas_udf("array<double>")
+def _ewma_traj(series: pd.Series) -> pd.Series:
+    """Full EWMA trajectory per bounded series, one O(n) scan: y_1 =
+    x_1, y_t = 0.3*x_t + 0.7*y_{t-1} — the identical IEEE expression
+    the DuckDB oracle folds (Python floats ARE IEEE doubles with the
+    same left-to-right evaluation), so the bit-for-bit parity argument
+    is unchanged from the previous O(n^2) prefix-fold formulation."""
+    out = []
+    for xs in series:
+        acc = None
+        ys = []
+        for x in xs:
+            acc = x if acc is None else 0.3 * x + 0.7 * acc
+            ys.append(acc)
+        out.append(ys)
+    return pd.Series(out)
+
+
+@F.pandas_udf("array<array<double>>")
+def _holt_traj(series: pd.Series) -> pd.Series:
+    """Full Holt (level, trend) trajectory per bounded series, one
+    O(n) scan of the algebraically-expanded linear update (see
+    q_holt_trend's determinism notes): from [x_1, 0],
+    l' = 0.2*x + 0.8*l + 0.8*t and t' = 0.06*x - 0.06*l + 0.94*t,
+    identical IEEE ops to the DuckDB list_reduce."""
+    out = []
+    for xs in series:
+        states = []
+        lvl = trd = None
+        for x in xs:
+            if lvl is None:
+                lvl, trd = x, 0.0
+            else:
+                lvl, trd = (
+                    0.2 * x + 0.8 * lvl + 0.8 * trd,
+                    0.06 * x - 0.06 * lvl + 0.94 * trd,
+                )
+            states.append([lvl, trd])
+        out.append(states)
+    return pd.Series(out)
 
 
 @query(
@@ -766,18 +809,19 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average — the stateful recursion
     y_t = a*x_t + (1-a)*y_{t-1} that SQL window frames cannot state
     (every y depends on the previous OUTPUT, not a frame of inputs).
-    Expressed Spark-first as a higher-order array fold: the fact table
-    collapses to per-type 30-minute buckets in one aggregate (the only
-    pass over events), each type's bounded bucket series collects into
-    ONE row, and the EWMA series materializes row-locally as prefix
-    folds (`F.aggregate` over `F.slice`) — no UDF, no driver loop, no
-    per-row state exchange.  At 100 TB the shuffle carries |types| x
-    |buckets| points, never events; the quadratic prefix-fold cost is
-    confined to the bounded resampled series (the same containment
-    argument as SemDeDup's per-cluster matmul).  The fold is written
-    identically in both engines (0.3*x + 0.7*acc over the same ordered
-    doubles), so IEEE evaluation matches bit-for-bit and the oracle
-    hash pins the whole trajectory, not just the final value."""
+    The fact table collapses to per-type 30-minute buckets in one
+    aggregate (the only pass over events), each type's bounded bucket
+    series collects into ONE row, and the trajectory materializes
+    row-locally in ONE Arrow-batched pandas scan (`_ewma_traj`).
+    Until r7 this was an `F.aggregate`-over-`F.slice` prefix-fold
+    matrix — no UDF, but O(n^2) HOF evaluations per series, which at
+    a year of minute buckets (5*10^5 points) is 10^11 interpreted
+    steps: a genuine scale-killer hiding behind a bounded-n argument.
+    The O(n) scan computes the identical IEEE expression sequence
+    (Python floats are IEEE doubles; 0.3*x + 0.7*acc left-to-right),
+    so the bit-for-bit cross-engine parity and the whole-trajectory
+    oracle hash are unchanged.  At 100 TB the shuffle still carries
+    |types| x |buckets| points, never events."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         (F.unix_timestamp("ts") / F.lit(1800)).cast("bigint").alias("b"),
@@ -793,14 +837,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = ser.select(
         "event_type",
         F.transform(F.col("pts"), lambda p: p["b"]).alias("bs"),
-        F.transform(
-            F.sequence(F.lit(1), F.size("pts")),
-            lambda i: F.aggregate(
-                F.slice(xs, 2, i - 1),
-                F.element_at(xs, 1),
-                lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
-            ),
-        ).alias("ew"),
+        _ewma_traj(xs).alias("ew"),
     )
     z = folded.select(
         "event_type",
@@ -861,12 +898,14 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt's linear-trend double exponential smoothing — TWO coupled
     recursions (level_t needs trend_t-1, trend_t needs level_t) that
     no window frame can state and that q_ewma's scalar fold cannot
-    carry: the accumulator is a PAIR [level, trend] threaded through a
-    higher-order fold.  Same scale shape as q_ewma (one fact-table
-    aggregate, per-type bounded series on one row, trajectory as
-    row-local prefix folds); the pair-state fold is the general
-    template for any finite-state per-key recursion — Kalman-style
-    filters, debounce automata, balance tracking.
+    carry: the accumulator is a PAIR (level, trend) threaded through
+    the scan.  Same scale shape as q_ewma (one fact-table aggregate,
+    per-type bounded series on one row, trajectory as ONE O(n)
+    Arrow-batched scan per series — `_holt_traj`; the pre-r7 prefix-
+    fold matrix paid O(n^2) interpreted HOF steps); the pair-state
+    scan is the general template for any finite-state per-key
+    recursion — Kalman-style filters, debounce automata, balance
+    tracking.
 
     Two cross-engine determinism notes, both load-bearing: (1) the
     update is algebraically EXPANDED to the linear form
@@ -895,23 +934,7 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = ser.select(
         "event_type",
         F.transform(F.col("pts"), lambda p: p["b"]).alias("bs"),
-        F.transform(
-            F.sequence(F.lit(1), F.size("pts")),
-            lambda i: F.aggregate(
-                F.slice(xs, 2, i - 1),
-                F.array(
-                    F.element_at(xs, 1), F.lit(0.0).cast("double")
-                ),
-                lambda acc, x: F.array(
-                    F.lit(0.2) * x
-                    + F.lit(0.8) * F.element_at(acc, 1)
-                    + F.lit(0.8) * F.element_at(acc, 2),
-                    F.lit(0.06) * x
-                    - F.lit(0.06) * F.element_at(acc, 1)
-                    + F.lit(0.94) * F.element_at(acc, 2),
-                ),
-            ),
-        ).alias("hw"),
+        _holt_traj(xs).alias("hw"),
     )
     z = folded.select(
         "event_type", F.explode(F.arrays_zip("bs", "hw")).alias("u")
