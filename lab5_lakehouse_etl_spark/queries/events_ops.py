@@ -16,13 +16,17 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
 from pyspark.sql.window import Window
 
 from ..session import load_table
 from . import query
 
 
-@F.pandas_udf("array<double>")
+# DataType objects, not DDL strings: a string returnType is parsed
+# through the active SparkContext at decoration (import) time, which
+# crashes any import that precedes session creation (pytest collection)
+@F.pandas_udf(ArrayType(DoubleType()))
 def _ewma_traj(series: pd.Series) -> pd.Series:
     """Full EWMA trajectory per bounded series, one O(n) scan: y_1 =
     x_1, y_t = 0.3*x_t + 0.7*y_{t-1} — the identical IEEE expression
@@ -40,7 +44,7 @@ def _ewma_traj(series: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@F.pandas_udf("array<array<double>>")
+@F.pandas_udf(ArrayType(ArrayType(DoubleType())))
 def _holt_traj(series: pd.Series) -> pd.Series:
     """Full Holt (level, trend) trajectory per bounded series, one
     O(n) scan of the algebraically-expanded linear update (see
