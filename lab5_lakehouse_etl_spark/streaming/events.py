@@ -22,12 +22,41 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lakehouse import LakeTable
+
+#: State partitions for the drains below.  Streaming state partitions
+#: are frozen at a checkpoint's first batch from
+#: spark.sql.shuffle.partitions, and EVERY state store instance pays a
+#: fixed file-commit (delta file + CRC + maintenance) per micro-batch
+#: regardless of how little state it holds — a stream-stream join is 4
+#: stores per partition, so inheriting the batch shuffle width (32
+#: here) means 128 commit streams for kilobytes of state each
+#: (measured r7: state commit dominated q_stream_join's 6.3 s).
+#: Production guidance is to size state partitions to state VOLUME
+#: (~100 MB-1 GB per partition), not to the batch shuffle width; 8 is
+#: generous for the bench corpus and the knob is explicit where a real
+#: deployment would raise it.
+STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _state_sized_shuffle(spark: SparkSession, n: int = STATE_PARTITIONS):
+    """Scope spark.sql.shuffle.partitions = n around a streaming drain
+    (the value is captured into the checkpoint at first batch; batch
+    queries re-tune() their own width, so scoping here cannot leak)."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _events_schema_ddl(ts_type: str) -> str:
@@ -214,14 +243,15 @@ def run_to_memory(
     maxFilesPerTrigger=1 a multi-file input must produce one progress
     entry per file, so fewer means the source silently collapsed the
     replay and the query would be testing less than it claims."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_shuffle(spark):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if expect_min_batches is not None:
         n = sum(1 for p in q.recentProgress if p.numInputRows > 0)
         assert n >= expect_min_batches, (
@@ -265,14 +295,15 @@ def stream_agg_to_table(
                 if attempt == 2:
                     raise
 
-    q = (
-        agg_df.writeStream.foreachBatch(upsert)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_shuffle(spark):
+        q = (
+            agg_df.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return LakeTable(table_path)
 
 
@@ -318,14 +349,15 @@ def stream_sessions_to_table(
                 if attempt == 2:
                     raise
 
-    q = (
-        session_df.writeStream.foreachBatch(overwrite)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_shuffle(spark):
+        q = (
+            session_df.writeStream.foreachBatch(overwrite)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return LakeTable(table_path)
 
 
@@ -389,11 +421,12 @@ def stream_merge_to_table(
                 if attempt == 2:
                     raise
 
-    q = (
-        events.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_shuffle(spark):
+        q = (
+            events.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return LakeTable(table_path)
