@@ -424,3 +424,31 @@ def test_pq_search_broadcasts_shortlist(spark):
     q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     df = S.pq_search(codes, emb, books, q, k=10)
     assert has_broadcast_join(df)
+
+
+def test_dedup_clusters_island_plan_no_joins(spark):
+    """The interval-island reduction must stay join-free and iteration-
+    free: two window shuffles (group sort for the gap scan, island key
+    for the component min), zero joins — the property that replaced
+    ~19 label-propagation rounds in r7. A Join reappearing here means
+    someone reverted to the pair-materializing formulation."""
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_dedup_clusters"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 2
+
+
+def test_dedup_fuzzy_blocked_join_single_equi_shuffle(spark):
+    """q_dedup_fuzzy must stay a blocked equi-join (the band + id
+    predicates ride the (lang, source) key join as a filter) — an
+    appearance of CartesianProduct or BroadcastNestedLoopJoin means
+    the blocking keys fell out of the join condition and the plan
+    went all-pairs."""
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_dedup_fuzzy"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
