@@ -244,3 +244,72 @@ def test_hll_sketch_merge_lossless_and_bounded(spark):
     ).collect()[0][0]
     n_all = exact["__all__"]
     assert abs(merged - direct_global) <= max(3, 0.01 * n_all)
+
+
+_band_rows = st.lists(
+    st.tuples(
+        st.integers(0, 1),  # lang bucket
+        st.integers(0, 1),  # source bucket
+        st.integers(0, 120),  # band value (n_chars stand-in)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(data=_band_rows)
+@settings(**_SETTINGS)
+def test_interval_island_components_equal_generic_cc(spark, data):
+    """q_dedup_clusters' r7 claim under adversarial inputs: for ANY
+    banded relation (same group keys AND |delta band| <= 20), the
+    gap-island partition of the sorted band values equals the
+    transitive closure generic label propagation computes.  Random
+    values exercise what the fixture cannot: duplicate band values,
+    exact-20 boundary gaps, singleton groups, one-group-per-row."""
+    from pyspark.sql import Window
+
+    from lab5_lakehouse_etl_spark.functions.graph import connected_components
+
+    rows = [(i, lang, src, v) for i, (lang, src, v) in enumerate(data)]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, lang INT, source INT, n_chars INT"
+    )
+    # island formulation (mirrors q_dedup_clusters)
+    w = Window.partitionBy("lang", "source").orderBy("n_chars", "doc_id")
+    brk = (F.col("n_chars") - F.lag("n_chars").over(w) > 20).cast("int")
+    island = {
+        r.doc_id: r.component
+        for r in df.withColumn(
+            "island", F.sum(F.coalesce(brk, F.lit(0))).over(w)
+        )
+        .select(
+            "doc_id",
+            F.min("doc_id")
+            .over(Window.partitionBy("lang", "source", "island"))
+            .alias("component"),
+        )
+        .collect()
+    }
+    # generic CC over the materialized pair relation
+    a = df.select(
+        F.col("doc_id").alias("src"), "lang", "source",
+        F.col("n_chars").alias("na"),
+    )
+    b = df.select(
+        F.col("doc_id").alias("dst"), F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"), F.col("n_chars").alias("nb"),
+    )
+    edges = a.join(
+        b,
+        (a.lang == b.lang_b)
+        & (a.source == b.source_b)
+        & (F.abs(F.col("na") - F.col("nb")) <= 20)
+        & (F.col("src") != F.col("dst")),
+    ).select("src", "dst")
+    generic = {
+        r.node: r.component
+        for r in connected_components(
+            df.select("doc_id"), edges, node_col="doc_id", max_iter=60
+        ).collect()
+    }
+    assert island == generic
