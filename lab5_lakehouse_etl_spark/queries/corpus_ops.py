@@ -266,6 +266,91 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pmi_cooccur",
+    oracle=r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        FROM documents)
+    ),
+    vocab AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY t
+      ORDER BY df DESC, t ASC LIMIT 40
+    ),
+    tv AS (SELECT tok.doc_id, tok.t, v.df FROM tok JOIN vocab v USING (t)),
+    co AS (
+      SELECT a.t AS tok_a, b.t AS tok_b,
+             CAST(count(*) AS BIGINT) AS n_ab,
+             any_value(a.df) AS df_a, any_value(b.df) AS df_b
+      FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY 1, 2
+    )
+    SELECT tok_a, tok_b, n_ab,
+           round(n_ab * (SELECT count(*) FROM documents)
+                 / (df_a * CAST(df_b AS DOUBLE)), 4) AS lift
+    FROM co WHERE n_ab >= 5
+    """,
+)
+def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: document-level co-occurrence lift
+    (exp(PMI) = P(a,b) / (P(a)P(b)), probabilities over documents)
+    for pairs of the top-40 vocabulary tokens — the classic corpus
+    statistic behind phrase detection and topic seeding.
+
+    Scale shape: the corpus explodes once into distinct (doc, token)
+    presence rows; the TINY ranked vocabulary (top-40 by document
+    frequency, df-then-token tie-break for a deterministic cut)
+    broadcasts into a semi-filter, so the pair self-join runs on
+    doc_id with at most |vocab| rows per doc on each side — bounded
+    fan-out, one co-partitioned shuffle, never a token-level
+    all-pairs. Lift is emitted instead of log-PMI deliberately: it is
+    pure +,*,/ on exact integers, so the cross-engine hash cannot be
+    perturbed by libm log differences (java.lang.Math.log and glibc
+    log are each within 1 ulp but not bit-identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("t").asc())
+        .limit(40)
+    )
+    tv = tok.join(F.broadcast(vocab), "t")
+    a = tv.select(
+        "doc_id", F.col("t").alias("tok_a"), F.col("df").alias("df_a")
+    )
+    b = tv.select(
+        "doc_id", F.col("t").alias("tok_b"), F.col("df").alias("df_b")
+    )
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ab"),
+            F.first("df_a").alias("df_a"),
+            F.first("df_b").alias("df_b"),
+        )
+        .filter(F.col("n_ab") >= 5)
+    )
+    return co.crossJoin(F.broadcast(n_docs)).select(
+        "tok_a",
+        "tok_b",
+        "n_ab",
+        F.round(
+            F.col("n_ab")
+            * F.col("__n")
+            / (F.col("df_a") * F.col("df_b").cast("double")),
+            4,
+        ).alias("lift"),
+    )
+
+
+@query(
     "q_decontaminate",
     oracle=r"""
     WITH b AS (
