@@ -74,6 +74,29 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 4 == 0) | (F.col("o_orderkey") % 2 == 1)
     ).withColumn("o_totalprice", F.round(F.col("o_totalprice") + 1.0, 2))
 
+    def sym_diff(a: DataFrame, b: DataFrame) -> int:
+        """Multiset symmetric-difference row count, one pass per side:
+        |A\\B| + |B\\A| = Σ over distinct rows of |count_A − count_B|
+        — the same number two exceptAll().count() actions produce, at
+        half the shuffles (each exceptAll re-shuffles BOTH inputs, so
+        the two directions cost four; two grouped counts + one join
+        cost two)."""
+        cols = a.columns
+        ca = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("__na"))
+        cb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("__nb"))
+        row = (
+            ca.join(cb, cols, "full_outer")
+            .select(
+                F.abs(
+                    F.coalesce(F.col("__na"), F.lit(0))
+                    - F.coalesce(F.col("__nb"), F.lit(0))
+                ).alias("__d")
+            )
+            .agg(F.coalesce(F.sum("__d"), F.lit(0)).alias("__diff"))
+            .first()
+        )
+        return int(row["__diff"])
+
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/merge_tbl"
         t = LakeTable.create(target, path)
@@ -83,11 +106,11 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         oracle = target.join(source, on="o_orderkey", how="left_anti").unionByName(
             source
         )
-        diff = merged.exceptAll(oracle).count() + oracle.exceptAll(merged).count()
+        diff = sym_diff(merged, oracle)
 
         t.merge(spark, source, key=["o_orderkey"])  # idempotency probe
         again = t.read(spark)
-        diff2 = again.exceptAll(oracle).count() + oracle.exceptAll(again).count()
+        diff2 = sym_diff(again, oracle)
         n_rows = again.count()
 
     return spark.createDataFrame(
