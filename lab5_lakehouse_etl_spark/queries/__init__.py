@@ -140,15 +140,36 @@ _PRIORITY: tuple[str, ...] = _R3 + _R4 + (
 #: Queries whose implementation was REWRITTEN after their newest green
 #: driver row, mapped to the round the rewrite landed: they are treated
 #: as unverified (tier 1) until a green row from >= that round exists,
-#: then age normally.  r7 entries: the two complete-mode streaming
-#: drains re-expressed through foreachBatch -> LakeTable in r6
-#: (streaming/events.py) and q_stream_merge, whose LakeTable internals
-#: changed via the r6 external-manifest work — their newest green rows
-#: are r3/r4, before the rewrites.
+#: then age normally.
+#:
+#: Round-7 entries, three groups:
+#: - the r6 drain re-expressions whose newest green rows are r3/r4
+#:   (q_stream_tumbling/session via foreachBatch -> LakeTable,
+#:   q_stream_merge via the external-manifest LakeTable internals);
+#: - the r7 algorithm rewrites: interval-island components
+#:   (q_dedup_clusters), bounded-sample trainers (q_ann_pq and the
+#:   kmeans family), O(n) recursion scans (q_ewma/q_holt_trend),
+#:   one-pass symmetric-difference verify (q_merge_upsert);
+#: - every drain-based streaming query, whose state partitioning
+#:   changed in r7 (streaming/events.py STATE_PARTITIONS).
 _REWRITTEN_IN: dict[str, int] = {
     "q_stream_tumbling": 7,
     "q_stream_session": 7,
     "q_stream_merge": 7,
+    "q_dedup_clusters": 7,
+    "q_ewma": 7,
+    "q_holt_trend": 7,
+    "q_kmeans_embed": 7,
+    "q_semdedup": 7,
+    "q_cluster_sample": 7,
+    "q_ann_pq": 7,
+    "q_merge_upsert": 7,
+    "q_stream_join": 7,
+    "q_stream_dedup": 7,
+    "q_stream_dedup_wm": 7,
+    "q_stream_stateful": 7,
+    "q_stream_multibatch": 7,
+    "q_stream_enrich": 7,
 }
 
 
