@@ -313,7 +313,21 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only the blocked candidates pay the quadratic verify, JVM-side via
     the built-in levenshtein codegen — no UDF. At corpus scale the
     band becomes a binned range join (q_range_join_binned's layout) so
-    no reducer sees an unbounded group."""
+    no reducer sees an unbounded group.
+
+    The candidate/verify SPLIT is load-bearing, not stylistic: written
+    as one join-then-filter, Catalyst pushes `levenshtein <= 12` into
+    the join's residual condition AHEAD of the band predicates, so
+    every (lang, source)-matched pair — 1.25 M at sf0.1, band or not —
+    pays the full O(len^2) DP (measured: 229 s; the blocked relation
+    it should verify is 6.6 k pairs).  The localCheckpoint is an
+    optimizer BARRIER that pins the evaluation order the blocking
+    theorem requires — cheap predicates inside the join, the quadratic
+    verify strictly after, spread across the cluster (the candidate
+    relation is small by construction, so materializing it is free);
+    tests/test_plans.py pins the verify stage join-free."""
+    from ..session import spread
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
@@ -331,15 +345,16 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("source_b"),
         F.col("n_chars").alias("nb"),
     )
+    cands = a.join(
+        b,
+        (a.lang == b.lang_b)
+        & (a.source == b.source_b)
+        & (F.abs(F.col("na") - F.col("nb")) <= 10)
+        & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b", "text_a", "text_b")
+    verify = spread(cands, "id_a").localCheckpoint(eager=True)
     return (
-        a.join(
-            b,
-            (a.lang == b.lang_b)
-            & (a.source == b.source_b)
-            & (F.abs(F.col("na") - F.col("nb")) <= 10)
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .withColumn(
+        verify.withColumn(
             "lev", F.levenshtein("text_a", "text_b").cast("int")
         )
         .filter(F.col("lev") <= 12)

@@ -440,15 +440,20 @@ def test_dedup_clusters_island_plan_no_joins(spark):
     assert shuffle_count(df) <= 2
 
 
-def test_dedup_fuzzy_blocked_join_single_equi_shuffle(spark):
-    """q_dedup_fuzzy must stay a blocked equi-join (the band + id
-    predicates ride the (lang, source) key join as a filter) — an
-    appearance of CartesianProduct or BroadcastNestedLoopJoin means
-    the blocking keys fell out of the join condition and the plan
-    went all-pairs."""
+def test_dedup_fuzzy_verify_stage_join_free(spark):
+    """q_dedup_fuzzy's returned plan must be the POST-BARRIER verify
+    stage: a levenshtein filter over the checkpointed candidate
+    relation, with NO join — if a Join (or worse, a nested-loop
+    product) reappears, the checkpoint barrier was removed and
+    Catalyst is again free to push `levenshtein <= 12` into the join
+    residual ahead of the band predicates, the exact r7 regression
+    that cost 229 s at sf0.1 (every key-matched pair paid the
+    O(len^2) DP)."""
     from lab5_lakehouse_etl_spark.plans import explain_str
 
     df = Q.QUERIES["q_dedup_fuzzy"](spark, SF_DIR)
     plan = explain_str(df)
+    assert "levenshtein" in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
