@@ -116,6 +116,22 @@ def _spark_kind(dt):
 
 def compare_with_oracle(spark_df, con, sql):
     """Row-count + sorted-column value comparison vs the DuckDB oracle."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    # the driver's result canonicalizer sorts every column through
+    # pandas; array/map/struct values raise `unhashable type` there
+    # (the exact q_sketch_quantile r6 crash — its only ERROR row).
+    # Declared outputs must stay scalar-only.
+    nonscalar = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nonscalar, (
+        f"non-scalar declared output columns {nonscalar}: the driver's "
+        "canonicalizer crashes on these (r6 q_sketch_quantile class) — "
+        "unpack to scalar columns"
+    )
     sp_cols = spark_df.columns
     sp_rows = [tuple(r) for r in spark_df.collect()]
     res = con.sql(sql)
