@@ -114,13 +114,22 @@ def kmeans_fit_assign(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    # the sample_n LOWEST DISTINCT ids (TakeOrdered, broadcast
-    # semi-join) — filter(vec_id < k) would require a dense zero-based
-    # id space and under-seed on sparse ids (the exact bug pq_train
-    # fixed in r5; the two trainers remain in lockstep, with
-    # kmeans_cte_prefix's c0 matching the init).
+    # sample_n distinct ids in HASH order (TakeOrdered, broadcast
+    # semi-join): unbiased when the corpus exceeds the cap (lowest-id
+    # sampling skews toward ingest/shard order), behavior-neutral
+    # below it (the limit cuts nothing — see pq_train, in lockstep).
+    # Seeding still uses the k lowest ids of the collected sample —
+    # filter(vec_id < k) would require a dense zero-based id space
+    # and under-seed on sparse ids (the r5 pq_train bug; the two
+    # trainers remain in lockstep, with kmeans_cte_prefix's c0
+    # matching the init).
     sample_n = 65536
-    ids = base.select("vec_id").distinct().orderBy("vec_id").limit(sample_n)
+    ids = (
+        base.select("vec_id")
+        .distinct()
+        .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+        .limit(sample_n)
+    )
     rows = (
         base.join(F.broadcast(ids), "vec_id", "inner")
         .orderBy("vec_id", "v")

@@ -333,11 +333,22 @@ def pq_train(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    # the sample_n LOWEST DISTINCT ids (TakeOrdered — no full sort),
-    # then every row carrying one of those ids (duplicate-id rows all
-    # participate in training, as they did in the distributed loop);
-    # the broadcast semi-join keeps the corpus-side scan shuffle-free
-    ids = base.select("vec_id").distinct().orderBy("vec_id").limit(sample_n)
+    # sample_n distinct ids chosen by HASH order (TakeOrdered — no
+    # full sort), then every row carrying one of those ids
+    # (duplicate-id rows all participate in training, as they did in
+    # the distributed loop); the broadcast semi-join keeps the
+    # corpus-side scan shuffle-free.  Hash order, not id order: when
+    # the corpus exceeds the cap, lowest-id sampling is BIASED for any
+    # corpus whose ids correlate with content (ingest order, shard
+    # order); xxhash64(id) is an unbiased-yet-deterministic draw.
+    # Below the cap the limit cuts nothing, so this choice is
+    # behavior-neutral at every test scale.
+    ids = (
+        base.select("vec_id")
+        .distinct()
+        .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+        .limit(sample_n)
+    )
     rows = (
         base.join(F.broadcast(ids), "vec_id", "inner")
         .orderBy("vec_id", "v")
