@@ -230,7 +230,11 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_PREFLIGHT"
     ) == "1":
         preflight()
-    globals()["_BENCH_START"] = time.perf_counter()
+    # budget clock starts AFTER the opt-in preflight on purpose: the
+    # driver never runs preflight, and a local preflight (minutes of
+    # pytest) eating the tier-2 budget would make dev runs silently
+    # less covered than driver runs
+    bench_start = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     Q.load_all()
@@ -316,14 +320,10 @@ def main() -> None:
     # explicitly (tier2_skipped) — never a silent cap.
     t2_timings: dict[str, float] = {}
     t2_skipped: list[str] = []
-    bench_start = globals().get("_BENCH_START", None)
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
     if os.environ.get("SPARK_GRAFT_BENCH_TIER2", "1") == "1":
         for name in tier2_queries():
-            if (
-                bench_start is not None
-                and time.perf_counter() - bench_start > budget
-            ):
+            if time.perf_counter() - bench_start > budget:
                 t2_skipped.append(name)
                 continue
             fn = Q.QUERIES[name]

@@ -31,8 +31,64 @@ identically.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Training-sample cap shared by every bounded-sample trainer
+#: (kmeans_fit_assign here, pq_train in similarity.py): k*dim model
+#: parameters saturate long before 10^5 vectors, so training cost must
+#: be O(sample), independent of corpus size.
+TRAIN_SAMPLE_N = 65536
+
+
+def sample_training_vectors(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = TRAIN_SAMPLE_N,
+) -> tuple[list[int], "np.ndarray", DataFrame]:
+    """The shared sample/collect stage of the bounded-sample trainers —
+    ONE implementation so kmeans_fit_assign and pq_train stay in
+    lockstep by construction, not by comment (the r5 seeding bug
+    happened exactly when the two drifted).
+
+    ``sample_n`` distinct ids are chosen by HASH order (TakeOrdered —
+    no full sort), then every row carrying one of those ids is
+    collected, sorted by (id, vector) so the first row per id is the
+    deterministic lexicographic duplicate tie-break.  Hash order, not
+    id order: above the cap, lowest-id sampling is BIASED for any
+    corpus whose ids correlate with content (ingest order, shard
+    order); xxhash64(id) is an unbiased-yet-deterministic draw.
+    Below the cap the limit cuts nothing, so the choice is
+    behavior-neutral at every test scale.  The broadcast semi-join
+    keeps the corpus-side scan shuffle-free.
+
+    Returns (vec_ids, X, base): the sorted sample as parallel id list
+    / (n, dim) float64 matrix, plus the normalized (vec_id, v)
+    relation for callers that run a distributed pass afterwards."""
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    ids = (
+        base.select("vec_id")
+        .distinct()
+        .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
+        .limit(sample_n)
+    )
+    rows = (
+        base.join(F.broadcast(ids), "vec_id", "inner")
+        .orderBy("vec_id", "v")
+        .collect()
+    )
+    vec_ids = [int(r["vec_id"]) for r in rows]
+    X = (
+        np.array([r["v"] for r in rows], dtype=np.float64)
+        if rows
+        else np.empty((0, 0), dtype=np.float64)
+    )
+    return vec_ids, X, base
 
 
 def _distances(cents: list[tuple[int, list[float]]]) -> Column:
@@ -105,40 +161,24 @@ def kmeans_fit_assign(
     quantum — numpy's id-sorted accumulation replaces a shuffle order
     that was itself nondeterministic.  Assignment ties break to the
     first (lowest-cl) minimum in both the numpy argmin and the
-    distributed array_position(array_min).  For corpora above the
-    sample cap the CTE twin states the sample-trained trajectory
-    (test corpora sit far below the cap)."""
-    import numpy as np
+    distributed array_position(array_min).  DECLARED DOMAIN of the
+    CTE parity: corpora within the sample cap, where sample == corpus
+    and the twin replays the identical trajectory.  Above the cap the
+    two diverge by construction — the CTE seeds from the corpus-wide
+    lowest ids and iterates every vector, while this path trains on
+    the hash-drawn sample — so an above-cap corpus needs a
+    sample-stated oracle (or rows-only verification), not this twin.
+    Test corpora sit ~30x below the cap."""
 
-    base = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    # sample_n distinct ids in HASH order (TakeOrdered, broadcast
-    # semi-join): unbiased when the corpus exceeds the cap (lowest-id
-    # sampling skews toward ingest/shard order), behavior-neutral
-    # below it (the limit cuts nothing — see pq_train, in lockstep).
-    # Seeding still uses the k lowest ids of the collected sample —
+    # Seeding uses the k lowest ids of the collected sample —
     # filter(vec_id < k) would require a dense zero-based id space
-    # and under-seed on sparse ids (the r5 pq_train bug; the two
-    # trainers remain in lockstep, with kmeans_cte_prefix's c0
-    # matching the init).
-    sample_n = 65536
-    ids = (
-        base.select("vec_id")
-        .distinct()
-        .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
-        .limit(sample_n)
-    )
-    rows = (
-        base.join(F.broadcast(ids), "vec_id", "inner")
-        .orderBy("vec_id", "v")
-        .collect()
-    )
+    # and under-seed on sparse ids (the r5 pq_train bug); the sample/
+    # collect stage is shared with pq_train via
+    # sample_training_vectors, so the two trainers cannot drift, and
+    # kmeans_cte_prefix's c0 matches the init below the cap.
+    vec_ids, X, base = sample_training_vectors(emb, id_col, vec_col)
     cents: list[tuple[int, list[float]]] = []
-    if rows:
-        vec_ids = [int(r["vec_id"]) for r in rows]
-        X = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(vec_ids):
         # init: for each of the k lowest distinct ids, that id's
         # lexi-min vector (rows are (id, v)-sorted), rounded
         seen: set[int] = set()

@@ -720,3 +720,56 @@ def prefix_filter_jaccard_pairs(
         )
     )
     return intra.unionByName(cross)
+
+
+def band_components(
+    df: DataFrame,
+    id_col: str,
+    keys: list[str],
+    band_col: str,
+    gap: int,
+) -> DataFrame:
+    """Connected components of the banded similarity relation
+    ``same keys AND |delta band| <= gap`` via the gap-island
+    reduction: the relation is an interval-overlap graph per key
+    group, so its transitive closure is exactly the island partition
+    of the sorted band values (a component breaks where consecutive
+    values differ by more than ``gap``).  One window pass + a
+    per-island min — O(sort) with bounded range-sorts per group at
+    corpus scale, vs the O(diameter) shuffle rounds generic label
+    propagation pays (~19 on the sf0.1 document graph even with
+    pointer jumping: the min label must physically traverse band
+    hops, so doubling cannot shortcut it).
+
+    NULL semantics mirror an equi-join edge relation, where
+    NULL != NULL: a row with a NULL key or band value matches no edge
+    and is returned as its own singleton component (Window.partitionBy
+    would instead group NULL keys together, and a NULL band value
+    would coalesce its gap to 0 and bridge into the lowest island).
+
+    Returns (id_col, component), component = min id in the island.
+    Verified three ways: the unchanged recursive-CTE oracle of
+    q_dedup_clusters, a fixture pin against the generic operator
+    (tests/test_graph.py), and a hypothesis property over random
+    band graphs including NULLs (tests/test_properties.py).
+    """
+    from pyspark.sql import Window
+
+    has_keys = F.lit(True)
+    for k in [*keys, band_col]:
+        has_keys = has_keys & F.col(k).isNotNull()
+    banded = df.filter(has_keys)
+    singletons = df.filter(~has_keys).select(
+        F.col(id_col), F.col(id_col).alias("component")
+    )
+    w = Window.partitionBy(*keys).orderBy(band_col, id_col)
+    brk = (F.col(band_col) - F.lag(band_col).over(w) > gap).cast("int")
+    islands = banded.withColumn(
+        "island", F.sum(F.coalesce(brk, F.lit(0))).over(w)
+    )
+    return islands.select(
+        F.col(id_col),
+        F.min(id_col)
+        .over(Window.partitionBy(*keys, "island"))
+        .alias("component"),
+    ).unionByName(singletons)

@@ -142,6 +142,18 @@ def exact_pairs_blocked(
     block pair fits executor memory; the B² fan-out is the standard
     exact-similarity-join layout (each input row is shuffled B times,
     never all-pairs).
+
+    CROSS-ENGINE PARITY (r7): the numpy matmul is the CANDIDATE scan
+    only, run at ``threshold - 1e-9`` so BLAS pairwise-summation ulps
+    cannot flip membership at the boundary; the DECLARED cosine is
+    then re-computed on the candidate pairs with the same sequential
+    zip_with/aggregate fold every differential oracle states
+    (list_dot_product order), and the threshold is applied to THAT
+    value.  Without the split, a pair whose true cosine sits within a
+    summation-order ulp of the threshold (or of a round-to-4
+    boundary) could count differently in the two engines — the exact
+    failure mode q_ann_pq's dot-product-expansion comment documents.
+    The re-score join touches only output-sized candidate pairs.
     """
     import numpy as np
     import pandas as pd
@@ -177,13 +189,15 @@ def exact_pairs_blocked(
                 An = A / np.linalg.norm(A, axis=1, keepdims=True)
                 Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
                 sims = An @ Bn.T
-                ia, ib = np.nonzero(sims >= threshold)
-                out_a, out_b, s = ids_a[ia], ids_b[ib], sims[ia, ib]
+                # margin absorbs summation-order ulps; the declared
+                # filter re-applies at the fold-computed value below
+                ia, ib = np.nonzero(sims >= threshold - 1e-9)
+                out_a, out_b = ids_a[ia], ids_b[ib]
                 if row.bid_a == row.bid_b:
                     # diagonal block: every unordered pair appears as
                     # (i,j) AND (j,i) plus the self-pairs — keep one
                     keep = out_a < out_b
-                    out_a, out_b, s = out_a[keep], out_b[keep], s[keep]
+                    out_a, out_b = out_a[keep], out_b[keep]
                 else:
                     # off-diagonal block pair is visited once; ids are
                     # NOT ordered by block, so normalize the pair
@@ -191,16 +205,23 @@ def exact_pairs_blocked(
                         np.minimum(out_a, out_b),
                         np.maximum(out_a, out_b),
                     )
-                yield pd.DataFrame(
-                    {
-                        "id_a": out_a,
-                        "id_b": out_b,
-                        "cosine_sim": np.round(s, 4),
-                    }
-                )
+                yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
-    return pairs.mapInPandas(
-        score, schema="id_a long, id_b long, cosine_sim double"
+    cands = pairs.mapInPandas(score, schema="id_a long, id_b long")
+    dv = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    va = df.select(
+        F.col(id_col).alias("id_a"), dv(F.col(vec_col)).alias("__va")
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"), dv(F.col(vec_col)).alias("__vb")
+    )
+    c = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("__c", c)
+        .filter(F.col("__c") >= threshold)
+        .select("id_a", "id_b", F.round("__c", 4).alias("cosine_sim"))
     )
 
 
@@ -328,60 +349,42 @@ def pq_train(
     if dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     sub = dim // m
-    sample_n = 65536
-    base = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    # sample_n distinct ids chosen by HASH order (TakeOrdered — no
-    # full sort), then every row carrying one of those ids
-    # (duplicate-id rows all participate in training, as they did in
-    # the distributed loop); the broadcast semi-join keeps the
-    # corpus-side scan shuffle-free.  Hash order, not id order: when
-    # the corpus exceeds the cap, lowest-id sampling is BIASED for any
-    # corpus whose ids correlate with content (ingest order, shard
-    # order); xxhash64(id) is an unbiased-yet-deterministic draw.
-    # Below the cap the limit cuts nothing, so this choice is
-    # behavior-neutral at every test scale.
-    ids = (
-        base.select("vec_id")
-        .distinct()
-        .orderBy(F.xxhash64("vec_id"), F.col("vec_id"))
-        .limit(sample_n)
-    )
-    rows = (
-        base.join(F.broadcast(ids), "vec_id", "inner")
-        .orderBy("vec_id", "v")
-        .collect()
-    )
-    if not rows:
+    # sample/collect stage shared with kmeans_fit_assign (see
+    # sample_training_vectors: hash-ordered unbiased draw above the
+    # cap, behavior-neutral below it, lockstep by construction)
+    from .clustering import sample_training_vectors
+
+    vec_ids, X, _ = sample_training_vectors(emb, id_col, vec_col)
+    if not len(vec_ids):
         raise ValueError("pq_train: empty input")
-    vec_ids = np.array([int(r["vec_id"]) for r in rows])
-    X = np.array([r["v"] for r in rows], dtype=np.float64)  # (n, dim)
-    n_distinct = len(dict.fromkeys(vec_ids.tolist()))
-    if n_distinct < k:
+    seed_ids = list(dict.fromkeys(vec_ids))[:k]
+    if len(seed_ids) < k:
         raise ValueError(
             f"pq_train: need >= {k} distinct-id vectors to seed "
-            f"codebooks, got {n_distinct}"
+            f"codebooks, got {len(seed_ids)}"
         )
-    # seeds: for each of the k lowest distinct ids, that id's
-    # lexicographically-smallest vector (rows are sorted by (id, v),
-    # so the first row per id is the tie-broken seed), rounded
-    seed_rows = []
-    seen_ids: set[int] = set()
-    for i, vid in enumerate(vec_ids.tolist()):
-        if vid not in seen_ids:
-            seen_ids.add(vid)
-            seed_rows.append(i)
-            if len(seed_rows) == k:
-                break
+    # seed row indices per id: ALL of a duplicated id's rows, because
+    # the seed for (id, subspace) is that id's lexicographically
+    # smallest SUBVECTOR — chosen independently PER SUBSPACE, possibly
+    # from different rows (the old distributed loop's
+    # orderBy(vec_id, s, sv) + first-seen semantics; a whole-vector
+    # minimum sliced per subspace is NOT the same once ids duplicate)
+    rows_of: dict[int, list[int]] = {}
+    for i, vid in enumerate(vec_ids):
+        if vid in seed_ids:
+            rows_of.setdefault(vid, []).append(i)
     books: list[list[list[float]]] = []
     for s in range(m):
         Xs = X[:, s * sub : (s + 1) * sub]  # (n, sub) view
         C = np.array(
             [
-                [round(float(x), decimals) for x in Xs[i]]
-                for i in seed_rows
+                [
+                    round(float(x), decimals)
+                    for x in min(
+                        (tuple(Xs[i]) for i in rows_of[vid])
+                    )
+                ]
+                for vid in seed_ids
             ]
         )  # (k, sub)
         for _ in range(iters):
@@ -433,15 +436,24 @@ def pq_encode(
 
     @F.pandas_udf("array<int>")
     def _encode(vs: pd.Series) -> pd.Series:
-        X = np.array(vs.tolist(), dtype=np.float64)  # (b, dim)
-        out = np.empty((len(X), m), dtype=np.int32)
-        for s in range(m):
-            Xs = X[:, s * sub : (s + 1) * sub]
-            d2 = np.sum(
-                (Xs[:, None, :] - cents[s][None, :, :]) ** 2, axis=2
-            )
-            out[:, s] = np.argmin(d2, axis=1)
-        return pd.Series([row.tolist() for row in out])
+        # NULL embeddings propagate as NULL codes (the old expression
+        # formulation's behavior); np.array over a batch containing
+        # None would otherwise build an object/ragged array and crash
+        vals = vs.tolist()
+        present = [i for i, v in enumerate(vals) if v is not None]
+        out_all: list = [None] * len(vals)
+        if present:
+            X = np.array([vals[i] for i in present], dtype=np.float64)
+            out = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                d2 = np.sum(
+                    (Xs[:, None, :] - cents[s][None, :, :]) ** 2, axis=2
+                )
+                out[:, s] = np.argmin(d2, axis=1)
+            for j, i in enumerate(present):
+                out_all[i] = out[j].tolist()
+        return pd.Series(out_all)
 
     return emb.select(
         F.col(id_col).alias("vec_id"),

@@ -2683,6 +2683,40 @@ class LakeTable:
                     os.remove(os.path.join(root, fname))
             if root != self.data_dir and not os.listdir(root):
                 os.rmdir(root)
+        # Orphaned write-attempt artifacts: a writer that crashed
+        # between staging and publish leaves uuid-named tmp files
+        # (.vN-XXXX.json.tmp, .vN.stats-XXXX.parquet.tmp) and
+        # .stage_vN-XXXX dirs that no commit references and no retry
+        # overwrites (every attempt stages a fresh uuid) — unbounded
+        # garbage for a long-lived sink retrying across crashes. Age-
+        # gate the sweep so a LIVE concurrent writer's in-flight
+        # staging (seconds old) is never swept.
+        import time as _time
+
+        grace = 900.0
+        now = _time.time()
+        if os.path.isdir(self.log_dir):
+            for fname in os.listdir(self.log_dir):
+                p = os.path.join(self.log_dir, fname)
+                try:
+                    if (
+                        fname.endswith(".tmp")
+                        and now - os.path.getmtime(p) > grace
+                    ):
+                        os.remove(p)
+                except OSError:
+                    pass  # concurrent sweep/publish won the race
+        for fname in os.listdir(self.path):
+            p = os.path.join(self.path, fname)
+            try:
+                if (
+                    fname.startswith(".stage_v")
+                    and os.path.isdir(p)
+                    and now - os.path.getmtime(p) > grace
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
 
 
 class StagedCommit:

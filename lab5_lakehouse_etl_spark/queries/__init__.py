@@ -157,6 +157,7 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_stream_session": 7,
     "q_stream_merge": 7,
     "q_dedup_clusters": 7,
+    "q_dedup_embedding": 7,
     "q_ewma": 7,
     "q_holt_trend": 7,
     "q_kmeans_embed": 7,

@@ -265,21 +265,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE closure over the pair relation — so the island
     reduction is verified against an independent formulation, not
     against itself."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    w = Window.partitionBy("lang", "source").orderBy("n_chars", "doc_id")
-    brk = (F.col("n_chars") - F.lag("n_chars").over(w) > 20).cast("int")
-    islands = docs.withColumn(
-        "island", F.sum(F.coalesce(brk, F.lit(0))).over(w)
-    )
-    return islands.select(
-        "doc_id",
-        F.min("doc_id")
-        .over(Window.partitionBy("lang", "source", "island"))
-        .alias("component"),
+    return D.band_components(
+        docs, id_col="doc_id", keys=["lang", "source"],
+        band_col="n_chars", gap=20,
     )
 
 

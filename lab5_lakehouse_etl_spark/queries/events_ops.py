@@ -351,13 +351,20 @@ def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sketch outputs are algorithm-defined, so the declared output is the
     SQL-stateable invariant: the exact interpolated percentiles (which
     DuckDB's quantile_cont reproduces bit-for-bit at 4 decimals) plus
-    the sketch's rank-error guarantee as booleans — each approximate
-    quantile must lie between the exact quantiles at q ± _GK_EPS, which
-    the oracle states as TRUE. Scalar columns throughout (the r6
+    the sketch's RANK-error guarantee as booleans the oracle states as
+    TRUE.  The guarantee is checked in rank space directly — the
+    returned value's rank interval [#(value < ap)+1, #(value <= ap)]
+    must intersect [(q-eps)*n - 1, (q+eps)*n + 1] — because the r6-r7
+    VALUE-space formulation (ap between interpolated percentiles at
+    q ± eps) is false for small groups: approx_percentile returns an
+    actual element, and at n ≈ 100 the discrete order statistic at
+    q*n can exceed the interpolated percentile at q + eps (the ±1
+    terms above are exactly that discretization).  Rank counting costs
+    one extra broadcast join + aggregate over events; it is exact
+    integer arithmetic, so the boolean cannot be perturbed by float
+    summation order either. Scalar columns throughout (the r6
     array-typed formulation crashed the driver canonicalizer)."""
     qs = (0.50, 0.95, 0.99)
-    lo = [max(q - _GK_EPS, 0.0) for q in qs]
-    hi = [min(q + _GK_EPS, 1.0) for q in qs]
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_type", "value")
@@ -369,24 +376,37 @@ def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"approx_percentile(value, array({qs[0]}, {qs[1]}, {qs[2]}), 10000)"
         ).alias("ap"),
         F.expr(f"percentile(value, array({qs[0]}, {qs[1]}, {qs[2]}))").alias("ex"),
-        F.expr(
-            f"percentile(value, array({lo[0]}, {lo[1]}, {lo[2]}))"
-        ).alias("exlo"),
-        F.expr(
-            f"percentile(value, array({hi[0]}, {hi[1]}, {hi[2]}))"
-        ).alias("exhi"),
     )
+    ranked = ev.join(F.broadcast(agg), "event_type")
+    rank_aggs = []
+    for i in range(3):
+        rank_aggs.append(
+            F.sum((F.col("value") < F.col("ap")[i]).cast("long")).alias(
+                f"lt{i}"
+            )
+        )
+        rank_aggs.append(
+            F.sum((F.col("value") <= F.col("ap")[i]).cast("long")).alias(
+                f"le{i}"
+            )
+        )
+    ranks = ranked.groupBy(
+        "event_type", "n", *[F.col("ap")[i].alias(f"ap{i}") for i in range(3)],
+        *[F.col("ex")[i].alias(f"ex{i}") for i in range(3)],
+    ).agg(*rank_aggs)
     cols = [F.col("event_type"), F.col("n")]
     for i, label in enumerate(("p50", "p95", "p99")):
-        cols.append(F.round(F.col("ex")[i], 4).alias(f"{label}_exact"))
-    for i, label in enumerate(("p50", "p95", "p99")):
+        cols.append(F.round(F.col(f"ex{i}"), 4).alias(f"{label}_exact"))
+    for i, (q, label) in enumerate(zip(qs, ("p50", "p95", "p99"))):
+        lo_rank = (F.lit(q) - F.lit(_GK_EPS)) * F.col("n") - F.lit(1.0)
+        hi_rank = (F.lit(q) + F.lit(_GK_EPS)) * F.col("n") + F.lit(1.0)
         cols.append(
             (
-                (F.col("ap")[i] >= F.col("exlo")[i])
-                & (F.col("ap")[i] <= F.col("exhi")[i])
+                (F.col(f"le{i}").cast("double") >= lo_rank)
+                & ((F.col(f"lt{i}") + 1).cast("double") <= hi_rank)
             ).alias(f"{label}_ok")
         )
-    return agg.select(*cols)
+    return ranks.select(*cols)
 
 
 @query(

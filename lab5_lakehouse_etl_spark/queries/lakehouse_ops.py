@@ -80,12 +80,22 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         — the same number two exceptAll().count() actions produce, at
         half the shuffles (each exceptAll re-shuffles BOTH inputs, so
         the two directions cost four; two grouped counts + one join
-        cost two)."""
+        cost two).  The join must be NULL-SAFE: groupBy buckets NULL
+        keys together (as exceptAll's set semantics do), so a plain
+        equi-join would leave identical null-bearing rows unmatched on
+        both sides and double-count them as differing."""
         cols = a.columns
         ca = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("__na"))
         cb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("__nb"))
+        cb_r = cb.select(
+            *[F.col(c).alias(f"__r_{c}") for c in cols], "__nb"
+        )
+        cond = None
+        for c in cols:
+            eq = F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+            cond = eq if cond is None else cond & eq
         row = (
-            ca.join(cb, cols, "full_outer")
+            ca.join(cb_r, cond, "full_outer")
             .select(
                 F.abs(
                     F.coalesce(F.col("__na"), F.lit(0))

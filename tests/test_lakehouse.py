@@ -1483,3 +1483,35 @@ def test_describe_detail(spark, df3, tmp_path):
     assert not d["has_deletion_vectors"]
     t.delete_dv(spark, "k = 1")
     assert t.detail(spark).collect()[0]["has_deletion_vectors"]
+
+
+def test_vacuum_sweeps_aged_orphan_staging_artifacts(spark, tmp_path):
+    """A writer crashing between staging and publish orphans uuid-named
+    tmp files and .stage_v dirs that no retry overwrites; vacuum must
+    sweep them once they age past the grace window, and must NOT touch
+    fresh ones (a live concurrent writer's in-flight staging)."""
+    import time
+
+    path = str(tmp_path / "orphans_tbl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k LONG, s STRING")
+    t = LakeTable.create(df, path)
+
+    old_tmp = os.path.join(t.log_dir, ".v9-deadbeef.json.tmp")
+    old_stats = os.path.join(t.log_dir, ".v9.stats-deadbeef.parquet.tmp")
+    old_stage = os.path.join(path, ".stage_v9-deadbeef")
+    fresh_tmp = os.path.join(t.log_dir, ".v9-0a11ce00.json.tmp")
+    for p in (old_tmp, old_stats):
+        open(p, "w").write("{}")
+    os.makedirs(old_stage)
+    open(fresh_tmp, "w").write("{}")
+    stale = time.time() - 3600
+    for p in (old_tmp, old_stats, old_stage):
+        os.utime(p, (stale, stale))
+
+    # any commit vacuums; append triggers the sweep
+    t.append(spark, spark.createDataFrame([(3, "c")], "k LONG, s STRING"))
+
+    assert not os.path.exists(old_tmp)
+    assert not os.path.exists(old_stats)
+    assert not os.path.exists(old_stage)
+    assert os.path.exists(fresh_tmp)  # inside the grace window

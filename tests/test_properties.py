@@ -248,9 +248,9 @@ def test_hll_sketch_merge_lossless_and_bounded(spark):
 
 _band_rows = st.lists(
     st.tuples(
-        st.integers(0, 1),  # lang bucket
-        st.integers(0, 1),  # source bucket
-        st.integers(0, 120),  # band value (n_chars stand-in)
+        st.one_of(st.none(), st.integers(0, 1)),  # lang bucket
+        st.one_of(st.none(), st.integers(0, 1)),  # source bucket
+        st.one_of(st.none(), st.integers(0, 120)),  # band value
     ),
     min_size=1,
     max_size=30,
@@ -263,32 +263,24 @@ def test_interval_island_components_equal_generic_cc(spark, data):
     """q_dedup_clusters' r7 claim under adversarial inputs: for ANY
     banded relation (same group keys AND |delta band| <= 20), the
     gap-island partition of the sorted band values equals the
-    transitive closure generic label propagation computes.  Random
-    values exercise what the fixture cannot: duplicate band values,
-    exact-20 boundary gaps, singleton groups, one-group-per-row."""
-    from pyspark.sql import Window
-
+    transitive closure generic label propagation computes over the
+    NULL-falsy equi-join edge relation.  Random values exercise what
+    the fixture cannot: duplicate band values, exact-20 boundary
+    gaps, singleton groups, and NULL keys/band values (which must
+    come back as singleton components, not a merged NULL group)."""
+    from lab5_lakehouse_etl_spark.functions.dedup import band_components
     from lab5_lakehouse_etl_spark.functions.graph import connected_components
 
     rows = [(i, lang, src, v) for i, (lang, src, v) in enumerate(data)]
     df = spark.createDataFrame(
         rows, "doc_id BIGINT, lang INT, source INT, n_chars INT"
     )
-    # island formulation (mirrors q_dedup_clusters)
-    w = Window.partitionBy("lang", "source").orderBy("n_chars", "doc_id")
-    brk = (F.col("n_chars") - F.lag("n_chars").over(w) > 20).cast("int")
     island = {
         r.doc_id: r.component
-        for r in df.withColumn(
-            "island", F.sum(F.coalesce(brk, F.lit(0))).over(w)
-        )
-        .select(
-            "doc_id",
-            F.min("doc_id")
-            .over(Window.partitionBy("lang", "source", "island"))
-            .alias("component"),
-        )
-        .collect()
+        for r in band_components(
+            df, id_col="doc_id", keys=["lang", "source"],
+            band_col="n_chars", gap=20,
+        ).collect()
     }
     # generic CC over the materialized pair relation
     a = df.select(
