@@ -457,3 +457,34 @@ def test_dedup_fuzzy_verify_stage_join_free(spark):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_pq_encode_shuffle_free_arrow_projection(spark):
+    """PQ encode is the corpus-scale pass of the PQ pipeline and must
+    stay a partition-local Arrow projection: zero shuffles, one
+    ArrowEvalPython stage (r7 moved it off the 128-expression HOF
+    formulation; a shuffle appearing here means someone re-introduced
+    a grouped or joined encode)."""
+    from lab5_lakehouse_etl_spark.functions import similarity as S
+    from lab5_lakehouse_etl_spark.plans import explain_str
+    from lab5_lakehouse_etl_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = S.pq_train(emb, m=8, k=16, iters=5)
+    codes = S.pq_encode(emb, books)
+    assert shuffle_count(codes) == 0
+    assert "ArrowEvalPython" in explain_str(codes)
+
+
+def test_recursion_scans_bounded_shuffles(spark):
+    """q_ewma / q_holt_trend: one bucket aggregate + one per-type
+    collect — two shuffles total, with the trajectory computed in the
+    O(n) Arrow scan (r7). A third shuffle or a Python-free plan (the
+    scan silently replaced by the O(n^2) HOF matrix) are both
+    regressions."""
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    for name in ("q_ewma", "q_holt_trend"):
+        df = Q.QUERIES[name](spark, SF_DIR)
+        assert shuffle_count(df) == 2, name
+        assert "ArrowEvalPython" in explain_str(df), name
