@@ -436,7 +436,14 @@ def simhash_near_dups(
         ).alias("ck"),
     ).select("id", "fp", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
     a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
+    # verify BEFORE dedupe: the popcount is one XOR per candidate row
+    # (orders cheaper than shuffling it), so failing pairs never enter
+    # the dropDuplicates exchange — a pair colliding in c chunks costs
+    # c cheap verifies instead of c shuffled rows
+    hamming = F.bit_count(
+        F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+    ).cast("bigint")
+    return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -446,16 +453,12 @@ def simhash_near_dups(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.fp").alias("fp_a"),
-            F.col("b.fp").alias("fp_b"),
+            hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "hamming")
     )
-    xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
-    hamming = F.bit_count(xor)
-    return pairs.withColumn("hamming", hamming.cast("bigint")).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
 
 
 def prefix_filter_jaccard_pairs(
