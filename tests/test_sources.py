@@ -82,3 +82,48 @@ def test_xlsx_gap_cells_and_bools(tmp_path):
     )
     back = load_workbook(path)
     assert back["s"] == [[None, None, "x"], [True, False, 7]]
+
+
+def test_load_table_events_nanos_and_micros_parity(spark, tmp_path):
+    """events.parquet has shipped as TIMESTAMP(NANOS) or
+    TIMESTAMP(MICROS) depending on the driver's generator run;
+    load_table must return identical rows for both representations of
+    the same logical data (the branch not exercised by the CURRENT
+    fixtures is exactly the one the next regeneration can switch to)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lab5_lakehouse_etl_spark.session import load_table
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    times = [base + datetime.timedelta(seconds=17 * i, microseconds=i) for i in range(8)]
+    cols = {
+        "event_id": pa.array(range(8), type=pa.int64()),
+        "user_id": pa.array([i % 3 for i in range(8)], type=pa.int64()),
+        "event_type": pa.array(["view", "purchase"] * 4),
+        "value": pa.array([float(i) for i in range(8)]),
+        "props": pa.array(["{}"] * 8),
+    }
+    d_ns, d_us = tmp_path / "ns", tmp_path / "us"
+    for d, unit in ((d_ns, "ns"), (d_us, "us")):
+        d.mkdir()
+        t = pa.table(
+            {**cols, "ts": pa.array(times, type=pa.timestamp(unit))}
+        )
+        pq.write_table(
+            t, str(d / "events.parquet"), version="2.6",
+            coerce_timestamps=None,
+        )
+    rows_ns = sorted(
+        tuple(r) for r in load_table(spark, str(d_ns), "events").collect()
+    )
+    rows_us = sorted(
+        tuple(r) for r in load_table(spark, str(d_us), "events").collect()
+    )
+    assert rows_ns == rows_us
+    assert len(rows_ns) == 8
+    # µs precision survives (ns tail truncates toward zero like DuckDB's
+    # CAST(ts_ns AS TIMESTAMP))
+    assert rows_ns[7][1].microsecond == 7
