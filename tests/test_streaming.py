@@ -229,3 +229,51 @@ def test_dedup_within_watermark_collapses_jittered_retries(spark, tmp_path):
     keyed = E.run_to_memory(E.stream_dedup(stream2), "t_dedup_keyed", spark)
     # the ts-keyed dedup passes BOTH copies of event 1 (distinct keys)
     assert sorted(r.event_id for r in keyed.collect()) == [1, 1, 2]
+
+
+def test_read_events_stream_nanos_and_micros_parity(spark, tmp_path):
+    """Streaming twin of the load_table nanos/micros pin: the file
+    source must drain identical rows for both ts encodings of the same
+    logical events (the footer probe picks the branch; the branch the
+    current fixtures don't ship is the one the next regeneration can
+    switch to)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lab5_lakehouse_etl_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    times = [
+        base + datetime.timedelta(seconds=17 * i, microseconds=i)
+        for i in range(8)
+    ]
+    cols = {
+        "event_id": pa.array(range(8), type=pa.int64()),
+        "user_id": pa.array([i % 3 for i in range(8)], type=pa.int64()),
+        "event_type": pa.array(["view", "purchase"] * 4),
+        "value": pa.array([float(i) for i in range(8)]),
+        "props": pa.array(["{}"] * 8),
+    }
+    drained = {}
+    for unit in ("ns", "us"):
+        d = tmp_path / unit
+        d.mkdir()
+        t = pa.table({**cols, "ts": pa.array(times, type=pa.timestamp(unit))})
+        pq.write_table(
+            t, str(d / "events.parquet"), version="2.6",
+            coerce_timestamps=None,
+        )
+        stream = read_events_stream(spark, str(d / "events.parquet"))
+        out = run_to_memory(
+            stream.select("event_id", "ts", "user_id"),
+            f"nanos_parity_{unit}",
+            spark,
+        )
+        drained[unit] = sorted(tuple(r) for r in out.collect())
+    assert drained["ns"] == drained["us"]
+    assert len(drained["ns"]) == 8
