@@ -488,3 +488,22 @@ def test_recursion_scans_bounded_shuffles(spark):
         df = Q.QUERIES[name](spark, SF_DIR)
         assert shuffle_count(df) == 2, name
         assert "ArrowEvalPython" in explain_str(df), name
+
+
+def test_pmi_cooccur_broadcast_vocab_no_nested_loop(spark):
+    """q_pmi_cooccur: the ranked vocabulary and the doc-count scalar
+    must broadcast (no sort-merge join at fixture scale, never a
+    nested-loop product), and the aggregates stay within the designed
+    shuffle budget — token df, distinct presence, pair counts."""
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_pmi_cooccur"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    # exactly one nested-loop join is by design: the crossJoin against
+    # the broadcast 1-ROW doc-count aggregate; more would mean the
+    # pair join lost its doc_id key (formatted explain prints each
+    # node twice — once in the tree, once as a detail header)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert shuffle_count(df) <= 5
