@@ -198,6 +198,76 @@ def q_window_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_asof_nearest",
+    oracle="""
+    SELECT event_id, ts, user_id,
+           CASE WHEN b IS NULL THEN f
+                WHEN f IS NULL THEN b
+                WHEN epoch_us(ts) - epoch_us(b)
+                     <= epoch_us(f) - epoch_us(ts) THEN b
+                ELSE f END AS nearest_signup_ts
+    FROM (
+      SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id,
+             (SELECT max(CAST(s.ts AS TIMESTAMP)) FROM events s
+              WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+                AND s.ts <= e.ts) AS b,
+             (SELECT min(CAST(s.ts AS TIMESTAMP)) FROM events s
+              WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+                AND s.ts >= e.ts) AS f
+      FROM events e)
+    """,
+)
+def q_window_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of lookup (pandas ``merge_asof(direction='nearest')``
+    semantics): each event gets the signup timestamp minimizing |Δt|,
+    ties preferring the backward (at-or-before) side.  Still ZERO
+    joins: the backward candidate is q_window_asof's running
+    conditional max; the forward candidate is the mirrored running min
+    over a (currentRow, unboundedFollowing) RANGE frame; the winner is
+    a row-local integer-microsecond comparison.  Both frames share one
+    (user_id, ts) sort, so the whole operator costs the same single
+    shuffle as the backward-only form — where a nearest formulated as
+    a range join would pay a quadratic band.  The oracle states both
+    sides as correlated subqueries and the same epoch_us tie rule;
+    all arithmetic is integer, so no float-rounding surface."""
+    ev = load_table(spark, sf_dir, "events")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc())
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    sig_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    b = F.max(sig_ts).over(wb)
+    f = F.min(sig_ts).over(wf)
+    return (
+        ev.select(
+            "event_id", "ts", "user_id",
+            b.alias("__b"), f.alias("__f"),
+        )
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            (
+                F.when(F.col("__b").isNull(), F.col("__f"))
+                .when(F.col("__f").isNull(), F.col("__b"))
+                .when(
+                    F.unix_micros("ts") - F.unix_micros("__b")
+                    <= F.unix_micros("__f") - F.unix_micros("ts"),
+                    F.col("__b"),
+                )
+                .otherwise(F.col("__f"))
+            ).alias("nearest_signup_ts"),
+        )
+    )
+
+
+@query(
     "q_window_cume",
     oracle="""
     SELECT c_custkey,
