@@ -273,6 +273,41 @@ def main() -> None:
             lambda it: iter(pd.DataFrame({"x": [1]}) for _ in it), schema="x long"
         )
     )
+    # Warm the lakehouse commit and streaming-drain machinery too: the
+    # first LakeTable create/merge in a fresh session pays merge-path
+    # codegen + parquet-writer init, and the first availableNow drain
+    # pays state-store/sink bring-up — otherwise whichever tier-2
+    # query runs one of them first absorbs seconds of one-time cost
+    # (measured: q_merge_upsert 14.6 s first execution vs 4.0 s after)
+    # that belongs to process bring-up, not the plan.
+    import shutil
+    import tempfile
+
+    from lab5_lakehouse_etl_spark.lakehouse import LakeTable
+
+    wtmp = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        tiny = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("k"), F.col("n_name").alias("s")
+        )
+        wt = LakeTable.create(tiny, f"{wtmp}/t")
+        wt.merge(spark, tiny.limit(5), key=["k"])
+        wt.read(spark).count()
+    finally:
+        shutil.rmtree(wtmp, ignore_errors=True)
+    from lab5_lakehouse_etl_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from lab5_lakehouse_etl_spark.session import table_path as _tp
+
+    run_to_memory(
+        read_events_stream(spark, _tp(sf_dir, "events")).filter(
+            "event_id < 0"  # zero rows: init the machinery, move nothing
+        ),
+        "bench_warm_sink",
+        spark,
+    ).count()
 
     # Multiple full passes, report the per-query MINIMUM: pass 1 still
     # pays residual JIT/codegen-cache warm-up for whichever operators
