@@ -275,6 +275,95 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_graph_neighbor_jaccard",
+    oracle="""
+    WITH e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.source = b.source
+       AND abs(a.n_chars - b.n_chars) <= 20
+       AND a.doc_id <> b.doc_id
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY src),
+    common AS (
+      SELECT e1.src AS id_a, e2.src AS id_b,
+             CAST(count(*) AS BIGINT) AS common_neighbors
+      FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common_neighbors, nbr_jaccard FROM (
+      SELECT id_a, id_b, common_neighbors,
+             round(common_neighbors * 1.0
+                   / (du.dg + dv.dg - common_neighbors), 6) AS nbr_jaccard
+      FROM common JOIN deg du ON du.src = common.id_a
+                  JOIN deg dv ON dv.src = common.id_b
+    ) WHERE nbr_jaccard >= 0.8
+    """,
+)
+def q_graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural node similarity: neighbor-set Jaccard >= 0.8 over
+    the banded similarity graph — the link-prediction / entity-
+    resolution primitive (two documents whose CANDIDATE SETS almost
+    coincide are near-certain duplicates even when no direct edge
+    scores them, the graph-side complement to content-side dedup).
+
+    Plan shape: degrees are one count aggregate; common-neighbor
+    counts come from the edge self-join on dst — cost Σ deg(dst)²,
+    which is the same quantity triangle counting bounds, so at corpus
+    scale the same degree-orientation/cap applies (functions/graph.py
+    oriented_edges caps out-degree at O(sqrt m)); the division is one
+    integer-derived IEEE op, so round(·, 6) is identical across
+    engines with no summation-order surface."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    a = docs.select(
+        F.col("doc_id").alias("src"), "lang", "source",
+        F.col("n_chars").alias("na"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("dst"), F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"), F.col("n_chars").alias("nb"),
+    )
+    edges = a.join(
+        b,
+        (a.lang == b.lang_b)
+        & (a.source == b.source_b)
+        & (F.abs(F.col("na") - F.col("nb")) <= 20)
+        & (F.col("src") != F.col("dst")),
+    ).select("src", "dst")
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dg")
+    )
+    e1 = edges.select(F.col("src").alias("id_a"), "dst")
+    e2 = edges.select(F.col("src").alias("id_b"), "dst")
+    common = (
+        e1.join(e2, "dst")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_neighbors"))
+    )
+    du = deg.select(F.col("src").alias("id_a"), F.col("dg").alias("da"))
+    dv = deg.select(F.col("src").alias("id_b"), F.col("dg").alias("db"))
+    return (
+        common.join(du, "id_a")
+        .join(dv, "id_b")
+        .withColumn(
+            "nbr_jaccard",
+            F.round(
+                F.col("common_neighbors")
+                / (
+                    F.col("da") + F.col("db") - F.col("common_neighbors")
+                ).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("nbr_jaccard") >= 0.8)
+        .select("id_a", "id_b", "common_neighbors", "nbr_jaccard")
+    )
+
+
+@query(
     "q_dedup_fuzzy",
     oracle="""
     SELECT id_a, id_b, lev FROM (
