@@ -42,6 +42,34 @@ from pyspark.sql import functions as F
 TRAIN_SAMPLE_N = 65536
 
 
+def seq_sq_dists(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """(n, k) squared-L2 distances between rows of ``X`` (n, dim) and
+    ``C`` (k, dim), accumulated STRICTLY left-to-right over the dim
+    axis — each step adds exactly one squared difference to the running
+    scalar, so every element reproduces bit-for-bit the sequential fold
+    that ``F.aggregate(zip_with(...), 0.0, acc + z)`` and DuckDB's
+    ``list_sum`` compute.
+
+    This exists because ``np.sum(..., axis=2)`` does NOT do that: numpy's
+    reducer is pairwise summation with an 8-way unrolled inner block even
+    below its 128-element block size, which empirically differs from the
+    left fold in the last ulp for most random 64-dim vectors.  A near-tie
+    in d2 can then flip an argmin during driver-side Lloyd training and
+    diverge the centroid trajectory from the cross-engine CTE oracle —
+    inside the declared parity domain.  The dim-axis loop below is the
+    vectorized form of the left fold: per (i, j) element the adds happen
+    one per dim step in increasing-dim order, identical to the scalar
+    sequence; the loop is over dim (<= 128), so the cost stays a handful
+    of (n, k) vectorized ops."""
+    n = X.shape[0]
+    k = C.shape[0]
+    acc = np.zeros((n, k), dtype=np.float64)
+    for j in range(X.shape[1]):
+        diff = X[:, j, None] - C[None, :, j]
+        acc += diff * diff
+    return acc
+
+
 def sample_training_vectors(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -137,17 +165,28 @@ def kmeans_fit_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     with_dist: bool = False,
+    dedup_ids: bool = True,
 ) -> DataFrame:
     """Run ``iters`` Lloyd's update rounds from the deterministic init
     (the k lowest-``id_col`` vectors), then return (id, cluster)
-    assignments under the final centroids.
+    assignments under the final centroids — ONE ROW PER DISTINCT ID
+    (``dedup_ids=True``, the CTE-twin contract): a duplicated id
+    resolves to its minimum-(raw dist, cluster) row, exactly the
+    oracle's per-round ``rn=1`` window over (row, centroid) pairs.
+    The dedup is a vec_id-partitioned window — a shuffle the common
+    keyed-store case doesn't need; callers whose id column is unique
+    by construction (which is when 100 TB matters) pass
+    ``dedup_ids=False`` to keep the final assignment a zero-shuffle
+    narrow map.
 
     Fixed iteration count, not convergence-tested — same contract as
     the PageRank query, which is what makes the unrolled-CTE DuckDB
     oracle expressible.
 
-    TRAINING IS SAMPLE-BOUNDED since r7 (same move as pq_train): the
-    65536 lowest-id vectors are collected once and Lloyd-iterated
+    TRAINING IS SAMPLE-BOUNDED since r7 (same move as pq_train): a
+    hash-ordered deterministic sample of up to 65536 vectors (see
+    sample_training_vectors — xxhash64 draw, unbiased above the cap,
+    the whole corpus below it) is collected once and Lloyd-iterated
     driver-side in vectorized numpy; only the FINAL ASSIGNMENT — the
     corpus-scale pass — runs distributed, as a narrow JVM map under
     literal centroids.  k*dim centroid parameters saturate long before
@@ -155,13 +194,15 @@ def kmeans_fit_assign(
     pre-r7 loop re-scanned the corpus once per round and paid per-round
     job scheduling + a 512-literal assignment expression, ~1 s/round of
     pure overhead at bench scale.  Numeric parity with the DuckDB CTE
-    twin is the SAME argument as before, now strictly tighter: centroid
-    means are rounded to ``decimals`` every round, and float-summation-
-    order differences (~1e-13 relative) sit far below the rounding
-    quantum — numpy's id-sorted accumulation replaces a shuffle order
-    that was itself nondeterministic.  Assignment ties break to the
-    first (lowest-cl) minimum in both the numpy argmin and the
-    distributed array_position(array_min).  DECLARED DOMAIN of the
+    twin holds on two legs: centroid means are rounded to ``decimals``
+    every round (so the ~1e-13 relative summation-order wiggle of the
+    id-sorted numpy accumulation sits far below the rounding quantum),
+    and the UNROUNDED argmin distances are computed with seq_sq_dists —
+    a strict left fold over dim, bit-for-bit the F.aggregate /
+    list_sum sequence, because np.sum's pairwise reducer is not and a
+    near-tie could otherwise flip an assignment mid-trajectory.
+    Assignment ties break to the first (lowest-cl) minimum in both the
+    numpy argmin and the distributed array_position(array_min).  DECLARED DOMAIN of the
     CTE parity: corpora within the sample cap, where sample == corpus
     and the twin replays the identical trajectory.  Above the cap the
     two diverge by construction — the CTE seeds from the corpus-wide
@@ -192,10 +233,28 @@ def kmeans_fit_assign(
                     break
         for _ in range(iters):
             C = np.array([vec for _, vec in cents])
-            # sequential fold over dim (<128 -> numpy's plain loop),
-            # matching assign_clusters' ordered F.aggregate
-            d2 = np.sum((X[:, None, :] - C[None, :, :]) ** 2, axis=2)
-            assign = np.argmin(d2, axis=1)  # first-min tie-break
+            # strict left fold over dim (seq_sq_dists), bit-for-bit the
+            # ordered F.aggregate in assign_clusters / list_sum in the
+            # CTE twin — np.sum's pairwise reducer is NOT that fold
+            d2 = seq_sq_dists(X, C)
+            rowd = d2.min(axis=1)
+            rowcl = d2.argmin(axis=1)  # first-min tie-break
+            # ID-ATOMIC assignment (CTE parity): the oracle's per-round
+            # rn=1 window ranks (row, centroid) pairs PER VEC_ID, and
+            # its update joins a{it} back to e USING (vec_id) — so ALL
+            # rows of a duplicated id follow the id's min-(dist, cl)
+            # cluster into the mean.  Assigning duplicate rows
+            # independently diverges the trajectory the moment a dup
+            # pair straddles two centroids (hypothesis-found,
+            # test_kmeans_cte_collision_property).
+            id_min: dict[int, tuple[float, int]] = {}
+            for i, vid in enumerate(vec_ids):
+                cand = (float(rowd[i]), int(rowcl[i]))
+                if vid not in id_min or cand < id_min[vid]:
+                    id_min[vid] = cand
+            assign = np.array(
+                [id_min[vid][1] for vid in vec_ids], dtype=np.int64
+            )
             nxt: list[tuple[int, list[float]]] = []
             for idx, (cl, _) in enumerate(cents):
                 members = X[assign == idx]
@@ -212,7 +271,29 @@ def kmeans_fit_assign(
                     )
             cents = sorted(nxt)
     cols = ["vec_id", "cluster"] + (["dist"] if with_dist else [])
-    return assign_clusters(base, cents, with_dist=with_dist).select(*cols)
+    # DUPLICATE-ID SEMANTICS (one row per distinct vec_id, like the CTE
+    # twin): the oracle's per-round rn=1 window ranks every (row,
+    # centroid) pair of an id by (raw dist ASC, cl ASC), so a
+    # duplicated id resolves to its min-distance row's cluster.  The
+    # per-row assignment alone would emit BOTH duplicate rows — 6 vs 5
+    # rows on a planted dup fixture (test_clustering.py).  Rank on the
+    # UNROUNDED distance: the seq_sq_dists/F.aggregate/list_sum folds
+    # are bit-identical across engines, so raw comparisons agree.
+    from pyspark.sql import Window
+
+    assigned = assign_clusters(base, cents, with_dist=True)
+    if dedup_ids and cents:
+        raw_min = F.array_min(_distances(cents))
+        assigned = assigned.withColumn("__rawd", raw_min)
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("__rawd").asc(), F.col("cluster").asc()
+        )
+        assigned = (
+            assigned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__rawd")
+        )
+    return assigned.select(*cols)
 
 
 def kmeans_cte_prefix(

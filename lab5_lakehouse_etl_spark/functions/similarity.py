@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .clustering import seq_sq_dists
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, sequential left-fold (deterministic)."""
@@ -322,9 +324,10 @@ def pq_train(
     for it is measured in tests/test_ann_recall.py.
 
     TRAINING IS SAMPLE-BOUNDED (the FAISS-standard design): codebooks
-    are fitted on the ``sample_n`` lowest-id vectors (all of them when
-    the corpus is smaller), collected once and Lloyd-iterated
-    DRIVER-SIDE in vectorized numpy.  Rationale at 100 TB: k*m
+    are fitted on a hash-ordered deterministic sample of up to
+    ``sample_n`` vectors (see sample_training_vectors — xxhash64 draw,
+    unbiased above the cap, the whole corpus below it), collected once
+    and Lloyd-iterated DRIVER-SIDE in vectorized numpy.  Rationale at 100 TB: k*m
     centroids (128 here) saturate long before 10^5 training vectors,
     so training cost must be O(sample), independent of corpus size —
     only `pq_encode`, which is a single distributed projection pass,
@@ -336,9 +339,10 @@ def pq_train(
     determines.  Numeric parity: for corpora <= sample_n the numpy
     path reproduces the old distributed semantics step for step —
     same lowest-k-distinct-id seeding with lexicographic duplicate
-    tie-break, same sequential-fold squared-L2 (numpy's reducer is a
-    plain left-to-right loop below its 128-element pairwise block
-    size), same first-index argmin, same round(mean, decimals), same
+    tie-break, same sequential-fold squared-L2 (via seq_sq_dists'
+    explicit dim-axis left fold — np.sum's pairwise reducer is NOT
+    that fold even below 128 elements and can flip a near-tie
+    argmin), same first-index argmin, same round(mean, decimals), same
     keep-old-centroid on empty clusters; the only change is that
     cluster-mean accumulation now runs in a DETERMINISTIC (id-sorted)
     order where the old shuffle's partial-agg order was not."""
@@ -388,10 +392,10 @@ def pq_train(
             ]
         )  # (k, sub)
         for _ in range(iters):
-            # (n, k, sub) -> sequential fold over the last axis: numpy
-            # sums < 128 elements with a plain loop, matching the old
-            # F.aggregate left-to-right accumulation exactly
-            d2 = np.sum((Xs[:, None, :] - C[None, :, :]) ** 2, axis=2)
+            # strict dim-axis left fold (seq_sq_dists), matching the
+            # old F.aggregate accumulation exactly — np.sum's pairwise
+            # reducer does not, even under 128 elements
+            d2 = seq_sq_dists(Xs, C)
             assign = np.argmin(d2, axis=1)  # first-index min, like
             # array_position(array_min) in the distributed loop
             for j in range(k):
@@ -427,8 +431,9 @@ def pq_encode(
     memory-bandwidth-bound form of the same arithmetic; the encode
     pass stays a partition-local projection (no shuffle), which is
     what matters at corpus scale.  Numeric parity with the old
-    expression: numpy's <128-element reduction is the same sequential
-    fold as F.aggregate's, and argmin takes the first minimum like
+    expression: distances use seq_sq_dists' explicit dim-axis left
+    fold (bit-for-bit F.aggregate's sequence — np.sum's pairwise
+    reducer is not), and argmin takes the first minimum like
     array_position(array_min)."""
     m = len(books)
     sub = len(books[0][0])
@@ -447,9 +452,7 @@ def pq_encode(
             out = np.empty((len(X), m), dtype=np.int32)
             for s in range(m):
                 Xs = X[:, s * sub : (s + 1) * sub]
-                d2 = np.sum(
-                    (Xs[:, None, :] - cents[s][None, :, :]) ** 2, axis=2
-                )
+                d2 = seq_sq_dists(Xs, cents[s])
                 out[:, s] = np.argmin(d2, axis=1)
             for j, i in enumerate(present):
                 out_all[i] = out[j].tolist()

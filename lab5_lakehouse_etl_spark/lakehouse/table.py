@@ -718,9 +718,11 @@ class LakeTable:
         # and renamed into place immediately after winning the version,
         # so the torn window a concurrent reader can observe (JSON
         # token visible, checkpoint not yet) is one rename syscall —
-        # _hydrate_external retries across it.  A crash exactly between
-        # link and rename still leaves v{N} torn (explicit error on
-        # read) — v{N-1} remains the recovery point.
+        # _hydrate_external retries across it, and read() additionally
+        # serves latest-snapshot readers v{N-1} if the retry budget
+        # expires mid-publish.  A crash exactly between link and
+        # rename still leaves v{N} torn (explicit-version reads error)
+        # — v{N-1} remains the recovery point.
         external = len(files) > _inline_files_max()
         staged_ckpt = self._stage_stats_checkpoint(version, files, file_stats)
         try:
@@ -1868,7 +1870,34 @@ class LakeTable:
             if version is not None:
                 raise ValueError("pass version or as_of, not both")
             version = self.version_as_of(as_of)
-        v = self.version() if version is None else version
+        if version is None:
+            v = self.version()
+            try:
+                return self._read_at(spark, v, prune, prune_via)
+            except FileNotFoundError as err:
+                # torn-commit window on the NEWEST version only: the
+                # JSON token is visible but the external stats
+                # checkpoint hasn't been renamed into place yet (the
+                # writer is mid-publish, or crashed there).  A
+                # latest-snapshot reader didn't ask for v{N}
+                # specifically — serve the previous version, which is
+                # complete by construction; the next read converges to
+                # v{N} once the checkpoint lands.  Explicit-version
+                # reads still raise (silently substituting a different
+                # snapshot than requested would be wrong).
+                if v > 0 and "stats checkpoint" in str(err):
+                    return self._read_at(spark, v - 1, prune, prune_via)
+                raise
+        return self._read_at(spark, version, prune, prune_via)
+
+    def _read_at(
+        self,
+        spark: SparkSession,
+        v: int,
+        prune: list[tuple] | None = None,
+        prune_via: str = "driver",
+    ) -> DataFrame:
+        """Body of :meth:`read` for one resolved version."""
         # metadata only — for a files_external snapshot the file list
         # is NEVER parsed as JSON on this path: pruned reads collect
         # survivors from a Spark job over the stats checkpoint, full
@@ -2706,13 +2735,37 @@ class LakeTable:
                         os.remove(p)
                 except OSError:
                     pass  # concurrent sweep/publish won the race
+        def _newest_mtime(root_dir: str) -> float:
+            """Newest mtime anywhere UNDER the dir, not the top-level
+            dir's own: a partitioned _stage_files write creates the
+            partition subdirs early and then streams files into them,
+            so the top-level mtime goes stale minutes before the write
+            finishes — sweeping on it can rmtree a LIVE >15-min
+            staging out from under its writer (round-7 advice).  Any
+            file or subdir touched inside the window proves the
+            staging is alive."""
+            newest = 0.0
+            try:
+                newest = os.path.getmtime(root_dir)
+            except OSError:
+                return now  # racing writer/sweeper: treat as live
+            for r, dirs, fnames in os.walk(root_dir):
+                for entry in dirs + fnames:
+                    try:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(r, entry))
+                        )
+                    except OSError:
+                        newest = now  # vanished mid-walk: live churn
+            return newest
+
         for fname in os.listdir(self.path):
             p = os.path.join(self.path, fname)
             try:
                 if (
                     fname.startswith(".stage_v")
                     and os.path.isdir(p)
-                    and now - os.path.getmtime(p) > grace
+                    and now - _newest_mtime(p) > grace
                 ):
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:

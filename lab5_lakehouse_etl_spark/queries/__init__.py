@@ -160,10 +160,6 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_dedup_embedding": 7,
     "q_ewma": 7,
     "q_holt_trend": 7,
-    "q_kmeans_embed": 7,
-    "q_semdedup": 7,
-    "q_cluster_sample": 7,
-    "q_ann_pq": 7,
     "q_merge_upsert": 7,
     "q_stream_join": 7,
     "q_stream_dedup": 7,
@@ -171,6 +167,15 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_stream_stateful": 7,
     "q_stream_multibatch": 7,
     "q_stream_enrich": 7,
+    # Round-8 rewrites: seq_sq_dists replaces np.sum's pairwise
+    # reducer in every driver-side Lloyd trainer + pq_encode (bit-level
+    # distance change can flip near-tie argmins), and kmeans training/
+    # assignment became id-atomic with per-id dedup (CTE-twin duplicate
+    # semantics).
+    "q_kmeans_embed": 8,
+    "q_semdedup": 8,
+    "q_cluster_sample": 8,
+    "q_ann_pq": 8,
 }
 
 

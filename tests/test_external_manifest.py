@@ -261,3 +261,50 @@ def test_threshold_straddling_twin_parity(spark, ops, thr):
         else:
             os.environ[key] = saved
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_torn_commit_latest_read_falls_back(spark, tmp_path, monkeypatch):
+    """Round-7 verdict item 3 (table.py torn-read window): a writer
+    publishes the JSON commit token BEFORE renaming the stats
+    checkpoint into place.  A concurrent latest-snapshot reader that
+    lands in that window must get the PREVIOUS version (complete by
+    construction), not a FileNotFoundError — and converge to the new
+    version once the checkpoint rename lands.  Explicit-version reads
+    of the torn snapshot still raise (substituting a different
+    snapshot than requested would be silent corruption)."""
+    monkeypatch.setenv("SPARK_GRAFT_INLINE_FILES_MAX", "4")
+    path = str(tmp_path / "torn_tbl")
+    # partitioned layout so the merge rewrites ONE partition and
+    # carries the rest over — v1 keeps enough files to stay external
+    # (an unpartitioned merge compacts to a handful of inline files)
+    base = _mk_df(spark, n=100).withColumn("p", F.col("k") % 8)
+    t = LakeTable.create(base, path, partition_by=["p"])
+    v0_rows = sorted((r.k, r.amt) for r in t.read(spark).collect())
+    src = spark.createDataFrame(
+        [(10_000_000, 99.0, 0), (20_000_000, 1.0, 0)],
+        "k long, amt double, p long",
+    )
+    t.merge(spark, src, key=["k"])  # v1, still external (>4 files)
+    assert t.version() == 1
+    with open(os.path.join(t.log_dir, "v1.json")) as fh:
+        assert json.load(fh)["files_external"] is True
+
+    # simulate the torn window: v1's JSON token is published but its
+    # checkpoint has not landed yet
+    ckpt = t._stats_checkpoint_path(1)
+    hidden = ckpt + ".inflight"
+    os.rename(ckpt, hidden)
+
+    reader = LakeTable(path)  # fresh instance = a concurrent process
+    assert (
+        sorted((r.k, r.amt) for r in reader.read(spark).collect())
+        == v0_rows
+    )
+    with pytest.raises(FileNotFoundError, match="stats checkpoint"):
+        LakeTable(path).read(spark, version=1).collect()
+
+    # the rename lands: the same reader converges to v1
+    os.rename(hidden, ckpt)
+    cur = {r.k: r.amt for r in LakeTable(path).read(spark).collect()}
+    assert cur[10_000_000] == 99.0 and cur[20_000_000] == 1.0
+    assert len(cur) == 101

