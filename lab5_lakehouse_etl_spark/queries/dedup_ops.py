@@ -126,10 +126,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0.85) — which the oracle states as TRUE. Deterministic per
     fixture (fixed seeds); the raw Hamming pair set remains available
     via functions/dedup.simhash_near_dups and is pinned structurally
-    in tests/test_dedup_golden.py."""
+    in tests/test_dedup_golden.py.
+
+    The Spark-side truth set is the EXHAUSTIVE prefix-filtered exact
+    Jaccard join (full recall by the prefix-filter theorem — round-7
+    advice), NOT minhash candidates: deriving truth from minhash
+    banding would silently couple this invariant to minhash recall
+    being exactly 1.0 on every fixture, and a banding miss would fail
+    here implicating simhash instead of the candidate generator."""
     docs = load_table(spark, sf_dir, "documents")
-    truth = D.verified_near_dups(
-        docs, D.minhash_candidate_pairs(docs), threshold=0.5
+    truth = D.prefix_filter_jaccard_pairs(
+        docs, threshold=0.5, elements=D.char_shingles("text", 5)
     ).select("id_a", "id_b")
     found = D.simhash_near_dups(docs, max_hamming=6).select("id_a", "id_b")
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))

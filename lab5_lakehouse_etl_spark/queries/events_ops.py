@@ -438,7 +438,13 @@ def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     def geomean(v):
         import numpy as np
 
-        return float(np.exp(np.log(v.to_numpy()).mean()))
+        # value=0 in a group => log(0) = -inf => exp(mean) = 0, the
+        # declared (oracle-pinned) semantics — but without the errstate
+        # guard numpy prints a "divide by zero encountered in log"
+        # RuntimeWarning into bench stdout, polluting the size-guarded
+        # JSON line (round-7 verdict cosmetic).
+        with np.errstate(divide="ignore"):
+            return float(np.exp(np.log(v.to_numpy()).mean()))
 
     # Catalyst refuses to mix pandas and JVM aggregates in one Aggregate
     # node (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a pandas

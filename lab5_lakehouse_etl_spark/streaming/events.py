@@ -49,7 +49,17 @@ STATE_PARTITIONS = 8
 def _state_sized_shuffle(spark: SparkSession, n: int = STATE_PARTITIONS):
     """Scope spark.sql.shuffle.partitions = n around a streaming drain
     (the value is captured into the checkpoint at first batch; batch
-    queries re-tune() their own width, so scoping here cannot leak)."""
+    queries re-tune() their own width, so scoping here cannot leak).
+
+    CONCURRENCY: this mutates the SESSION-global conf and restores it
+    in ``finally`` — safe for the drain helpers' intended use (one
+    drain at a time per SparkSession, the bench/driver shape), but a
+    concurrent query on the SAME session can observe the narrowed
+    width or race the restore.  Concurrent callers should scope the
+    setting per-query instead: run each drain in its own
+    ``spark.newSession()`` (confs are session-local there) or set the
+    width via the stream's own ``option("spark.sql.shuffle.
+    partitions", ...)`` where the source supports it."""
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     spark.conf.set(key, str(n))
