@@ -725,6 +725,97 @@ def prefix_filter_jaccard_pairs(
     return intra.unionByName(cross)
 
 
+def shared_gram_occurrences(
+    toks_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+) -> DataFrame:
+    """Every occurrence of an ``n``-token gram that appears in >= 2
+    DISTINCT documents: (id, start, owner) with ``start`` the 0-based
+    token position and ``owner`` the lowest sharing doc id — the
+    shared primitive under both the variable-length span report
+    (q_dup_spans_var: all occurrences, island-merged into maximal
+    spans) and ExactSubstr removal (q_dup_remove: non-owner
+    occurrences blanked).
+
+    ``toks_df`` is the pre-tokenized (id, toks) relation so callers
+    tokenize exactly once and feed every consumer.
+
+    Plan shape (the 100 TB argument, same as q_dup_spans): gram
+    extraction is a narrow partition-preserving posexplode; sharing is
+    ONE shuffle keyed on the span via a frameless window — "shared by
+    >= 2 docs" is ``min(id) != max(id)`` over the span partition, and
+    the owner is the same window's min, so no owners self-join ever
+    duplicates the explode subtree in the physical plan.  At corpus
+    scale the span string would shuffle as its xxhash64 with min(span)
+    carried as representative — same plan, 8-byte keys."""
+    from pyspark.sql import Window
+
+    spans = toks_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size({toks_col}) - {n - 1}"
+                f", 1)), i -> concat_ws(' ', slice({toks_col}, i, {n})))"
+            )
+        ).alias("start", "span"),
+    )
+    w = Window.partitionBy("span")
+    return (
+        spans.withColumn("owner", F.min(id_col).over(w))
+        .withColumn("__mx", F.max(id_col).over(w))
+        .filter(F.col("owner") != F.col("__mx"))
+        .select(id_col, "start", "owner")
+    )
+
+
+def merge_covered_spans(
+    occ: DataFrame, n: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Maximal runs of tokens covered by any shared ``n``-gram — the
+    VARIABLE-LENGTH span report equivalent to suffix-array ExactSubstr
+    at token granularity (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): a cross-document repeat of
+    length L >= n appears as exactly L-n+1 consecutive shared n-gram
+    starts, so the union of shared-gram coverage IS the union of all
+    maximal >= n-token repeats — no corpus-wide suffix array needed,
+    and overlapping/abutting repeats merge into one reported span the
+    same way the paper's remove phase merges overlapping byte ranges.
+
+    Input is :func:`shared_gram_occurrences` output, which carries
+    EXACTLY one row per (id, start) by construction (posexplode emits
+    each position once; the span window neither duplicates nor needs
+    a distinct — skipping it saves a (id, start)-keyed aggregate
+    exchange).  The merge is the standard gaps-and-islands reduction
+    per document: one id-keyed window (start ordered), new island when
+    a gram starts past the previous covered end + 1, then a
+    (id, island) group-by that REUSES the window's id partitioning
+    (HashPartitioning(id) satisfies the grouping's clustered
+    distribution) — so the whole merge is ONE shuffle, bounded by the
+    number of SHARED gram occurrences, not corpus size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_end = F.max(F.col("start") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ni = (
+        F.when(prev_end.isNull(), 1)
+        .when(F.col("start") > prev_end + 1, 1)
+        .otherwise(0)
+    )
+    isl = (
+        occ.select(id_col, "start")
+        .withColumn("__ni", ni)
+        .withColumn("__island", F.sum("__ni").over(w))
+    )
+    return isl.groupBy(id_col, "__island").agg(
+        F.min("start").cast("bigint").alias("span_start"),
+        (F.max("start") + n - F.min("start")).cast("bigint").alias("span_len"),
+    ).drop("__island")
+
+
 def band_components(
     df: DataFrame,
     id_col: str,

@@ -180,6 +180,9 @@ _REWRITTEN_IN: dict[str, int] = {
     # prefix-filtered exact-Jaccard join (decouples the invariant from
     # minhash banding recall).
     "q_dedup_simhash": 8,
+    # r8: removal phase refactored onto the shared_gram_occurrences
+    # primitive introduced with q_dup_spans_var.
+    "q_dup_remove": 8,
 }
 
 

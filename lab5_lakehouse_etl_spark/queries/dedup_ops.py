@@ -516,26 +516,16 @@ def q_dup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets the array form because Catalyst keeps it in whole-stage
     codegen).
     """
-    from pyspark.sql import Window
-
     from ..functions import text as T
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     t = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    spans = t.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, greatest(size(toks) - 7, 1)),"
-                " i -> concat_ws(' ', slice(toks, i, 8)))"
-            )
-        ).alias("start", "span"),
-    )
-    wspan = Window.partitionBy("span")
+    # shared primitive with q_dup_spans_var (functions/dedup.
+    # shared_gram_occurrences): every shared-gram occurrence with its
+    # owner; the remove phase blanks the non-owner occurrences
     removable = (
-        spans.withColumn("owner", F.min("doc_id").over(wspan))
-        .withColumn("mx", F.max("doc_id").over(wspan))
-        .filter((F.col("owner") != F.col("mx")) & (F.col("doc_id") != F.col("owner")))
+        D.shared_gram_occurrences(t, n=8)
+        .filter(F.col("doc_id") != F.col("owner"))
         .groupBy("doc_id")
         .agg(F.collect_set("start").alias("starts"))
     )
@@ -812,6 +802,82 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "q_dup_spans_var",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i - 1 AS start,
+             array_to_string(t[CAST(i AS INT) : CAST(i AS INT) + 7], ' ')
+               AS span
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, CAST(greatest(len(t) - 7, 1) AS BIGINT)
+                                   + 1)) AS i
+            FROM toks)
+    ),
+    shared AS (
+      SELECT span FROM spans
+      GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    ),
+    pos AS (
+      SELECT DISTINCT s.doc_id, s.start
+      FROM spans s JOIN shared USING (span)
+    ),
+    m AS (
+      SELECT doc_id, start,
+             CASE WHEN start > coalesce(
+                    max(start + 7) OVER (
+                      PARTITION BY doc_id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -2) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM pos
+    ),
+    isl AS (
+      SELECT doc_id, start,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY start) AS island
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(min(start) AS BIGINT)                  AS span_start,
+           CAST(max(start) + 8 - min(start) AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def q_dup_spans_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIABLE-LENGTH cross-document repeated-passage spans — the
+    suffix-array ExactSubstr form (Lee et al. 2022) that q_dup_spans'
+    fixed 8-gram report approximates: for every document, the maximal
+    runs of tokens covered by any 8-token gram shared verbatim with
+    another document, as (doc_id, span_start, span_len) with
+    span_len >= 8 and unbounded above (a 200-token plagiarized
+    passage reports as ONE 200-token span, not 193 overlapping
+    8-grams).
+
+    Equivalence argument (why no suffix array is materialized): a
+    cross-doc repeat of token length L >= 8 appears as exactly L-7
+    consecutive shared 8-gram starts, and conversely every covered
+    token lies inside such a repeat — so the island-merged coverage of
+    shared 8-grams IS the union of maximal >= 8-token repeats, the
+    precise set a corpus-wide suffix array would mark at token
+    granularity; abutting/overlapping repeats merge exactly like the
+    paper's merged byte ranges.  Scale shape: one span-keyed window
+    shuffle for sharing (functions/dedup.shared_gram_occurrences — no
+    owners self-join), then doc-keyed gaps-and-islands over only the
+    SHARED occurrences (functions/dedup.merge_covered_spans) — costs
+    bounded by duplicate volume, not corpus size.  q_dup_remove
+    consumes the same shared primitive for its removal phase."""
+    from ..functions import text as T
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    occ = D.shared_gram_occurrences(t, n=8)
+    return D.merge_covered_spans(occ, n=8)
 
 
 def _kcore_oracle(k: int = 3, rounds: int = 5) -> str:

@@ -117,3 +117,43 @@ def test_simhash_contains_all_true_dups_sf001(spark, ddb_01):
     row = Q.QUERIES["q_dedup_simhash"](spark, SF_001).collect()[0]
     assert row.n_true_pairs == len(truth)
     assert row.recall_ok is True
+
+
+def test_variable_length_spans_planted_fixture(spark):
+    """q_dup_spans_var's primitives on a hand-built corpus with known
+    repeats — pins exact (span_start, span_len) boundaries for every
+    structural case of the variable-length ExactSubstr report:
+
+    - a 10-token passage P and a 9-token passage Q planted across docs
+      at different offsets (variable length, variable position);
+    - two repeats separated by ONE uncovered token stay two spans;
+    - two repeats whose coverages abut (P directly followed by Q, with
+      the boundary grams unique) merge into one span, like the Lee et
+      al. remove phase's merged ranges;
+    - a document with no cross-doc repeat reports nothing.
+    """
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+    from lab5_lakehouse_etl_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    P = " ".join(f"p{i}" for i in range(10))   # 10 tokens
+    Qp = " ".join(f"q{i}" for i in range(9))   # 9 tokens
+    corpus = [
+        (1, f"w1 w2 {P} g1 {Qp} w3"),   # P at 2 len 10; gap; Q at 13 len 9
+        (2, f"{P} a1 a2"),              # P at 0
+        (3, f"b1 {Qp}"),                # Q at 1
+        (4, "c1 c2 c3 c4 c5 c6 c7 c8"),  # unique - no spans
+        (5, f"{P} {Qp}"),               # abutting coverages -> one span
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    t = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    spans = D.merge_covered_spans(D.shared_gram_occurrences(t, n=8), n=8)
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_len) for r in spans.collect()
+    )
+    assert got == [
+        (1, 2, 10), (1, 13, 9),
+        (2, 0, 10),
+        (3, 1, 9),
+        (5, 0, 19),
+    ]
