@@ -128,16 +128,26 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     via functions/dedup.simhash_near_dups and is pinned structurally
     in tests/test_dedup_golden.py.
 
-    The Spark-side truth set is the EXHAUSTIVE prefix-filtered exact
-    Jaccard join (full recall by the prefix-filter theorem — round-7
-    advice), NOT minhash candidates: deriving truth from minhash
-    banding would silently couple this invariant to minhash recall
-    being exactly 1.0 on every fixture, and a banding miss would fail
-    here implicating simhash instead of the candidate generator."""
+    The Spark-side truth set is an EXHAUSTIVE exact Jaccard join
+    (full recall by construction — round-7 advice), NOT minhash
+    candidates: deriving truth from minhash banding would silently
+    couple this invariant to minhash recall being exactly 1.0 on
+    every fixture, and a banding miss would fail here implicating
+    simhash instead of the candidate generator.  The adaptive router
+    (functions/dedup.exact_jaccard_pairs) picks the dense-vocabulary
+    block-matmul kernel on this corpus — the synthetic text has only
+    ~2k distinct 5-shingle types, the regime where prefix-filter
+    postings are uselessly hot (measured: 42 s vs ~1 s at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    truth = D.prefix_filter_jaccard_pairs(
-        docs, threshold=0.5, elements=D.char_shingles("text", 5)
-    ).select("id_a", "id_b")
+    # output-sized (pair) relation consumed twice below (count + semi
+    # join): materialize once instead of re-running the exact join
+    truth = (
+        D.exact_jaccard_pairs(
+            docs, threshold=0.5, elements=D.char_shingles("text", 5)
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     found = D.simhash_near_dups(docs, max_hamming=6).select("id_a", "id_b")
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     rec = (

@@ -428,9 +428,16 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     k x dim shuffle per round, centroids rounded each round so the
     unrolled-CTE DuckDB oracle tracks the identical trajectory — see
     functions/clustering.py for the full scale/parity argument.
+
+    ``dedup_ids=False`` in all three kmeans-family queries: the
+    embeddings table is a keyed store (vec_id unique — pinned by
+    tests/test_clustering.py::test_fixture_vec_ids_unique), so the
+    final assignment stays the zero-shuffle narrow map; with unique
+    ids the dedup window is a per-id no-op and both settings produce
+    identical (oracle-matched) rows.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return KM.kmeans_fit_assign(emb, k=8, iters=5)
+    return KM.kmeans_fit_assign(emb, k=8, iters=5, dedup_ids=False)
 
 
 @query(
@@ -453,7 +460,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = KM.kmeans_fit_assign(emb, k=8, iters=5)
+    assigned = KM.kmeans_fit_assign(emb, k=8, iters=5, dedup_ids=False)
     v = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -491,7 +498,9 @@ def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = KM.kmeans_fit_assign(emb, k=8, iters=5, with_dist=True)
+    assigned = KM.kmeans_fit_assign(
+        emb, k=8, iters=5, with_dist=True, dedup_ids=False
+    )
     w = Window.partitionBy("cluster").orderBy(
         F.col("dist").asc(), F.col("vec_id").asc()
     )

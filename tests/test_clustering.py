@@ -189,3 +189,13 @@ def test_kmeans_cte_collision_property(spark):
             con.close()
 
     run()
+
+
+def test_fixture_vec_ids_unique(spark):
+    """The kmeans-family queries pass dedup_ids=False (zero-shuffle
+    final assignment) on the declared precondition that the embeddings
+    table is a keyed store — pin it, so a future fixture with
+    duplicated vec_ids fails HERE with the real reason instead of as
+    an oracle hash mismatch."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert emb.count() == emb.select("vec_id").distinct().count()

@@ -90,3 +90,48 @@ def test_prefix_join_exact_recall_hostile_thresholds(spark):
         (r.id_a, r.id_b)
         for r in D.prefix_filter_jaccard_pairs(docs, threshold=0.25).collect()
     }
+
+
+def test_dense_vocab_kernel_matches_prefix_filter(spark):
+    """The adaptive exact-Jaccard router's two kernels are both
+    full-recall exact joins and must emit IDENTICAL
+    (id_a, id_b, jaccard) rows — cross-checked on char-5-shingle sets,
+    the low-entropy case that routes dense (and where prefix filtering
+    is slow but still exact)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    el = D.char_shingles("text", 5)
+    dense = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.exact_jaccard_pairs(docs, 0.5, elements=el).collect()
+    }
+    prefix = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.prefix_filter_jaccard_pairs(
+            docs, 0.5, elements=el
+        ).collect()
+    }
+    assert dense == prefix
+    assert dense  # fixture plants near-dups; empty means a broken join
+
+
+def test_dense_vocab_kernel_edge_cases(spark):
+    """Dense kernel handles empty sets (zero rows in the incidence
+    matrix), singleton docs, and exact duplicates (J=1.0)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),     # exact dup of 0
+            (2, "epsilon zeta"),
+            (3, ""),                           # empty token set
+            (4, "alpha beta gamma echo"),      # J = 3/5 with 0 and 1
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    el = F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.exact_jaccard_pairs(docs, 0.5, elements=el).collect()
+    }
+    assert got == {(0, 1, 1.0), (0, 4, 0.6), (1, 4, 0.6)}
