@@ -507,3 +507,15 @@ def test_pmi_cooccur_broadcast_vocab_no_nested_loop(spark):
     # node twice — once in the tree, once as a detail header)
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert shuffle_count(df) <= 5
+
+
+def test_dup_spans_var_bounded_shuffles_and_pruned_scan(spark):
+    """q_dup_spans_var: one spread exchange + the span-sharing window
+    shuffle + ONE doc-keyed shuffle serving both islands windows AND
+    the final group-by (HashPartitioning(doc_id) satisfies the
+    grouping's clustered distribution — no aggregate re-exchange), and
+    the scan reads only (doc_id, text)."""
+    df = Q.QUERIES["q_dup_spans_var"](spark, SF_DIR)
+    assert shuffle_count(df) <= 3
+    schemas = scan_read_schema(df)
+    assert schemas and all(set(s) <= {"doc_id", "text"} for s in schemas)
