@@ -82,6 +82,32 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.verified_near_dups(docs, cands, threshold=0.5)
 
 
+@query("q_dedup_jaccard_dense", oracle=_CHAR_SHINGLE_JACCARD_ORACLE)
+def q_dedup_jaccard_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs char-5-shingle Jaccard >= 0.5 through the
+    ADAPTIVE exact-similarity router (functions/dedup.
+    exact_jaccard_pairs) — the dense-vocabulary complement to
+    q_dedup_prefix's prefix-filter route, declared first-class so the
+    routing decision itself is under the differential oracle.
+
+    Why a second exact-Jaccard query: set-similarity joins have two
+    cost regimes.  High-entropy element spaces (word n-grams —
+    q_dedup_prefix) keep prefix postings short; low-entropy spaces
+    (char shingles over a bounded alphabet: ~2k types at sf0.1,
+    median df 291) turn every posting hot and prefix filtering emits
+    a near-cross-product.  There the right exact kernel is a
+    binary-incidence block matmul over the SMALL vocabulary —
+    intersection counts are exact 0/1 sums, so the emitted jaccard is
+    float64-over-exact-integers, bit-identical to the brute-force SQL
+    twin.  The router probes |vocab| with one capped job and picks
+    the kernel; both are full-recall and pinned equal
+    (tests/test_dedup_backends.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_jaccard_pairs(
+        docs, threshold=0.5, elements=D.char_shingles("text", 5)
+    )
+
+
 #: simhash recall floor over true Jaccard-≥0.5 pairs: Hamming ≤ 6 on
 #: 64-bit fingerprints measures a DIFFERENT similarity than Jaccard, so
 #: recall of J≥0.5 pairs is structurally < 1 (measured 0.93/1.0/0.93 at
