@@ -98,3 +98,46 @@ def q_xlsx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_file"
         ),
     )
+
+
+@query(
+    "q_scan_jsonl",
+    oracle="""
+    SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL round-trip scan — the LLM-corpus landing format the
+    reference's CSV/XLSX path doesn't cover: materialize `documents`
+    as JSON-Lines (Spark's own line-per-object writer, newlines and
+    quotes in text escaped per RFC 8259), then scan it back through
+    sources.readers.read_jsonl with the DECLARED schema (no sampling
+    inference pass — at 100 TB inference reads the corpus twice) and
+    hash-compare the distributed scan against the original parquet
+    truth.  The declared-schema read also pins column ORDER (JSON
+    objects carry no order; inference would alphabetize), so the
+    result schema is exactly the table's."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.readers import read_jsonl
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    land = scratch_dir("q_scan_jsonl", fresh=True) + "/documents_jsonl"
+    docs.write.mode("overwrite").json(land)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    return read_jsonl(spark, land, schema)

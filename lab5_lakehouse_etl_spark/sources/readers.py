@@ -28,6 +28,22 @@ def read_csv_untyped(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("header", True).csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """JSON-Lines read — the dominant LLM-training-corpus interchange
+    format (one JSON object per line; WebDataset/The Pile/Dolma-style
+    drops land this way).  With a declared schema the scan skips
+    Spark's sampling inference pass entirely (at 100 TB, inference
+    means reading the data twice); malformed lines become all-NULL
+    rows (PERMISSIVE), matching the CSV readers' degradation
+    contract."""
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def read_csv_with_schema(
     spark: SparkSession, path: str, schema: StructType
 ) -> DataFrame:
