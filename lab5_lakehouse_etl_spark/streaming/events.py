@@ -398,6 +398,69 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf (its state-server
+    protocol is proto-encoded); this sandbox ships pyspark without it,
+    so the TWS operator is environment-gated exactly like the
+    delta-spark adapter (probe is cheap, failure mode is an
+    ImportError inside Spark's streaming python runner)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-user running count + value sum via
+    ``transformWithStateInPandas`` — the arbitrary-stateful API that
+    supersedes applyInPandasWithState in Spark 4 (typed state
+    variables with TTL, timers, composite ValueState/ListState/
+    MapState, RocksDB-backed).  Same semantics as
+    :func:`stateful_user_counts`; the two are parity-pinned by
+    tests/test_streaming.py::test_tws_matches_applyinpandaswithstate
+    wherever the runtime has protobuf (see :func:`tws_available` —
+    this sandbox does not, so the pin ships skip-guarded like the
+    delta-spark suite).
+
+    Caller must run the stream with the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider``) — transformWithState
+    requires it."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _Counter(StatefulProcessor):
+        def init(self, handle):
+            self._agg = handle.getValueState("agg", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._agg.get() if self._agg.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(total, 3)],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Counter(),
+        outputStructType="user_id BIGINT, n_events BIGINT, sum_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_merge_to_table(
     spark: SparkSession,
     events: DataFrame,

@@ -277,3 +277,60 @@ def test_read_events_stream_nanos_and_micros_parity(spark, tmp_path):
         drained[unit] = sorted(tuple(r) for r in out.collect())
     assert drained["ns"] == drained["us"]
     assert len(drained["ns"]) == 8
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "lab5_lakehouse_etl_spark.streaming.events", fromlist=["events"]
+    ).tws_available(),
+    reason="transformWithStateInPandas needs protobuf (not in this "
+    "sandbox; see streaming/events.py tws_available)",
+)
+def test_tws_matches_applyinpandaswithstate(spark):
+    """transformWithStateInPandas (Spark 4 arbitrary-stateful API) and
+    applyInPandasWithState express the same per-user running totals —
+    parity-pinned wherever the runtime has protobuf."""
+    from lab5_lakehouse_etl_spark.session import table_path
+    from lab5_lakehouse_etl_spark.streaming import events as E
+    from tests.conftest import SF_DIR
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = E.read_events_stream(spark, table_path(SF_DIR, "events"))
+        tws = E.run_to_memory(
+            E.stateful_user_counts_tws(stream), "tws_parity_sink", spark,
+            "update",
+        )
+        stream2 = E.read_events_stream(spark, table_path(SF_DIR, "events"))
+        aip = E.run_to_memory(
+            E.stateful_user_counts(stream2), "aip_parity_sink", spark,
+            "update",
+        )
+        assert sorted(map(tuple, tws.collect())) == sorted(
+            map(tuple, aip.collect())
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_tws_plan_constructs_without_protobuf(spark):
+    """The TWS operator's PLAN builds in any environment (protobuf is
+    only needed by the python runner at stream start): pin the declared
+    output schema so the skip-guarded parity test can't silently rot —
+    the non-skipped twin of the delta-adapter structural pins."""
+    from lab5_lakehouse_etl_spark.session import table_path
+    from lab5_lakehouse_etl_spark.streaming import events as E
+    from tests.conftest import SF_DIR
+
+    stream = E.read_events_stream(spark, table_path(SF_DIR, "events"))
+    out = E.stateful_user_counts_tws(stream)
+    assert out.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("user_id", "bigint"),
+        ("n_events", "bigint"),
+        ("sum_value", "double"),
+    ]
