@@ -546,3 +546,80 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("m_s"))
         .select("doc_id", "lang", "source")
     )
+
+
+@query(
+    "q_sketch_cms",
+    oracle=r"""
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS freq,
+           TRUE AS est_ge_exact,
+           TRUE AS overcount_ok
+    FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+            AS token
+          FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 20
+    """,
+)
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters — the third mergeable sketch
+    alongside GK quantiles (q_sketch_quantile) and HLL cardinality
+    (q_sketch_hll_merge): token frequencies estimated from a fixed
+    d x w counter matrix instead of a vocabulary-sized group-by.  At
+    100 TB the sketch is the point: the CMS shuffle carries AT MOST
+    d*w = 8192 (row, bucket) partial counts regardless of vocabulary
+    or corpus size (map-side combine saturates the key space), where
+    the exact group-by shuffles one key per distinct token; and two
+    corpus shards' matrices merge by elementwise SUM (linearity —
+    pinned in tests/test_properties.py).
+
+    Declared output is the r6 invariant pattern for seeded sketches:
+    the exact top-20 token counts (SQL-stateable) plus the CMS
+    guarantees the oracle states as TRUE — ``est_ge_exact`` (the
+    estimate NEVER undercounts: every cell the token hashes to
+    contains at least its own count; holds unconditionally) and
+    ``overcount_ok`` (min-over-rows estimate <= exact + ceil(e/w * N),
+    the standard eps*N bound at the sketch's eps = e/w; deterministic
+    per fixture under fixed xxhash64 seeds, verified at
+    sf0.001/0.01/0.1).  The estimate itself is seeded-hash-dependent
+    and so appears only through the booleans, never as a raw column
+    the oracle cannot restate."""
+    import math
+
+    d, w = 4, 2048
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    buckets = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("token"), F.lit(r)), F.lit(w))
+            for r in range(d)
+        ]
+    )
+    # sketch build: one narrow 4x fan-out, one bounded-key shuffle
+    cms = (
+        toks.select(F.posexplode(buckets).alias("r", "bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = toks.agg(F.count(F.lit(1)).alias("n_tot"))  # 1-row stat
+    topk = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    est = (
+        topk.select("token", "freq", F.posexplode(buckets).alias("r", "bucket"))
+        .join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("token", "freq")
+        .agg(F.min("c").alias("est"))
+    )
+    slack = F.ceil(F.lit(math.e) * F.col("n_tot") / F.lit(w))
+    return est.crossJoin(F.broadcast(n_total)).select(
+        "token",
+        "freq",
+        (F.col("est") >= F.col("freq")).alias("est_ge_exact"),
+        (F.col("est") <= F.col("freq") + slack).alias("overcount_ok"),
+    )

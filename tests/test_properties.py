@@ -305,3 +305,39 @@ def test_interval_island_components_equal_generic_cc(spark, data):
         ).collect()
     }
     assert island == generic
+
+
+def test_cms_matrices_merge_by_elementwise_sum(spark):
+    """Count-min linearity (the property that makes q_sketch_cms a
+    SKETCH): the CMS of a union is the elementwise sum of the shards'
+    matrices — so per-shard 8 KiB matrices roll up without touching
+    tokens again."""
+    from lab5_lakehouse_etl_spark.functions import text as T
+    from lab5_lakehouse_etl_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    d, w = 4, 2048
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def cms(df):
+        toks = df.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        buckets = F.array(
+            *[
+                F.pmod(F.xxhash64(F.col("token"), F.lit(r)), F.lit(w))
+                for r in range(d)
+            ]
+        )
+        rows = (
+            toks.select(F.posexplode(buckets).alias("r", "bucket"))
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {(x.r, x.bucket): x.c for x in rows}
+
+    even = cms(docs.filter(F.col("doc_id") % 2 == 0))
+    odd = cms(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = dict(even)
+    for k, v in odd.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == cms(docs)
