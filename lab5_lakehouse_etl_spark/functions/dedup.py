@@ -959,6 +959,38 @@ def shared_gram_occurrences(
     )
 
 
+def shared_chargram_occurrences(
+    docs: DataFrame,
+    n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Char-granular twin of :func:`shared_gram_occurrences`: every
+    occurrence of an ``n``-CHARACTER substring shared by >= 2 distinct
+    documents, as (id, start [0-based], owner).  Same single
+    span-keyed window plan; feeds :func:`merge_covered_spans` for the
+    Lee et al. ExactSubstr configuration, which is defined on
+    bytes/chars (min length ~50), not tokens."""
+    from pyspark.sql import Window
+
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - "
+                f"{n - 1}, 1)), i -> substring({text_col}, i, {n}))"
+            )
+        ).alias("start", "span"),
+    )
+    w = Window.partitionBy("span")
+    return (
+        spans.withColumn("owner", F.min(id_col).over(w))
+        .withColumn("__mx", F.max(id_col).over(w))
+        .filter(F.col("owner") != F.col("__mx"))
+        .select(id_col, "start", "owner")
+    )
+
+
 def merge_covered_spans(
     occ: DataFrame, n: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:

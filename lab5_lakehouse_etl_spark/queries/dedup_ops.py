@@ -916,6 +916,63 @@ def q_dup_spans_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.merge_covered_spans(occ, n=8)
 
 
+@query(
+    "q_dup_spans_char",
+    oracle=r"""
+    WITH spans AS (
+      SELECT doc_id, i - 1 AS start, substring(text, CAST(i AS INT), 20)
+               AS span
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, CAST(greatest(length(text) - 19, 1)
+                                        AS BIGINT) + 1)) AS i
+            FROM documents)
+    ),
+    shared AS (
+      SELECT span FROM spans
+      GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    ),
+    pos AS (
+      SELECT DISTINCT s.doc_id, s.start
+      FROM spans s JOIN shared USING (span)
+    ),
+    m AS (
+      SELECT doc_id, start,
+             CASE WHEN start > coalesce(
+                    max(start + 19) OVER (
+                      PARTITION BY doc_id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -2) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM pos
+    ),
+    isl AS (
+      SELECT doc_id, start,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY start) AS island
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(min(start) AS BIGINT)                   AS span_start,
+           CAST(max(start) + 20 - min(start) AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def q_dup_spans_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-granular variable-length ExactSubstr spans — the
+    configuration the Lee et al. 2022 pipeline actually runs (repeats
+    measured in bytes/chars, min length ~50; here 20 chars to suit the
+    fixture's shorter documents): maximal per-document runs of
+    characters covered by any 20-char substring appearing verbatim in
+    >= 2 documents.  Same equivalence argument as q_dup_spans_var at
+    character granularity (an L-char cross-doc repeat is exactly
+    L-19 consecutive shared 20-gram starts), same two-shuffle plan
+    (functions/dedup.shared_chargram_occurrences +
+    merge_covered_spans), and spans here are measured in CHARS, so
+    tokenization differences cannot move a boundary."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    occ = D.shared_chargram_occurrences(docs, n=20)
+    return D.merge_covered_spans(occ, n=20)
+
+
 def _kcore_oracle(k: int = 3, rounds: int = 5) -> str:
     """Unrolled k-core peeling as CTE stages (same mechanism as
     _pagerank_oracle: recursive CTEs cannot aggregate in the recursive
