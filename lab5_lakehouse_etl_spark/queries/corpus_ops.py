@@ -573,7 +573,12 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     or corpus size (map-side combine saturates the key space), where
     the exact group-by shuffles one key per distinct token; and two
     corpus shards' matrices merge by elementwise SUM (linearity —
-    pinned in tests/test_properties.py).
+    pinned in tests/test_properties.py).  Because this DECLARED query
+    must also emit the exact counts (the invariant), it derives the
+    sketch from the (token, freq) relation it needs anyway —
+    linearity makes that bit-identical to building from the raw
+    stream, and it keeps the plan at ONE corpus scan; a pure-sketch
+    deployment skips the token group-by entirely, which is the win.
 
     Declared output is the r6 invariant pattern for seeded sketches:
     the exact top-20 token counts (SQL-stateable) plus the CMS
@@ -597,18 +602,25 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in range(d)
         ]
     )
-    # sketch build: one narrow 4x fan-out, one bounded-key shuffle
-    cms = (
-        toks.select(F.posexplode(buckets).alias("r", "bucket"))
-        .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    n_total = toks.agg(F.count(F.lit(1)).alias("n_tot"))  # 1-row stat
-    topk = (
+    # ONE corpus scan: the exact per-token counts the invariant needs
+    # anyway feed all three consumers (cms / total / top-k) — building
+    # the sketch from (token, freq) is linearity-identical to building
+    # it from the raw stream (sum of freq per bucket == count of
+    # occurrences per bucket), and tokfreq is vocabulary-sized, so
+    # caching it is cheap where re-deriving it is another corpus scan.
+    tokfreq = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-        .orderBy(F.col("freq").desc(), F.col("token").asc())
-        .limit(20)
+        .cache()
+    )
+    cms = (
+        tokfreq.select("freq", F.posexplode(buckets).alias("r", "bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.sum("freq").alias("c"))
+    )
+    n_total = tokfreq.agg(F.sum("freq").alias("n_tot"))  # 1-row stat
+    topk = tokfreq.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(
+        20
     )
     est = (
         topk.select("token", "freq", F.posexplode(buckets).alias("r", "bucket"))

@@ -519,3 +519,30 @@ def test_dup_spans_var_bounded_shuffles_and_pruned_scan(spark):
     assert shuffle_count(df) <= 3
     schemas = scan_read_schema(df)
     assert schemas and all(set(s) <= {"doc_id", "text"} for s in schemas)
+
+
+def test_sketch_cms_single_corpus_scan(spark):
+    """q_sketch_cms: the exact tokfreq relation feeds sketch + total +
+    top-k, so the corpus text is scanned ONCE; every shuffle past the
+    token group-by carries bounded keys (d*w cells, 1 stat row, 20)."""
+    df = Q.QUERIES["q_sketch_cms"](spark, SF_DIR)
+    schemas = scan_read_schema(df)
+    assert len(schemas) == 1 and set(schemas[0]) <= {"text"}
+    assert shuffle_count(df) <= 4
+
+
+def test_dup_spans_char_single_scan_bounded_shuffles(spark):
+    df = Q.QUERIES["q_dup_spans_char"](spark, SF_DIR)
+    schemas = scan_read_schema(df)
+    assert len(schemas) == 1 and set(schemas[0]) <= {"doc_id", "text"}
+    assert shuffle_count(df) <= 3
+
+
+def test_scan_jsonl_no_shuffle_declared_schema(spark):
+    """q_scan_jsonl: a declared-schema JSON scan is a pure narrow read —
+    zero exchanges, and the schema is pinned (no inference pass)."""
+    df = Q.QUERIES["q_scan_jsonl"](spark, SF_DIR)
+    assert shuffle_count(df) == 0
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "text", "lang", "source", "n_chars",
+    ]
