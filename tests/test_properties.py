@@ -341,3 +341,50 @@ def test_cms_matrices_merge_by_elementwise_sum(spark):
     for k, v in odd.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == cms(docs)
+
+
+_span_starts = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 40)),
+    min_size=0,
+    max_size=30,
+    unique=True,
+)
+
+
+@given(occ=_span_starts, n=st.sampled_from([3, 8]))
+@settings(**_SETTINGS)
+def test_merge_covered_spans_equals_bruteforce_union(spark, occ, n):
+    """merge_covered_spans(occ, n) must equal the brute-force union of
+    per-start coverage intervals [s, s+n-1] split into maximal
+    contiguous runs — for any (doc, start) set, any gram width."""
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+
+    if occ:
+        df = spark.createDataFrame(
+            [(d, s) for d, s in occ], "doc_id long, start long"
+        )
+    else:
+        df = spark.createDataFrame([], "doc_id long, start long")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_len)
+        for r in D.merge_covered_spans(df, n=n).collect()
+    )
+    # brute force: mark covered positions, emit maximal runs
+    exp = []
+    from collections import defaultdict
+
+    byd = defaultdict(set)
+    for d, s in occ:
+        byd[d].update(range(s, s + n))
+    for d, cov in byd.items():
+        run = None
+        for p in sorted(cov):
+            if run and p == run[1] + 1:
+                run[1] = p
+            else:
+                if run:
+                    exp.append((d, run[0], run[1] - run[0] + 1))
+                run = [p, p]
+        if run:
+            exp.append((d, run[0], run[1] - run[0] + 1))
+    assert got == sorted(exp)
