@@ -817,6 +817,22 @@ def jaccard_pairs_dense_vocab(
 
     def score(it):
         import numpy as np
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def round6(vals):
+            # decimal HALF_UP over the double's exact binary expansion
+            # — what Spark's round() (BigDecimal) and DuckDB's round()
+            # compute; np.round is banker's (half-EVEN) and would
+            # diverge on a tie value, silently breaking the pinned
+            # dense==prefix kernel equality
+            q = Decimal("0.000001")
+            return np.array(
+                [
+                    float(Decimal(float(v)).quantize(q, ROUND_HALF_UP))
+                    for v in vals
+                ],
+                dtype=np.float64,
+            )
 
         def mat(codes):
             m = np.zeros((len(codes), V), dtype=np.float32)
@@ -851,7 +867,7 @@ def jaccard_pairs_dense_vocab(
                     {
                         "id_a": out_a,
                         "id_b": out_b,
-                        "jaccard": np.round(j, 6),
+                        "jaccard": round6(j),
                     }
                 )
 
