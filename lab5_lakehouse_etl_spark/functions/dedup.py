@@ -772,9 +772,17 @@ def jaccard_pairs_dense_vocab(
         # fewer, fatter blocks than the cosine kernel: per-task work is
         # one BLAS call, and the Arrow payload of a block-PAIR row
         # scales as n*(B+1)/B per block — serialization, not flops, is
-        # the measured cost driver at fixture scale
+        # the measured cost driver at fixture scale.  But a block's
+        # incidence matrix is block_rows x V floats, so near the vocab
+        # cap a fixed block count would allocate hundreds of MB per
+        # task: bound block_rows by a 16M-cell (64 MB float32) budget
+        # and raise the block count instead.
+        n = sets_df.count()  # cached upstream by exact_jaccard_pairs
+        max_block_rows = max(256, 16_000_000 // max(V, 1))
         n_blocks = max(
-            sets_df.sparkSession.sparkContext.defaultParallelism // 4, 4
+            sets_df.sparkSession.sparkContext.defaultParallelism // 4,
+            -(-n // max_block_rows),
+            4,
         )
 
     # codes ship as PACKED int32 bytes, not array<int>: an int array
