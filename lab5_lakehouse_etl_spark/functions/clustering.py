@@ -437,10 +437,36 @@ def semantic_pairs_within_clusters(
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         m = np.stack(pdf["v"].to_numpy()).astype("float64")
-        norms = np.sqrt((m * m).sum(axis=1))
-        sims = (m @ m.T) / np.outer(norms, norms)
+        # BLAS matmul is the CANDIDATE scan only (threshold - 1e-9
+        # margin): its pairwise-summed cosines differ from the
+        # oracle's sequential list_dot_product fold in the last ulp,
+        # which could flip a pair sitting exactly on the threshold —
+        # the same failure mode exact_pairs_blocked fixed in r7.  The
+        # DECLARED cosine is re-computed on candidates with a strict
+        # dim-axis left fold (dot and both norms), and the threshold
+        # applies to THAT value.
+        with np.errstate(invalid="ignore", divide="ignore"):
+            norms = np.sqrt((m * m).sum(axis=1))
+            sims = (m @ m.T) / np.outer(norms, norms)
         ia, ib = np.triu_indices(len(ids), k=1)
-        hit = sims[ia, ib] >= threshold
+        cand = sims[ia, ib] >= threshold - 1e-9
+        ia, ib = ia[cand], ib[cand]
+        if not len(ia):
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64")}
+            )
+        dot = np.zeros(len(ia), dtype=np.float64)
+        na = np.zeros(len(ia), dtype=np.float64)
+        nb = np.zeros(len(ia), dtype=np.float64)
+        for j in range(m.shape[1]):
+            xa, xb = m[ia, j], m[ib, j]
+            dot += xa * xb
+            na += xa * xa
+            nb += xb * xb
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = dot / (np.sqrt(na) * np.sqrt(nb))
+        hit = cos >= threshold
         return pd.DataFrame({"id_a": ids[ia[hit]], "id_b": ids[ib[hit]]})
 
     return assigned.groupBy("cluster").applyInPandas(
