@@ -227,6 +227,150 @@ def exact_pairs_blocked(
     )
 
 
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact corpus-wide k-NN graph by cosine similarity — for every
+    vector, its ``k`` nearest OTHER vectors as (src, nbr, knn_rank,
+    sim).  The graph SemDeDup-style pipelines and graph-based corpus
+    curation build before clustering / community detection; distinct
+    from topk_cosine (one literal query vs the corpus) because every
+    row is a query.
+
+    Layout is the exact_pairs_blocked block-matrix shape — B(B+1)/2
+    block-pair tasks, one numpy matmul each — with one extra trick
+    that bounds the shuffle: each task emits only the LOCAL top-k of
+    every source row against the partner block (plus everything
+    within CUT_MARGIN of the local k-th).  A global per-src window
+    then merges B partial top-k lists into the final ranking, so the
+    shuffle carries ~n*B*k rows instead of the n² scores the naive
+    self-join would move.  Dropping below the local cut is safe: the
+    partner block already holds >= k candidates above the cut, so the
+    global k-th is >= the local k-th, and a margin of 2*10^-decimals
+    guarantees a dropped candidate cannot reach the declared
+    (rounded) k-th value even across BLAS-vs-fold summation ulps —
+    the same boundary argument as exact_pairs_blocked, extended from
+    a fixed threshold to the data-dependent rank cut.
+
+    CROSS-ENGINE PARITY: the matmul picks CANDIDATES only; every
+    emitted sim is recomputed with a strict dim-axis left fold (dot
+    and both norms — see seq_sq_dists for why np.sum's pairwise
+    reducer would not match), which reproduces bit-for-bit the
+    zip_with/aggregate fold and DuckDB's list_dot_product, and the
+    final rank orders by F.round(sim, decimals) DESC, nbr ASC — the
+    declared tie-break.  Zero-norm vectors are undefined (their
+    cosine is not a number); fixtures contain none.
+    """
+    if n_blocks is None:
+        n_blocks = max(df.sparkSession.sparkContext.defaultParallelism // 4, 4)
+    cut_margin = 2.0 * 10.0 ** (-decimals)
+
+    blocks = (
+        df.withColumn("__bid", F.pmod(F.col(id_col), F.lit(n_blocks)))
+        .groupBy("__bid")
+        .agg(
+            F.collect_list(F.col(id_col)).alias("ids"),
+            F.collect_list(F.col(vec_col)).alias("vecs"),
+        )
+    )
+    a = blocks.select(
+        F.col("__bid").alias("bid_a"), F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+    )
+    b = blocks.select(
+        F.col("__bid").alias("bid_b"), F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    pairs = a.join(b, F.col("bid_a") <= F.col("bid_b"))
+
+    def fold_cosine(A: np.ndarray, B: np.ndarray, ia, ib) -> np.ndarray:
+        # strict left fold over dim for dot and both norms — the
+        # F.aggregate / list_dot_product summation order exactly
+        dot = np.zeros(len(ia), dtype=np.float64)
+        na = np.zeros(len(ia), dtype=np.float64)
+        nb = np.zeros(len(ia), dtype=np.float64)
+        for j in range(A.shape[1]):
+            xa, xb = A[ia, j], B[ib, j]
+            dot += xa * xb
+            na += xa * xa
+            nb += xb * xb
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return dot / (np.sqrt(na) * np.sqrt(nb))
+
+    def local_topk(sims: np.ndarray, valid: np.ndarray):
+        # per-row cut = k-th largest valid sim minus the margin; rows
+        # with fewer than k valid candidates keep everything
+        masked = np.where(valid, sims, -np.inf)
+        if masked.shape[1] >= k:
+            kth = np.partition(masked, -k, axis=1)[:, -k]
+        else:
+            kth = np.full(masked.shape[0], -np.inf)
+        cut = np.where(np.isfinite(kth), kth - cut_margin, -np.inf)
+        return np.nonzero(valid & (sims >= cut[:, None]))
+
+    def score(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in row.vecs_a]
+                )
+                B = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in row.vecs_b]
+                )
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+                    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+                    sims = An @ Bn.T
+                valid = np.isfinite(sims) & (
+                    ids_a[:, None] != ids_b[None, :]
+                )
+                # direction A -> B (sources in block a)
+                ia, ib = local_topk(sims, valid)
+                out = [
+                    pd.DataFrame(
+                        {
+                            "src": ids_a[ia],
+                            "nbr": ids_b[ib],
+                            "sim": fold_cosine(A, B, ia, ib),
+                        }
+                    )
+                ]
+                if row.bid_a != row.bid_b:
+                    # direction B -> A, served by the same task so each
+                    # unordered block pair is shuffled exactly once
+                    jb, ja = local_topk(sims.T, valid.T)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "src": ids_b[jb],
+                                "nbr": ids_a[ja],
+                                "sim": fold_cosine(B, A, jb, ja),
+                            }
+                        )
+                    )
+                yield pd.concat(out, ignore_index=True)
+
+    from pyspark.sql.window import Window
+
+    cands = pairs.mapInPandas(score, schema="src long, nbr long, sim double")
+    w = Window.partitionBy("src").orderBy(
+        F.col("sim").desc(), F.col("nbr").asc()
+    )
+    return (
+        cands.withColumn("sim", F.round("sim", decimals))
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("src", "nbr", F.col("knn_rank").cast("int"), "sim")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec,

@@ -677,6 +677,130 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_sketch_bloom",
+    oracle="""
+    WITH seen AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value >= 120
+    ),
+    probes AS (SELECT DISTINCT user_id FROM events)
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(count(s.user_id) AS BIGINT) AS n_members,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_within_bound
+    FROM probes p LEFT JOIN seen s USING (user_id)
+    """,
+)
+def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership — the fourth mergeable sketch, closing
+    the family with GK quantiles (q_sketch_quantile), HLL cardinality
+    (q_sketch_hll_merge) and count-min frequencies (q_sketch_cms):
+    approximate set membership in O(m) bits regardless of set size.
+    The pipeline shape is incremental ingest's seen-before probe
+    (q_ingest_dedup's anti-join, without storing the key set): the
+    "seen" set here is high-value purchasers (value >= 120), probed
+    with every user.
+
+    Sketch layout is the CMS relational form: m = 8192 bits packed as
+    (word, bits) rows — 128 longs — built by ``bit_or`` aggregation
+    over the 4 hash positions of each seen key, so map-side combine
+    saturates the 128-row key space and the build shuffles AT MOST m/64
+    rows no matter how many keys stream in.  Probing explodes each
+    probe key into its 4 (word, mask) lookups against the BROADCAST
+    filter (the filter is kilobytes by construction) and ANDs the hits
+    — no shuffle on the corpus side beyond the per-key bool_and.  Two
+    shards' filters merge by elementwise bitwise OR (linearity —
+    pinned in tests/test_properties.py), which is what makes the
+    sketch a persistable incremental index.
+
+    Declared output is the seeded-sketch invariant pattern (r6): the
+    exact membership counts the oracle restates, plus the two Bloom
+    guarantees as booleans — ``no_false_negatives`` (a member's bits
+    are all set; holds unconditionally, the defining property) and
+    ``fp_within_bound`` (observed false positives <= twice the
+    standard (1 - e^(-kn/m))^k expectation plus a +8 small-n floor;
+    deterministic per fixture under fixed xxhash64 seeds, verified at
+    sf0.001/0.01/0.1).  Raw hash-dependent bits never reach the
+    declared output."""
+    m_bits, n_hash = 8192, 4
+    events = load_table(spark, sf_dir, "events")
+    seen = (
+        events.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") >= 120)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    probes = events.select("user_id").distinct()
+
+    def positions() -> F.Column:
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(F.col("user_id"), F.lit(r)), F.lit(m_bits))
+                for r in range(n_hash)
+            ]
+        )
+
+    word = F.expr("pos DIV 64").alias("word")
+    mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+    ).alias("mask")
+    bloom = (
+        seen.select(F.explode(positions()).alias("pos"))
+        .select(word, mask)
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    hits = (
+        probes.select("user_id", F.explode(positions()).alias("pos"))
+        .select("user_id", word, mask)
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "user_id",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                != 0
+            ).alias("hit"),
+        )
+        .groupBy("user_id")
+        .agg(F.bool_and("hit").alias("possibly_seen"))
+    )
+    flagged = hits.join(
+        seen.withColumn("is_member", F.lit(True)), "user_id", "left"
+    ).withColumn("is_member", F.coalesce(F.col("is_member"), F.lit(False)))
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_members"),
+        F.bool_and(
+            F.when(F.col("is_member"), F.col("possibly_seen")).otherwise(
+                F.lit(True)
+            )
+        ).alias("no_false_negatives"),
+        F.sum(
+            F.when(~F.col("is_member") & F.col("possibly_seen"), 1).otherwise(
+                0
+            )
+        ).alias("n_fp"),
+    )
+    fpr = F.pow(
+        F.lit(1.0)
+        - F.exp(-F.lit(float(n_hash)) * F.col("n_members") / F.lit(float(m_bits))),
+        F.lit(float(n_hash)),
+    )
+    bound = F.ceil(
+        F.lit(2.0) * (F.col("n_probes") - F.col("n_members")) * fpr
+    ) + F.lit(8)
+    return stats.select(
+        "n_probes",
+        "n_members",
+        "no_false_negatives",
+        (F.col("n_fp") <= bound).alias("fp_within_bound"),
+    )
+
+
 _RESAMPLE_ORACLE = """
 WITH obs AS (
   SELECT event_type,

@@ -638,3 +638,43 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count(F.lit(1)) >= _PQ_RECALL_FLOOR).alias("recall_ok"))
     )
     return sums.crossJoin(overlap)
+
+
+@query(
+    "q_knn_graph",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    p AS (
+      SELECT a.vec_id AS src, b.vec_id AS nbr,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    )
+    SELECT src, nbr, CAST(rn AS INT) AS knn_rank, sim
+    FROM (SELECT src, nbr, sim,
+                 row_number() OVER (
+                   PARTITION BY src ORDER BY sim DESC, nbr ASC) AS rn
+          FROM p)
+    WHERE rn <= 5
+    """,
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide 5-NN graph by cosine — every vector's five
+    nearest neighbors, the primitive graph-based curation pipelines
+    (SemDeDup variants, kNN-graph community detection, diversity
+    sampling) build before any clustering step.  The oracle is the
+    naive O(n²) self-join; the implementation is the blocked
+    partial-top-k kernel (functions/similarity.py knn_graph): B(B+1)/2
+    matmul tasks emit per-block local top-k candidates only, so the
+    merge shuffle carries ~n*B*k rows instead of n² — the layout that
+    survives 100 TB, where the oracle's self-join does not.  Every
+    emitted sim is re-computed with the sequential dim fold, and the
+    global rank orders by (rounded sim DESC, nbr ASC) in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, k=5)

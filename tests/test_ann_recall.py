@@ -127,3 +127,51 @@ def test_pq_recall_and_compression(spark):
         assert rec >= 0.6, (qid, rec)
         recalls.append(rec)
     assert statistics.mean(recalls) >= 0.75, recalls
+
+
+def test_knn_graph_equals_bruteforce_with_planted_duplicates(spark):
+    """knn_graph's blocked partial-top-k must equal the naive oracle
+    semantics — (round6(fold cosine) DESC, nbr ASC) per src — on a
+    corpus salted with EXACT duplicate vectors, the tie shape that
+    stresses both the local-cut margin and the id tie-break."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rng = np.random.RandomState(11)
+    dim, n = 12, 60
+    vecs = rng.randn(n, dim).astype("float32")
+    # plant exact-duplicate groups: ids 0-3 share one vector, 10-11
+    # another — their mutual cosines tie exactly at 1.0
+    vecs[1] = vecs[2] = vecs[3] = vecs[0]
+    vecs[11] = vecs[10]
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    k = 5
+    got = {
+        (r.src, r.nbr): (r.knn_rank, r.sim)
+        for r in S.knn_graph(df, k=k, n_blocks=3).collect()
+    }
+
+    def fold_cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            x, y = float(x), float(y)
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (na**0.5 * nb**0.5)
+
+    def r6(x):  # Spark/DuckDB round(): HALF_UP on the exact double
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    V = [[float(x) for x in v] for v in vecs]
+    exp = {}
+    for i in range(n):
+        sims = sorted(
+            ((r6(fold_cos(V[i], V[j])), j) for j in range(n) if j != i),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for rank, (s, j) in enumerate(sims, 1):
+            exp[(i, j)] = (rank, s)
+    assert got == exp

@@ -388,3 +388,64 @@ def test_merge_covered_spans_equals_bruteforce_union(spark, occ, n):
         if run:
             exp.append((d, run[0], run[1] - run[0] + 1))
     assert got == sorted(exp)
+
+
+def test_bloom_filters_merge_by_bitwise_or(spark):
+    """Bloom linearity (the property that makes q_sketch_bloom a
+    SKETCH): the filter of a union is the wordwise bitwise OR of the
+    shards' filters — so per-shard 1 KiB bit arrays roll up without
+    re-hashing keys — and membership never false-negatives."""
+    from lab5_lakehouse_etl_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    m_bits, n_hash = 8192, 4
+    users = load_table(spark, SF_DIR, "events").select("user_id").distinct()
+
+    def bloom(df):
+        pos = F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col("user_id"), F.lit(r)), F.lit(m_bits)
+                    )
+                    for r in range(n_hash)
+                ]
+            )
+        ).alias("pos")
+        rows = (
+            df.select(pos)
+            .select(
+                F.expr("pos DIV 64").alias("word"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+                ).alias("mask"),
+            )
+            .groupBy("word")
+            .agg(F.bit_or("mask").alias("bits"))
+            .collect()
+        )
+        return {r.word: r.bits for r in rows}
+
+    even = bloom(users.filter(F.col("user_id") % 2 == 0))
+    odd = bloom(users.filter(F.col("user_id") % 2 == 1))
+    merged = dict(even)
+    for w, bits in odd.items():
+        merged[w] = merged.get(w, 0) | bits
+    full = bloom(users)
+    assert merged == full
+    # no false negatives: every key's bits are set in the full filter
+    import pyspark.sql.functions as SF
+
+    probes = users.select(
+        "user_id",
+        *[
+            F.pmod(SF.xxhash64(F.col("user_id"), F.lit(r)), F.lit(m_bits)).alias(
+                f"p{r}"
+            )
+            for r in range(n_hash)
+        ],
+    ).collect()
+    for row in probes:
+        for r in range(n_hash):
+            p = row[f"p{r}"]
+            assert full.get(p // 64, 0) & (1 << (p % 64))
