@@ -546,3 +546,30 @@ def test_scan_jsonl_no_shuffle_declared_schema(spark):
     assert [f.name for f in df.schema.fields] == [
         "doc_id", "text", "lang", "source", "n_chars",
     ]
+
+
+def test_knn_graph_bounded_shuffles(spark):
+    """knn_graph's plan: block build (one groupBy shuffle), block-pair
+    join, candidate emit, ONE global window shuffle on src — no extra
+    exchanges, and the scan reads only (vec_id, embedding)."""
+    df = Q.QUERIES["q_knn_graph"](spark, SF_DIR)
+    # block groupBy + block-pair join sides + per-src window — the
+    # n²-score shuffle the naive self-join would add must not appear
+    assert shuffle_count(df) <= 4
+    schemas = scan_read_schema(df)
+    assert schemas and all(
+        set(s) <= {"vec_id", "embedding"} for s in schemas
+    )
+
+
+def test_sketch_bloom_broadcast_filter_partial_agg(spark):
+    """q_sketch_bloom: the m/64-row filter relation reaches the probe
+    side as a BROADCAST join (never a shuffle join against the corpus),
+    and the whole plan stays within the build-groupBy / probe-groupBy /
+    final-agg shuffle budget."""
+    df = Q.QUERIES["q_sketch_bloom"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    # distinct(seen) + distinct(probes) + bloom build groupBy +
+    # per-probe bool_and groupBy + membership join + final single-row
+    # agg — bounded, corpus-side never re-shuffled beyond these
+    assert shuffle_count(df) <= 8
