@@ -540,6 +540,83 @@ def q_lm_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ppl_buckets",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+    total AS (SELECT sum(cnt) AS n FROM vocab),
+    scored AS (
+      SELECT t.doc_id, ln(CAST(total.n AS DOUBLE) / v.cnt) AS nll
+      FROM toks t JOIN vocab v ON t.term = v.term CROSS JOIN total
+    ),
+    ce AS (
+      SELECT doc_id, round(avg(nll), 4) AS cross_entropy
+      FROM scored GROUP BY doc_id
+    ),
+    tiled AS (
+      SELECT d.doc_id, d.lang, ce.cross_entropy,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY ce.cross_entropy ASC, d.doc_id ASC)
+               AS tile
+      FROM documents d JOIN ce USING (doc_id)
+    )
+    SELECT doc_id, lang, cross_entropy,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           (tile < 3) AS keep
+    FROM tiled
+    """,
+)
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus unigram LM (q_lm_unigram's
+    cross-entropy), then split EACH LANGUAGE into head / middle / tail
+    thirds by score — the head (lowest perplexity) is the
+    highest-quality slice, the tail is the usual drop set (``keep`` =
+    not tail).  Per-language tiling is the CCNet detail that matters:
+    a global cut would starve low-resource languages whose perplexity
+    distribution sits above the majority language's.
+
+    Scale shape: the LM scoring inherits q_lm_unigram's layout
+    (broadcast vocabulary, map-side per-doc fold — corpus tokens never
+    shuffle), and the tiling sorts only the (doc_id, lang, score)
+    SCALAR relation within each language partition — bytes per row,
+    not documents.  At 100 TB the exact ntile would be replaced by
+    per-language GK-sketch cutoffs (the q_sketch_quantile machinery:
+    estimate p33/p66 once, then bucket with a broadcast map — no
+    per-lang sort); the exact tile is declared here because the oracle
+    can state it.  Ordering ties (same rounded score) break by doc_id
+    in both engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ce = q_lm_unigram(spark, sf_dir).select("doc_id", "cross_entropy")
+    tile = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(
+            F.col("cross_entropy").asc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(ce, "doc_id")
+        .withColumn("tile", tile)
+        .select(
+            "doc_id",
+            "lang",
+            "cross_entropy",
+            F.when(F.col("tile") == 1, "head")
+            .when(F.col("tile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            (F.col("tile") < 3).alias("keep"),
+        )
+    )
+
+
+@query(
     "q_udtf_tokens",
     oracle=r"""
     SELECT doc_id,
