@@ -816,3 +816,47 @@ def q_table_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "q_table_evolve",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderkey % 16 IN (0, 1, 2)
+    ),
+    src AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_orderkey % 3 AS INT) AS priority_class
+      FROM orders WHERE o_orderkey % 16 IN (2, 3)
+    )
+    SELECT o_orderkey, o_custkey, priority_class FROM src
+    UNION ALL
+    SELECT b.o_orderkey, b.o_custkey, CAST(NULL AS INT) AS priority_class
+    FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.o_orderkey = b.o_orderkey)
+    """,
+)
+def q_table_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through MERGE (Delta ``mergeSchema`` parity,
+    LakeTable.merge(evolve_schema=True)): the source carries a column
+    the table has never seen (``priority_class``), the merge widens the
+    table schema in the SAME commit, and pre-evolution rows read back
+    with NULL in the new column WITHOUT any file rewrite — carried-over
+    files simply lack the column and the evolved read schema null-fills
+    it (lakehouse/table.py `merge`/`read`).  The declared output is the
+    full evolved snapshot, which the oracle restates relationally
+    (source rows with the new column ∪ untouched base rows with NULL)
+    — proving evolution changed the schema and nothing else."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    base = orders.filter((F.col("o_orderkey") % 16).isin(0, 1, 2))
+    src = orders.filter((F.col("o_orderkey") % 16).isin(2, 3)).withColumn(
+        "priority_class", (F.col("o_orderkey") % 3).cast("int")
+    )
+    path = scratch_dir("q_table_evolve", fresh=True) + "/evolve_tbl"
+    t = LakeTable.create(base, path)
+    t.merge(spark, src, key=["o_orderkey"], evolve_schema=True)
+    return t.read(spark).select("o_orderkey", "o_custkey", "priority_class")
