@@ -184,12 +184,12 @@ _REWRITTEN_IN: dict[str, int] = {
     # primitive introduced with q_dup_spans_var.
     "q_dup_remove": 8,
 }
-# r8 window arithmetic: 14 unverified (6 rewrites above + 8 queries
-# new in r8) + the 38-query r4-era re-check tail = 52 > 50 slots, so
-# exactly two r4 rows (q_table_drop, q_resample_interp — neither
-# rewritten since r4, rows still valid) age one more round and lead
-# the r9 window.  Verifying new code paths outranks re-checking
-# stable greens.
+# r8 window arithmetic: 15 unverified (6 rewrites above + 9 queries
+# new in r8) + the 38-query r4-era re-check tail = 53 > 50 slots, so
+# exactly three r4 rows (q_table_optimize_where, q_table_drop,
+# q_resample_interp — none rewritten since r4, rows still valid) age
+# one more round and lead the r9 window.  Verifying new code paths
+# outranks re-checking stable greens.
 
 
 def _driver_verified() -> dict[str, int]:
