@@ -333,29 +333,24 @@ def knn_graph(
                 )
                 # direction A -> B (sources in block a)
                 ia, ib = local_topk(sims, valid)
-                out = [
-                    pd.DataFrame(
-                        {
-                            "src": ids_a[ia],
-                            "nbr": ids_b[ib],
-                            "sim": fold_cosine(A, B, ia, ib),
-                        }
-                    )
-                ]
+                yield pd.DataFrame(
+                    {
+                        "src": ids_a[ia],
+                        "nbr": ids_b[ib],
+                        "sim": fold_cosine(A, B, ia, ib),
+                    }
+                )
                 if row.bid_a != row.bid_b:
                     # direction B -> A, served by the same task so each
                     # unordered block pair is shuffled exactly once
                     jb, ja = local_topk(sims.T, valid.T)
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "src": ids_b[jb],
-                                "nbr": ids_a[ja],
-                                "sim": fold_cosine(B, A, jb, ja),
-                            }
-                        )
+                    yield pd.DataFrame(
+                        {
+                            "src": ids_b[jb],
+                            "nbr": ids_a[ja],
+                            "sim": fold_cosine(B, A, jb, ja),
+                        }
                     )
-                yield pd.concat(out, ignore_index=True)
 
     from pyspark.sql.window import Window
 
