@@ -183,13 +183,16 @@ _REWRITTEN_IN: dict[str, int] = {
     # r8: removal phase refactored onto the shared_gram_occurrences
     # primitive introduced with q_dup_spans_var.
     "q_dup_remove": 8,
+    # r8: grouped-agg UDAFs moved from the legacy PandasUDFType
+    # spelling to type-hint-inferred eval type (same bodies; the eval
+    # path through the Arrow serializer is what changed).
+    "q_udaf_geomean": 8,
 }
-# r8 window arithmetic: 15 unverified (6 rewrites above + 9 queries
-# new in r8) + the 38-query r4-era re-check tail = 53 > 50 slots, so
-# exactly three r4 rows (q_table_optimize_where, q_table_drop,
-# q_resample_interp — none rewritten since r4, rows still valid) age
-# one more round and lead the r9 window.  Verifying new code paths
-# outranks re-checking stable greens.
+# r8 window arithmetic: 16 unverified (7 rewrites above + 9 queries
+# new in r8) + the 38-query r4-era re-check tail = 54 > 50 slots, so
+# exactly four r4 rows (none rewritten since r4, rows still valid)
+# age one more round and lead the r9 window.  Verifying new code
+# paths outranks re-checking stable greens.
 
 
 def _driver_verified() -> dict[str, int]:

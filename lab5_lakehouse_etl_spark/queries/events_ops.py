@@ -432,10 +432,11 @@ def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface exists for genuinely non-algebraic per-group logic
     (model scoring, order statistics over full histories).
     """
-    from pyspark.sql.functions import PandasUDFType
-
-    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def geomean(v):
+    # Series -> scalar type hints make Spark infer GROUPED_AGG; the
+    # legacy PandasUDFType spelling emits a deprecation UserWarning
+    # from every session into bench's size-guarded stderr tail.
+    @F.pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
         import numpy as np
 
         # value=0 in a group => log(0) = -inf => exp(mean) = 0, the
@@ -449,8 +450,8 @@ def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst refuses to mix pandas and JVM aggregates in one Aggregate
     # node (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a pandas
     # aggregate too.
-    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def n_rows(v):
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
         return len(v)
 
     ev = load_table(spark, sf_dir, "events")
