@@ -449,3 +449,60 @@ def test_bloom_filters_merge_by_bitwise_or(spark):
         for r in range(n_hash):
             p = row[f"p{r}"]
             assert full.get(p // 64, 0) & (1 << (p % 64))
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(8, 40),
+    k=st.integers(1, 6),
+    n_blocks=st.sampled_from([2, 3, 5]),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_knn_graph_matches_bruteforce_property(spark, seed, n, k, n_blocks):
+    """knn_graph over random corpora salted with duplicate and
+    NEAR-TIE vectors (a clone nudged by ~1e-8 — well inside the local
+    cut margin, the adversarial case for partial top-k) must equal the
+    brute-force oracle semantics for every (n, k, n_blocks)."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from lab5_lakehouse_etl_spark.functions import similarity as S
+
+    rng = np.random.RandomState(seed)
+    dim = 8
+    vecs = rng.randn(n, dim)
+    vecs[1] = vecs[0]                       # exact duplicate
+    vecs[2] = vecs[0] + 1e-8 * rng.randn(dim)  # near-tie clone
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    got = {
+        (r.src, r.nbr): (r.knn_rank, r.sim)
+        for r in S.knn_graph(df, k=k, n_blocks=n_blocks).collect()
+    }
+
+    def fold_cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (na**0.5 * nb**0.5)
+
+    def r6(x):
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    # the float32 storage cast is part of the contract: fold over the
+    # values the engine actually reads back
+    V = [[float(np.float32(x)) for x in v] for v in vecs]
+    exp = {}
+    for i in range(n):
+        sims = sorted(
+            ((r6(fold_cos(V[i], V[j])), j) for j in range(n) if j != i),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for rank, (s, j) in enumerate(sims, 1):
+            exp[(i, j)] = (rank, s)
+    assert got == exp
