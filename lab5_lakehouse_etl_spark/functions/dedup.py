@@ -905,7 +905,20 @@ def exact_jaccard_pairs(
       would not fit.
 
     Both kernels return identical (id_a, id_b, jaccard-rounded-6)
-    rows (full recall each; pinned equal in tests)."""
+    rows (full recall each; pinned equal in tests).
+
+    Scale-stress note (round 8, measured on a synthetic 50k-doc /
+    33.6k-shingle-type corpus — 10x the sf0.1 fixture, char-5
+    elements): the vocab cap routed DENSE, which completed in ~490 s
+    (n²·V flops plus O(n·B) block serialization — inherent for an
+    exact all-pairs join on a hot element space), while the prefix
+    kernel, forced manually onto the same corpus, ran out of heap in
+    its candidate join — hot postings are exactly what the cap keeps
+    away from it.  The routing call was right; the wall cost is the
+    operator's contract.  At 100 TB an exact all-pairs join over a
+    degenerate-hot element space is not the tool: band first
+    (minhash_candidate_pairs) or block first (cluster/partition), and
+    run the exact kernel within bounded groups."""
     if elements is None:
         elements = F.array_distinct(
             F.expr(f"split(lower({text_col}), '\\\\s+')")
