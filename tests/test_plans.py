@@ -573,3 +573,16 @@ def test_sketch_bloom_broadcast_filter_partial_agg(spark):
     # per-probe bool_and groupBy + membership join + final single-row
     # agg — bounded, corpus-side never re-shuffled beyond these
     assert shuffle_count(df) <= 8
+
+
+def test_ppl_buckets_broadcast_vocab(spark):
+    """q_ppl_buckets inherits q_lm_unigram's layout: the vocabulary
+    reaches the token stream as a BROADCAST join (corpus tokens are
+    never shuffled for scoring); only the scalar score relation is
+    exchanged for the per-language tiling window."""
+    df = Q.QUERIES["q_ppl_buckets"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    schemas = scan_read_schema(df)
+    assert schemas and all(
+        set(s) <= {"doc_id", "text", "lang"} for s in schemas
+    )
