@@ -437,6 +437,65 @@ def ivf_topk(
     return topk_cosine(cell.drop("__bucket"), query_vec, k, id_col, vec_col)
 
 
+def ivf_search_bucketed(
+    bucketed: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    min_candidates_factor: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF search over a PRE-BUCKETED relation — the read side of a
+    persisted index (q_ann_index_store): ``bucketed`` already carries
+    ``cell_col`` = ``lsh_bucket(vec_col, hyperplanes(dim, n_planes,
+    seed))``, typically read back from a cell-partitioned table, so
+    probing filters to the probed cells and the storage layer prunes
+    the untouched partitions' files.  Probe selection is ivf_topk's
+    adaptive budget rule (visit cells in Hamming-distance order from
+    the query's cell until they hold >= factor*k vectors, from a
+    <= 2^n_planes-row histogram); the exact cosine re-rank runs only
+    inside probed cells.  Same cells, same rule, same recall behavior
+    as ivf_topk — the difference is WHERE the bucketing happened."""
+    from itertools import combinations
+
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qbits = [1 if float(np.dot(query_vec, p)) > 0 else 0 for p in planes]
+    qbucket = sum(b << i for i, b in enumerate(qbits))
+
+    def cells_at(radius: int) -> list[int]:
+        if radius == 0:
+            return [qbucket]
+        out = []
+        for bits in combinations(range(n_planes), radius):
+            flip = 0
+            for i in bits:
+                flip |= 1 << i
+            out.append(qbucket ^ flip)
+        return out
+
+    hist = {
+        int(r[cell_col]): int(r["n"])
+        for r in bucketed.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    budget = min_candidates_factor * k
+    probes: list[int] = []
+    got = 0
+    for radius in range(n_planes + 1):
+        for c in cells_at(radius):
+            probes.append(c)
+            got += hist.get(c, 0)
+        if got >= budget:
+            break
+    cell = bucketed.filter(F.col(cell_col).isin([int(p) for p in probes]))
+    return topk_cosine(cell.drop(cell_col), query_vec, k, id_col, vec_col)
+
+
 # -- product quantization (IVF's memory-side sibling) ----------------------
 def pq_train(
     emb: DataFrame,

@@ -678,3 +678,71 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     global rank orders by (rounded sim DESC, nbr ASC) in both engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_graph(emb, k=5)
+
+
+@query(
+    "q_ann_index_store",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             round(
+               list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+               / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim
+      FROM embeddings e, q
+      ORDER BY cosine_sim DESC, e.vec_id ASC
+      LIMIT {_K}
+    )
+    SELECT CAST({_K} AS BIGINT) AS k,
+           CAST(sum(vec_id) AS BIGINT) AS sum_topk_ids,
+           round(sum(cosine_sim), 4) AS sum_topk_cos,
+           TRUE AS recall_ok
+    FROM scored
+    """,
+)
+def q_ann_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index — the index-store pattern completing the
+    IVF family (the vector twin of the HLL sketch store): the corpus
+    is bucketed ONCE into LSH cells and written as a LakeTable
+    PARTITIONED BY CELL; a later search session reads the table back,
+    picks probe cells adaptively from the cell histogram, and the
+    cell filter prunes every unprobed partition's files at the scan —
+    at 100 TB a query touches the probed cells' files only, never the
+    corpus.  Search semantics are identical to q_ann_ivf (same
+    hyperplanes, same adaptive budget — functions/similarity.
+    ivf_search_bucketed); what changed is that bucketing cost is paid
+    at INDEX BUILD, amortized across every subsequent query.
+
+    Declared output is q_ann_ivf's invariant: exact brute-force top-k
+    checksums (oracle-restated) plus the recall floor boolean over the
+    stored-index probe."""
+    from ..lakehouse import LakeTable
+    from ..session import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    planes = S.hyperplanes(len(qv), n_planes=8, seed=42)
+    indexed = emb.withColumn("cell", S.lsh_bucket("embedding", planes))
+    path = scratch_dir("q_ann_index_store", fresh=True) + "/ivf_index"
+    t = LakeTable.create(indexed, path, partition_by=["cell"])
+    stored = t.read(spark)
+    got = S.ivf_search_bucketed(
+        stored, qv, k=_K, n_planes=8, seed=42, min_candidates_factor=64
+    ).select("vec_id")
+    exact = S.topk_cosine(emb, qv, k=_K)
+    sums = exact.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("vec_id").cast("bigint").alias("sum_topk_ids"),
+        F.round(F.sum("cosine_sim"), 4).alias("sum_topk_cos"),
+    )
+    overlap = (
+        exact.select("vec_id")
+        .join(got, "vec_id", "left_semi")
+        .agg((F.count(F.lit(1)) >= _IVF_RECALL_FLOOR).alias("recall_ok"))
+    )
+    return sums.crossJoin(overlap)
