@@ -1,0 +1,155 @@
+"""Scale-stress harness: run the quadratic-risk operators on a
+synthetic corpus ~10x the sf0.1 fixtures and report wall-clock slopes
+vs the committed bench_detail.json numbers.
+
+This is the measurement behind README's "Scale-stress findings": it
+generates (in /tmp, never under the repo or testdata)
+
+- 50k documents over a realistic 20k-word Zipf(1.1) vocabulary with
+  500 planted exact/near duplicates (the fixture corpus's 31-word
+  vocabulary is degenerate at scale: random docs become near-dups of
+  each other and every pair-emitting operator's TRUE output grows
+  quadratically, which measures the data, not the operator);
+- 20k random 64-dim float32 embeddings;
+- symlinks to the sf0.1 TPC-H/events tables for queries that touch
+  them.
+
+Usage (idle box — timings are meaningless under load):
+
+    python tools/scale_stress.py            # generate + run
+    python tools/scale_stress.py --gen-only # just write /tmp/sfbig
+
+Round-8 measurements (local[32], min over nothing — single runs):
+
+    q_dedup_minhash        1.2s ->  18.4s  x15.3  (banding collision
+                                           density; fixed band params)
+    q_dedup_prefix         2.9s ->  24.7s  x8.6
+    q_dedup_jaccard_dense  4.1s -> 493.4s  x119   (n^2*V flops of the
+                                           exact dense kernel; prefix
+                                           forced onto the same corpus
+                                           OOMs -- the router's V-cap
+                                           keeps the memory-safe side)
+    q_knn_graph            0.8s ->   7.0s  x8.6   (x100 pair space)
+    q_dedup_embedding      0.9s ->   5.3s  x5.8
+    q_kmeans_embed         1.0s ->   3.3s  x3.4   (sample-bounded)
+    q_ann_pq               1.5s ->   3.2s  x2.1   (sample-bounded)
+    q_semdedup             1.5s ->   6.6s  x4.4
+    q_dedup_simhash        6.9s -> 237.9s  x34.7  (dominated by its
+                                           exact-Jaccard truth set)
+    q_dup_spans_var        0.9s ->   5.2s  x5.5
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SFBIG = "/tmp/sfbig"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+
+TARGETS = [
+    "q_dedup_minhash",
+    "q_dedup_prefix",
+    "q_dedup_jaccard_dense",
+    "q_knn_graph",
+    "q_dedup_embedding",
+    "q_kmeans_embed",
+    "q_ann_pq",
+    "q_semdedup",
+    "q_dedup_simhash",
+    "q_dup_spans_var",
+]
+
+
+def generate() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(SFBIG, exist_ok=True)
+    rng = np.random.RandomState(7)
+    V = 20000
+    vocab = np.array([f"w{i:05d}" for i in range(V)])
+    w = 1.0 / np.arange(1, V + 1) ** 1.1
+    w /= w.sum()
+    n_docs = 50000
+    lens = rng.randint(80, 320, size=n_docs)
+    texts = [" ".join(vocab[rng.choice(V, size=L, p=w)]) for L in lens]
+    for i in range(500):  # planted exact + near duplicates
+        texts[n_docs - 500 + i] = texts[i] + " w00000" if i % 2 else texts[i]
+    langs = rng.choice(["en", "de", "fr", "es"], size=n_docs)
+    srcs = rng.choice(["web", "books", "code", "wiki", "news"], size=n_docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(langs.tolist()),
+                "source": pa.array(srcs.tolist()),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            }
+        ),
+        f"{SFBIG}/documents.parquet",
+    )
+    n_vec = 20000
+    emb = rng.randn(n_vec, 64).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n_vec), pa.int64()),
+                "embedding": pa.array(
+                    [r.tolist() for r in emb], pa.list_(pa.float32())
+                ),
+                "label": pa.array(
+                    rng.randint(0, 8, size=n_vec).tolist(), pa.int32()
+                ),
+            }
+        ),
+        f"{SFBIG}/embeddings.parquet",
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        dst = f"{SFBIG}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF01}/{t}.parquet", dst)
+
+
+def run() -> None:
+    sys.path.insert(0, REPO)
+    from lab5_lakehouse_etl_spark import queries as Q
+    from lab5_lakehouse_etl_spark.session import build_session
+
+    Q.load_all()
+    spark = build_session("scale-stress", shuffle_partitions=32)
+    with open(os.path.join(REPO, "bench_detail.json")) as fh:
+        base = json.load(fh)["queries"]
+
+    def one(name: str, sf: str) -> float:
+        t0 = time.time()
+        Q.QUERIES[name](spark, sf).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
+    one("q_dedup_exact_docs", SF01)  # warm session machinery
+    for name in TARGETS:
+        try:
+            w = one(name, SFBIG)
+            b = base.get(name)
+            slope = f"x{w / b:.1f}" if b else "n/a"
+            print(f"{name}: sf0.1 {b}s -> 10x {w:.1f}s  slope {slope}",
+                  flush=True)
+        except Exception as ex:  # noqa: BLE001 - report and continue
+            print(name, "ERROR", type(ex).__name__, str(ex)[:200],
+                  flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    generate()
+    if "--gen-only" not in sys.argv:
+        run()
