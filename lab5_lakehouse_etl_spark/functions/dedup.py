@@ -871,13 +871,16 @@ def jaccard_pairs_dense_vocab(
                         np.minimum(out_a, out_b),
                         np.maximum(out_a, out_b),
                     )
-                yield pd.DataFrame(
-                    {
-                        "id_a": out_a,
-                        "id_b": out_b,
-                        "jaccard": round6(j),
-                    }
-                )
+                if len(out_a):  # empty frames mixed into pyspark's
+                    # result concat trip a pandas FutureWarning per
+                    # task; yielding nothing is the clean empty
+                    yield pd.DataFrame(
+                        {
+                            "id_a": out_a,
+                            "id_b": out_b,
+                            "jaccard": round6(j),
+                        }
+                    )
 
     return pairs.mapInPandas(
         score, schema="id_a long, id_b long, jaccard double"

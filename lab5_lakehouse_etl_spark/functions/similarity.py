@@ -207,7 +207,9 @@ def exact_pairs_blocked(
                         np.minimum(out_a, out_b),
                         np.maximum(out_a, out_b),
                     )
-                yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+                if len(out_a):  # skip empty frames: mixed into the
+                    # serializer's concat they trip a FutureWarning
+                    yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     cands = pairs.mapInPandas(score, schema="id_a long, id_b long")
     dv = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
@@ -331,19 +333,24 @@ def knn_graph(
                 valid = np.isfinite(sims) & (
                     ids_a[:, None] != ids_b[None, :]
                 )
-                # direction A -> B (sources in block a)
+                # direction A -> B (sources in block a); empty frames
+                # are skipped — mixed into the serializer's concat
+                # they trip a pandas FutureWarning
                 ia, ib = local_topk(sims, valid)
-                yield pd.DataFrame(
-                    {
-                        "src": ids_a[ia],
-                        "nbr": ids_b[ib],
-                        "sim": fold_cosine(A, B, ia, ib),
-                    }
-                )
+                if len(ia):
+                    yield pd.DataFrame(
+                        {
+                            "src": ids_a[ia],
+                            "nbr": ids_b[ib],
+                            "sim": fold_cosine(A, B, ia, ib),
+                        }
+                    )
                 if row.bid_a != row.bid_b:
                     # direction B -> A, served by the same task so each
                     # unordered block pair is shuffled exactly once
                     jb, ja = local_topk(sims.T, valid.T)
+                    if not len(jb):
+                        continue
                     yield pd.DataFrame(
                         {
                             "src": ids_b[jb],

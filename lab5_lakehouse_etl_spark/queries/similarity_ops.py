@@ -720,14 +720,25 @@ def q_ann_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Declared output is q_ann_ivf's invariant: exact brute-force top-k
     checksums (oracle-restated) plus the recall floor boolean over the
-    stored-index probe."""
+    stored-index probe.
+
+    Bench cost is BUILD-dominated by design: the 2^8-partition table
+    create (staged write + per-file stats + manifest commit) measures
+    ~4.5 s at sf0.1 vs ~1.9 s for the search leg — machinery a real
+    deployment pays once and amortizes over every query, the same
+    declared-side-effect accounting as q_merge_upsert.  The build
+    repartitions by cell first so each partition is written by one
+    task — one file per cell, the standard small-files discipline for
+    partitioned index stores."""
     from ..lakehouse import LakeTable
     from ..session import scratch_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     planes = S.hyperplanes(len(qv), n_planes=8, seed=42)
-    indexed = emb.withColumn("cell", S.lsh_bucket("embedding", planes))
+    indexed = emb.withColumn(
+        "cell", S.lsh_bucket("embedding", planes)
+    ).repartition("cell")
     path = scratch_dir("q_ann_index_store", fresh=True) + "/ivf_index"
     t = LakeTable.create(indexed, path, partition_by=["cell"])
     stored = t.read(spark)
