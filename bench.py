@@ -237,6 +237,12 @@ def main() -> None:
     bench_start = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Python workers inherit this env: pyspark's own stateful-streaming
+    # serializer trips a pandas-2.x FutureWarning (serializers.py:1696,
+    # concat of empty state frames — not our code) once per worker,
+    # which would land in the size-guarded bench tail. Bench-scope
+    # only; pytest keeps the default warning policy.
+    os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
     Q.load_all()
     spark = build_session("lab5-bench")
     spark.sparkContext.setLogLevel("ERROR")
