@@ -1055,3 +1055,194 @@ def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q1_SQL)
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    esupp AS (
+      SELECT s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+                   AND r.r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, sp.cost,
+             min(sp.cost) OVER (PARTITION BY p.p_partkey) AS mn
+      FROM supply sp
+      JOIN part p ON p.p_partkey = sp.l_partkey
+                 AND p.p_size BETWEEN 10 AND 20
+                 AND p.p_type = 'STANDARD'
+      JOIN esupp e ON e.s_suppkey = sp.l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, cost AS supply_cost
+    FROM cand WHERE cost = mn
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape; the fixture has no
+    partsupp table — reference testdata stops at the 8 TPC-H core
+    tables — so the supply relation is DERIVED from shipment history:
+    supplier s supplies part p iff a lineitem links them, at unit cost
+    min(l_extendedprice / l_quantity) over that pair's shipments).
+    For every EUROPE-region supplier of mid-size STANDARD parts,
+    keep those matching the per-part minimum cost — Q2's correlated
+    MIN subquery, re-expressed as ONE window over the candidate
+    relation instead of an agg + join-back that would rebuild the
+    supply aggregate twice.
+
+    Scale shape: the (part, supplier)-grain supply aggregate is the
+    only corpus-scale shuffle (map-side partial combine on a key pair
+    whose cardinality is bounded by the catalog, not shipments); part
+    prune and the region-filtered supplier dim both broadcast, and the
+    per-part window runs on the post-join candidate relation —
+    catalog-sized, thousands of rows per part at most.  The emitted
+    cost is UNROUNDED: min() selects one of the identical IEEE
+    division results both engines compute, so the doubles are
+    bit-equal with no summation-order margin to paper over (rounding
+    a quotient would ADD a HALF_UP-vs-binary tie hazard, the libm
+    divergence class).
+
+    Ref: Lab5-lakehouse-etl has no TPC-H suite; extension scope
+    (SURVEY §2.10)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+        )
+        .select("p_partkey")
+    )
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    esupp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    cand = supply.join(
+        F.broadcast(part), supply.l_partkey == part.p_partkey
+    ).join(F.broadcast(esupp), supply.l_suppkey == esupp.s_suppkey)
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("__mn", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("__mn"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("cost").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH v AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,6))) AS vdec
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+                   AND n.n_name = 'NATION_3'
+      GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(vdec) AS DOUBLE) AS tot FROM v)
+    SELECT v.l_partkey AS p_partkey,
+           round(CAST(v.vdec AS DOUBLE), 2) AS part_value
+    FROM v, t
+    WHERE CAST(v.vdec AS DOUBLE) > t.tot * 0.001
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape; no partsupp in
+    the fixture, so "stock value" is adapted to shipped revenue: per
+    part, sum of discounted lineitem revenue from ONE nation's
+    suppliers, keeping parts above 0.1% of that nation's total — the
+    same grouped-sum-vs-global-fraction HAVING pattern as the spec's
+    ps_supplycost * ps_availqty form).
+
+    Scale shape: the nation's supplier keys broadcast into a semi-ish
+    inner join (no fact-side shuffle before the aggregate), the
+    per-part aggregate is the single corpus-scale shuffle, and the
+    global total is an agg OVER THE CACHED per-part relation — 
+    catalog-sized, so the threshold side costs one tiny job, not a
+    second corpus scan; it then broadcasts back as a 1-row stat
+    relation (the q_sketch_cms consumers pattern).  Revenue
+    ACCUMULATES as DECIMAL(18,6) so the partial-agg combine order
+    cannot perturb the sum (products of 2-dp fixture values are
+    <= 4-dp exact, far from the 6-dp cast quantum), and the declared
+    column is round(CAST(.. AS DOUBLE), 2) — the r3-established
+    output contract (skew_ops module docstring); the THRESHOLD
+    compares the unrounded doubles both engines derive from the same
+    exact decimals.
+
+    Ref: Lab5-lakehouse-etl has no TPC-H suite; extension scope
+    (SURVEY §2.10)."""
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    v = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("vdec"))
+        .cache()
+    )
+    tot = v.agg(F.sum("vdec").cast("double").alias("tot"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("vdec").cast("double") > F.col("tot") * 0.001)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("vdec").cast("double"), 2).alias("part_value"),
+        )
+    )

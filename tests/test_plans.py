@@ -586,3 +586,28 @@ def test_ppl_buckets_broadcast_vocab(spark):
     assert schemas and all(
         set(s) <= {"doc_id", "text", "lang"} for s in schemas
     )
+
+
+def test_tpch_q2_one_fact_shuffle_window_on_candidates(spark):
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_tpch_q2"](spark, SF_DIR)
+    assert has_broadcast_join(df)  # part prune + region-filtered esupp
+    assert has_pushed_filters(df)  # p_size/p_type reach the part scan
+    plan = explain_str(df)
+    # supply agg shuffle + per-part window exchange over the candidate
+    # relation; dims never shuffle
+    assert shuffle_count(df) <= 2
+    assert "TakeOrderedAndProject" in plan  # LIMIT 100 never global-sorts
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_tpch_q11_single_fact_scan_broadcast_total(spark):
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_tpch_q11"](spark, SF_DIR)
+    assert has_broadcast_join(df)  # nation-pruned supplier keys + 1-row total
+    plan = explain_str(df)
+    # the cached per-part aggregate feeds both the total and the filter:
+    # lineitem must not be scanned once per consumer
+    assert plan.count("lineitem.parquet") <= 1
