@@ -949,6 +949,10 @@ def exact_jaccard_pairs(
         return jaccard_pairs_dense_vocab(
             sets_df, threshold, [r.t for r in probe]
         )
+    # prefix route rebuilds its own element sets from ``docs`` — drop
+    # the probe's materialized cache instead of holding executor
+    # memory for the returned plan's whole lifetime
+    sets_df.unpersist()
     return prefix_filter_jaccard_pairs(
         docs, threshold, id_col=id_col, text_col=text_col, elements=elements
     )
