@@ -1132,3 +1132,96 @@ def band_components(
         .over(Window.partitionBy(*keys, "island"))
         .alias("component"),
     ).unionByName(singletons)
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(band, bucket, id, sig) — the PERSISTABLE form of the LSH
+    banding state: one row per (doc, band), carrying the bucket key
+    the band hashes to plus the full signature (needed so a later
+    probe can run the cheap estimate gate without the original text).
+    Same signature SQL, same band slicing, same seeds as
+    minhash_candidate_pairs' expr backend, so an index built today and
+    a probe computed next ingest agree bit-for-bit.
+
+    This is the index-store pattern's near-dup leg (cf.
+    q_ann_index_store for vectors, q_ingest_dedup for exact): at
+    100 TB the corpus is scanned ONCE to build this narrow relation —
+    8 B id + 8 B bucket + H*8 B signature per band row, text never
+    stored — and every subsequent ingest probes it by (band, bucket)
+    equality, paying signature compute only for the new batch."""
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    from ..session import spread as _spread
+
+    spread = _spread(df, id_col, n_part)
+    sigs = spread.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            minhash_signature_sql(word_ngrams_sql(text_col, 2), num_hashes)
+        ).alias("sig"),
+    )
+    return (
+        sigs.withColumn("bands", _band_keys("sig", num_hashes, bands))
+        .select("id", "sig", F.explode("bands").alias("bk"))
+        .select(
+            F.col("bk.band").alias("band"),
+            F.col("bk.bucket").alias("bucket"),
+            "id",
+            "sig",
+        )
+    )
+
+
+def minhash_probe_index(
+    index: DataFrame,
+    probe: DataFrame,
+    num_hashes: int = 32,
+    est_threshold: float = 0.4,
+) -> DataFrame:
+    """Candidate near-dup pairs between a STORED band index and a new
+    batch's band rows (both :func:`minhash_band_index` relations):
+    equi-join on (band, bucket), dedup the multi-band collisions, then
+    the signature-estimate gate — identical to the self-join inside
+    minhash_candidate_pairs, except the two sides are different
+    relations, so an ingest batch of b docs costs O(b) signature
+    compute plus a join whose probe side is b*bands rows, independent
+    of corpus size.  Returns (id_a = indexed doc, id_b = probe doc,
+    est_jaccard); caller verifies exact Jaccard on candidates only."""
+    a = index.select(
+        "band",
+        "bucket",
+        F.col("id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = probe.select(
+        "band",
+        "bucket",
+        F.col("id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sig_a"),
+                F.col("sig_b"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / num_hashes
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )

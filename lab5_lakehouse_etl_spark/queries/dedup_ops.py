@@ -1095,3 +1095,74 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("id_a"), F.col("id_b"), F.col("jaccard")
     )
+
+
+@query(
+    "q_dedup_index_store",
+    oracle=r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text)-4, 1) + 1)) AS i
+            FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT b.doc_id AS doc_id, a.doc_id AS dup_of, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id % 4 != 0 AND b.doc_id % 4 = 0
+      GROUP BY 1, 2
+    )
+    SELECT inter.doc_id, dup_of,
+           round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = inter.dup_of
+               JOIN sizes sb ON sb.doc_id = inter.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    """,
+)
+def q_dedup_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest against a PERSISTED MinHash band
+    index — the third leg of the index-store pattern (exact:
+    q_ingest_dedup's fingerprint anti-join; vectors: q_ann_index_store's
+    cell-partitioned IVF): the already-ingested corpus (doc_id % 4 != 0)
+    is signature-banded ONCE and written as a LakeTable partitioned by
+    band; a new batch (doc_id % 4 == 0) computes its own band rows,
+    equi-joins the STORED index on (band, bucket), and exact-verifies
+    only the candidates.  Output is (doc_id, dup_of, jaccard): each
+    batch doc paired with every already-stored near-duplicate at
+    char-5-shingle Jaccard >= 0.5 — the rows an ingest pipeline would
+    route to the reject sink instead of appending.
+
+    The 100 TB account: the index is signatures, not text — (8 B id +
+    8 B bucket + 256 B sig) × bands per doc, scanned by the probe join
+    in place of the corpus; an ingest batch of b docs costs O(b)
+    signature compute + a (band, bucket)-keyed join whose probe side
+    is b×bands rows + exact verification of the candidate pairs only.
+    Base-corpus text is touched ONLY to shingle the candidates'
+    partners (verified_near_dups' semi-join prefilter path at scale).
+    Recall inherits the banding guarantee pinned for q_dedup_minhash
+    (planted near-dups at J >= 0.9 miss with p < 1e-6; measured 1.0 on
+    every fixture SF, and the estimate gate sits at 0.4 against true
+    pairs >= 0.5), so the verified output equals the oracle's
+    brute-force cross-split pair set exactly — same coupling,
+    documented there."""
+    from ..lakehouse import LakeTable
+    from ..session import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    path = scratch_dir("q_dedup_index_store", fresh=True) + "/band_index"
+    t = LakeTable.create(
+        D.minhash_band_index(base).repartition("band"),
+        path,
+        partition_by=["band"],
+    )
+    stored = t.read(spark)
+    cands = D.minhash_probe_index(stored, D.minhash_band_index(batch))
+    verified = D.verified_near_dups(docs, cands, threshold=0.5)
+    return verified.select(
+        F.col("id_b").alias("doc_id"),
+        F.col("id_a").alias("dup_of"),
+        "jaccard",
+    )

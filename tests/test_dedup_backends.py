@@ -135,3 +135,31 @@ def test_dense_vocab_kernel_edge_cases(spark):
         for r in D.exact_jaccard_pairs(docs, 0.5, elements=el).collect()
     }
     assert got == {(0, 1, 1.0), (0, 4, 0.6), (1, 4, 0.6)}
+
+
+def test_band_index_survives_laketable_roundtrip(spark, tmp_path):
+    """The persisted index contract (q_dedup_index_store): band rows
+    written to a LakeTable and read back must equal the freshly
+    computed relation exactly — including the array<long> signature
+    column, which is what the probe's estimate gate compares
+    component-wise."""
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+    from lab5_lakehouse_etl_spark.lakehouse import LakeTable
+    from lab5_lakehouse_etl_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    base = load_table(spark, SF_DIR, "documents").filter("doc_id % 4 != 0")
+    idx = D.minhash_band_index(base)
+    t = LakeTable.create(
+        idx.repartition("band"),
+        str(tmp_path / "band_index"),
+        partition_by=["band"],
+    )
+    stored = {
+        (r.band, r.bucket, r.id, tuple(r.sig))
+        for r in t.read(spark).collect()
+    }
+    fresh = {
+        (r.band, r.bucket, r.id, tuple(r.sig)) for r in idx.collect()
+    }
+    assert stored == fresh
