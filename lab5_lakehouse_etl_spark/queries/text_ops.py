@@ -617,6 +617,102 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ppl_buckets_gk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+    total AS (SELECT sum(cnt) AS n FROM vocab),
+    scored AS (
+      SELECT t.doc_id, ln(CAST(total.n AS DOUBLE) / v.cnt) AS nll
+      FROM toks t JOIN vocab v ON t.term = v.term CROSS JOIN total
+    ),
+    ce AS (SELECT doc_id FROM scored GROUP BY doc_id)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS cut33_lo_ok, TRUE AS cut33_hi_ok,
+           TRUE AS cut66_lo_ok, TRUE AS cut66_hi_ok
+    FROM documents d JOIN ce ON ce.doc_id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def q_ppl_buckets_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of q_ppl_buckets — per-language head/middle/tail
+    cutoffs from the MERGEABLE Greenwald-Khanna sketch instead of an
+    exact per-language ntile sort, exactly the swap that query's
+    docstring promises: one corpus scoring pass (q_lm_unigram's
+    broadcast-vocabulary layout), a per-language GK aggregate whose
+    state is bounded regardless of language size, the <=2 cutoff
+    values broadcast back, and bucketing as a row-local comparison —
+    the corpus never sorts and never shuffles beyond the tiny
+    (lang, sketch-state) aggregate.
+
+    Sketch cutoffs are algorithm-defined, so the declared output is
+    the invariant pattern (q_sketch_quantile's rank-space form, made
+    ONE-SIDED so heavy score ties cannot break it — a tie mass sitting
+    exactly on a cutoff inflates #(<= cut) without bound, but the GK
+    guarantee constrains #(< cut) and #(<= cut) separately):
+
+    - ``cut33_lo_ok``: #(ce <= cut33) >= (1/3 - eps)*n - 1 — the head
+      bucket is never starved below its share;
+    - ``cut33_hi_ok``: #(ce < cut33) <= (1/3 + eps)*n + 1 — strictly
+      below the cutoff never exceeds the share (the +-1 absorbs the
+      discrete order statistic, eps = 0.005 at accuracy 10000);
+    - the same pair at 2/3 (``cut66_*``), which bounds the tail bucket
+      from both sides since n_tail = n - #(ce <= cut66).
+
+    All four are integer-rank arithmetic over exact counts —
+    deterministic TRUE by the GK guarantee under ANY partition merge
+    order, which is what makes a sketch-cut bucket assignment safely
+    declarable at all.  Exact per-language doc counts restate the join
+    cardinality."""
+    eps, acc = 0.005, 10000
+    docs = load_table(spark, sf_dir, "documents")
+    ce = q_lm_unigram(spark, sf_dir).select("doc_id", "cross_entropy")
+    scored = docs.select("doc_id", "lang").join(ce, "doc_id")
+    cuts = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"approx_percentile(cross_entropy,"
+            f" array({1 / 3}, {2 / 3}), {acc})"
+        ).alias("ap"),
+    )
+    ranked = scored.join(F.broadcast(cuts), "lang")
+    counts = ranked.groupBy("lang", "n").agg(
+        F.sum((F.col("cross_entropy") <= F.col("ap")[0]).cast("long")).alias(
+            "le33"
+        ),
+        F.sum((F.col("cross_entropy") < F.col("ap")[0]).cast("long")).alias(
+            "lt33"
+        ),
+        F.sum((F.col("cross_entropy") <= F.col("ap")[1]).cast("long")).alias(
+            "le66"
+        ),
+        F.sum((F.col("cross_entropy") < F.col("ap")[1]).cast("long")).alias(
+            "lt66"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    return counts.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        (F.col("le33").cast("double") >= (1 / 3 - eps) * nd - 1).alias(
+            "cut33_lo_ok"
+        ),
+        (F.col("lt33").cast("double") <= (1 / 3 + eps) * nd + 1).alias(
+            "cut33_hi_ok"
+        ),
+        (F.col("le66").cast("double") >= (2 / 3 - eps) * nd - 1).alias(
+            "cut66_lo_ok"
+        ),
+        (F.col("lt66").cast("double") <= (2 / 3 + eps) * nd + 1).alias(
+            "cut66_hi_ok"
+        ),
+    )
+
+
+@query(
     "q_udtf_tokens",
     oracle=r"""
     SELECT doc_id,
