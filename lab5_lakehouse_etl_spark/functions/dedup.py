@@ -1165,6 +1165,14 @@ def minhash_band_index(
             minhash_signature_sql(word_ngrams_sql(text_col, 2), num_hashes)
         ).alias("sig"),
     )
+    # Cache AT THE SIGNATURE — the minhash_candidate_pairs barrier, for
+    # the same reason: the sig column feeds BOTH the declared output
+    # and the band-key explode, and CollapseProject otherwise clones
+    # the whole signature subtree per reference (measured: the
+    # un-cached plan scans the corpus twice per side).  id+sig is
+    # 8 B x (1+H) per doc — negligible vs a second corpus pass.
+    sigs = sigs.cache()
+    sigs.count()
     return (
         sigs.withColumn("bands", _band_keys("sig", num_hashes, bands))
         .select("id", "sig", F.explode("bands").alias("bk"))

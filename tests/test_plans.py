@@ -611,3 +611,37 @@ def test_tpch_q11_single_fact_scan_broadcast_total(spark):
     # the cached per-part aggregate feeds both the total and the filter:
     # lineitem must not be scanned once per consumer
     assert plan.count("lineitem.parquet") <= 1
+
+
+def test_dedup_index_store_probe_is_narrow(spark, tmp_path):
+    """The stored-index probe join must key on (band, bucket) with the
+    batch side never rescanning base-corpus text: candidate generation
+    reads the persisted band relation, not documents.parquet."""
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+    from lab5_lakehouse_etl_spark.lakehouse import LakeTable
+    from lab5_lakehouse_etl_spark.plans import explain_str
+    from lab5_lakehouse_etl_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    t = LakeTable.create(
+        D.minhash_band_index(docs.filter("doc_id % 4 != 0")).repartition(
+            "band"
+        ),
+        str(tmp_path / "bi"),
+        partition_by=["band"],
+    )
+    cands = D.minhash_probe_index(
+        t.read(spark),
+        D.minhash_band_index(docs.filter("doc_id % 4 = 0")),
+    )
+    plan = explain_str(cands)
+    # the index side comes from the stored table; documents.parquet
+    # appears only under the batch's signature subtree
+    assert plan.count("documents.parquet") == 1
+
+
+def test_ppl_buckets_gk_broadcasts_cutoffs(spark):
+    df = Q.QUERIES["q_ppl_buckets_gk"](spark, SF_DIR)
+    # cutoff relation (per-language sketch output) broadcasts back;
+    # the scoring pass inherits q_lm_unigram's broadcast vocabulary
+    assert has_broadcast_join(df)
