@@ -37,6 +37,17 @@ Round-8 measurements (local[32], min over nothing — single runs):
     q_dedup_simhash        6.9s -> 237.9s  x34.7  (dominated by its
                                            exact-Jaccard truth set)
     q_dup_spans_var        0.9s ->   5.2s  x5.5
+    q_dedup_index_store    4.5s ->  17.6s  x3.9   (build-dominated:
+                                           signatures + the 8-way
+                                           band-partitioned table
+                                           create; paid once per
+                                           ingest epoch.  Isolated
+                                           2-target run also measured
+                                           q_dedup_minhash at 5.5s --
+                                           the 18.4s above ran late in
+                                           the full-list session, so
+                                           treat slopes as run-order
+                                           sensitive within ~3x)
 """
 
 from __future__ import annotations
@@ -61,6 +72,7 @@ TARGETS = [
     "q_semdedup",
     "q_dedup_simhash",
     "q_dup_spans_var",
+    "q_dedup_index_store",
 ]
 
 
@@ -136,7 +148,8 @@ def run() -> None:
         return time.time() - t0
 
     one("q_dedup_exact_docs", SF01)  # warm session machinery
-    for name in TARGETS:
+    picked = [a for a in sys.argv[1:] if a.startswith("q_")] or TARGETS
+    for name in picked:
         try:
             w = one(name, SFBIG)
             b = base.get(name)
