@@ -37,6 +37,14 @@ Round-8 measurements (local[32], min over nothing — single runs):
     q_dedup_simhash        6.9s -> 237.9s  x34.7  (dominated by its
                                            exact-Jaccard truth set)
     q_dup_spans_var        0.9s ->   5.2s  x5.5
+    q_ppl_buckets_gk        --  ->   7.8s         (GK cutoffs + one
+                                           scoring pass; newer than
+                                           the last full sf0.1 bench)
+    q_dup_spans_char       1.5s ->  20.7s  x13.8  (span-keyed window
+                                           over every char position;
+                                           the synthetic corpus also
+                                           plants denser sharing, so
+                                           the slope reads high)
     q_dedup_index_store    4.5s ->  17.6s  x3.9   (build-dominated:
                                            signatures + the 8-way
                                            band-partitioned table
