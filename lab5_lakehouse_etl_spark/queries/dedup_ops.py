@@ -1147,13 +1147,16 @@ def q_dedup_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force cross-split pair set exactly — same coupling,
     documented there.
 
-    Bench cost is BUILD-dominated, the q_ann_index_store accounting:
-    ~4.5 s at sf0.1 vs 1.2 s for q_dedup_minhash, which computes the
-    same signatures and the same verify over the SAME corpus with no
-    persisted build — the ~3.3 s difference is the band-partitioned
-    table create (staged write + stats + manifest commit), machinery a
-    deployment pays once per ingest epoch and amortizes over every
-    batch probed against the stored index."""
+    Bench cost: ~1.8 s at sf0.1 vs 1.2 s for q_dedup_minhash, which
+    computes the same signatures and the same verify over the SAME
+    corpus with no persisted build — the ~0.6 s difference is the
+    band-partitioned table create, machinery a deployment pays once
+    per ingest epoch.  (The first cut of this query measured 4.5 s:
+    the sig column feeding both the declared output and the band-key
+    explode let CollapseProject clone the whole signature subtree
+    into a second corpus scan per side — minhash_band_index now
+    carries the same cache barrier minhash_candidate_pairs documents,
+    and the probe plan is pinned to one documents scan.)"""
     from ..lakehouse import LakeTable
     from ..session import scratch_dir
 

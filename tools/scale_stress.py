@@ -45,11 +45,10 @@ Round-8 measurements (local[32], min over nothing — single runs):
                                            the synthetic corpus also
                                            plants denser sharing, so
                                            the slope reads high)
-    q_dedup_index_store    4.5s ->  17.6s  x3.9   (build-dominated:
-                                           signatures + the 8-way
-                                           band-partitioned table
-                                           create; paid once per
-                                           ingest epoch.  Isolated
+    q_dedup_index_store    1.8s ->  17.6s  x9.8   (signatures + the
+                                           8-way band-partitioned
+                                           table create; build paid
+                                           once per ingest epoch.  Isolated
                                            2-target run also measured
                                            q_dedup_minhash at 5.5s --
                                            the 18.4s above ran late in
