@@ -645,3 +645,27 @@ def test_ppl_buckets_gk_broadcasts_cutoffs(spark):
     # cutoff relation (per-language sketch output) broadcasts back;
     # the scoring pass inherits q_lm_unigram's broadcast vocabulary
     assert has_broadcast_join(df)
+
+
+def test_ann_index_store_probe_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index's core claim: probing filters the
+    cell-partitioned table with a PARTITION filter, so unprobed cells'
+    files are pruned at planning (hive-style recovery via basePath —
+    the read schema must not even contain the cell column)."""
+    from lab5_lakehouse_etl_spark.functions import similarity as S
+    from lab5_lakehouse_etl_spark.lakehouse import LakeTable
+    from lab5_lakehouse_etl_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    planes = S.hyperplanes(64, n_planes=8, seed=42)
+    t = LakeTable.create(
+        emb.withColumn("cell", S.lsh_bucket("embedding", planes))
+        .repartition("cell"),
+        str(tmp_path / "ivf"),
+        partition_by=["cell"],
+    )
+    probe = t.read(spark).filter(F.col("cell").isin([1, 2, 3]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>" in plan
