@@ -163,3 +163,59 @@ def test_band_index_survives_laketable_roundtrip(spark, tmp_path):
         (r.band, r.bucket, r.id, tuple(r.sig)) for r in idx.collect()
     }
     assert stored == fresh
+
+
+def test_dense_kernel_equals_prefix_kernel_property(spark):
+    """Hypothesis pin of the router's core contract: the dense
+    binary-incidence matmul kernel and the prefix-filter kernel are
+    the SAME exact set-similarity join — identical (id_a, id_b,
+    jaccard-rounded-6) rows on arbitrary corpora, including pairs
+    whose Jaccard sits EXACTLY on the 0.5 threshold (|A∩B|/|A∪B| =
+    2/4 planted below) and rows whose rounded jaccard lands on a
+    HALF_UP tie — the cases where a kernel that rounded differently
+    or compared on floats would diverge."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    alphabet = [f"t{i}" for i in range(12)]  # tiny vocab: dense regime
+    docs_strategy = st.lists(
+        st.sets(st.sampled_from(alphabet), min_size=1, max_size=8),
+        min_size=2,
+        max_size=12,
+    )
+
+    @given(sets=docs_strategy)
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(sets):
+        rows = [(i, " ".join(sorted(s))) for i, s in enumerate(sets)]
+        # plant an exact-threshold pair: {a b} vs {a c} has J = 1/3;
+        # {a b c} vs {a b d} has J = 2/4 = 0.5 exactly
+        base = len(rows)
+        rows += [(base, "xa xb xc"), (base + 1, "xa xb xd")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        elements = F.expr("split(text, ' ')")
+        dense = D.jaccard_pairs_dense_vocab(
+            docs.select(
+                F.col("doc_id").alias("id"),
+                F.array_distinct(F.expr("split(text, ' ')")).alias("toks"),
+            ),
+            0.5,
+            vocab=sorted({t for s in sets for t in s}
+                         | {"xa", "xb", "xc", "xd"}),
+            n_blocks=3,
+        )
+        prefix = D.prefix_filter_jaccard_pairs(
+            docs, 0.5, id_col="doc_id", text_col="text", elements=elements
+        )
+        got_d = sorted(
+            (r.id_a, r.id_b, r.jaccard) for r in dense.collect()
+        )
+        got_p = sorted(
+            (r.id_a, r.id_b, r.jaccard) for r in prefix.collect()
+        )
+        assert got_d == got_p
+        assert (base, base + 1, 0.5) in got_d  # the planted boundary pair
+
+    run()
