@@ -454,6 +454,7 @@ def ivf_search_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cell",
+    hist: dict | None = None,
 ) -> DataFrame:
     """IVF search over a PRE-BUCKETED relation — the read side of a
     persisted index (q_ann_index_store): ``bucketed`` already carries
@@ -484,12 +485,19 @@ def ivf_search_bucketed(
             out.append(qbucket ^ flip)
         return out
 
-    hist = {
-        int(r[cell_col]): int(r["n"])
-        for r in bucketed.groupBy(cell_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    if hist is None:
+        # fallback: one tiny distributed aggregate (<= 2^n_planes rows).
+        # Callers holding a LakeTable-backed index pass
+        # LakeTable.partition_histogram(cell_col) instead — the same
+        # numbers from manifest metadata, zero Spark jobs.
+        hist = {
+            int(r[cell_col]): int(r["n"])
+            for r in bucketed.groupBy(cell_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    else:
+        hist = {int(k): int(v) for k, v in hist.items()}
     budget = min_candidates_factor * k
     probes: list[int] = []
     got = 0

@@ -1013,6 +1013,35 @@ class LakeTable:
             return v.isoformat()
         return v
 
+    def partition_histogram(
+        self, column: str, version: int | None = None
+    ) -> dict | None:
+        """Per-partition-value ROW COUNTS straight from the manifest —
+        the metadata-only histogram an index probe planner needs (cf.
+        q_ann_index_store): each file of a hive-partitioned table
+        carries exactly one value of the partition column as its
+        ``[v, v]`` stats bounds plus its footer row count, so the
+        histogram is a driver-side fold over file stats — ZERO Spark
+        jobs, zero data files touched, any corpus size.  Returns None
+        (caller falls back to a distributed group-by) if any file
+        lacks usable single-valued stats for ``column`` — conservative:
+        a partial histogram would silently under-budget an adaptive
+        probe and erode its recall floor."""
+        v = self.version() if version is None else version
+        m = self._manifest(v)
+        stats = m.get("file_stats", {})
+        cm = m.get("column_mapping") or {}
+        col = cm.get(column, column)
+        hist: dict = {}
+        for f in m["files"]:
+            e = stats.get(f) or {}
+            mm = (e.get("minmax") or {}).get(col)
+            rows = e.get("rows")
+            if not mm or mm[0] != mm[1] or rows is None:
+                return None
+            hist[mm[0]] = hist.get(mm[0], 0) + rows
+        return hist
+
     def prune_files(
         self,
         predicates: list[tuple],

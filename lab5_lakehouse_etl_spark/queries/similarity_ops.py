@@ -742,8 +742,14 @@ def q_ann_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scratch_dir("q_ann_index_store", fresh=True) + "/ivf_index"
     t = LakeTable.create(indexed, path, partition_by=["cell"])
     stored = t.read(spark)
+    # probe planning from manifest metadata: per-cell row counts fold
+    # from each file's [v, v] partition stats + footer row count —
+    # zero Spark jobs where the generic path pays a group-by (the
+    # distributed fallback stays for non-LakeTable relations and is
+    # histogram-identical, tests/test_lakehouse.py)
     got = S.ivf_search_bucketed(
-        stored, qv, k=_K, n_planes=8, seed=42, min_candidates_factor=64
+        stored, qv, k=_K, n_planes=8, seed=42, min_candidates_factor=64,
+        hist=t.partition_histogram("cell"),
     ).select("vec_id")
     exact = S.topk_cosine(emb, qv, k=_K)
     sums = exact.agg(

@@ -1620,3 +1620,27 @@ def test_delta_parity_version_retention_arithmetic(spark, tmp_path):
         .collect()
     }
     assert got == {(2, "update_pre"), (2, "update_post"), (3, "insert")}
+
+
+def test_partition_histogram_matches_groupby(spark, tmp_path):
+    """partition_histogram folds per-file [v, v] partition stats +
+    footer row counts into the same numbers a distributed group-by
+    computes — the metadata-only probe planner q_ann_index_store uses;
+    None (distributed fallback) only when stats are unusable."""
+    df = spark.range(0, 500).selectExpr(
+        "id AS k", "CAST(id % 7 AS LONG) AS cell"
+    )
+    t = LakeTable.create(
+        df.repartition("cell"),
+        str(tmp_path / "ph_tbl"),
+        partition_by=["cell"],
+    )
+    hist = t.partition_histogram("cell")
+    assert hist is not None
+    expected = {
+        r.cell: r.n
+        for r in t.read(spark).groupBy("cell").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert {int(k): v for k, v in hist.items()} == expected
+    assert t.partition_histogram("k") is None  # multi-valued per file
