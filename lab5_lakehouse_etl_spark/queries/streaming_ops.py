@@ -414,3 +414,78 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.run_to_memory(
         enriched, "q_stream_enrich_sink", spark, "append"
     )
+
+
+@query(
+    "q_stream_neardup",
+    oracle=r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text)-4, 1) + 1)) AS i
+            FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT b.doc_id AS doc_id, a.doc_id AS dup_of, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id % 4 != 0 AND b.doc_id % 4 = 0
+      GROUP BY 1, 2
+    )
+    SELECT inter.doc_id, dup_of,
+           round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = inter.dup_of
+               JOIN sizes sb ON sb.doc_id = inter.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    """,
+)
+def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup ingest gate: the corpus arrives as a file
+    stream (4 parquet landing files, maxFilesPerTrigger=1 → four real
+    micro-batches), and every batch is probed against the PERSISTED
+    MinHash band index of the already-ingested corpus — band rows
+    computed per batch, (band, bucket) join against the stored index,
+    exact Jaccard verify on candidates only, rejects appended to the
+    result sink (streaming/events.stream_neardup_gate).  The streaming
+    twin of q_dedup_index_store, and the 100 TB ingest-shape: work per
+    micro-batch is O(batch), the index is never rebuilt, and the
+    corpus is never rescanned wholesale.
+
+    Batch-independence makes it SQL-stateable: each batch probes only
+    the immutable base index (batch-vs-batch dups are the NEXT index
+    epoch's problem, exactly like q_ingest_dedup's within-batch window
+    vs history split), so the drained output is invariant to how files
+    land in micro-batches and equals the batch-mode cross-split pair
+    set the oracle brute-forces."""
+    from ..functions import dedup as D
+    from ..lakehouse import LakeTable
+    from ..streaming import events as E
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    scratch = scratch_dir("q_stream_neardup", fresh=True)
+    land = f"{scratch}/landing"
+    batch.repartitionByRange(4, "doc_id").write.parquet(land)
+    t = LakeTable.create(
+        D.minhash_band_index(base).repartition("band"),
+        f"{scratch}/band_index",
+        partition_by=["band"],
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    out = f"{scratch}/rejects"
+    E.stream_neardup_gate(
+        spark, stream, t.read(spark), docs, out, f"{scratch}/ckpt"
+    )
+    import os
+
+    if not os.path.isdir(out):  # zero rejects: nothing was appended
+        return spark.createDataFrame(
+            [], "doc_id long, dup_of long, jaccard double"
+        )
+    return spark.read.parquet(out)

@@ -461,6 +461,61 @@ def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_neardup_gate(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    stored_index: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """foreachBatch near-dup gate — the STREAMING form of
+    q_dedup_index_store's ingest probe: each micro-batch of documents
+    is signature-banded (functions/dedup.minhash_band_index), probed
+    against the STATIC persisted band index on (band, bucket), exact-
+    verified on candidates only, and the reject rows (doc_id, dup_of,
+    jaccard) appended to ``out_path`` — what a corpus-ingest pipeline
+    routes to the reject sink while accepted docs flow on.
+
+    Batch-independence is the correctness design: every batch probes
+    only the immutable base index (never batch-vs-batch), so the
+    drained result is a pure function of the input set — invariant to
+    file→micro-batch assignment and to replay, which is what lets a
+    DuckDB oracle state it.  Per-batch cost is O(batch) signature
+    compute + a join against the narrow index + candidate-only verify;
+    at corpus scale the verify's semi-join prefilter keeps the shingle
+    pass candidate-sized (verified_near_dups docstring)."""
+    from pyspark.sql import functions as SF
+
+    from ..functions import dedup as D
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cands = D.minhash_probe_index(
+            stored_index, D.minhash_band_index(batch_df)
+        )
+        ver = D.verified_near_dups(corpus, cands, threshold=0.5)
+        (
+            ver.select(
+                SF.col("id_b").alias("doc_id"),
+                SF.col("id_a").alias("dup_of"),
+                "jaccard",
+            )
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    with _state_sized_shuffle(spark):
+        q = (
+            docs_stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def stream_merge_to_table(
     spark: SparkSession,
     events: DataFrame,
