@@ -334,3 +334,30 @@ def test_tws_plan_constructs_without_protobuf(spark):
         ("n_events", "bigint"),
         ("sum_value", "double"),
     ]
+
+
+def test_stream_neardup_equals_batch_index_store(spark):
+    """The streaming gate and its batch twin are the SAME operator:
+    q_stream_neardup's drained rejects must equal q_dedup_index_store's
+    output row-for-row (both probe an immutable base band index with
+    the same split), and the landing layout must have produced real
+    multi-batch execution (4 files, maxFilesPerTrigger=1)."""
+    import glob
+    import os
+
+    from lab5_lakehouse_etl_spark import queries as Q
+    from lab5_lakehouse_etl_spark.session import scratch_dir
+    from tests.conftest import SF_DIR
+
+    Q.load_all()
+    got_stream = sorted(
+        tuple(r)
+        for r in Q.QUERIES["q_stream_neardup"](spark, SF_DIR).collect()
+    )
+    got_batch = sorted(
+        tuple(r)
+        for r in Q.QUERIES["q_dedup_index_store"](spark, SF_DIR).collect()
+    )
+    assert got_stream == got_batch
+    land = scratch_dir("q_stream_neardup") + "/landing"
+    assert len(glob.glob(os.path.join(land, "*.parquet"))) == 4
