@@ -958,6 +958,128 @@ def exact_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    elements: F.Column | None = None,
+) -> DataFrame:
+    """EXACT overlap-coefficient similarity join — pairs with
+    ``|A∩B| / min(|A|, |B|) >= threshold`` — via an asymmetric
+    prefix-probe / full-index join.  The dedup family member Jaccard
+    structurally misses: a document quoted inside a much larger one has
+    overlap 1.0 but Jaccard ~ |A|/|B| -> 0, so no Jaccard threshold
+    catches subset/quote duplicates without also merging unrelated
+    pairs.  (Overlap coefficient == containment of the SMALLER side.)
+
+    Prefix theorem, containment form: with A the smaller side, the
+    required intersection is ``alpha = ceil(t * |A|)``; by pigeonhole,
+    if none of A's first ``|A| - alpha + 1`` rarest-first tokens hits
+    B, the remaining ``alpha - 1`` tokens cannot reach alpha — so
+    candidates come from joining each doc's PREFIX (as the putative
+    smaller side) against the FULL postings of docs with ``n >= |A|``.
+    No length filter exists for this measure (a 3-token set can be
+    contained in a 3000-token one — that asymmetry is the point), so
+    the index side is unpruned; candidate volume is still governed by
+    the df of rare prefix tokens, not |corpus|^2.  Exact
+    ``array_intersect`` verification on candidates only, like
+    prefix_filter_jaccard_pairs (same 1e-9 ceil slack so a pair at
+    exactly t survives fl() rounding; same rarest-first (df, token)
+    total order; same checkpointed one-scan set relation).
+
+    Output: (id_small, id_large, containment) — id_small the smaller
+    set (ties: lower id), containment rounded to 6.  Exact-double
+    parity: the quotient is int/int in both engines.
+
+    Scale shape: one scan+shingle pass, one df aggregate, a per-doc
+    row_number window, the prefix->postings equi-join, candidates-only
+    verify widened to defaultParallelism (CPU-dense intersects — the
+    same AQE-undersizing fix as the Jaccard kernel).  A corpus whose
+    common tokens are hot pays in the index postings; the standard
+    mitigations compose here exactly as for Jaccard (band or block
+    first, run the exact kernel within groups).
+    """
+    from pyspark.sql import Window
+
+    from ..session import spread as _spread
+
+    if elements is None:
+        elements = F.array_distinct(
+            F.expr(f"split(lower({text_col}), '\\\\s+')")
+        )
+    sets = (
+        _spread(docs.filter(F.col(text_col).isNotNull()), id_col)
+        .select(
+            F.col(id_col).alias("id"), F.array_distinct(elements).alias("toks")
+        )
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+        .localCheckpoint(eager=True)
+    )
+    tok = sets.select("id", "n", F.explode("toks").alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # prefix as the smaller side: p = n - ceil(t*n) + 1 (1e-9 slack —
+    # see prefix_filter_jaccard_pairs on why ceil must not round up
+    # past an exact integer product)
+    p = (
+        F.col("n")
+        - F.ceil(F.col("n") * F.lit(threshold) - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    w = Window.partitionBy("id").orderBy("df", "token")
+    probe = (
+        tok.join(freq, "token")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= p)
+        .select("id", "n", "token")
+    )
+    a, b = probe.alias("a"), tok.alias("b")
+    # a is the smaller side by construction of the join condition;
+    # equal sizes tie-break on id so each unordered pair appears once
+    cands = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (
+                (F.col("a.n") < F.col("b.n"))
+                | ((F.col("a.n") == F.col("b.n")) & (F.col("a.id") < F.col("b.id")))
+            ),
+        )
+        .select(
+            F.col("a.id").alias("id_small"),
+            F.col("b.id").alias("id_large"),
+            F.col("a.n").alias("n_small"),
+        )
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism,
+            "id_small",
+            "id_large",
+        )
+        .dropDuplicates(["id_small", "id_large"])
+    )
+    inter = (
+        cands.join(
+            sets.select(F.col("id").alias("id_small"), F.col("toks").alias("ta")),
+            "id_small",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_large"), F.col("toks").alias("tb")),
+            "id_large",
+        )
+        .select(
+            "id_small",
+            "id_large",
+            "n_small",
+            F.size(F.array_intersect("ta", "tb")).alias("i"),
+        )
+    )
+    cont = F.col("i") / F.col("n_small")
+    return inter.filter(cont >= F.lit(threshold)).select(
+        "id_small", "id_large", F.round(cont, 6).alias("containment")
+    )
+
+
 def shared_gram_occurrences(
     toks_df: DataFrame,
     n: int = 8,

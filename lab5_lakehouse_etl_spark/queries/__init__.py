@@ -188,11 +188,11 @@ _REWRITTEN_IN: dict[str, int] = {
     # path through the Arrow serializer is what changed).
     "q_udaf_geomean": 8,
 }
-# r8 window arithmetic: 22 unverified (7 rewrites above + 15 queries
-# new in r8) + the 38-query r4-era re-check tail = 60 > 50 slots, so
-# exactly ten r4 rows (none rewritten since r4, rows still valid)
-# age one more round and lead the r9 window.  Verifying new code
-# paths outranks re-checking stable greens.
+# r8 window arithmetic: 25 unverified (7 rewrites above + 18 queries
+# new in r8) + the 38-query r4-era re-check tail = 63 > 50 slots, so
+# thirteen r4 rows (none rewritten since r4, rows still valid) age
+# one more round and lead the r9 window.  Verifying new code paths
+# outranks re-checking stable greens.
 
 
 def _driver_verified() -> dict[str, int]:

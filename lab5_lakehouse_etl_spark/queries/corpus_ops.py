@@ -635,3 +635,46 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est") >= F.col("freq")).alias("est_ge_exact"),
         (F.col("est") <= F.col("freq") + slack).alias("overcount_ok"),
     )
+
+
+@query(
+    "q_corpus_shuffle",
+    oracle=r"""
+    SELECT doc_id,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS INT) AS pos
+    FROM documents
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-order
+    assignment step between curation and tokenization: every document
+    gets a (shard, pos) coordinate by md5 of its id, so the "random"
+    order is reproducible across runs AND engines (no rand(), no
+    engine-specific hash — the same portability constraint as
+    q_split_hash).  Consumers stream shards in name order, rows in pos
+    order, and see a fixed uniform permutation of the corpus;
+    re-running the build yields byte-identical ordering, which is what
+    makes training-data audits and exact resume possible.
+
+    Scale shape: shard = first 2 hex chars of md5 (256 buckets here;
+    the width is the only knob — 4 chars = 65k shards at 100 TB so a
+    shard fits an executor), pos = row_number windowed PER SHARD.  One
+    hash-partitioned shuffle + per-shard sort, each shard ~1/256 of
+    the corpus — never a single global orderBy window (a one-partition
+    total sort is the classic driver-shaped bottleneck; the sharded
+    form is exactly how distributed terasort lays out ranges).  The
+    md5 tiebreak is total (doc_id appended), so pos is unique and
+    deterministic within every shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    shard = F.substring(key, 1, 2)
+    w = Window.partitionBy("shard").orderBy("__key", "doc_id")
+    return (
+        docs.select("doc_id", key.alias("__key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .select("doc_id", "shard", "pos")
+    )

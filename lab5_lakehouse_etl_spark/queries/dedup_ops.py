@@ -1097,6 +1097,58 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_ORACLE = r"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS s
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t,
+               unnest(range(1,
+                 greatest(len(string_split_regex(lower(text), '\s+'))-2, 1) + 1
+               )) AS i
+        FROM documents WHERE text IS NOT NULL)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(CASE WHEN sa.n <= sb.n THEN inter.id_a ELSE inter.id_b END
+            AS BIGINT) AS id_small,
+       CAST(CASE WHEN sa.n <= sb.n THEN inter.id_b ELSE inter.id_a END
+            AS BIGINT) AS id_large,
+       round(i * 1.0 / least(sa.n, sb.n), 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = inter.id_a
+           JOIN sizes sb ON sb.doc_id = inter.id_b
+WHERE i * 1.0 / least(sa.n, sb.n) >= 0.8
+"""
+
+
+@query("q_dedup_containment", oracle=_CONTAINMENT_ORACLE)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT overlap-coefficient (containment) similarity join over
+    word-3-gram sets, threshold 0.8 — the subset/quote-duplicate
+    detector Jaccard structurally misses: a short document embedded in
+    a much longer one has containment 1.0 but Jaccard ~ |A|/|B| -> 0.
+    Standard companion pass to Jaccard dedup in pretraining curation
+    (boilerplate wrappers, quoted articles, partial mirrors).
+
+    Asymmetric prefix-probe / full-index join with exact verification
+    (functions/dedup.containment_pairs): each doc's rarest-first
+    prefix, sized for the role of SMALLER side (alpha = ceil(t*|A|)),
+    probes the full postings of not-smaller docs; no length filter
+    exists for this measure, which is exactly why it sees pairs the
+    Jaccard kernels prune.  The oracle is the brute-force all-pairs
+    overlap coefficient — equality proves prefix completeness and the
+    verification math, same contract as q_dedup_prefix."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(
+        docs,
+        threshold=0.8,
+        elements=D.word_ngrams("text", 3),
+    )
+
+
 @query(
     "q_dedup_index_store",
     oracle=r"""

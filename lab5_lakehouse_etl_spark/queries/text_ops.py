@@ -751,3 +751,53 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SELECT d.doc_id, t.pos, t.token
            FROM _udtf_docs d, LATERAL token_explode(d.text) t"""
     )
+
+
+@query(
+    "q_text_normalize",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_fp
+      FROM documents
+    )
+    SELECT doc_id, norm_fp,
+           (doc_id = min(doc_id) OVER (PARTITION BY norm_fp)) AS keep,
+           CAST(count(*) OVER (PARTITION BY norm_fp) AS BIGINT) AS n_norm_copies
+    FROM n
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-keyed ("fuzzy-exact") dedup: canonicalize text —
+    lowercase, strip punctuation, collapse whitespace — fingerprint the
+    canonical form, and mark the lowest-id doc per fingerprint as the
+    keeper.  The standard first dedup pass in pretraining curation
+    (Dolma/CCNet shape): it merges casing/punctuation variants that
+    raw-byte exact dedup (q_dedup_exact_docs) treats as distinct and
+    near-dup signatures (q_dedup_minhash) shouldn't have to pay for.
+
+    Whole plan is JVM codegen: three regexp_replace/lower maps feed
+    md5, then one hash-partitioned window over the fingerprint (same
+    single-shuffle shape as q_fingerprint — the group cardinality is
+    ~|corpus|, so the shuffle is narrow key+id traffic, never text).
+    At 100 TB the text column is pruned before the exchange: only
+    (doc_id, norm_fp) shuffles."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    fp = docs.select("doc_id", F.md5(norm).alias("norm_fp"))
+    w = Window.partitionBy("norm_fp")
+    return fp.select(
+        "doc_id",
+        "norm_fp",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_norm_copies"),
+    )

@@ -157,3 +157,46 @@ def test_variable_length_spans_planted_fixture(spark):
         (3, 1, 9),
         (5, 0, 19),
     ]
+
+
+def test_containment_pairs_equal_truth_sf001(spark, ddb_01):
+    got = Q.QUERIES["q_dedup_containment"](spark, SF_001)
+    truth = ddb_01.sql(Q.ORACLES["q_dedup_containment"])
+    assert rows_key(
+        [tuple(r) for r in got.collect()], got.columns
+    ) == rows_key(truth.fetchall(), truth.columns)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc quoted inside a much
+    longer one has overlap 1.0 but Jaccard |A|/|B| << 0.5 — the
+    containment join must emit the pair; the exact-Jaccard join at 0.5
+    must not.  Also exercises the asymmetric prefix math at an extreme
+    size ratio (prefix of the small side = 1 token at t=1.0 bound)."""
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler.upper()),
+            (3, "entirely unrelated content nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.id_small, r.id_large): r.containment
+        for r in D.containment_pairs(
+            docs, threshold=0.8, elements=D.word_ngrams("text", 3)
+        ).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    assert (1, 3) not in cont and (3, 1) not in cont
+    jac = {
+        (r.id_a, r.id_b)
+        for r in D.prefix_filter_jaccard_pairs(
+            docs, threshold=0.5, elements=D.word_ngrams("text", 3)
+        ).collect()
+    }
+    assert (1, 2) not in jac  # Jaccard structurally blind to the quote

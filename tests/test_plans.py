@@ -669,3 +669,32 @@ def test_ann_index_store_probe_prunes_partitions(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell" in plan
     assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>" in plan
+
+
+def test_dedup_containment_bounded_shuffles(spark):
+    """q_dedup_containment: the checkpointed set relation feeds every
+    branch (scan hidden behind the localCheckpoint), then exactly the
+    df group-by, the per-doc prefix window, and the widened candidate
+    dedupe — never an all-pairs exchange."""
+    df = Q.QUERIES["q_dedup_containment"](spark, SF_DIR)
+    assert shuffle_count(df) <= 3
+
+
+def test_corpus_shuffle_single_shard_exchange(spark):
+    """q_corpus_shuffle: ONE hash exchange on the shard key (the
+    per-shard row_number sort rides that partitioning), and the scan
+    reads only doc_id — the text never moves."""
+    df = Q.QUERIES["q_corpus_shuffle"](spark, SF_DIR)
+    assert shuffle_count(df) == 1
+    schemas = scan_read_schema(df)
+    assert schemas and all(s == ["doc_id"] for s in schemas)
+
+
+def test_text_normalize_single_fp_shuffle(spark):
+    """q_text_normalize: normalization + md5 are narrow codegen maps;
+    the only exchange is the fingerprint window, and it carries
+    (doc_id, norm_fp) — the text column is projected away first."""
+    df = Q.QUERIES["q_text_normalize"](spark, SF_DIR)
+    assert shuffle_count(df) == 1
+    schemas = scan_read_schema(df)
+    assert schemas and all(set(s) <= {"doc_id", "text"} for s in schemas)
