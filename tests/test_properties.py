@@ -506,3 +506,54 @@ def test_knn_graph_matches_bruteforce_property(spark, seed, n, k, n_blocks):
         for rank, (s, j) in enumerate(sims, 1):
             exp[(i, j)] = (rank, s)
     assert got == exp
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(2, 18),
+    thr=st.sampled_from([0.5, 0.8, 1.0]),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_containment_pairs_matches_bruteforce_property(spark, seed, n, thr):
+    """containment_pairs (asymmetric prefix-probe / full-index join)
+    must equal brute-force overlap-coefficient on adversarial corpora:
+    tiny shared vocabulary (hot postings), planted exact duplicates
+    (equal-size tie-break), planted strict subsets (the size-asymmetry
+    case), and threshold 1.0 (prefix degenerates to a single token)."""
+    import random
+
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = []
+    for i in range(n):
+        k = rng.randint(1, 7)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+    # plant a strict subset of doc 0 and an exact duplicate of doc 1
+    toks0 = rows[0][1].split()
+    rows.append((n, " ".join(toks0[: max(1, len(toks0) // 2)])))
+    rows.append((n + 1, rows[1 % n][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sets = {i: frozenset(t.lower().split()) for i, t in rows}
+    want = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            m = min(len(sa), len(sb))
+            if m and inter / m >= thr:
+                sm, lg = (a, b) if (len(sa), a) <= (len(sb), b) else (b, a)
+                want[(sm, lg)] = inter / m
+
+    got = {
+        (r.id_small, r.id_large): r.containment
+        for r in D.containment_pairs(docs, threshold=thr).collect()
+    }
+    assert set(got) == set(want)
+    for pair, c in want.items():
+        assert abs(got[pair] - c) < 1e-6
