@@ -80,6 +80,9 @@ TARGETS = [
     "q_dedup_simhash",
     "q_dup_spans_var",
     "q_dedup_index_store",
+    "q_dedup_containment",
+    "q_text_normalize",
+    "q_corpus_shuffle",
 ]
 
 
