@@ -115,8 +115,24 @@ def tier2_queries() -> list[str]:
     VISIBILITY — a merge path that doubles in cost shows up here even
     at n=1, where before r7 it was never timed at all.  Side-effect
     queries include their sink setup by design (that IS their cost);
-    cross-round comparison uses the calibration ratio like tier 1."""
-    return [n for n in Q.QUERIES if n not in BENCH_QUERIES]
+    cross-round comparison uses the calibration ratio like tier 1.
+
+    ORDER: multi-job side-effect queries (streaming drains, lakehouse
+    mutations, index stores) run FIRST, in the youngest driver.
+    Measured round 8 (README "Bench environment variance"): per-job
+    scheduler overhead grows with driver session age, so a 15-job
+    drain measured at sweep slot ~190 reads 2-6x its fresh-session
+    wall (q_stream_neardup 5s fresh -> 13-29s late-sweep) while
+    single-plan queries barely move.  Front-loading the job-heavy
+    family makes the sweep aging land on the queries it cannot
+    distort — plan signal, not slot-number artifact."""
+    rest = [n for n in Q.QUERIES if n not in BENCH_QUERIES]
+    heavy_prefixes = (
+        "q_stream_", "q_merge_", "q_mv_", "q_table_", "q_pipeline_",
+        "q_ann_index", "q_dedup_index", "q_ingest_", "q_xlsx",
+    )
+    heavy = [n for n in rest if n.startswith(heavy_prefixes)]
+    return heavy + [n for n in rest if n not in set(heavy)]
 
 
 def force(df) -> None:

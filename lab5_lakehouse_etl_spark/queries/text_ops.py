@@ -778,14 +778,16 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup signatures (q_dedup_minhash) shouldn't have to pay for.
 
     Whole plan is JVM codegen: three regexp_replace/lower maps feed
-    md5, then one hash-partitioned window over the fingerprint (same
-    single-shuffle shape as q_fingerprint — the group cardinality is
-    ~|corpus|, so the shuffle is narrow key+id traffic, never text).
-    At 100 TB the text column is pruned before the exchange: only
-    (doc_id, norm_fp) shuffles."""
+    md5, then one hash-partitioned window over the fingerprint (the
+    group cardinality is ~|corpus|, so the shuffle is narrow key+id
+    traffic, never text).  At 100 TB the text column is pruned before
+    the exchange: only (doc_id, norm_fp) shuffles.  The regex maps are
+    CPU-dense and run at SCAN parallelism, so the conditional spread
+    applies (no-op on a split corpus; measured on the 10x single-file
+    stress corpus: 8.1 s single-threaded -> ~1 s spread)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),

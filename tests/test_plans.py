@@ -692,9 +692,10 @@ def test_corpus_shuffle_single_shard_exchange(spark):
 
 def test_text_normalize_single_fp_shuffle(spark):
     """q_text_normalize: normalization + md5 are narrow codegen maps;
-    the only exchange is the fingerprint window, and it carries
+    the only exchanges are the conditional fixture spread (no-op on a
+    split corpus) and the fingerprint window, which carries
     (doc_id, norm_fp) — the text column is projected away first."""
     df = Q.QUERIES["q_text_normalize"](spark, SF_DIR)
-    assert shuffle_count(df) == 1
+    assert shuffle_count(df) <= 2
     schemas = scan_read_schema(df)
     assert schemas and all(set(s) <= {"doc_id", "text"} for s in schemas)

@@ -55,6 +55,21 @@ Round-8 measurements (local[32], min over nothing — single runs):
                                            the full-list session, so
                                            treat slopes as run-order
                                            sensitive within ~3x)
+
+Round-8 late additions (same corpus; NB the stress corpus carries
+~47x the CHARACTER volume of sf0.1 -- 10x docs x ~4.7x doc length --
+so char-bound text operators read x20-30 "at 10x" while being linear
+or sublinear in their true input):
+
+    q_dedup_containment    2.5s ->  26.6s  x10.5  (x47 chars: strongly
+                                           sublinear; candidates track
+                                           rare-prefix posting df)
+    q_text_normalize       0.4s ->  11.1s  x30    (x47 chars: linear —
+                                           the cost IS regex+md5 over
+                                           every char; spread keeps the
+                                           map at full parallelism)
+    q_corpus_shuffle       0.2s ->   0.6s  x3.1   (md5 map + one
+                                           256-shard exchange)
 """
 
 from __future__ import annotations
