@@ -5,7 +5,9 @@ hash-seeded but their VERIFIED pair sets are exact-Jaccard relations a
 brute-force DuckDB oracle restates. SimHash measures Hamming distance
 (no SQL twin), so its declared output is the SQL-stateable invariant —
 true-pair count + recall-floor boolean — with the raw pair set pinned
-in tests/test_dedup_golden.py.
+in tests/test_dedup_golden.py. The exact overlap-coefficient join
+(q_dedup_containment) covers the subset/quote-duplicate class every
+Jaccard threshold structurally misses.
 """
 
 from __future__ import annotations
