@@ -129,7 +129,8 @@ def tier2_queries() -> list[str]:
     rest = [n for n in Q.QUERIES if n not in BENCH_QUERIES]
     heavy_prefixes = (
         "q_stream_", "q_merge_", "q_mv_", "q_table_", "q_pipeline_",
-        "q_ann_index", "q_dedup_index", "q_ingest_", "q_xlsx",
+        "q_ann_index", "q_dedup_index", "q_dedup_epoch", "q_ingest_",
+        "q_xlsx",
     )
     heavy = [n for n in rest if n.startswith(heavy_prefixes)]
     return heavy + [n for n in rest if n not in set(heavy)]

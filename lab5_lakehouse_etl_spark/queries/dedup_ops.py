@@ -1231,3 +1231,122 @@ def q_dedup_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("dup_of"),
         "jaccard",
     )
+
+
+@query(
+    "q_dedup_epoch",
+    oracle=r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text)-4, 1) + 1)) AS i
+            FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id_a, id_b,
+             round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = inter.id_a
+                 JOIN sizes sb ON sb.doc_id = inter.id_b
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    ),
+    r1 AS (
+      SELECT id_b AS doc_id, id_a AS dup_of, jaccard FROM jac
+      WHERE id_b % 8 = 0 AND id_a % 4 != 0
+    ),
+    acc1 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 8 = 0
+        AND doc_id NOT IN (SELECT doc_id FROM r1)
+    ),
+    r2 AS (
+      SELECT id_b AS doc_id, id_a AS dup_of, jaccard FROM jac
+      WHERE id_b % 8 = 4
+        AND (id_a % 4 != 0 OR id_a IN (SELECT doc_id FROM acc1))
+    )
+    SELECT CAST(1 AS INT) AS epoch, * FROM r1
+    UNION ALL
+    SELECT CAST(2 AS INT) AS epoch, * FROM r2
+    """,
+)
+def q_dedup_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE incremental near-dup ingest loop — two sequential
+    batches with an INDEX EPOCH ADVANCE between them, closing the gap
+    q_dedup_index_store and q_stream_neardup declare out of scope
+    ("batch-vs-batch dups are the next epoch's problem"): after batch 1
+    is gated against the persisted band index, the ACCEPTED batch-1
+    docs' band rows are APPENDED to the index (one LakeTable append —
+    an O(batch) commit, never an index rebuild), so batch 2 is probed
+    against base ∪ accepted(batch 1) and a batch-2 doc duplicating an
+    accepted batch-1 doc is correctly rejected.
+
+    Output: (epoch, doc_id, dup_of, jaccard) — every rejected ingest
+    doc paired with each stored near-duplicate (char-5-shingle exact
+    Jaccard >= 0.5) that caused the rejection, for both epochs.  The
+    oracle brute-forces the same two-stage fixpoint: r2's allowed
+    dup_of set is base plus exactly the batch-1 docs r1 did NOT
+    reject.  Rejected docs' bands are NEVER appended — a dup of a
+    rejected doc is only reported against the doc's own stored
+    partners, keeping the index a set of CANONICAL representatives
+    (the standard dedup-ingest contract).
+
+    Scale shape: identical per-epoch cost to q_dedup_index_store
+    (O(batch) signatures + (band, bucket) probe join + candidate-only
+    verify), plus one band-partitioned append per epoch.  Snapshot
+    isolation makes the sequencing safe: r1's plan pins the
+    pre-append table version, so materializing r1 after the append
+    still reads epoch-1 state (r1 is checkpointed anyway, because it
+    feeds both the declared output and the accepted-set anti-join).
+    Recall inherits the banding guarantee documented at
+    q_dedup_index_store (measured 1.0 per fixture); the epoch-2 probe
+    uses the SAME signature family, so accepted-batch-1 partners bank
+    the same guarantee."""
+    from ..lakehouse import LakeTable
+    from ..session import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    b1 = docs.filter(F.col("doc_id") % 8 == 0)
+    b2 = docs.filter(F.col("doc_id") % 8 == 4)
+    path = scratch_dir("q_dedup_epoch", fresh=True) + "/band_index"
+    t = LakeTable.create(
+        D.minhash_band_index(base).repartition("band"),
+        path,
+        partition_by=["band"],
+    )
+    r1 = (
+        D.verified_near_dups(
+            docs,
+            D.minhash_probe_index(t.read(spark), D.minhash_band_index(b1)),
+            threshold=0.5,
+        )
+        .select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("dup_of"),
+            "jaccard",
+        )
+        .localCheckpoint(eager=True)
+    )
+    accepted1 = b1.join(
+        r1.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    t.append(spark, D.minhash_band_index(accepted1).repartition("band"))
+    r2 = D.verified_near_dups(
+        docs,
+        D.minhash_probe_index(t.read(spark), D.minhash_band_index(b2)),
+        threshold=0.5,
+    ).select(
+        F.col("id_b").alias("doc_id"),
+        F.col("id_a").alias("dup_of"),
+        "jaccard",
+    )
+    one = F.lit(1).cast("int")
+    two = F.lit(2).cast("int")
+    return r1.withColumn("epoch", one).unionByName(
+        r2.withColumn("epoch", two)
+    )

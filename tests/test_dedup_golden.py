@@ -200,3 +200,48 @@ def test_containment_catches_subset_jaccard_misses(spark):
         ).collect()
     }
     assert (1, 2) not in jac  # Jaccard structurally blind to the quote
+
+
+def test_dedup_epoch_advance_planted(spark, tmp_path):
+    """Pins the two epoch-advance contracts on a planted corpus:
+    a batch-2 doc duplicating an ACCEPTED batch-1 doc is rejected
+    (the append worked), and a batch-2 doc duplicating a REJECTED
+    batch-1 doc is reported only against the doc's own stored
+    partners (rejected docs never enter the index)."""
+    X = "the quick brown fox jumps over the lazy dog tonight"
+    Y = "pack my box with five dozen liquor jugs right now ok"
+    Z = "sphinx of black quartz judge my vow immediately today"
+    rows = [
+        (1, X),   # base (1 % 4 != 0)
+        (8, X),   # batch 1: dup of base -> rejected epoch 1
+        (16, Y),  # batch 1: unique -> ACCEPTED, appended to index
+        (4, Y),   # batch 2: dup of accepted 16 -> rejected epoch 2
+        (12, X),  # batch 2: dup of base 1 AND of REJECTED 8
+        (20, Z),  # batch 2: unique -> no rows
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["web"] * len(rows)),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        (r.epoch, r.doc_id, r.dup_of)
+        for r in Q.QUERIES["q_dedup_epoch"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (1, 8, 1),    # epoch 1: dup of base
+        (2, 4, 16),   # epoch 2: caught ONLY because 16 was appended
+        (2, 12, 1),   # epoch 2: dup of base; (2, 12, 8) must be absent
+    }
