@@ -699,3 +699,19 @@ def test_text_normalize_single_fp_shuffle(spark):
     assert shuffle_count(df) <= 2
     schemas = scan_read_schema(df)
     assert schemas and all(set(s) <= {"doc_id", "text"} for s in schemas)
+
+
+def test_dedup_epoch_probe_narrow_scans(spark):
+    """q_dedup_epoch's returned plan (epoch-2 probe + checkpointed
+    epoch-1 rows): the stored index scan reads only (bucket, id, sig) —
+    band is partition-pruned metadata, text is never stored — and the
+    documents scans read only (doc_id, text); shuffle budget covers
+    the probe join, verify, and union legs."""
+    df = Q.QUERIES["q_dedup_epoch"](spark, SF_DIR)
+    assert shuffle_count(df) <= 5
+    schemas = scan_read_schema(df)
+    assert schemas
+    for s in schemas:
+        assert set(s) <= {"doc_id", "text"} or set(s) <= {
+            "bucket", "id", "sig",
+        }
