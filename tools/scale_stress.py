@@ -70,6 +70,11 @@ or sublinear in their true input):
                                            map at full parallelism)
     q_corpus_shuffle       0.2s ->   0.6s  x3.1   (md5 map + one
                                            256-shard exchange)
+    q_dedup_epoch          3.1s ->  25.0s  x8.0   (two index-store
+                                           probe epochs + one append;
+                                           proportionate to
+                                           q_dedup_index_store's x9.8
+                                           per epoch)
 """
 
 from __future__ import annotations
@@ -98,6 +103,7 @@ TARGETS = [
     "q_dedup_containment",
     "q_text_normalize",
     "q_corpus_shuffle",
+    "q_dedup_epoch",
 ]
 
 
