@@ -763,3 +763,92 @@ def q_ann_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count(F.lit(1)) >= _IVF_RECALL_FLOOR).alias("recall_ok"))
     )
     return sums.crossJoin(overlap)
+
+
+@query(
+    "q_ann_index_append",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             round(
+               list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+               / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim
+      FROM embeddings e, q
+      ORDER BY cosine_sim DESC, e.vec_id ASC
+      LIMIT {_K}
+    )
+    SELECT CAST({_K} AS BIGINT) AS k,
+           CAST(sum(vec_id) AS BIGINT) AS sum_topk_ids,
+           round(sum(cosine_sim), 4) AS sum_topk_cos,
+           TRUE AS recall_ok,
+           TRUE AS found_self
+    FROM scored
+    """,
+)
+def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the persisted ANN index — the vector
+    leg of the index-advance pattern (near-dup: q_dedup_epoch; exact:
+    q_ingest_dedup's history anti-join): the base corpus (vec_id % 4
+    != 0) is bucketed into the cell-partitioned index ONCE, then a new
+    batch (vec_id % 4 == 0) arrives and is added as ONE cell-bucketed
+    LakeTable append — an O(batch) commit into the existing partition
+    layout, never an index rebuild — and the very next search probes
+    base ∪ batch through the updated cell histogram.
+
+    The append is PROVABLY load-bearing, not decorative: the query
+    point is embeddings[vec_id=0], which lives in the APPENDED batch —
+    its own cell is the first probed (identical vector ⇒ identical LSH
+    cell), so ``found_self`` (the probe returned vec 0, cosine 1.0)
+    can only be TRUE if the appended files are visible to the probe's
+    partition pruning and histogram.  Declared output adds that
+    boolean to q_ann_index_store's invariant: exact brute-force top-k
+    checksums over the FULL corpus (oracle-restated) + the recall
+    floor over the stored-index probe.
+
+    Scale shape: search cost identical to q_ann_index_store (probed
+    cells' files only); maintenance cost is one bucketed append per
+    ingest batch — the standard production cadence, with periodic
+    OPTIMIZE (q_table_optimize_where) compacting hot cells when batch
+    files accumulate."""
+    from ..lakehouse import LakeTable
+    from ..session import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    planes = S.hyperplanes(len(qv), n_planes=8, seed=42)
+    cell = S.lsh_bucket("embedding", planes)
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    path = scratch_dir("q_ann_index_append", fresh=True) + "/ivf_index"
+    t = LakeTable.create(
+        base.withColumn("cell", cell).repartition("cell"),
+        path,
+        partition_by=["cell"],
+    )
+    t.append(spark, batch.withColumn("cell", cell).repartition("cell"))
+    stored = t.read(spark)
+    got = S.ivf_search_bucketed(
+        stored, qv, k=_K, n_planes=8, seed=42, min_candidates_factor=64,
+        hist=t.partition_histogram("cell"),
+    ).select("vec_id")
+    exact = S.topk_cosine(emb, qv, k=_K)
+    sums = exact.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("vec_id").cast("bigint").alias("sum_topk_ids"),
+        F.round(F.sum("cosine_sim"), 4).alias("sum_topk_cos"),
+    )
+    overlap = (
+        exact.select("vec_id")
+        .join(got, "vec_id", "left_semi")
+        .agg((F.count(F.lit(1)) >= _IVF_RECALL_FLOOR).alias("recall_ok"))
+    )
+    found_self = got.agg(
+        F.max(F.col("vec_id") == F.lit(0)).alias("found_self")
+    )
+    return sums.crossJoin(overlap).crossJoin(found_self)

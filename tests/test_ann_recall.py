@@ -175,3 +175,41 @@ def test_knn_graph_equals_bruteforce_with_planted_duplicates(spark):
         for rank, (s, j) in enumerate(sims, 1):
             exp[(i, j)] = (rank, s)
     assert got == exp
+
+
+def test_index_append_is_load_bearing(spark, tmp_path):
+    """q_ann_index_append's found_self boolean is only reachable
+    through the append: a probe against the BASE-ONLY index cannot
+    return the query vector (vec 0 lives in the batch split), and the
+    same probe after the cell-bucketed append must.  Pins that
+    appended files are visible to both the partition pruning and the
+    manifest-derived cell histogram."""
+    from pyspark.sql import functions as F
+
+    from lab5_lakehouse_etl_spark.lakehouse import LakeTable
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    planes = S.hyperplanes(len(qv), n_planes=8, seed=42)
+    cell = S.lsh_bucket("embedding", planes)
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    t = LakeTable.create(
+        base.withColumn("cell", cell).repartition("cell"),
+        str(tmp_path / "idx"),
+        partition_by=["cell"],
+    )
+
+    def probe_ids():
+        return {
+            r.vec_id
+            for r in S.ivf_search_bucketed(
+                t.read(spark), qv, k=10, n_planes=8, seed=42,
+                min_candidates_factor=64,
+                hist=t.partition_histogram("cell"),
+            ).collect()
+        }
+
+    assert 0 not in probe_ids()  # base-only index cannot know vec 0
+    t.append(spark, batch.withColumn("cell", cell).repartition("cell"))
+    assert 0 in probe_ids()  # the append made it probeable
