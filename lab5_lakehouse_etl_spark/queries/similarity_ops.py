@@ -819,8 +819,8 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     the append pattern is what this query declares, and each commit
     writes one file per touched cell, so cell count is pure machinery
     cost at fixture scale — 128 cells measured 8/10 exact-top-k
-    overlap at sf0.1 (floor 5) at roughly half the two-commit wall of
-    256."""
+    overlap at sf0.1 (floor 5; 2^6 was a zero-margin 5/10) and
+    6.4 s min-of-3 vs 8.9 s at 2^8."""
     from ..lakehouse import LakeTable
     from ..session import scratch_dir
 

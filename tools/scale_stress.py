@@ -75,6 +75,11 @@ or sublinear in their true input):
                                            proportionate to
                                            q_dedup_index_store's x9.8
                                            per epoch)
+    q_ann_index_append     6.4s ->  11.5s  x1.8   (build-dominated:
+                                           2x 128-cell commits; the
+                                           probe stays cell-pruned,
+                                           so 10x vectors barely move
+                                           the wall)
 """
 
 from __future__ import annotations
@@ -104,6 +109,7 @@ TARGETS = [
     "q_text_normalize",
     "q_corpus_shuffle",
     "q_dedup_epoch",
+    "q_ann_index_append",
 ]
 
 
