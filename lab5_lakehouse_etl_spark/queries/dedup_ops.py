@@ -1350,3 +1350,101 @@ def q_dedup_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r1.withColumn("epoch", one).unionByName(
         r2.withColumn("epoch", two)
     )
+
+
+@query(
+    "q_ingest_epoch",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                   string_split_regex(trim(lower(text)), '\s+'), ' ')) AS fp
+      FROM documents
+    ),
+    store0 AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 4 != 0),
+    b1 AS (
+      SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fp WHERE doc_id % 8 = 0
+    ),
+    acc1 AS (
+      SELECT b.doc_id, b.fp FROM b1 b LEFT JOIN store0 s ON b.fp = s.fp
+      WHERE b.rn = 1 AND s.fp IS NULL
+    ),
+    store1 AS (SELECT fp FROM store0 UNION SELECT fp FROM acc1),
+    b2 AS (
+      SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fp WHERE doc_id % 8 = 4
+    ),
+    acc2 AS (
+      SELECT b.doc_id, b.fp FROM b2 b LEFT JOIN store1 s ON b.fp = s.fp
+      WHERE b.rn = 1 AND s.fp IS NULL
+    )
+    SELECT CAST(1 AS INT) AS epoch, doc_id, fp AS fingerprint FROM acc1
+    UNION ALL
+    SELECT CAST(2 AS INT) AS epoch, doc_id, fp AS fingerprint FROM acc2
+    """,
+)
+def q_ingest_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-dedup ingest loop with a MATERIALIZED fingerprint store —
+    the third epoch-advance leg (near-dup bands: q_dedup_epoch;
+    vector cells: q_ann_index_append), upgrading q_ingest_dedup's
+    relational history into an actual LakeTable the loop appends to:
+    the base corpus's distinct fingerprints are written once; batch 1
+    (doc_id % 8 == 0) dedups within itself (first doc_id per
+    fingerprint) and anti-joins the STORE; the accepted rows'
+    fingerprints are APPENDED (one O(batch) commit); batch 2
+    (doc_id % 8 == 4) then anti-joins base ∪ accepted(batch 1), so a
+    batch-2 doc equal to an accepted batch-1 doc is correctly dropped.
+
+    Output: (epoch, doc_id, fingerprint) of every ACCEPTED ingest row.
+    The oracle restates the two-stage fixpoint with plain CTEs.
+
+    Scale notes: the store is the narrow fingerprint column only —
+    32 B/doc regardless of document size; each epoch costs one window
+    + one anti-join sharing the fingerprint hash partitioning + one
+    narrow append.  Snapshot isolation orders the legs (epoch-1's
+    read pins the pre-append version; r1 is checkpointed because it
+    feeds both the output and the append source)."""
+    from pyspark.sql.window import Window
+
+    from ..functions import text as T
+    from ..lakehouse import LakeTable
+    from ..session import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", T.rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    path = scratch_dir("q_ingest_epoch", fresh=True) + "/fp_store"
+    store = LakeTable.create(
+        fp.filter(F.col("doc_id") % 4 != 0).select("fingerprint").distinct(),
+        path,
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+
+    def firsts(batch):
+        return (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    acc1 = (
+        firsts(fp.filter(F.col("doc_id") % 8 == 0))
+        .join(store.read(spark), "fingerprint", "left_anti")
+        .select("doc_id", "fingerprint")
+        .localCheckpoint(eager=True)
+    )
+    store.append(spark, acc1.select("fingerprint"))
+    acc2 = (
+        firsts(fp.filter(F.col("doc_id") % 8 == 4))
+        .join(store.read(spark), "fingerprint", "left_anti")
+        .select("doc_id", "fingerprint")
+    )
+    one = F.lit(1).cast("int")
+    two = F.lit(2).cast("int")
+    return acc1.withColumn("epoch", one).unionByName(
+        acc2.withColumn("epoch", two)
+    ).select("epoch", "doc_id", "fingerprint")

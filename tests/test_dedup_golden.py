@@ -245,3 +245,43 @@ def test_dedup_epoch_advance_planted(spark, tmp_path):
         (2, 4, 16),   # epoch 2: caught ONLY because 16 was appended
         (2, 12, 1),   # epoch 2: dup of base; (2, 12, 8) must be absent
     }
+
+
+def test_ingest_epoch_advance_planted(spark, tmp_path):
+    """The parquet fixtures carry no batch-2 doc equal to a batch-1-only
+    doc, so the differential oracle cannot distinguish a broken append
+    for q_ingest_epoch — this planted corpus can: a batch-2 doc equal
+    to an ACCEPTED batch-1 doc must be dropped (the store append
+    worked), within-batch-1 duplicates accept only the first, and a
+    batch-2-only text is accepted."""
+    X = "base text one"
+    Y = "batch one unique text"
+    Z = "batch two only text"
+    rows = [
+        (1, X),   # base
+        (8, Y),   # batch 1: unique -> accepted, fp appended
+        (24, Y),  # batch 1: within-batch dup of 8 -> rejected
+        (16, X),  # batch 1: dup of base -> rejected
+        (4, Y),   # batch 2: equals ACCEPTED 8 -> dropped iff append landed
+        (12, Z),  # batch 2: unique -> accepted
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["web"] * len(rows)),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        (r.epoch, r.doc_id)
+        for r in Q.QUERIES["q_ingest_epoch"](spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 8), (2, 12)}
