@@ -715,3 +715,16 @@ def test_dedup_epoch_probe_narrow_scans(spark):
         assert set(s) <= {"doc_id", "text"} or set(s) <= {
             "bucket", "id", "sig",
         }
+
+
+def test_ingest_epoch_narrow_store_scan(spark):
+    """q_ingest_epoch's returned plan (epoch-2 anti-join + checkpointed
+    epoch-1 rows): the fingerprint-store scan reads ONLY the
+    fingerprint column (the 32 B/doc index contract), and the corpus
+    scan reads only (doc_id, text)."""
+    df = Q.QUERIES["q_ingest_epoch"](spark, SF_DIR)
+    schemas = scan_read_schema(df)
+    assert schemas
+    for s in schemas:
+        assert set(s) <= {"doc_id", "text"} or s == ["fingerprint"]
+    assert shuffle_count(df) <= 3
