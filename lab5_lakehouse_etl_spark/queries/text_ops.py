@@ -759,7 +759,8 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (
       SELECT doc_id,
              md5(trim(regexp_replace(regexp_replace(lower(text),
-                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_fp
+                 '[^a-z0-9 \t\n\r\f]', '', 'g'),
+                 '[ \t\n\r\f]+', ' ', 'g'))) AS norm_fp
       FROM documents
     )
     SELECT doc_id, norm_fp,
@@ -784,14 +785,24 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exchange: only (doc_id, norm_fp) shuffles.  The regex maps are
     CPU-dense and run at SCAN parallelism, so the conditional spread
     applies (no-op on a split corpus; measured on the 10x single-file
-    stress corpus: 8.1 s single-threaded -> ~1 s spread)."""
+    stress corpus: 8.1 s single-threaded -> ~1 s spread).
+
+    Whitespace is the EXPLICIT class [ \\t\\n\\r\\f] in both engines,
+    never the shorthand \\s: Java's \\s includes vertical tab (\\x0B)
+    while RE2's does not, so a corpus containing one would normalize
+    differently on the two sides — the fixtures are pure [a-z0-9 ]
+    (so the hash gate cannot see the difference), which is exactly why
+    the class is pinned explicitly and the punctuation/casing path is
+    covered by a planted-corpus test instead."""
     from pyspark.sql import Window
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
-            r"\s+",
+            F.regexp_replace(
+                F.lower(F.col("text")), r"[^a-z0-9 \t\n\r\f]", ""
+            ),
+            r"[ \t\n\r\f]+",
             " ",
         )
     )

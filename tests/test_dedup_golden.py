@@ -285,3 +285,55 @@ def test_ingest_epoch_advance_planted(spark, tmp_path):
         for r in Q.QUERIES["q_ingest_epoch"](spark, str(tmp_path)).collect()
     }
     assert got == {(1, 8), (2, 12)}
+
+
+def test_text_normalize_planted_punctuation(spark, tmp_path):
+    """The parquet fixtures are pure [a-z0-9 ] text, so the hash gate
+    never exercises q_text_normalize's distinctive semantics — this
+    planted corpus does: casing, punctuation, tabs/newlines and
+    multi-space variants of one sentence must all collapse to a single
+    fingerprint group (lowest id keeps), verified against BOTH the
+    hand-computed expectation and the DuckDB oracle on the same file."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello world"),
+        (3, "HELLO...   world?!"),
+        (4, "hello\tworld"),
+        (5, "hello\nworld "),
+        (6, "entirely different"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["web"] * len(rows)),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = Q.QUERIES["q_text_normalize"](spark, str(tmp_path)).collect()
+    by_id = {r.doc_id: r for r in out}
+    fps = {r.doc_id: r.norm_fp for r in out}
+    assert len({fps[i] for i in (1, 2, 3, 4, 5)}) == 1  # one group
+    assert fps[6] != fps[1]
+    assert by_id[1].keep and by_id[1].n_norm_copies == 5
+    assert not any(by_id[i].keep for i in (2, 3, 4, 5))
+    assert by_id[6].keep and by_id[6].n_norm_copies == 1
+    # cross-engine: DuckDB oracle over the same planted file
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    truth = con.sql(Q.ORACLES["q_text_normalize"])
+    assert rows_key(
+        [tuple(r) for r in out],
+        Q.QUERIES["q_text_normalize"](spark, str(tmp_path)).columns,
+    ) == rows_key(truth.fetchall(), truth.columns)
