@@ -188,9 +188,9 @@ _REWRITTEN_IN: dict[str, int] = {
     # path through the Arrow serializer is what changed).
     "q_udaf_geomean": 8,
 }
-# r8 window arithmetic: 28 unverified (7 rewrites above + 21 queries
-# new in r8) + the 38-query r4-era re-check tail = 66 > 50 slots, so
-# sixteen r4 rows (none rewritten since r4, rows still valid) age
+# r8 window arithmetic: 29 unverified (7 rewrites above + 22 queries
+# new in r8) + the 38-query r4-era re-check tail = 67 > 50 slots, so
+# seventeen r4 rows (none rewritten since r4, rows still valid) age
 # one more round and lead the r9 window.  Verifying new code paths
 # outranks re-checking stable greens.
 

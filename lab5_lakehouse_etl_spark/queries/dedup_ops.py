@@ -1448,3 +1448,90 @@ def q_ingest_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc1.withColumn("epoch", one).unionByName(
         acc2.withColumn("epoch", two)
     ).select("epoch", "doc_id", "fingerprint")
+
+
+@query(
+    "q_dedup_chunks",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(t[CAST(i AS INT):CAST(i AS INT)+31], ' '))
+               AS fp
+      FROM (SELECT doc_id, t, unnest(range(1, len(t)+1, 32)) AS i FROM toks)
+    ),
+    shared AS (
+      SELECT fp FROM chunks GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared_chunks,
+           round(sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS shared_frac,
+           (sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*) >= 0.5) AS drop_doc
+    FROM chunks c LEFT JOIN shared s ON c.fp = s.fp
+    GROUP BY c.doc_id
+    """,
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-level duplication profile — the per-document boilerplate
+    signal between exact whole-doc dedup and span reporting: the token
+    stream is cut into fixed 32-token chunks, each chunk md5-keyed,
+    and a chunk is SHARED when it appears in >= 2 distinct documents;
+    every doc reports its chunk count, shared-chunk count, shared
+    fraction, and the drop verdict at 50% — the standard
+    mostly-boilerplate gate in curation (RefinedWeb/CCNet shape: a
+    page that is half mirrored chunks is a template, not content).
+    Distinct from q_dup_spans (which reports the SPANS) and
+    q_dedup_exact_docs (whole-doc): this is a doc-level score driven
+    by cross-doc chunk duplication.
+
+    Plan: the chunk relation derives from one scan (LET-bound split,
+    the word_ngrams trick, so the token array materializes once per
+    row); the shared set is a chunk-keyed group-by whose count is
+    DISTINCT doc (within-doc repeats are not boilerplate), the
+    left join back rides the same fp hash partitioning (exchange
+    reuse), and the per-doc rollup is the one further shuffle.  All
+    keys are md5 fingerprints — 32 B regardless of chunk text, so at
+    100 TB the shuffled relations are fingerprint-width, never text."""
+    chunk_fps = F.expr(
+        r"""transform(array(split(trim(lower(text)), '\\s+')), t ->
+              transform(sequence(1, size(t), 32),
+                        i -> md5(array_join(slice(t, i, 32), ' '))))[0]"""
+    )
+    docs = spread(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        ),
+        "doc_id",
+    )
+    chunks = docs.select("doc_id", F.explode(chunk_fps).alias("fp"))
+    shared = (
+        chunks.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp", F.lit(1).alias("hit"))
+    )
+    frac = F.col("n_shared_chunks") / F.col("n_chunks")
+    return (
+        chunks.join(shared, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.coalesce(F.sum("hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_shared_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared_chunks",
+            F.round(frac, 6).alias("shared_frac"),
+            (frac >= 0.5).alias("drop_doc"),
+        )
+    )

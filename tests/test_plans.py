@@ -728,3 +728,14 @@ def test_ingest_epoch_narrow_store_scan(spark):
     for s in schemas:
         assert set(s) <= {"doc_id", "text"} or s == ["fingerprint"]
     assert shuffle_count(df) <= 3
+
+
+def test_dedup_chunks_fingerprint_width_shuffles(spark):
+    """q_dedup_chunks: one scan (LET-bound split — the token array
+    materializes once per row), fp-keyed group + join sharing the hash
+    partitioning, one per-doc rollup; every shuffled relation carries
+    md5 fingerprints, never chunk text."""
+    df = Q.QUERIES["q_dedup_chunks"](spark, SF_DIR)
+    assert shuffle_count(df) <= 4
+    schemas = scan_read_schema(df)
+    assert schemas and all(set(s) <= {"doc_id", "text"} for s in schemas)
