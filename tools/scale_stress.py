@@ -80,6 +80,14 @@ or sublinear in their true input):
                                            probe stays cell-pruned,
                                            so 10x vectors barely move
                                            the wall)
+    q_ingest_epoch         1.0s ->   5.3s  x5.3   (fingerprint window
+                                           + anti-join + narrow
+                                           append, all O(batch))
+    q_dedup_chunks         ~0.5s ->  6.6s  x13    (x47 chars: chunk
+                                           fingerprinting is
+                                           char-bound like
+                                           q_text_normalize; all
+                                           shuffles fp-width)
 """
 
 from __future__ import annotations
@@ -110,6 +118,8 @@ TARGETS = [
     "q_corpus_shuffle",
     "q_dedup_epoch",
     "q_ann_index_append",
+    "q_ingest_epoch",
+    "q_dedup_chunks",
 ]
 
 
