@@ -999,6 +999,18 @@ def containment_pairs(
     common tokens are hot pays in the index postings; the standard
     mitigations compose here exactly as for Jaccard (band or block
     first, run the exact kernel within groups).
+
+    KNOWN DEFERRAL vs prefix_filter_jaccard_pairs: no identical-set
+    pre-collapse.  On a dup-heavy corpus the intra-class pair OUTPUT
+    (all pairs at overlap 1.0) is inherent to the result contract
+    either way; what the collapse would save is running m prefixes
+    per m-member class through the candidate join instead of one.
+    Route exact-duplicate-heavy corpora through exact dedup FIRST
+    (q_dedup_exact_docs / q_text_normalize — the standard pipeline
+    order), after which class sizes are 1 and the collapse has
+    nothing to collapse; add it here if containment must run on a
+    raw corpus (same sig/rep/expand machinery, with intra-class
+    pairs emitted at containment 1.0).
     """
     from pyspark.sql import Window
 
