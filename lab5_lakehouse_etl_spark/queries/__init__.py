@@ -187,12 +187,23 @@ _REWRITTEN_IN: dict[str, int] = {
     # spelling to type-hint-inferred eval type (same bodies; the eval
     # path through the Arrow serializer is what changed).
     "q_udaf_geomean": 8,
+    # Round-9 RETROACTIVE entries (r8 verdict finding: the hand-curated
+    # map missed these).  q_dedup_prefix's kernel was restructured r6/r7
+    # (8ed4601 materialized set relation, cce1c1c shingle-pass
+    # parallelization, 8031c17 verify-stage width, a17abd3 xxhash64
+    # collapse probe) after its r4 green row; the q_table_skipping pair
+    # reads through the r5 external-manifest/distributed-prune rework of
+    # lakehouse/table.py (and the e0c7451 temporal-skipping soundness
+    # fix) — their r4 rows certify code that no longer exists.
+    "q_dedup_prefix": 7,
+    "q_table_skipping": 5,
+    "q_table_skipping_dist": 5,
 }
-# r8 window arithmetic: 29 unverified (7 rewrites above + 22 queries
-# new in r8) + the 38-query r4-era re-check tail = 67 > 50 slots, so
-# seventeen r4 rows (none rewritten since r4, rows still valid) age
-# one more round and lead the r9 window.  Verifying new code paths
-# outranks re-checking stable greens.
+# r9 window arithmetic: the three retroactive rewrites above are
+# tier-1 (unverified) and the remaining fourteen r4-era rows lead
+# tier 2 by age, so all seventeen stale r4 rows from the r8 verdict
+# land inside the 50-slot window as long as r9 adds fewer than ~30
+# new/rewritten queries.  Keep additions under that budget.
 
 
 def _driver_verified() -> dict[str, int]:
