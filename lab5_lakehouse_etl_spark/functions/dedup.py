@@ -49,8 +49,15 @@ def word_ngrams_sql(text_col: str, n: int = 3) -> str:
     `split(...)` directly inside the position lambda would re-split the
     whole text once per n-gram position (quadratic in document length —
     measured 10× slowdown on the fixture corpus).
+
+    Whitespace is the EXPLICIT class [ \\t\\n\\r\\f], never the \\s
+    shorthand: Java's \\s includes vertical tab (\\x0B), DuckDB/RE2's
+    does not, and the oracles split with RE2 — the explicit class IS
+    RE2's \\s, so both engines tokenize identically on any corpus
+    (the q_text_normalize pin, applied family-wide in r9).
     """
-    return f"""transform(array(split(lower({text_col}), '\\\\s+')), toks ->
+    return f"""transform(array(split(lower({text_col}),
+                '[ \\\\t\\\\n\\\\r\\\\f]+')), toks ->
               array_distinct(transform(
                 sequence(1, greatest(size(toks) - {n - 1}, 1)),
                 i -> array_join(slice(toks, i, {n}), ' '))))[0]"""
@@ -158,7 +165,10 @@ def _minhash_sigs_arrow(
     a_arr = np.array([a for a, _ in params], dtype=np.uint64)[:, None]
     b_arr = np.array([b for _, b in params], dtype=np.uint64)[:, None]
     p = np.uint64(2147483647)
-    ws = _re.compile(r"\s+")
+    # same explicit whitespace class as the SQL path (word_ngrams_sql):
+    # Python's \s adds \x0B plus unicode spaces, so the shorthand would
+    # let the two signature backends tokenize differently on real text
+    ws = _re.compile(r"[ \t\n\r\f]+")
 
     def batches(it):
         for pdf in it:
@@ -506,8 +516,10 @@ def prefix_filter_jaccard_pairs(
     from pyspark.sql import Window
 
     if elements is None:
+        # explicit whitespace class == RE2's \\s (Java's adds \\x0B);
+        # keeps default tokenization oracle-identical on any corpus
         elements = F.array_distinct(
-            F.expr(f"split(lower({text_col}), '\\\\s+')")
+            F.expr(f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f]+')")
         )
     # one scan+shingle pass, materialized once for all three consumers
     # (prefix derivation + both verification sides).  The repartition
@@ -556,7 +568,7 @@ def prefix_filter_jaccard_pairs(
         F.count(F.lit(1)), F.countDistinct(F.xxhash64("toks"))
     ).collect()[0]
     n_rows, n_sig = int(nc[0]), int(nc[1])
-    collapsed = n_sig <= n_rows * 0.98
+    collapsed = n_sig <= n_rows * COLLAPSE_DUP_FRACTION
     membership = None
     if collapsed:
         # (sig, id, rep) — one row per doc, never an array per class: a
@@ -724,6 +736,13 @@ def prefix_filter_jaccard_pairs(
         )
     )
     return intra.unionByName(cross)
+
+
+#: Identical-set pre-collapse engages when distinct signatures are at
+#: most this fraction of input rows (i.e. >2% of docs share an exact
+#: element set).  Module-level so scale stresses can force either path
+#: on the same corpus and measure the collapse's candidate reduction.
+COLLAPSE_DUP_FRACTION = 0.98
 
 
 #: exact_jaccard_pairs routes to the dense-vocabulary matmul kernel
@@ -923,8 +942,10 @@ def exact_jaccard_pairs(
     (minhash_candidate_pairs) or block first (cluster/partition), and
     run the exact kernel within bounded groups."""
     if elements is None:
+        # explicit whitespace class == RE2's \\s (Java's adds \\x0B);
+        # keeps default tokenization oracle-identical on any corpus
         elements = F.array_distinct(
-            F.expr(f"split(lower({text_col}), '\\\\s+')")
+            F.expr(f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f]+')")
         )
     from ..session import spread as _spread
 
@@ -1000,25 +1021,32 @@ def containment_pairs(
     mitigations compose here exactly as for Jaccard (band or block
     first, run the exact kernel within groups).
 
-    KNOWN DEFERRAL vs prefix_filter_jaccard_pairs: no identical-set
-    pre-collapse.  On a dup-heavy corpus the intra-class pair OUTPUT
-    (all pairs at overlap 1.0) is inherent to the result contract
-    either way; what the collapse would save is running m prefixes
-    per m-member class through the candidate join instead of one.
-    Route exact-duplicate-heavy corpora through exact dedup FIRST
-    (q_dedup_exact_docs / q_text_normalize — the standard pipeline
-    order), after which class sizes are 1 and the collapse has
-    nothing to collapse; add it here if containment must run on a
-    raw corpus (same sig/rep/expand machinery, with intra-class
-    pairs emitted at containment 1.0).
+    ADAPTIVE identical-set pre-collapse (r8 verdict #4, same
+    machinery as prefix_filter_jaccard_pairs): on a dup-heavy raw
+    corpus an m-member exact-duplicate class would otherwise run m
+    identical prefixes through the candidate join AND appear m times
+    in the full postings index — candidate volume quadratic in dup
+    multiplicity.  One representative per distinct token array runs
+    the kernel; intra-class pairs are emitted directly at containment
+    1.0 (identical sets), and cross-class pairs expand from the
+    representative result (identical sets have identical containment
+    to everything; orientation by the carried (n_small, n_large) —
+    lower id first on size ties, matching the kernel's tie-break).
+    Engaged adaptively past 2% dups via the same O(input) xxhash64
+    probe; below it the straight path runs and the probe is the only
+    cost.
     """
     from pyspark.sql import Window
 
     from ..session import spread as _spread
 
     if elements is None:
+        # explicit whitespace class, never \s: Java's \s includes
+        # vertical tab (\x0B) while DuckDB/RE2's does not — the class
+        # below IS RE2's \s, so both engines split identically on any
+        # corpus (same pin as q_text_normalize)
         elements = F.array_distinct(
-            F.expr(f"split(lower({text_col}), '\\\\s+')")
+            F.expr(f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f]+')")
         )
     sets = (
         _spread(docs.filter(F.col(text_col).isNotNull()), id_col)
@@ -1029,7 +1057,32 @@ def containment_pairs(
         .filter(F.col("n") > 0)
         .localCheckpoint(eager=True)
     )
-    tok = sets.select("id", "n", F.explode("toks").alias("token"))
+    # --- identical-set pre-collapse (see prefix_filter_jaccard_pairs
+    # for the signature-soundness argument: md5-of-JSON classes merge
+    # identical arrays; an equal set in a different order merely skips
+    # the optimization and still flows through the exact join) ---
+    sets_sig = sets.withColumn("sig", F.md5(F.to_json("toks")))
+    nc = sets.agg(
+        F.count(F.lit(1)), F.countDistinct(F.xxhash64("toks"))
+    ).collect()[0]
+    n_rows, n_sig = int(nc[0]), int(nc[1])
+    collapsed = n_sig <= n_rows * COLLAPSE_DUP_FRACTION
+    membership = None
+    if collapsed:
+        reps = sets_sig.groupBy("sig").agg(F.min("id").alias("rep"))
+        membership = (
+            sets_sig.select("sig", "id")
+            .join(reps, "sig")
+            .localCheckpoint(eager=True)
+        )
+        work = sets_sig.join(
+            membership.filter(F.col("id") == F.col("rep")).select("sig", "id"),
+            ["sig", "id"],
+            "left_semi",
+        ).select("id", "toks", "n")
+    else:
+        work = sets
+    tok = work.select("id", "n", F.explode("toks").alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # prefix as the smaller side: p = n - ceil(t*n) + 1 (1e-9 slack —
     # see prefix_filter_jaccard_pairs on why ceil must not round up
@@ -1062,6 +1115,7 @@ def containment_pairs(
             F.col("a.id").alias("id_small"),
             F.col("b.id").alias("id_large"),
             F.col("a.n").alias("n_small"),
+            F.col("b.n").alias("n_large"),
         )
         .repartition(
             docs.sparkSession.sparkContext.defaultParallelism,
@@ -1072,24 +1126,68 @@ def containment_pairs(
     )
     inter = (
         cands.join(
-            sets.select(F.col("id").alias("id_small"), F.col("toks").alias("ta")),
+            work.select(F.col("id").alias("id_small"), F.col("toks").alias("ta")),
             "id_small",
         )
         .join(
-            sets.select(F.col("id").alias("id_large"), F.col("toks").alias("tb")),
+            work.select(F.col("id").alias("id_large"), F.col("toks").alias("tb")),
             "id_large",
         )
         .select(
             "id_small",
             "id_large",
             "n_small",
+            "n_large",
             F.size(F.array_intersect("ta", "tb")).alias("i"),
         )
     )
     cont = F.col("i") / F.col("n_small")
-    return inter.filter(cont >= F.lit(threshold)).select(
-        "id_small", "id_large", F.round(cont, 6).alias("containment")
+    rep_pairs = inter.filter(cont >= F.lit(threshold)).select(
+        "id_small",
+        "id_large",
+        "n_small",
+        "n_large",
+        F.round(cont, 6).alias("containment"),
     )
+    if not collapsed:
+        return rep_pairs.select("id_small", "id_large", "containment")
+    # expand representatives back to doc pairs.  Intra-class pairs are
+    # containment 1.0 with equal sizes, so orientation is lower id
+    # first (the kernel's own tie-break).  Cross-class pairs inherit
+    # the representative value; when the classes' set sizes differ the
+    # member of the SMALLER class stays id_small regardless of id
+    # order — only size ties fall back to the id orientation.
+    m = membership.select("sig", "id", "rep")
+    intra = (
+        m.alias("x")
+        .join(
+            m.alias("y"),
+            (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_small"),
+            F.col("y.id").alias("id_large"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    tie = F.col("n_small") == F.col("n_large")
+    cross = (
+        rep_pairs.join(
+            m.select(F.col("rep").alias("id_small"), F.col("id").alias("x")),
+            "id_small",
+        )
+        .join(
+            m.select(F.col("rep").alias("id_large"), F.col("id").alias("y")),
+            "id_large",
+        )
+        .select(
+            F.when(tie, F.least("x", "y")).otherwise(F.col("x")).alias("id_small"),
+            F.when(tie, F.greatest("x", "y")).otherwise(F.col("y")).alias("id_large"),
+            "containment",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def shared_gram_occurrences(

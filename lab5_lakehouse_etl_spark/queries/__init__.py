@@ -198,6 +198,17 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_dedup_prefix": 7,
     "q_table_skipping": 5,
     "q_table_skipping_dist": 5,
+    # Round-9 rewrites: (a) the whole word_ngrams family moved from
+    # Java \s to the explicit [ \t\n\r\f] whitespace class (== RE2's
+    # \s — oracle-identical on any corpus, the q_text_normalize pin),
+    # which touches every query tokenizing through word_ngrams_sql or
+    # the chunk splitter; (b) containment_pairs gained the adaptive
+    # identical-set pre-collapse (sig/rep/expand).
+    "q_dedup_ngram": 9,
+    "q_dup_spans": 9,
+    "q_decontaminate": 9,
+    "q_dedup_containment": 9,
+    "q_dedup_chunks": 9,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -202,6 +202,66 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert (1, 2) not in jac  # Jaccard structurally blind to the quote
 
 
+def test_containment_collapse_path_parity(spark):
+    """The r9 identical-set pre-collapse in containment_pairs: on a
+    dup-heavy corpus (>2% identical token sets) the kernel runs one
+    representative per distinct set, emits intra-class pairs at
+    containment 1.0 directly, and expands cross-class pairs from the
+    representatives — output must equal brute force, including the
+    orientation contract (smaller side first; lower id on size ties).
+    The planted corpus engages the collapse (8/12 docs are dups) and
+    covers every expand branch: intra-class, cross-class with unequal
+    sizes (quote-inside-long — the member of the SMALL class must stay
+    id_small even when its id is larger), and an equal-size tie."""
+    import itertools
+
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+
+    quote = "alpha beta gamma delta epsilon"
+    long_a = quote + " " + " ".join(f"w{i}" for i in range(20))
+    tie_a = "one two three four five six seven eight nine ten"
+    tie_b = "one two three four five six seven eight nine zzz"
+    texts = [quote, long_a, tie_a, tie_b]
+    rows, did = [], 0
+    for i, tx in enumerate(texts):
+        for _ in range(3 if i < 2 else 3):  # every class has 3 members
+            rows.append((did, tx))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.id_small, r.id_large, round(r.containment, 6))
+        for r in D.containment_pairs(docs, threshold=0.8).collect()
+    )
+    sets = {i: set(t.split()) for i, t in rows}
+    exp = []
+    for x, y in itertools.combinations(sorted(sets), 2):
+        i = len(sets[x] & sets[y])
+        c = i / min(len(sets[x]), len(sets[y]))
+        if c >= 0.8:
+            if len(sets[x]) <= len(sets[y]):
+                exp.append((x, y, round(c, 6)))
+            else:
+                exp.append((y, x, round(c, 6)))
+    assert got == sorted(exp)
+    # and the collapse genuinely engaged on this corpus (guards the
+    # test against silently exercising only the straight path)
+    import pyspark.sql.functions as F
+
+    n = len(rows)
+    n_sig = (
+        docs.select(
+            F.xxhash64(
+                F.array_distinct(
+                    F.expr("split(lower(text), '[ \\\\t\\\\n\\\\r\\\\f]+')")
+                )
+            ).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_sig <= n * D.COLLAPSE_DUP_FRACTION
+
+
 def test_dedup_epoch_advance_planted(spark, tmp_path):
     """Pins the two epoch-advance contracts on a planted corpus:
     a batch-2 doc duplicating an ACCEPTED batch-1 doc is rejected
