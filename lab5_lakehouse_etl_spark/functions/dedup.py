@@ -1366,6 +1366,75 @@ def band_components(
     ).unionByName(singletons)
 
 
+def diagnose_missing_pair(
+    docs: DataFrame,
+    id_a,
+    id_b,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_fn=char_shingles,
+) -> str:
+    """TRUTH-SOURCE MARKER for the index-store / epoch family (r8
+    advice): when a verified index-probe output is missing a pair the
+    exact oracle emits, say WHICH contract broke instead of letting the
+    failure implicate the epoch logic wholesale.  q_dedup_simhash got
+    the same decoupling in r8 (its truth set moved off minhash
+    candidates); here the banding IS the declared gate, so the marker
+    classifies a concrete missing pair post-hoc:
+
+    - ``"not_a_true_pair"``   — exact Jaccard < threshold: the diff is
+      on the oracle side (or a fixture change), not a recall miss.
+    - ``"banding_recall_miss"`` — true pair, but the two docs share NO
+      (band, bucket): the candidate never existed.  The documented
+      probabilistic coupling (P[miss] = (1-J^r)^b) — widen bands, not
+      the epoch code.
+    - ``"estimate_gate_miss"`` — banded together, but the signature
+      estimate fell below est_threshold: same banding-family recall
+      budget, different knob (lower est_threshold or add hashes).
+    - ``"epoch_logic"``       — the pair was a LIVE candidate
+      (collided AND passed the estimate gate); its absence can only be
+      the store/epoch machinery (wrong append set, version pinning,
+      gating join) — the actual bug class this marker exists to
+      isolate.
+
+    Driver-side by design: it runs on ONE pair during failure triage
+    (two-row jobs), never inside a declared query plan."""
+    pair = docs.filter(F.col(id_col).isin([id_a, id_b]))
+    sets = {
+        r["id"]: set(r["sh"])
+        for r in pair.select(
+            F.col(id_col).alias("id"), shingle_fn(text_col).alias("sh")
+        ).collect()
+    }
+    if id_a not in sets or id_b not in sets:
+        return "not_a_true_pair"
+    inter = len(sets[id_a] & sets[id_b])
+    union = len(sets[id_a] | sets[id_b])
+    if union == 0 or inter / union < threshold:
+        return "not_a_true_pair"
+    rows = minhash_band_index(
+        pair, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands,
+    ).collect()
+    buckets: dict = {}
+    sigs: dict = {}
+    for r in rows:
+        buckets.setdefault(r["id"], set()).add((r["band"], r["bucket"]))
+        sigs[r["id"]] = r["sig"]
+    if not (buckets.get(id_a, set()) & buckets.get(id_b, set())):
+        return "banding_recall_miss"
+    est = sum(
+        1 for x, y in zip(sigs[id_a], sigs[id_b]) if x == y
+    ) / num_hashes
+    if est < est_threshold:
+        return "estimate_gate_miss"
+    return "epoch_logic"
+
+
 def minhash_band_index(
     df: DataFrame,
     id_col: str = "doc_id",

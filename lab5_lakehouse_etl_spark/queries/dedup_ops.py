@@ -1199,7 +1199,12 @@ def q_dedup_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     every fixture SF, and the estimate gate sits at 0.4 against true
     pairs >= 0.5), so the verified output equals the oracle's
     brute-force cross-split pair set exactly — same coupling,
-    documented there.
+    documented there.  If a future fixture DOES diff against the
+    oracle, run functions/dedup.diagnose_missing_pair on the missing
+    pair: it names the broken contract (banding recall vs estimate
+    gate vs store/epoch logic) so the failure never implicates the
+    index machinery by default (r8-advice truth-source marker,
+    unit-tested on a forced banding miss).
 
     Bench cost: ~1.8 s at sf0.1 vs 1.2 s for q_dedup_minhash, which
     computes the same signatures and the same verify over the SAME
@@ -1305,7 +1310,12 @@ def q_dedup_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall inherits the banding guarantee documented at
     q_dedup_index_store (measured 1.0 per fixture); the epoch-2 probe
     uses the SAME signature family, so accepted-batch-1 partners bank
-    the same guarantee."""
+    the same guarantee.  A banding miss here would ALSO cascade into
+    epoch 2's accepted set (a missed rejection changes which bands get
+    appended) — on any oracle diff, classify the first missing pair
+    with functions/dedup.diagnose_missing_pair before touching the
+    epoch code: it separates banding/estimate recall from genuine
+    store/epoch-logic loss (r8-advice truth-source marker)."""
     from ..lakehouse import LakeTable
     from ..session import scratch_dir
 

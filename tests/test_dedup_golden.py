@@ -262,6 +262,52 @@ def test_containment_collapse_path_parity(spark):
     assert n_sig <= n * D.COLLAPSE_DUP_FRACTION
 
 
+def test_diagnose_missing_pair_markers(spark):
+    """The truth-source marker for the index-store/epoch family
+    (functions/dedup.diagnose_missing_pair): a forced banding miss must
+    be classified as banding recall, NOT epoch logic — and each other
+    branch must be reachable — so a future oracle diff on
+    q_dedup_index_store / q_dedup_epoch names the broken contract
+    instead of implicating the epoch machinery wholesale."""
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven "
+        "wizards pack my box with five dozen liquor jugs tonight"
+    )
+    near = base.replace("tonight", "today").replace("seven", "nine")
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, "entirely unrelated words here")],
+        "doc_id long, text string",
+    )
+    # sanity: the pair is a TRUE pair at char-5-shingle J >= 0.5
+    js = {
+        r.doc_id: set(r.sh)
+        for r in docs.select(
+            "doc_id", D.char_shingles("text").alias("sh")
+        ).collect()
+    }
+    j12 = len(js[1] & js[2]) / len(js[1] | js[2])
+    assert j12 >= 0.5
+    # bands=1 (one 32-row band): collision requires the FULL signatures
+    # equal, which a genuinely-different pair never achieves — the
+    # deterministic forced banding miss
+    assert (
+        D.diagnose_missing_pair(docs, 1, 2, bands=1)
+        == "banding_recall_miss"
+    )
+    # default banding recalls the pair -> only epoch logic could lose it
+    assert D.diagnose_missing_pair(docs, 1, 2) == "epoch_logic"
+    # unimplicated diff: not a true pair at the threshold
+    assert D.diagnose_missing_pair(docs, 1, 3) == "not_a_true_pair"
+    # estimate-gate branch: collided in a band but gated by the
+    # signature estimate (est <= 1 < 1.01 forces the branch)
+    assert (
+        D.diagnose_missing_pair(docs, 1, 2, est_threshold=1.01)
+        == "estimate_gate_miss"
+    )
+
+
 def test_dedup_epoch_advance_planted(spark, tmp_path):
     """Pins the two epoch-advance contracts on a planted corpus:
     a batch-2 doc duplicating an ACCEPTED batch-1 doc is rejected
