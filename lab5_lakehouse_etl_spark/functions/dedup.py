@@ -205,6 +205,79 @@ def _minhash_sigs_arrow(
     )
 
 
+def lsh_collision_prob(j: float, bands: int, rows: int) -> float:
+    """P[two docs at signature-basis Jaccard ``j`` share >= 1 band
+    bucket] under (bands x rows) LSH banding: 1 - (1 - j^r)^b."""
+    return 1.0 - (1.0 - j**rows) ** bands
+
+
+def minhash_params(
+    n_docs: int,
+    target_jaccard: float = 0.9,
+    fp_budget: float = 0.05,
+    miss_budget: float = 1e-3,
+) -> tuple[int, int]:
+    """Derive (num_hashes, bands) from CORPUS STATISTICS instead of a
+    hand-tuned constant — the r8 scale-stress response made automatic
+    (10x docs under FIXED (32, 8) banding measured x15 wall: collision
+    density among moderate-similarity pairs grows with corpus size, and
+    the fix is a SHARPER S-curve, i.e. more rows per band, which needs
+    more hashes to keep recall).
+
+    Selection, in contract order:
+
+    1. ``num_hashes`` tiers on n_docs: 32 up to 20k docs (the lab
+       regime — resolves to the historical (32, 8), so every fixture
+       SF keeps byte-identical candidate sets), 128 beyond (rows-per-
+       band 8 becomes reachable at recall >= 1 - miss_budget; the
+       intermediate 64 cannot hold the recall floor at r=8, so it
+       would only ever DOUBLE collision mass — measured reasoning in
+       the chooser below, test-pinned).
+    2. Among band counts dividing num_hashes, keep those with
+       P[recall a target_jaccard pair] >= 1 - miss_budget (the planted
+       near-dup guarantee the oracles pin), then pick the one with the
+       smallest false-positive AREA — the integral of the collision
+       curve over the uninteresting region [0, target/2], a uniform-
+       background proxy for candidate mass per pair.  fp_budget
+       rejects curves so smeared that banding stops pruning (falls
+       back to the min-FP feasible choice if none fits the budget).
+
+    Returns the historical (32, 8) for every corpus <= 20k docs;
+    (128, 16) — rows-per-band 8 — past it.  Persisted band indexes
+    (q_dedup_index_store family) must pick params at index CREATION
+    and keep them for the index lifetime: a probe's signatures only
+    match an index built with the same (num_hashes, bands, seed).
+    """
+    num_hashes = 32 if n_docs <= 20_000 else 128
+    floor = 1.0 - miss_budget
+    fp_hi = target_jaccard / 2.0
+    grid = [fp_hi * k / 64.0 for k in range(65)]
+
+    def fp_area(b: int, r: int) -> float:
+        vals = [lsh_collision_prob(j, b, r) for j in grid]
+        return sum(
+            (vals[i] + vals[i + 1]) / 2.0 * (grid[i + 1] - grid[i])
+            for i in range(64)
+        )
+
+    cands = []
+    b = 1
+    while b <= num_hashes:
+        if num_hashes % b == 0:
+            r = num_hashes // b
+            if lsh_collision_prob(target_jaccard, b, r) >= floor:
+                cands.append((fp_area(b, r), b))
+        b *= 2
+    if not cands:  # unreachable floor at this H: max-recall fallback
+        best = max(
+            (lsh_collision_prob(target_jaccard, bb, num_hashes // bb), bb)
+            for bb in (8, 16, 32)
+        )
+        return num_hashes, best[1]
+    within = [c for c in cands if c[0] <= fp_budget]
+    return num_hashes, min(within or cands)[1]
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -209,6 +209,10 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_decontaminate": 9,
     "q_dedup_containment": 9,
     "q_dedup_chunks": 9,
+    # r9: banding parameters now derived from corpus statistics
+    # (minhash_params) — resolves to the identical (32, 8) at every
+    # fixture SF, but the code path (count + chooser) is new.
+    "q_dedup_minhash": 9,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

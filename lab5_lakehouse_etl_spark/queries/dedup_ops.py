@@ -75,12 +75,28 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle self-join in DuckDB — fine at fixture scale, exactly what
     LSH exists to avoid at corpus scale). Hash-equality holds because
     the verify stage is exact and the fixtures' true near-dups sit far
-    above the estimate gate (planted dups have J ≥ 0.9; an 8-band ×
-    4-row LSH misses a J=0.9 pair with probability ≈ (1-0.9⁴)⁸ < 1e-6),
-    so measured recall is 1.0 at sf0.001/sf0.01 — pinned by this oracle
-    and by tests/test_dedup_golden.py pair-level equality."""
+    above the estimate gate (planted dups have J ≥ 0.9; the lab-tier
+    8-band × 4-row LSH misses a J=0.9 pair with probability
+    ≈ (1-0.9⁴)⁸ < 1e-3), so measured recall is 1.0 at sf0.001/sf0.01 —
+    pinned by this oracle and by tests/test_dedup_golden.py pair-level
+    equality.
+
+    Banding parameters come from CORPUS STATISTICS since r9
+    (functions/dedup.minhash_params — the r8 scale-stress response
+    automated): one count() picks (num_hashes, bands) so the S-curve
+    sharpens as the corpus grows — every fixture SF stays in the
+    32-hash/8-band lab tier (byte-identical candidate sets to r8),
+    while the 10x stress corpus resolves to 128×16 (rows-per-band 8,
+    6.6x lower collision probability at J=0.5), which is what holds
+    candidate volume near-linear at scale.  The recall floor
+    (>= 1 - 1e-3 at the planted-dup similarity) is enforced by the
+    chooser at BOTH tiers and property-pinned at both parameter
+    points (tests/test_properties.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = D.minhash_candidate_pairs(docs)
+    num_hashes, bands = D.minhash_params(docs.count())
+    cands = D.minhash_candidate_pairs(
+        docs, num_hashes=num_hashes, bands=bands
+    )
     return D.verified_near_dups(docs, cands, threshold=0.5)
 
 

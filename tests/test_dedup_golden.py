@@ -308,6 +308,51 @@ def test_diagnose_missing_pair_markers(spark):
     )
 
 
+def test_banding_recall_boundary_at_moderate_jaccard(spark):
+    """ADVERSARIAL banding fixture (r8 advice #1): pins what the
+    banding guarantee actually is at Jaccard just above the 0.5 verify
+    threshold — NOT recall 1.0.  A pair at char-5-shingle J=0.53
+    (12 of 40 words substituted) sits far below the S-curve knee at
+    both chooser tiers, IS missed by the candidate generator, is
+    correctly classified by the truth-source marker as a banding
+    recall miss (never epoch logic), and IS caught by the exact
+    kernel — the documented contractual-exactness path.  If a future
+    banding change claims recall at this regime, this test is where
+    the claim gets measured."""
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+
+    base_words = [f"tok{i}" for i in range(40)]
+    a = " ".join(base_words)
+    b = " ".join(base_words[:28] + [f"alt{i}" for i in range(12)])
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    sh = {
+        r.doc_id: set(r.sh)
+        for r in docs.select(
+            "doc_id", D.char_shingles("text").alias("sh")
+        ).collect()
+    }
+    j = len(sh[1] & sh[2]) / len(sh[1] | sh[2])
+    assert 0.5 <= j < 0.56  # the boundary regime, just above threshold
+    for H, bands in ((32, 8), (128, 16)):
+        cands = D.minhash_candidate_pairs(
+            docs, num_hashes=H, bands=bands
+        ).collect()
+        assert cands == [], (H, bands)  # the honest boundary: missed
+    assert D.diagnose_missing_pair(docs, 1, 2) in (
+        "banding_recall_miss",
+        "estimate_gate_miss",
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.exact_jaccard_pairs(
+            docs, threshold=0.5, elements=D.char_shingles("text", 5)
+        ).collect()
+    }
+    assert (1, 2) in exact  # exactness is the contractual path here
+
+
 def test_dedup_epoch_advance_planted(spark, tmp_path):
     """Pins the two epoch-advance contracts on a planted corpus:
     a batch-2 doc duplicating an ACCEPTED batch-1 doc is rejected

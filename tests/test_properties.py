@@ -557,3 +557,78 @@ def test_containment_pairs_matches_bruteforce_property(spark, seed, n, thr):
     assert set(got) == set(want)
     for pair, c in want.items():
         assert abs(got[pair] - c) < 1e-6
+
+
+def test_minhash_params_chooser_pins():
+    """The corpus-statistics banding chooser (functions/dedup.
+    minhash_params, r9): lab tier must resolve to the historical
+    (32, 8) — every fixture SF keeps byte-identical candidate sets —
+    and the scale tier must sharpen rows-per-band (the r8 stress
+    response: collision density at J=0.5 must DROP, recall at the
+    planted-dup similarity must hold the 1-1e-3 floor at BOTH tiers)."""
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+
+    for n in (1, 500, 5_000, 20_000):
+        assert D.minhash_params(n) == (32, 8)
+    H, b = D.minhash_params(50_000)
+    assert (H, b) == (128, 16)
+    for n_docs in (500, 50_000):
+        h, bb = D.minhash_params(n_docs)
+        r = h // bb
+        assert D.lsh_collision_prob(0.9, bb, r) >= 1 - 1e-3
+    # the scale tier's S-curve is strictly sharper at moderate J
+    assert D.lsh_collision_prob(0.5, 16, 8) < D.lsh_collision_prob(0.5, 8, 4) / 4
+
+
+def test_minhash_recall_at_both_parameter_points(spark):
+    """Planted near-dup recall holds at BOTH chooser tiers (r8 verdict
+    #3 'recall pin holds at both lab and 10x parameters'): a corpus of
+    unrelated docs plus planted single-word-edit near-dups (char-5-
+    shingle J >= 0.9) must yield the identical verified pair set under
+    (32, 8) and (128, 16) banding, equal to brute force."""
+    import random
+
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+
+    rng = random.Random(7)
+    vocab = [f"word{i:03d}" for i in range(300)]
+    rows = []
+    for i in range(30):
+        # sample WITHOUT replacement: repeated words would shrink the
+        # distinct-gram sets and drag the planted similarity down
+        rows.append((i, " ".join(rng.sample(vocab, 50))))
+    # plant near-dups: one word substituted in a 50-word doc — both
+    # char-5-shingle J and the signature basis (word-bigram) J land
+    # >= 0.92, above the chooser's 0.9 design target, so the per-pair
+    # miss probability is < 1e-4 at BOTH parameter points and the
+    # fixed-seed corpus recalls deterministically with real margin
+    planted = []
+    for i in range(8):
+        toks = rows[i][1].split()
+        toks[7] = "edited"
+        rows.append((100 + i, " ".join(toks)))
+        planted.append((i, 100 + i))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = {
+        r.doc_id: set(r.sh)
+        for r in docs.select(
+            "doc_id", D.char_shingles("text").alias("sh")
+        ).collect()
+    }
+    truth = set()
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if len(sh[a] & sh[b]) / len(sh[a] | sh[b]) >= 0.5:
+                truth.add((a, b))
+    assert set(planted) <= truth  # the plant took
+
+    for H, bands in ((32, 8), (128, 16)):
+        cands = D.minhash_candidate_pairs(docs, num_hashes=H, bands=bands)
+        got = {
+            (r.id_a, r.id_b)
+            for r in D.verified_near_dups(docs, cands, threshold=0.5).collect()
+        }
+        assert got == truth, (H, bands)
