@@ -286,7 +286,7 @@ def compact_line(
             "calibration_sec": cal_sec,
             "ratio_regressions": regs_line,
             "ratio_regressions_n": len(regs),
-            "env": detail["env"],
+            "env": detail.get("env", {}),
             "queries": {n: round(t, ndigits) for n, t in qdict.items()},
             "queries_omitted": omitted,
             "detail": "bench_detail.json",
