@@ -1341,7 +1341,7 @@ def shared_chargram_occurrences(
 
 
 def merge_covered_spans(
-    occ: DataFrame, n: int = 8, id_col: str = "doc_id"
+    occ: DataFrame, n: int = 8, id_col: str | list[str] = "doc_id"
 ) -> DataFrame:
     """Maximal runs of tokens covered by any shared ``n``-gram — the
     VARIABLE-LENGTH span report equivalent to suffix-array ExactSubstr
@@ -1363,10 +1363,16 @@ def merge_covered_spans(
     (id, island) group-by that REUSES the window's id partitioning
     (HashPartitioning(id) satisfies the grouping's clustered
     distribution) — so the whole merge is ONE shuffle, bounded by the
-    number of SHARED gram occurrences, not corpus size."""
+    number of SHARED gram occurrences, not corpus size.
+
+    ``id_col`` may be a LIST of columns for composite-keyed coverage —
+    q_decontaminate_spans merges per (train_doc, test_doc) PAIR, so one
+    train passage shared with two held-out items reports once per item.
+    The single-string form is the identical code path (a 1-list)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(id_col).orderBy("start")
+    id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
+    w = Window.partitionBy(*id_cols).orderBy("start")
     prev_end = F.max(F.col("start") + (n - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -1376,11 +1382,11 @@ def merge_covered_spans(
         .otherwise(0)
     )
     isl = (
-        occ.select(id_col, "start")
+        occ.select(*id_cols, "start")
         .withColumn("__ni", ni)
         .withColumn("__island", F.sum("__ni").over(w))
     )
-    return isl.groupBy(id_col, "__island").agg(
+    return isl.groupBy(*id_cols, "__island").agg(
         F.min("start").cast("bigint").alias("span_start"),
         (F.max("start") + n - F.min("start")).cast("bigint").alias("span_len"),
     ).drop("__island")

@@ -439,6 +439,114 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_decontaminate_spans",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             string_split_regex(lower(text), '[ \t\n\r\f]+') AS t
+      FROM documents
+    ),
+    tg AS (
+      SELECT DISTINCT doc_id AS test_doc_id,
+             array_to_string(t[CAST(j AS INT):CAST(j AS INT)+4], ' ') AS gram
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t)-4, 1) + 1)) AS j
+            FROM b WHERE split = 'test')
+    ),
+    tp AS (
+      SELECT doc_id AS train_doc_id, j - 1 AS start,
+             array_to_string(t[CAST(j AS INT):CAST(j AS INT)+4], ' ') AS gram
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t)-4, 1) + 1)) AS j
+            FROM b WHERE split = 'train')
+    ),
+    hits AS (
+      SELECT train_doc_id, test_doc_id, start
+      FROM tp JOIN tg USING (gram)
+    ),
+    m AS (
+      SELECT train_doc_id, test_doc_id, start,
+             CASE WHEN start > coalesce(
+                    max(start + 4) OVER (
+                      PARTITION BY train_doc_id, test_doc_id ORDER BY start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -2) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM hits
+    ),
+    isl AS (
+      SELECT train_doc_id, test_doc_id, start,
+             sum(ni) OVER (PARTITION BY train_doc_id, test_doc_id
+                           ORDER BY start) AS island
+      FROM m
+    )
+    SELECT train_doc_id, test_doc_id,
+           CAST(min(start) AS BIGINT)                  AS span_start,
+           CAST(max(start) + 5 - min(start) AS BIGINT) AS span_len
+    FROM isl GROUP BY train_doc_id, test_doc_id, island
+    """,
+)
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at DOCUMENT-PAIR grain with leaked SPANS — the
+    audit artifact an LLM-data team actually files: for every
+    (train doc, held-out doc) pair sharing any verbatim word-5-gram,
+    the maximal token spans in the TRAIN document covered by grams
+    shared with THAT held-out item, as (train_doc_id, test_doc_id,
+    span_start, span_len).  q_decontaminate answers "how many train
+    docs are contaminated per source"; this answers "WHICH train
+    passages leak WHICH benchmark items" (the r8-verdict stretch:
+    q_decontaminate's 5-gram probe composed with q_dup_spans_var's
+    island merge, keyed by the pair).
+
+    Scale shape: the held-out side is orders of magnitude smaller
+    than the corpus, so its (test_doc, gram) relation is built once
+    and BROADCAST (within-doc grams pre-deduped by word_ngrams'
+    array_distinct — no post-explode distinct).  The train side is a
+    narrow partition-preserving posexplode (positions, so NO
+    array_distinct — the LET-bound transform binds the token array
+    once per row) into the broadcast hash join; each surviving
+    (train_doc, start) carries exactly one gram and the probe side is
+    unique per (test_doc, gram), so the join emits unique
+    (train_doc, test_doc, start) triples with no dedup pass.  Only
+    CONTAMINATED triples reach the one pair-keyed island-merge shuffle
+    (functions/dedup.merge_covered_spans with the composite key) —
+    total cost bounded by contamination volume, never corpus size.
+    No analogue in the reference (nearest: the validate/dedup layer,
+    jobs/order_glue_job.py:111-126)."""
+    from ..functions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select("doc_id", "text", _split())
+    test_grams = split.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"),
+        F.explode(D.word_ngrams("text", 5)).alias("gram"),
+    )
+    train_pos = (
+        split.filter(F.col("split") == "train")
+        .select(
+            F.col("doc_id").alias("train_doc_id"),
+            F.posexplode(
+                F.expr(
+                    "transform(array(split(lower(text),"
+                    " '[ \\\\t\\\\n\\\\r\\\\f]+')), toks ->"
+                    " transform(sequence(1, greatest(size(toks) - 4, 1)),"
+                    " i -> array_join(slice(toks, i, 5), ' ')))[0]"
+                )
+            ).alias("start", "gram"),
+        )
+    )
+    hits = train_pos.join(F.broadcast(test_grams), "gram").select(
+        "train_doc_id", "test_doc_id", "start"
+    )
+    return D.merge_covered_spans(
+        hits, n=5, id_col=["train_doc_id", "test_doc_id"]
+    )
+
+
+@query(
     "q_sample_stratified",
     oracle=r"""
     WITH t AS (

@@ -159,6 +159,72 @@ def test_variable_length_spans_planted_fixture(spark):
     ]
 
 
+def test_decontaminate_spans_planted_pair_grain(spark, tmp_path):
+    """q_decontaminate_spans on a hand-built corpus with known leaks —
+    pins the PAIR grain and span boundaries the sf fixtures can't
+    distinguish from a doc-grain report:
+
+    - one train passage shared with TWO different held-out docs
+      reports TWICE (once per test_doc_id), same boundaries;
+    - two leaks from the SAME pair separated by an uncovered token
+      stay two spans; abutting coverages merge into one;
+    - a train doc sharing grams only with ANOTHER TRAIN doc reports
+      nothing (train-train repeats are dedup's business, not
+      decontamination's);
+    - val-split docs participate on neither side.
+
+    doc_ids are chosen so the query's own hash split routes them to
+    the intended splits ((id * 2654435761) % 100: <80 train,
+    80-89 val, else test).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # split probe: 1,2,4 -> train; 13,18 -> test; 3 -> val
+    def split_of(i):
+        return (
+            "train" if (i * 2654435761) % 100 < 80
+            else "val" if (i * 2654435761) % 100 < 90
+            else "test"
+        )
+
+    assert [split_of(i) for i in (1, 2, 4, 13, 18, 3)] == [
+        "train", "train", "train", "test", "test", "val"
+    ]
+
+    P = " ".join(f"p{i}" for i in range(7))   # 7 tokens -> 3 shared 5-grams
+    Qp = " ".join(f"q{i}" for i in range(5))  # 5 tokens -> 1 shared 5-gram
+    corpus = [
+        (1, f"w1 w2 {P} g1 {Qp}"),   # train: P at 2 (len 7), Q at 10 (len 5)
+        (2, f"{P} {Qp}"),            # train: abutting -> ONE span (0, 12) per pair
+        (4, f"{P} x1 x2 x3"),        # train: P only
+        (13, f"{P} t1 {Qp}"),        # test: holds P and Q
+        (18, f"z1 {P}"),             # test: holds P only
+        (3, f"{Qp} v1 v2 v3 v4"),    # val: holds Q — must NOT create pairs
+    ]
+    table = pa.table({
+        "doc_id": pa.array([r[0] for r in corpus], pa.int64()),
+        "text": pa.array([r[1] for r in corpus], pa.string()),
+        "source": pa.array(["t"] * len(corpus), pa.string()),
+        "lang": pa.array(["en"] * len(corpus), pa.string()),
+    })
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    df = Q.QUERIES["q_decontaminate_spans"](spark, str(tmp_path))
+    got = sorted(
+        (r.train_doc_id, r.test_doc_id, r.span_start, r.span_len)
+        for r in df.collect()
+    )
+    assert got == [
+        (1, 13, 2, 7), (1, 13, 10, 5),  # P and Q vs test 13, gap keeps 2 spans
+        (1, 18, 2, 7),                  # P only vs test 18
+        (2, 13, 0, 12),                 # abutting P+Q merge into one span
+        (2, 18, 0, 7),
+        (4, 13, 0, 7),
+        (4, 18, 0, 7),
+    ]
+
+
 def test_containment_pairs_equal_truth_sf001(spark, ddb_01):
     got = Q.QUERIES["q_dedup_containment"](spark, SF_001)
     truth = ddb_01.sql(Q.ORACLES["q_dedup_containment"])

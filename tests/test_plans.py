@@ -226,6 +226,17 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     assert has_broadcast_join(df)
 
 
+def test_decontaminate_spans_broadcast_probe_single_merge_shuffle(spark):
+    df = Q.QUERIES["q_decontaminate_spans"](spark, SF_DIR)
+    # the (test_doc, gram) relation broadcasts into the train-side
+    # posexplode probe; only contaminated (train, test, start) triples
+    # reach the pair-keyed island-merge window, whose partitioning the
+    # final group-by reuses — so the whole report costs ONE exchange
+    # beyond the broadcast, bounded by contamination volume
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) == 1
+
+
 def test_embed_quantize_zero_shuffles(spark):
     df = Q.QUERIES["q_embed_quantize"](spark, SF_DIR)
     # pure row-local HOF arithmetic: no exchange anywhere in the plan
