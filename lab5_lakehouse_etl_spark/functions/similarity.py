@@ -229,6 +229,91 @@ def exact_pairs_blocked(
     )
 
 
+def cross_pairs_blocked(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """EXACT cross-relation cosine pairs ≥ threshold — the asymmetric
+    twin of :func:`exact_pairs_blocked` for a LARGE corpus side A
+    probed against a SMALL reference side B (semantic decontamination:
+    A = training corpus, B = held-out benchmark embeddings).
+
+    A is hashed into ``n_blocks`` matrix blocks exactly like
+    exact_pairs_blocked; B — orders of magnitude smaller by contract —
+    is collected to ONE block row and BROADCAST into the join, so each
+    of the B_a tasks runs one numpy matmul of (|A|/B_a × d) against
+    (|B| × d) and the corpus side is never shuffled beyond its own
+    blocking.  No diagonal handling: the relations are disjoint by
+    construction, every (a, b) block pair is visited exactly once.
+
+    Same cross-engine-parity split as exact_pairs_blocked (r7): numpy
+    scans candidates at ``threshold - 1e-9``; the DECLARED cosine is
+    re-computed on candidates with the sequential fold the oracles
+    state, and the threshold applies to THAT value.
+
+    Returns (id_a, id_b, cosine_sim) with id_a from A, id_b from B —
+    NOT normalized into an unordered pair: the sides mean different
+    things."""
+    import numpy as np
+    import pandas as pd
+
+    if n_blocks is None:
+        n_blocks = max(
+            a_df.sparkSession.sparkContext.defaultParallelism // 2, 4
+        )
+
+    a_blocks = (
+        a_df.withColumn("__bid", F.pmod(F.col(id_col), F.lit(n_blocks)))
+        .groupBy("__bid")
+        .agg(
+            F.collect_list(F.col(id_col)).alias("ids_a"),
+            F.collect_list(F.col(vec_col)).alias("vecs_a"),
+        )
+    )
+    b_block = b_df.groupBy(F.lit(0).alias("__one")).agg(
+        F.collect_list(F.col(id_col)).alias("ids_b"),
+        F.collect_list(F.col(vec_col)).alias("vecs_b"),
+    )
+    pairs = a_blocks.crossJoin(F.broadcast(b_block))
+
+    def score(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_a])
+                B = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_b])
+                An = A / np.linalg.norm(A, axis=1, keepdims=True)
+                Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+                sims = An @ Bn.T
+                ia, ib = np.nonzero(sims >= threshold - 1e-9)
+                if len(ia):
+                    yield pd.DataFrame(
+                        {"id_a": ids_a[ia], "id_b": ids_b[ib]}
+                    )
+
+    cands = pairs.mapInPandas(score, schema="id_a long, id_b long")
+    dv = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    va = a_df.select(
+        F.col(id_col).alias("id_a"), dv(F.col(vec_col)).alias("__va")
+    )
+    vb = b_df.select(
+        F.col(id_col).alias("id_b"), dv(F.col(vec_col)).alias("__vb")
+    )
+    c = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(F.broadcast(vb), "id_b")
+        .withColumn("__c", c)
+        .filter(F.col("__c") >= threshold)
+        .select("id_a", "id_b", F.round("__c", 4).alias("cosine_sim"))
+    )
+
+
 def knn_graph(
     df: DataFrame,
     k: int = 5,

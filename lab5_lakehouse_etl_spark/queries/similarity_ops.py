@@ -681,6 +681,55 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_decontaminate_semantic",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, (vec_id * 2654435761) % 100 AS m,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT a.vec_id AS train_vec_id, b.vec_id AS heldout_vec_id,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine_sim
+    FROM v a JOIN v b ON a.m < 80 AND b.m >= 90
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+    """,
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of
+    q_decontaminate's verbatim n-gram probe: every (training vector,
+    held-out vector) pair with cosine ≥ 0.35, catching paraphrased /
+    reworded benchmark leakage that shares no 5-gram (the check teams
+    run alongside n-gram decontamination since the GPT-4/Llama
+    contamination reports).  Same deterministic hash split as the
+    document-side split: <80 train, ≥90 held-out.
+
+    Scale shape (functions/similarity.cross_pairs_blocked): the
+    held-out side is orders of magnitude smaller by contract, so it
+    collects to ONE matrix block and BROADCASTS; the corpus side hashes
+    into B blocks, each task one numpy matmul of its block against the
+    held-out matrix — the corpus is never shuffled beyond its own
+    blocking and never self-joined.  The oracle is the naive cross
+    join (fine at fixture scale, exactly what the blocked kernel
+    avoids at 100 TB).  Candidates scan at threshold−1e-9; the
+    declared cosine re-computes with the sequential fold, so BLAS
+    summation order can't flip boundary membership between engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = F.pmod(F.col("vec_id") * F.lit(2654435761), F.lit(100))
+    train = emb.filter(m < 80).select("vec_id", "embedding")
+    heldout = emb.filter(m >= 90).select("vec_id", "embedding")
+    pairs = S.cross_pairs_blocked(train, heldout, threshold=0.35)
+    return pairs.select(
+        F.col("id_a").alias("train_vec_id"),
+        F.col("id_b").alias("heldout_vec_id"),
+        "cosine_sim",
+    )
+
+
+@query(
     "q_ann_index_store",
     oracle=f"""
     WITH q AS (
