@@ -547,6 +547,57 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sample_weighted",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang, doc_id, n_chars,
+             pow(((doc_id * 2654435761) % 1000000 + 1) / 1000001.0,
+                 1.0 / greatest(n_chars, 1)) AS k
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars
+    FROM (SELECT lang, doc_id, n_chars,
+                 row_number() OVER (
+                   PARTITION BY lang ORDER BY k DESC, doc_id) AS rn
+          FROM t)
+    WHERE rn <= 20
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, 20 docs per language,
+    inclusion probability proportional to document size — the
+    Efraimidis–Spirakis one-pass reservoir (key = u^(1/w), keep the
+    top-k keys) with the uniform u derived from the same deterministic
+    Knuth-hash stream every sampling query uses, so the sample is
+    reproducible across runs and engines.  Corpus teams run exactly
+    this to draw size-weighted eval/inspection slices per stratum.
+
+    Scale shape: ONE stratum-keyed exchange.  The rank-≤-k filter
+    compiles to WindowGroupLimit (pinned in tests/test_plans.py), so
+    every map task pre-prunes to its local top-20 per language BEFORE
+    the shuffle — the classic distributed-reservoir merge, never a
+    full per-stratum sort of the corpus.  Key separation is ~1/n²
+    while cross-engine libm pow drift is ~1 ulp (~1e-16), so ordering
+    agrees; exact key ties are impossible for distinct doc_ids with
+    distinct hash draws, and the (k DESC, doc_id) tiebreak pins any
+    engineered equality."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000000)) + 1
+    ) / F.lit(1000001.0)
+    k = F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1)))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("__k").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars", k.alias("__k"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 20)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@query(
     "q_sample_stratified",
     oracle=r"""
     WITH t AS (

@@ -237,6 +237,18 @@ def test_decontaminate_spans_broadcast_probe_single_merge_shuffle(spark):
     assert shuffle_count(df) == 1
 
 
+def test_sample_weighted_window_group_limit_single_shuffle(spark):
+    df = Q.QUERIES["q_sample_weighted"](spark, SF_DIR)
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    plan = explain_str(df)
+    # the rank-<=-20 filter pushes a per-map-task top-k BEFORE the
+    # stratum exchange (the distributed-reservoir merge shape) and the
+    # whole sample costs one shuffle
+    assert "WindowGroupLimit" in plan
+    assert shuffle_count(df) == 1
+
+
 def test_embed_quantize_zero_shuffles(spark):
     df = Q.QUERIES["q_embed_quantize"](spark, SF_DIR)
     # pure row-local HOF arithmetic: no exchange anywhere in the plan
