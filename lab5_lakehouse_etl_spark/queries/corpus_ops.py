@@ -547,6 +547,77 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_drift_psi",
+    oracle=r"""
+    WITH cells AS (
+      SELECT lang, source,
+             sum(CASE WHEN (doc_id * 2654435761) % 2 = 0
+                      THEN n_chars ELSE 0 END) AS m_a,
+             sum(CASE WHEN (doc_id * 2654435761) % 2 = 1
+                      THEN n_chars ELSE 0 END) AS m_b
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT sum(m_a) AS t_a, sum(m_b) AS t_b,
+             count(*) AS n_cells FROM cells
+    )
+    SELECT lang, source,
+           round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+           round((p_a - p_b) * ln(p_a / p_b), 6) AS psi_term
+    FROM (SELECT lang, source,
+                 (m_a + 1.0) / (t_a + n_cells) AS p_a,
+                 (m_b + 1.0) / (t_b + n_cells) AS p_b
+          FROM cells CROSS JOIN tot)
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitoring: Population Stability Index of the
+    character-mass distribution over (lang, source) cells between two
+    ingest epochs (deterministic hash halves) — the check a data team
+    runs on every refresh to catch a crawl or source silently changing
+    mix before it trains in.  Per cell: the two add-one-smoothed
+    shares and the PSI contribution (p_a − p_b)·ln(p_a/p_b); smoothing
+    keeps cells appearing in only one epoch finite (and is standard
+    PSI practice).  Rule of thumb: total PSI < 0.1 stable, > 0.25
+    investigate.
+
+    Scale shape: ONE partial-aggregated groupBy over (lang, source) —
+    conditional sums per epoch in the same pass, so the corpus is read
+    once and only cell-count rows shuffle; the totals relation is a
+    1-row broadcast cross join.  All arithmetic row-local after the
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    epoch = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(2))
+    cells = docs.groupBy("lang", "source").agg(
+        F.sum(F.when(epoch == 0, F.col("n_chars")).otherwise(0)).alias("m_a"),
+        F.sum(F.when(epoch == 1, F.col("n_chars")).otherwise(0)).alias("m_b"),
+    )
+    tot = cells.agg(
+        F.sum("m_a").alias("t_a"),
+        F.sum("m_b").alias("t_b"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    p_a = (F.col("m_a") + 1.0) / (F.col("t_a") + F.col("n_cells"))
+    p_b = (F.col("m_b") + 1.0) / (F.col("t_b") + F.col("n_cells"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .withColumn("__pa", p_a)
+        .withColumn("__pb", p_b)
+        .select(
+            "lang",
+            "source",
+            F.round("__pa", 6).alias("p_a"),
+            F.round("__pb", 6).alias("p_b"),
+            F.round(
+                (F.col("__pa") - F.col("__pb"))
+                * F.log(F.col("__pa") / F.col("__pb")),
+                6,
+            ).alias("psi_term"),
+        )
+    )
+
+
+@query(
     "q_sample_weighted",
     oracle=r"""
     WITH t AS (

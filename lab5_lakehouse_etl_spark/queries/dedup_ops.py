@@ -12,7 +12,7 @@ Jaccard threshold structurally misses.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dedup as D
@@ -332,6 +332,84 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.band_components(
         docs, id_col="doc_id", keys=["lang", "source"],
         band_col="n_chars", gap=20,
+    )
+
+
+@query(
+    "q_dedup_canonical",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.source = b.source
+       AND abs(a.n_chars - b.n_chars) <= 20
+       AND a.doc_id <> b.doc_id
+    ),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.label < e.dst
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(label) AS component
+      FROM reach GROUP BY node
+    )
+    SELECT component, doc_id AS canonical_doc_id,
+           CAST(n AS BIGINT) AS n_members,
+           CAST(total_chars AS BIGINT) AS total_chars
+    FROM (SELECT c.component, d.doc_id,
+                 count(*) OVER (PARTITION BY c.component) AS n,
+                 sum(d.n_chars) OVER (PARTITION BY c.component)
+                     AS total_chars,
+                 row_number() OVER (
+                   PARTITION BY c.component
+                   ORDER BY d.n_chars DESC, d.doc_id) AS rn
+          FROM comp c JOIN documents d USING (doc_id))
+    WHERE rn = 1
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection per duplicate cluster — the
+    'which copy survives' step real dedup pipelines run AFTER
+    clustering: q_dedup_clusters stops at canonical = min doc_id, but
+    production pipelines keep the BEST member (longest / highest
+    quality), which changes what the training set actually contains.
+    Per component: the largest-n_chars member (doc_id tiebreak),
+    member count, and total duplicated characters.
+
+    Scale shape: components via the same gap-island reduction as
+    q_dedup_clusters (one window pass, no label propagation — see its
+    docstring); selection is a component-keyed WindowGroupLimit
+    (rank-1 filter pre-prunes map-side) over the components join,
+    and the member/char aggregates ride the same window partitioning,
+    so the selection layer adds no exchange beyond the component key.
+    Oracle = the unchanged recursive-CTE closure + argmax window, so
+    the island reduction is again verified against an independent
+    formulation."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    comp = D.band_components(
+        docs, id_col="doc_id", keys=["lang", "source"],
+        band_col="n_chars", gap=20,
+    )
+    joined = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    wc = Window.partitionBy("component")
+    w = wc.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("total_chars", F.sum("n_chars").over(wc))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("total_chars").cast("bigint").alias("total_chars"),
+        )
     )
 
 
