@@ -455,10 +455,15 @@ def simhash64(text_col: str) -> F.Column:
     column bit-counts, which the Python API doesn't accept). The token
     hash array is LET-bound via transform(array(...), hs -> ...)[0] so
     it is computed once per row, not once per bit position.
+
+    Tokenizes with the explicit [ \\t\\n\\r\\f] class like the rest of
+    the word_ngrams family (r9) — the fingerprint itself never meets an
+    oracle, but a \\x0B corpus must not tokenize differently here than
+    in the exact truth set it is recalled against.
     """
     return F.expr(
         f"""
-        transform(array(transform(split(lower({text_col}), '\\\\s+'), t -> xxhash64(t))),
+        transform(array(transform(split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f]+'), t -> xxhash64(t))),
           hs -> aggregate(
             sequence(0, 63),
             cast(0 as bigint),

@@ -179,7 +179,9 @@ _REWRITTEN_IN: dict[str, int] = {
     # r8: truth set switched from minhash candidates to the exhaustive
     # prefix-filtered exact-Jaccard join (decouples the invariant from
     # minhash banding recall).
-    "q_dedup_simhash": 8,
+    # r8 truth-set switch (see below), then r9: simhash64 itself moved
+    # to the explicit whitespace class with the rest of the family.
+    "q_dedup_simhash": 9,
     # r8: removal phase refactored onto the shared_gram_occurrences
     # primitive introduced with q_dup_spans_var.
     "q_dup_remove": 8,

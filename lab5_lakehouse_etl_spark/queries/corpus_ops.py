@@ -414,7 +414,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = split.filter(F.col("split") == "train")
     raw_ngrams = (
-        f"transform(array(split(lower(text), '\\\\s+')), toks ->"
+        f"transform(array(split(lower(text), '[ \\\\t\\\\n\\\\r\\\\f]+')), toks ->"
         f" transform(sequence(1, greatest(size(toks) - 4, 1)),"
         f" i -> array_join(slice(toks, i, 5), ' ')))[0]"
     )
