@@ -177,6 +177,78 @@ def test_knn_graph_equals_bruteforce_with_planted_duplicates(spark):
     assert got == exp
 
 
+def test_cross_pairs_blocked_equals_bruteforce(spark):
+    """cross_pairs_blocked (the asymmetric decontamination kernel) on a
+    planted corpus: identical pair set and identical re-scored cosines
+    to the per-pair brute force, including vectors engineered near the
+    threshold boundary (where the candidate scan's 1e-9 margin and the
+    sequential-fold re-score must agree on membership)."""
+    from pyspark.sql import functions as F
+
+    df, rows = _planted(spark, n_clusters=20, per=4, dim=16, seed=11)
+    a_df = df.filter(F.col("vec_id") % 3 != 0)
+    b_df = df.filter(F.col("vec_id") % 3 == 0)
+    got = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in S.cross_pairs_blocked(a_df, b_df, threshold=0.8).collect()
+    }
+    import numpy as np
+
+    vecs = {vid: np.asarray(v, dtype=np.float64) for vid, v in rows}
+    want = {}
+    for ia, va in vecs.items():
+        if ia % 3 == 0:
+            continue
+        for ib, vb in vecs.items():
+            if ib % 3 != 0:
+                continue
+            # sequential fold like the declared cosine
+            dot = 0.0
+            na = 0.0
+            nb = 0.0
+            for x, y in zip(va, vb):
+                dot += x * y
+                na += x * x
+                nb += y * y
+            c = dot / (np.sqrt(na) * np.sqrt(nb))
+            if c >= 0.8:
+                want[(ia, ib)] = round(c, 4)
+    assert got == want
+    assert len(want) > 0  # planted clusters guarantee cross-side pairs
+
+
+def test_merge_covered_spans_composite_key_matches_per_key_runs(spark):
+    """The composite-key form of merge_covered_spans must equal running
+    the single-key merge independently per key-pair — islands never
+    bleed across (train, test) pairs that share a train doc."""
+    from pyspark.sql import functions as F
+
+    occ = spark.createDataFrame(
+        [
+            # same train doc 1, two different test docs: overlapping
+            # starts must NOT merge across the pair boundary
+            (1, 10, 0), (1, 10, 1), (1, 10, 3),
+            (1, 20, 2), (1, 20, 9),
+            (2, 10, 5),
+        ],
+        "a long, b long, start long",
+    )
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+
+    got = sorted(
+        (r.a, r.b, r.span_start, r.span_len)
+        for r in D.merge_covered_spans(occ, n=5, id_col=["a", "b"]).collect()
+    )
+    # per-pair truth with n=5: (1,10): starts {0,1,3} one island
+    # (0..7 covered, len 3+5-0=8); (1,20): starts {2,9} -> 9 > 2+4+1,
+    # two islands; (2,10): one
+    assert got == [
+        (1, 10, 0, 8),
+        (1, 20, 2, 5), (1, 20, 9, 5),
+        (2, 10, 5, 5),
+    ]
+
+
 def test_index_append_is_load_bearing(spark, tmp_path):
     """q_ann_index_append's found_self boolean is only reachable
     through the append: a probe against the BASE-ONLY index cannot
