@@ -417,6 +417,84 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_decontaminate",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                  WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             string_split_regex(lower(text), '[ \t\n\r\f]+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, split,
+             array_to_string(t[CAST(j AS INT):CAST(j AS INT)+4], ' ') AS s
+      FROM (SELECT doc_id, split, t,
+                   unnest(range(1, greatest(len(t)-4, 1) + 1)) AS j
+            FROM b)
+    ),
+    tg AS (SELECT DISTINCT s FROM sh WHERE split = 'test')
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_leaked_grams
+    FROM (SELECT doc_id, s FROM sh WHERE split = 'train') a
+    JOIN tg USING (s)
+    GROUP BY a.doc_id
+    """,
+)
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING decontamination gate: training documents arrive as a
+    file stream (4 landing files, maxFilesPerTrigger=1 → four real
+    micro-batches) and every batch's word-5-grams are probed against
+    the STATIC held-out benchmark gram set (broadcast); contaminated
+    docs land in the quarantine sink as (doc_id, n_leaked_grams) —
+    decontamination moved from the batch audit (q_decontaminate /
+    q_decontaminate_spans) to the ingest boundary, where a production
+    crawl pipeline actually runs it.
+
+    Batch-independence makes it SQL-stateable (same argument as
+    q_stream_neardup): each batch probes only the immutable benchmark
+    set, so the drained output equals the batch-mode broadcast join
+    the oracle states, invariant to file→micro-batch assignment.
+    Per-batch cost is O(batch tokens); the benchmark set is built once
+    (per-doc-distinct grams via word_ngrams, then global distinct) and
+    broadcast once."""
+    from ..streaming import events as E
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    train = docs.filter(split < 80).select("doc_id", "text")
+    bench_grams = (
+        docs.filter(split >= 90)
+        .select(F.explode(_D().word_ngrams("text", 5)).alias("gram"))
+        .distinct()
+    )
+    scratch = scratch_dir("q_stream_decontaminate", fresh=True)
+    land = f"{scratch}/landing"
+    train.repartitionByRange(4, "doc_id").write.parquet(land)
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    out = f"{scratch}/quarantine"
+    E.stream_decontaminate_gate(
+        spark, stream, bench_grams, out, f"{scratch}/ckpt"
+    )
+    import os
+
+    if not os.path.isdir(out):  # zero contaminated docs
+        return spark.createDataFrame([], "doc_id long, n_leaked_grams long")
+    return spark.read.parquet(out)
+
+
+def _D():
+    from ..functions import dedup as D
+
+    return D
+
+
+@query(
     "q_stream_neardup",
     oracle=r"""
     WITH sh AS (

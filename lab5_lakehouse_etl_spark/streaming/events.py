@@ -516,6 +516,55 @@ def stream_neardup_gate(
         q.awaitTermination()
 
 
+def stream_decontaminate_gate(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    bench_grams: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """foreachBatch benchmark-decontamination gate — the STREAMING form
+    of q_decontaminate: each micro-batch of incoming documents explodes
+    its per-doc-distinct word-5-grams into a BROADCAST join against the
+    static held-out gram set, and contaminated rows
+    (doc_id, n_leaked_grams) are appended to ``out_path`` — what a
+    crawl-ingest pipeline routes to the quarantine sink before a
+    benchmark item can train in.
+
+    Batch-independence: the probe side is the immutable benchmark set,
+    never batch-vs-batch state, so the drained result is a pure
+    function of the input set — invariant to file→micro-batch
+    assignment and replay, which is what lets a DuckDB oracle state it.
+    Per-batch cost is O(batch tokens) explode + broadcast hash join +
+    a batch-local count; the corpus side never shuffles."""
+    from pyspark.sql import functions as SF
+
+    from ..functions import dedup as D
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.select(
+                "doc_id", SF.explode(D.word_ngrams("text", 5)).alias("gram")
+            )
+            .join(SF.broadcast(bench_grams), "gram")
+            .groupBy("doc_id")
+            .agg(SF.count(SF.lit(1)).cast("bigint").alias("n_leaked_grams"))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    with _state_sized_shuffle(spark):
+        q = (
+            docs_stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def stream_merge_to_table(
     spark: SparkSession,
     events: DataFrame,
