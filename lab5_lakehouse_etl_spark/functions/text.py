@@ -205,6 +205,44 @@ def rolling_fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(tokens(text), " "))
 
 
+def char_entropy_sql(text_col: str) -> str:
+    """SQL for the Shannon entropy (bits) of a document's CHARACTER
+    distribution — the low-entropy tail is machine-generated /
+    repetitive boilerplate, the high-entropy tail is binary-ish noise;
+    both are standard quality-filter cut points (the signal zlib-ratio
+    filters approximate, computed exactly and row-locally).
+
+    Entirely JVM higher-order functions, zero shuffle: chars →
+    sort_array → run-end positions (filter over the index sequence) →
+    one aggregate folding -Σ (L/n)·log2(L/n) over run lengths carried
+    as (prev_end, acc) struct state.  The sorted char array is
+    LET-bound via the transform(array(...))[0] trick so it is built
+    once per row (see word_ngrams_sql in functions/dedup.py for the
+    measured cost of skipping it).  NULL for empty text (entropy of
+    nothing is undefined; also keeps sequence(1, 0) — which Spark
+    interprets as a DESCENDING range — out of the plan)."""
+    return f"""
+    CASE WHEN length({text_col}) = 0 THEN CAST(NULL AS DOUBLE) ELSE
+      transform(array(sort_array(transform(sequence(1, length({text_col})),
+                                 i -> substring({text_col}, i, 1)))), cs ->
+        aggregate(
+          filter(sequence(1, size(cs)),
+                 i -> i = size(cs) OR element_at(cs, i) != element_at(cs, i + 1)),
+          named_struct('prev', 0, 'acc', cast(0.0 as double)),
+          (s, e) -> named_struct(
+            'prev', e,
+            'acc', s.acc - ((e - s.prev) / cast(size(cs) as double))
+                   * log2((e - s.prev) / cast(size(cs) as double))),
+          s -> s.acc
+        ))[0]
+    END"""
+
+
+def char_entropy(text_col: str) -> Column:
+    """Column form of :func:`char_entropy_sql`."""
+    return F.expr(char_entropy_sql(text_col))
+
+
 @F.pandas_udf(StringType())
 def lang_id_ngram(texts: pd.Series) -> pd.Series:
     """Arrow-batched character-trigram language IDer (the pandas-UDF

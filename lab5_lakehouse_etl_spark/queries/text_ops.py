@@ -41,6 +41,48 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_quality_entropy",
+    oracle=r"""
+    WITH ch AS (
+      SELECT doc_id, substring(text, CAST(i AS INT), 1) AS c
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, CAST(length(text) AS BIGINT) + 1)) AS i
+            FROM documents WHERE length(text) > 0)
+    ),
+    cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1)
+    SELECT d.doc_id,
+           round(e.ent, 6) AS char_entropy
+    FROM documents d
+    LEFT JOIN (SELECT cnt.doc_id,
+                      -sum((k / CAST(n AS DOUBLE))
+                           * log2(k / CAST(n AS DOUBLE))) AS ent
+               FROM cnt JOIN tot USING (doc_id)
+               GROUP BY cnt.doc_id) e USING (doc_id)
+    """,
+)
+def q_quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal: Shannon entropy (bits) of each
+    document's character distribution — the exact form of the signal
+    zlib-compression-ratio filters approximate (Gopher-family quality
+    gates): machine-generated/repetitive boilerplate sits in the
+    low-entropy tail, binary-ish noise in the high-entropy tail.
+    NULL for empty documents.
+
+    Scale shape: ZERO shuffles — the entropy is one row-local chain of
+    JVM higher-order functions (chars → sort → run-length fold,
+    functions/text.char_entropy_sql), so the operator is a pure narrow
+    map over the corpus scan.  The oracle recomputes it relationally
+    (char unnest → group counts → -Σ p·log2 p); cross-engine float
+    agreement holds at round-6 because per-doc sums have ≤ alphabet
+    terms and both engines fold doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(T.char_entropy("text"), 6).alias("char_entropy")
+    )
+
+
+@query(
     "q_text_quality",
     oracle=r"""
     WITH t AS (

@@ -249,6 +249,12 @@ def test_sample_weighted_window_group_limit_single_shuffle(spark):
     assert shuffle_count(df) == 1
 
 
+def test_quality_entropy_zero_shuffles(spark):
+    df = Q.QUERIES["q_quality_entropy"](spark, SF_DIR)
+    # pure row-local HOF fold: a narrow map over the scan, no exchange
+    assert shuffle_count(df) == 0
+
+
 def test_embed_quantize_zero_shuffles(spark):
     df = Q.QUERIES["q_embed_quantize"](spark, SF_DIR)
     # pure row-local HOF arithmetic: no exchange anywhere in the plan

@@ -632,3 +632,25 @@ def test_minhash_recall_at_both_parameter_points(spark):
             for r in D.verified_near_dups(docs, cands, threshold=0.5).collect()
         }
         assert got == truth, (H, bands)
+
+
+def test_char_entropy_known_values_and_empty_null(spark):
+    """char_entropy pins: empty text is NULL (not 0 — and the guard
+    keeps Spark's DESCENDING sequence(1, 0) out of the plan), a
+    single-symbol doc is exactly 0 bits, a balanced two-symbol doc is
+    exactly 1 bit, and a uniform 4-symbol doc is exactly 2 bits."""
+    from pyspark.sql import functions as F
+
+    from lab5_lakehouse_etl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "aaaa"), (3, "abab"), (4, "abcd")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.e
+        for r in df.select(
+            "doc_id", F.round(T.char_entropy("text"), 6).alias("e")
+        ).collect()
+    }
+    assert got == {1: None, 2: 0.0, 3: 1.0, 4: 2.0}
