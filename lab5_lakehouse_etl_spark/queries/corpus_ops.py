@@ -583,25 +583,27 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE partial-aggregated groupBy over (lang, source) —
     conditional sums per epoch in the same pass, so the corpus is read
-    once and only cell-count rows shuffle; the totals relation is a
-    1-row broadcast cross join.  All arithmetic row-local after the
-    aggregate."""
+    ONCE and only cell rows shuffle; the grand totals come from an
+    unpartitioned window over the CELL relation (bounded: one row per
+    (lang, source) pair, thousands at worst), not from a second
+    aggregate branch — a totals-by-crossJoin formulation would plan
+    the corpus aggregate subtree twice and rescan the corpus.  All
+    arithmetic row-local after that."""
     docs = load_table(spark, sf_dir, "documents")
     epoch = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(2))
     cells = docs.groupBy("lang", "source").agg(
         F.sum(F.when(epoch == 0, F.col("n_chars")).otherwise(0)).alias("m_a"),
         F.sum(F.when(epoch == 1, F.col("n_chars")).otherwise(0)).alias("m_b"),
     )
-    tot = cells.agg(
-        F.sum("m_a").alias("t_a"),
-        F.sum("m_b").alias("t_b"),
-        F.count(F.lit(1)).alias("n_cells"),
+    wall = Window.partitionBy()
+    p_a = (F.col("m_a") + 1.0) / (
+        F.sum("m_a").over(wall) + F.count(F.lit(1)).over(wall)
     )
-    p_a = (F.col("m_a") + 1.0) / (F.col("t_a") + F.col("n_cells"))
-    p_b = (F.col("m_b") + 1.0) / (F.col("t_b") + F.col("n_cells"))
+    p_b = (F.col("m_b") + 1.0) / (
+        F.sum("m_b").over(wall) + F.count(F.lit(1)).over(wall)
+    )
     return (
-        cells.crossJoin(F.broadcast(tot))
-        .withColumn("__pa", p_a)
+        cells.withColumn("__pa", p_a)
         .withColumn("__pb", p_b)
         .select(
             "lang",

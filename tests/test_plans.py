@@ -249,6 +249,35 @@ def test_sample_weighted_window_group_limit_single_shuffle(spark):
     assert shuffle_count(df) == 1
 
 
+def test_drift_psi_single_scan_two_shuffles(spark):
+    df = Q.QUERIES["q_drift_psi"](spark, SF_DIR)
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    # corpus read ONCE into a partial-aggregated groupBy; totals come
+    # from an unpartitioned window over the tiny cell relation (a
+    # totals-by-crossJoin would plan the corpus subtree twice)
+    assert shuffle_count(df) == 2
+    plan = explain_str(df)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial_sum" in plan
+
+
+def test_decontaminate_semantic_broadcasts_heldout_block(spark):
+    df = Q.QUERIES["q_decontaminate_semantic"](spark, SF_DIR)
+    # the held-out matrix is a broadcast block; the corpus side only
+    # shuffles into its own blocking, never a self-join
+    assert has_broadcast_join(df)
+
+
+def test_dedup_canonical_two_shuffles(spark):
+    df = Q.QUERIES["q_dedup_canonical"](spark, SF_DIR)
+    # island window (one (lang, source)-keyed exchange) + the
+    # component-keyed selection window; the doc join broadcasts and
+    # the rank/count/sum aggregates reuse the component partitioning
+    assert shuffle_count(df) == 2
+    assert has_broadcast_join(df)
+
+
 def test_quality_entropy_zero_shuffles(spark):
     df = Q.QUERIES["q_quality_entropy"](spark, SF_DIR)
     # pure row-local HOF fold: a narrow map over the scan, no exchange
