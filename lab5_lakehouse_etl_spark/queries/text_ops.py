@@ -69,16 +69,20 @@ def q_quality_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-entropy tail, binary-ish noise in the high-entropy tail.
     NULL for empty documents.
 
-    Scale shape: ZERO shuffles — the entropy is one row-local chain of
-    JVM higher-order functions (chars → sort → run-length fold,
-    functions/text.char_entropy_sql), so the operator is a pure narrow
-    map over the corpus scan.  The oracle recomputes it relationally
-    (char unnest → group counts → -Σ p·log2 p); cross-engine float
-    agreement holds at round-6 because per-doc sums have ≤ alphabet
-    terms and both engines fold doubles."""
+    Scale shape: ZERO shuffles — one Arrow-batched pandas UDF
+    (functions/text.char_entropy_udf) as a pure narrow map over the
+    corpus scan: char-bound compute vectorized in C (Counter), linear
+    in characters.  The all-JVM HOF formulation (char_entropy_sql)
+    exists and is value-identical (parity-pinned) but runs interpreted
+    and measured ×117 at the 10× stress — the UDF IS the scale path
+    here, the documented exception to JVM-first.  The oracle
+    recomputes relationally (char unnest → group counts → -Σ p·log2 p);
+    cross-engine float agreement holds at round-6 because per-doc sums
+    have ≤ alphabet terms and both engines fold doubles."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.round(T.char_entropy("text"), 6).alias("char_entropy")
+        "doc_id",
+        F.round(T.char_entropy_udf(F.col("text")), 6).alias("char_entropy"),
     )
 
 

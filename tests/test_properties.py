@@ -654,3 +654,33 @@ def test_char_entropy_known_values_and_empty_null(spark):
         ).collect()
     }
     assert got == {1: None, 2: 0.0, 3: 1.0, 4: 2.0}
+    # the Arrow UDF scale path the query actually uses: same values
+    got_udf = {
+        r.doc_id: r.e
+        for r in df.select(
+            "doc_id", F.round(T.char_entropy_udf(F.col("text")), 6).alias("e")
+        ).collect()
+    }
+    assert got_udf == got
+
+
+def test_char_entropy_udf_matches_sql_form_on_fixture(spark):
+    """Engine-internal parity: the Arrow scale path and the all-JVM HOF
+    formulation agree to round-6 on every fixture document (the oracle
+    additionally checks the UDF against DuckDB's relational form)."""
+    from pyspark.sql import functions as F
+
+    from lab5_lakehouse_etl_spark.functions import text as T
+    from lab5_lakehouse_etl_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    diff = (
+        docs.select(
+            F.round(T.char_entropy("text"), 6).alias("a"),
+            F.round(T.char_entropy_udf(F.col("text")), 6).alias("b"),
+        )
+        .filter("a IS DISTINCT FROM b")
+        .count()
+    )
+    assert diff == 0
