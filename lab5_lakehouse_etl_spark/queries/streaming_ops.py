@@ -458,6 +458,7 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-batch cost is O(batch tokens); the benchmark set is built once
     (per-doc-distinct grams via word_ngrams, then global distinct) and
     broadcast once."""
+    from ..functions import dedup as D
     from ..streaming import events as E
 
     tune(spark)
@@ -466,7 +467,7 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(split < 80).select("doc_id", "text")
     bench_grams = (
         docs.filter(split >= 90)
-        .select(F.explode(_D().word_ngrams("text", 5)).alias("gram"))
+        .select(F.explode(D.word_ngrams("text", 5)).alias("gram"))
         .distinct()
     )
     scratch = scratch_dir("q_stream_decontaminate", fresh=True)
@@ -486,12 +487,6 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(out):  # zero contaminated docs
         return spark.createDataFrame([], "doc_id long, n_leaked_grams long")
     return spark.read.parquet(out)
-
-
-def _D():
-    from ..functions import dedup as D
-
-    return D
 
 
 @query(
