@@ -361,3 +361,47 @@ def test_stream_neardup_equals_batch_index_store(spark):
     assert got_stream == got_batch
     land = scratch_dir("q_stream_neardup") + "/landing"
     assert len(glob.glob(os.path.join(land, "*.parquet"))) == 4
+
+
+def test_stream_decontaminate_invariant_to_batching(spark, tmp_path):
+    """Batch-independence of the ingest decontamination gate, pinned
+    directly: the same training docs landed as 4 files and drained
+    with maxFilesPerTrigger=1 (four micro-batches) vs a single
+    availableNow batch produce the IDENTICAL quarantine relation —
+    the property that makes the query SQL-stateable."""
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+
+    docs = load_table(spark, SF_DIR, "documents")
+    split = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    train = docs.filter(split < 80).select("doc_id", "text")
+    bench_grams = (
+        docs.filter(split >= 90)
+        .select(F.explode(D.word_ngrams("text", 5)).alias("gram"))
+        .distinct()
+    )
+    land = str(tmp_path / "landing")
+    train.repartitionByRange(4, "doc_id").write.parquet(land)
+
+    def drained(max_files: int, tag: str) -> set:
+        stream = (
+            spark.readStream.schema(train.schema)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(land)
+        )
+        out = str(tmp_path / f"quarantine_{tag}")
+        E.stream_decontaminate_gate(
+            spark, stream, bench_grams, out, str(tmp_path / f"ckpt_{tag}")
+        )
+        import os
+
+        if not os.path.isdir(out):
+            return set()
+        return {
+            (r.doc_id, r.n_leaked_grams)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    four = drained(1, "four")
+    one = drained(4, "one")
+    assert four == one
+    assert len(four) > 0  # the fixture plants real contamination
