@@ -547,6 +547,82 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_corpus_churn",
+    oracle=r"""
+    WITH f AS (
+      SELECT md5(array_to_string(
+               string_split_regex(trim(lower(text)), '[ \t\n\r\f]+'), ' '))
+               AS fp,
+             (doc_id * 2654435761) % 2 AS ep
+      FROM documents
+    ),
+    m AS (
+      SELECT fp,
+             max(CASE WHEN ep = 0 THEN 1 ELSE 0 END) AS in_old,
+             max(CASE WHEN ep = 1 THEN 1 ELSE 0 END) AS in_new
+      FROM f GROUP BY fp
+    )
+    SELECT CAST(sum(in_old) AS BIGINT)                          AS n_old,
+           CAST(sum(in_new) AS BIGINT)                          AS n_new,
+           CAST(sum(CASE WHEN in_new = 1 AND in_old = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)          AS n_added,
+           CAST(sum(CASE WHEN in_old = 1 AND in_new = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)          AS n_removed,
+           CAST(sum(in_old * in_new) AS BIGINT)                 AS n_retained,
+           round(sum(CASE WHEN in_old + in_new = 1 THEN 1.0 ELSE 0 END)
+                 / (sum(in_old) + sum(in_new)), 6)              AS churn_rate
+    FROM m
+    """,
+)
+def q_corpus_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff by CONTENT identity — the membership-churn
+    complement of q_drift_psi's distribution drift: between two ingest
+    epochs (hash halves), how many distinct document TEXTS (normalized
+    whitespace-insensitive md5 fingerprints, the q_text_normalize key)
+    were added, removed, retained — plus the churn rate a refresh
+    monitor alerts on.  Content grain, not doc_id grain: a re-crawled
+    page with a new id but identical text is retention, not churn.
+
+    Scale shape: one narrow fingerprint map over the corpus, ONE
+    fingerprint-keyed aggregate folding per-side presence flags
+    (max-of-indicator — never a self-join of the two snapshots), then
+    a single-row global fold.  Fingerprints are md5-width regardless
+    of document size, so the shuffle carries 16-byte keys + two bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.split(F.trim(F.lower(F.col("text"))), "[ \\t\\n\\r\\f]+"), " "
+        )
+    )
+    ep = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(2))
+    m = (
+        docs.select(fp.alias("fp"), ep.alias("ep"))
+        .groupBy("fp")
+        .agg(
+            F.max(F.when(F.col("ep") == 0, 1).otherwise(0)).alias("in_old"),
+            F.max(F.when(F.col("ep") == 1, 1).otherwise(0)).alias("in_new"),
+        )
+    )
+    both = F.col("in_old") + F.col("in_new")
+    return m.agg(
+        F.sum("in_old").cast("bigint").alias("n_old"),
+        F.sum("in_new").cast("bigint").alias("n_new"),
+        F.sum(F.when((F.col("in_new") == 1) & (F.col("in_old") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(F.when((F.col("in_old") == 1) & (F.col("in_new") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(F.col("in_old") * F.col("in_new")).cast("bigint").alias("n_retained"),
+        F.round(
+            F.sum(F.when(both == 1, F.lit(1.0)).otherwise(0.0))
+            / (F.sum("in_old") + F.sum("in_new")),
+            6,
+        ).alias("churn_rate"),
+    )
+
+
+@query(
     "q_drift_psi",
     oracle=r"""
     WITH cells AS (
