@@ -684,3 +684,55 @@ def test_char_entropy_udf_matches_sql_form_on_fixture(spark):
         .count()
     )
     assert diff == 0
+
+
+_vec = st.lists(
+    st.floats(-1.0, 1.0, allow_nan=False, width=32), min_size=4, max_size=4
+)
+_emb_rows = st.lists(_vec, min_size=2, max_size=14)
+_thresh = st.sampled_from([0.0, 0.3, 0.7, 0.95])
+
+
+@given(vecs=_emb_rows, threshold=_thresh)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cross_pairs_blocked_property_equals_bruteforce(spark, vecs, threshold):
+    """cross_pairs_blocked on RANDOM low-dim vectors at random
+    thresholds (including 0.0 — every pair — and 0.95 — near-boundary
+    sparse): pair set and re-scored cosines equal the sequential-fold
+    brute force; zero-norm vectors yield NULL cosine and are never
+    emitted (the kernel's normalize divides by 0 → nan → filtered by
+    the declared fold-cosine gate, which is NULL-safe)."""
+    import math
+
+    from lab5_lakehouse_etl_spark.functions import similarity as S
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    a_df = df.filter(F.col("vec_id") % 2 == 0)
+    b_df = df.filter(F.col("vec_id") % 2 == 1)
+    got = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in S.cross_pairs_blocked(
+            a_df, b_df, threshold=threshold, n_blocks=3
+        ).collect()
+    }
+    want = {}
+    for ia, va in rows:
+        if ia % 2 != 0:
+            continue
+        for ib, vb in rows:
+            if ib % 2 != 1:
+                continue
+            # float32 storage first (ARRAY<FLOAT>), then double fold
+            va32 = [float(__import__("numpy").float32(x)) for x in va]
+            vb32 = [float(__import__("numpy").float32(x)) for x in vb]
+            dot = sum(x * y for x, y in zip(va32, vb32))
+            na = math.sqrt(sum(x * x for x in va32))
+            nb = math.sqrt(sum(x * x for x in vb32))
+            if na == 0.0 or nb == 0.0:
+                continue  # NULL cosine never passes the gate
+            c = dot / (na * nb)
+            if c >= threshold:
+                want[(ia, ib)] = round(c, 4)
+    assert got == want
