@@ -246,7 +246,16 @@ def ratio_regressions(
         prev_ratio = pw / prev_cal
         cur_ratio = cur_wall / cal_sec
         if cur_ratio > 1.5 * prev_ratio or prev_ratio > 1.5 * cur_ratio:
-            flagged[name] = [round(prev_ratio, 2), round(cur_ratio, 2)]
+            # round to 3: a ~3 ms query against a ~0.7 s calibration has
+            # ratio ~0.004, and a 2-decimal round would store 0.0 —
+            # which compact_line's worst-first sort then DIVIDES by
+            # (fail-soft gate turned fail-hard crash); the max() floor
+            # below guards the same division against any future
+            # smaller-than-rounding ratio
+            flagged[name] = [
+                max(round(prev_ratio, 3), 1e-6),
+                max(round(cur_ratio, 3), 1e-6),
+            ]
     return flagged, os.path.basename(prev_path)
 
 

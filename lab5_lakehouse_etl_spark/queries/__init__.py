@@ -197,20 +197,29 @@ _REWRITTEN_IN: dict[str, int] = {
     # reads through the r5 external-manifest/distributed-prune rework of
     # lakehouse/table.py (and the e0c7451 temporal-skipping soundness
     # fix) — their r4 rows certify code that no longer exists.
-    "q_dedup_prefix": 7,
+    # (retroactive r6/r7 kernel restructure, then swept into the r9
+    # whitespace-class rewrite like the rest of the word_ngrams family)
+    "q_dedup_prefix": 9,
     "q_table_skipping": 5,
     "q_table_skipping_dist": 5,
     # Round-9 rewrites: (a) the whole word_ngrams family moved from
     # Java \s to the explicit [ \t\n\r\f] whitespace class (== RE2's
     # \s — oracle-identical on any corpus, the q_text_normalize pin),
     # which touches every query tokenizing through word_ngrams_sql or
-    # the chunk splitter; (b) containment_pairs gained the adaptive
-    # identical-set pre-collapse (sig/rep/expand).
+    # the chunk splitter — INCLUDING the minhash_band_index trio
+    # (index_store/epoch/stream_neardup, signatures over word bigrams)
+    # and q_dedup_prefix (word-3-gram elements), which the first cut of
+    # this block missed and a round-9 self-review caught;
+    # (b) containment_pairs gained the adaptive identical-set
+    # pre-collapse (sig/rep/expand).
     "q_dedup_ngram": 9,
     "q_dup_spans": 9,
     "q_decontaminate": 9,
     "q_dedup_containment": 9,
     "q_dedup_chunks": 9,
+    "q_dedup_index_store": 9,
+    "q_dedup_epoch": 9,
+    "q_stream_neardup": 9,
     # r9: banding parameters now derived from corpus statistics
     # (minhash_params) — resolves to the identical (32, 8) at every
     # fixture SF, but the code path (count + chooser) is new.

@@ -48,6 +48,22 @@ def test_line_truncates_slowest_first_and_declares_it():
     assert min(kept_vals) >= 67 - len(kept)
 
 
+def test_line_survives_near_zero_regression_ratios():
+    """A ~3 ms query against a ~0.7 s calibration has ratio ~0.004; the
+    worst-first sort divides by the stored ratios, so a value that
+    rounds to 0.0 would crash the whole bench while printing (fail-soft
+    gate turned fail-hard). Pin that tiny and zero-ish ratios print."""
+    t1 = {n: 1.0 for n in list(bench.BENCH_QUERIES)[:3]}
+    detail = {
+        "tier2_total": 1.0,
+        "tier2_skipped": [],
+        "ratio_regressions": {"q_tiny": [1e-6, 0.004], "q_big": [1.0, 2.0]},
+    }
+    line = bench.compact_line(3.0, t1, t1, detail, 0.7, 0.1)
+    p = json.loads(line)
+    assert set(p["ratio_regressions"]) == {"q_tiny", "q_big"}
+
+
 def test_line_budget_inside_driver_tail_window():
     # 2000-byte tail minus newline and a safety margin
     assert bench.LINE_BUDGET <= 1950
