@@ -68,6 +68,30 @@ def word_ngrams(text_col: str, n: int = 3) -> F.Column:
     return F.expr(word_ngrams_sql(text_col, n))
 
 
+def word_ngrams_all_sql(text_col: str, n: int = 3) -> str:
+    """word_ngrams_sql WITHOUT the array_distinct: every n-gram in
+    POSITION ORDER (element i starts at 0-based token position i).
+    For probe sides that explode values (duplicate grams are harmless
+    under EXISTS/semi-join semantics, so the per-row hash-set dedup is
+    pure overhead — q_decontaminate's train side) and for consumers
+    that need positions via posexplode (q_decontaminate_spans).
+
+    One definition on purpose: the whitespace-class migration (r9) had
+    to patch hand-inlined copies of this transform one by one — the
+    exact per-copy drift that produced the \\s divergence it fixed.
+    Tokenization changes now land here and in word_ngrams_sql only."""
+    return f"""transform(array(split(lower({text_col}),
+                '[ \\\\t\\\\n\\\\r\\\\f]+')), toks ->
+              transform(
+                sequence(1, greatest(size(toks) - {n - 1}, 1)),
+                i -> array_join(slice(toks, i, {n}), ' ')))[0]"""
+
+
+def word_ngrams_all(text_col: str, n: int = 3) -> F.Column:
+    """Column form of :func:`word_ngrams_all_sql`."""
+    return F.expr(word_ngrams_all_sql(text_col, n))
+
+
 import random as _random
 
 

@@ -413,13 +413,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     train = split.filter(F.col("split") == "train")
-    raw_ngrams = (
-        f"transform(array(split(lower(text), '[ \\\\t\\\\n\\\\r\\\\f]+')), toks ->"
-        f" transform(sequence(1, greatest(size(toks) - 4, 1)),"
-        f" i -> array_join(slice(toks, i, 5), ' ')))[0]"
-    )
     contaminated = (
-        train.select("doc_id", F.explode(F.expr(raw_ngrams)).alias("gram"))
+        train.select(
+            "doc_id", F.explode(D.word_ngrams_all("text", 5)).alias("gram")
+        )
         .join(F.broadcast(bench_grams), "gram", "left_semi")
         .select("doc_id")
         .distinct()
@@ -528,14 +525,7 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.filter(F.col("split") == "train")
         .select(
             F.col("doc_id").alias("train_doc_id"),
-            F.posexplode(
-                F.expr(
-                    "transform(array(split(lower(text),"
-                    " '[ \\\\t\\\\n\\\\r\\\\f]+')), toks ->"
-                    " transform(sequence(1, greatest(size(toks) - 4, 1)),"
-                    " i -> array_join(slice(toks, i, 5), ' ')))[0]"
-                )
-            ).alias("start", "gram"),
+            F.posexplode(D.word_ngrams_all("text", 5)).alias("start", "gram"),
         )
     )
     hits = train_pos.join(F.broadcast(test_grams), "gram").select(

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dedup as D
-from ..session import load_table, spread
+from ..session import load_table, spread, table_rows
 from . import query
 
 
@@ -83,7 +83,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Banding parameters come from CORPUS STATISTICS since r9
     (functions/dedup.minhash_params — the r8 scale-stress response
-    automated): one count() picks (num_hashes, bands) so the S-curve
+    automated): the corpus size comes from PARQUET FOOTER METADATA
+    (session.table_rows — zero Spark jobs; the first cut ran a full
+    count() action per invocation, an extra corpus scan the plan pins
+    never see) and picks (num_hashes, bands) so the S-curve
     sharpens as the corpus grows — every fixture SF stays in the
     32-hash/8-band lab tier (byte-identical candidate sets to r8),
     while the 10x stress corpus resolves to 128×16 (rows-per-band 8,
@@ -93,7 +96,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chooser at BOTH tiers and property-pinned at both parameter
     points (tests/test_properties.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    num_hashes, bands = D.minhash_params(docs.count())
+    num_hashes, bands = D.minhash_params(table_rows(sf_dir, "documents"))
     cands = D.minhash_candidate_pairs(
         docs, num_hashes=num_hashes, bands=bands
     )

@@ -129,6 +129,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count of one driver test table from PARQUET FOOTER METADATA —
+    driver-side, zero Spark jobs, zero data pages read.  For parameter
+    choosers that only need corpus SCALE (e.g. minhash_params picking a
+    banding tier), a full ``df.count()`` action is a whole extra scan
+    the query's plan pins never see; the footer already carries the
+    exact count.  Falls back to a Spark count only if pyarrow cannot
+    read the footer (never expected for the fixture tables — the
+    fallback keeps the helper total rather than fast)."""
+    path = table_path(sf_dir, name)
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # noqa: BLE001 — footer unreadable: stay correct
+        from pyspark.sql import SparkSession
+
+        return SparkSession.active().read.parquet(path).count()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan of one driver test table.
 

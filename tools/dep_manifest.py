@@ -305,11 +305,23 @@ def main() -> int:
         if kind == "removed":
             del mods_out[mod]
         else:
+            prev = mods_out.get(mod)
+            # keep an in-file audit TRAIL, not just the latest decision:
+            # within round 9 alone one module carried three successive
+            # decisions (merge_covered_spans → simhash64 → ngram helper),
+            # and overwriting left the manifest asserting only the last
+            # one — false for the round as a whole
+            history = []
+            if prev:
+                history = prev.get("history", []) + [
+                    {k: prev[k] for k in ("action", "note", "round") if k in prev}
+                ]
             mods_out[mod] = {
                 "sha256": hashes[mod],
                 "action": action,
                 "note": note,
                 "round": rnd,
+                **({"history": history} if history else {}),
             }
     manifest["modules"] = dict(sorted(mods_out.items()))
     manifest["round"] = max(manifest.get("round", 0), rnd)
