@@ -574,6 +574,114 @@ def simhash_near_dups(
     )
 
 
+def _distinct_set_relation(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    elements: F.Column | None,
+) -> DataFrame:
+    """The checkpointed (id, toks, n) distinct-element-set relation both
+    exact set-similarity kernels start from: one scan+shingle pass,
+    spread to full parallelism (the fixture corpus is one parquet file →
+    one scan partition; the CPU-heavy shingle+distinct map measured 3.3 s
+    of 3.9 s single-core at sf0.1 without it), materialized ONCE for
+    every downstream branch (prefix derivation + both verify sides).
+    ``elements`` defaults to distinct explicit-whitespace-class tokens
+    (== RE2's \\s — the q_text_normalize pin)."""
+    from ..session import spread as _spread
+
+    if elements is None:
+        elements = F.array_distinct(
+            F.expr(f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f]+')")
+        )
+    return (
+        _spread(docs.filter(F.col(text_col).isNotNull()), id_col)
+        .select(
+            F.col(id_col).alias("id"), F.array_distinct(elements).alias("toks")
+        )
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+        .localCheckpoint(eager=True)
+    )
+
+
+def _identical_set_collapse(sets: DataFrame):
+    """ADAPTIVE identical-set pre-collapse (PPJoin "dedup first") shared
+    by prefix_filter_jaccard_pairs and containment_pairs — previously
+    two verbatim copies of the probe/reps/membership/work machinery
+    that had to be patched in lockstep.
+
+    Real corpora carry large EXACT-duplicate classes (boilerplate,
+    mirrored pages); an m-member class would otherwise run m identical
+    prefixes through the candidate join, making candidate volume
+    quadratic in dup multiplicity.  One representative per distinct
+    token ARRAY runs the kernel; callers emit intra-class pairs
+    directly (similarity 1 by identity) and expand cross-class pairs
+    from the representative result (identical sets have identical
+    similarity to everything).
+
+    Signature soundness: classes key on md5 of the array's JSON image —
+    no canonical sort, so identical-TEXT duplicates merge while an
+    equal SET in a different order merely skips the optimization (the
+    unmerged pair still flows through the exact join); a false merge
+    would need an md5 collision.  Engaged ADAPTIVELY: one O(input)
+    xxhash64 count on the checkpointed relation; below ~2% dups
+    (COLLAPSE_DUP_FRACTION) the collapse can't pay for its own
+    group/expand stages, the straight path runs, and the probe is the
+    only cost (a 64-bit collision can only undercount dups by one and
+    nudge the heuristic threshold).
+
+    Returns (work, membership, collapsed): ``work`` the kernel input
+    (one row per representative when collapsed, else ``sets``),
+    ``membership`` the checkpointed (sig, id, rep) relation — one row
+    per doc, never an array per class, so a million-member boilerplate
+    class stays distributed — or None when not collapsed."""
+    sig = F.md5(F.to_json("toks"))
+    sets_sig = sets.withColumn("sig", sig)
+    nc = sets.agg(
+        F.count(F.lit(1)), F.countDistinct(F.xxhash64("toks"))
+    ).collect()[0]
+    n_rows, n_sig = int(nc[0]), int(nc[1])
+    collapsed = n_sig <= n_rows * COLLAPSE_DUP_FRACTION
+    if not collapsed:
+        return sets, None, False
+    reps = sets_sig.groupBy("sig").agg(F.min("id").alias("rep"))
+    membership = (
+        sets_sig.select("sig", "id")
+        .join(reps, "sig")
+        .localCheckpoint(eager=True)
+    )
+    work = sets_sig.join(
+        membership.filter(F.col("id") == F.col("rep")).select("sig", "id"),
+        ["sig", "id"],
+        "left_semi",
+    ).select("id", "toks", "n")
+    return work, membership, True
+
+
+def _intra_class_pairs(
+    membership: DataFrame, a_name: str, b_name: str, value_name: str
+) -> DataFrame:
+    """All (lower id, higher id) pairs within each identical-set class
+    at similarity exactly 1.0 — a distributed self-join on the class
+    signature, never a per-class gather (the quadratic intra-class
+    output is inherent to the all-pairs RESULT contract, not the plan)."""
+    m = membership.select("sig", "id")
+    return (
+        m.alias("x")
+        .join(
+            m.alias("y"),
+            (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias(a_name),
+            F.col("y.id").alias(b_name),
+            F.lit(1.0).alias(value_name),
+        )
+    )
+
+
 def prefix_filter_jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -617,80 +725,14 @@ def prefix_filter_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    if elements is None:
-        # explicit whitespace class == RE2's \\s (Java's adds \\x0B);
-        # keeps default tokenization oracle-identical on any corpus
-        elements = F.array_distinct(
-            F.expr(f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f]+')")
-        )
-    # one scan+shingle pass, materialized once for all three consumers
-    # (prefix derivation + both verification sides).  The repartition
-    # matters more than it looks: the fixture corpus is one small
-    # parquet file -> ONE scan partition, so without it the CPU-heavy
-    # shingle+distinct map runs on a single core (measured 3.3 s of
-    # the query's 3.9 s at sf0.1; 0.95 s after).  On a real corpus the
-    # scan splits naturally and the exchange is a no-op-sized text
-    # shuffle either way.
-    from ..session import spread as _spread
-
-    sets = (
-        _spread(docs.filter(F.col(text_col).isNotNull()), id_col)
-        # set semantics: n and the intersection count both assume
-        # distinct elements (idempotent for the default / word_ngrams)
-        .select(F.col(id_col).alias("id"), F.array_distinct(elements).alias("toks"))
-        .withColumn("n", F.size("toks"))
-        .filter(F.col("n") > 0)
-        .localCheckpoint(eager=True)
-    )
-    # --- identical-set pre-collapse (PPJoin "dedup first" step) ---
-    # Real corpora carry large EXACT-duplicate classes (boilerplate,
-    # mirrored pages); a class of m identical sets would otherwise put
-    # all m docs through prefix derivation and the candidate join emits
-    # every intra-class pairing — candidate volume quadratic in dup
-    # multiplicity.  Collapsing to one representative per distinct set
-    # makes the join's cost independent of duplication; intra-class
-    # pairs are emitted directly (J = 1 by identity) and cross-class
-    # pairs expand from the representative result (identical sets have
-    # identical similarity to everything).  Engaged ADAPTIVELY: the
-    # probe is one O(input) count on the checkpointed relation; below
-    # 2% dups the collapse can't pay for its own group/expand stages
-    # (the synthetic fixture: 8/5000), so the straight path runs and
-    # the probe is the only cost.  Signature soundness: classes key on
-    # the token ARRAY as stored (md5 of its JSON image — no canonical
-    # sort), so identical-text duplicates (the real-world exact-dup
-    # class) merge, while an equal SET in a different order merely
-    # fails to merge — under-merging only skips an optimization (the
-    # unmerged pair still flows through the exact join); a false merge
-    # would need an md5 collision.  The probe uses xxhash64 for the
-    # same reason a count tolerates it: a 64-bit collision can only
-    # undercount dups by one and nudge a heuristic threshold.
-    sig = F.md5(F.to_json("toks"))
-    sets_sig = sets.withColumn("sig", sig)
-    nc = sets.agg(
-        F.count(F.lit(1)), F.countDistinct(F.xxhash64("toks"))
-    ).collect()[0]
-    n_rows, n_sig = int(nc[0]), int(nc[1])
-    collapsed = n_sig <= n_rows * COLLAPSE_DUP_FRACTION
-    membership = None
-    if collapsed:
-        # (sig, id, rep) — one row per doc, never an array per class: a
-        # boilerplate class with millions of members stays distributed
-        # (a collect_list row would concentrate it on one task), and
-        # both the collapse join and the expansions below are plain
-        # shuffle joins AQE can size.
-        reps = sets_sig.groupBy("sig").agg(F.min("id").alias("rep"))
-        membership = (
-            sets_sig.select("sig", "id")
-            .join(reps, "sig")
-            .localCheckpoint(eager=True)
-        )
-        work = sets_sig.join(
-            membership.filter(F.col("id") == F.col("rep")).select("sig", "id"),
-            ["sig", "id"],
-            "left_semi",
-        ).select("id", "toks", "n")
-    else:
-        work = sets
+    # set semantics: n and the intersection count both assume distinct
+    # elements (idempotent for the default / word_ngrams); one
+    # checkpointed scan+shingle pass feeds prefix derivation and both
+    # verify sides (_distinct_set_relation), then the adaptive
+    # identical-set pre-collapse (_identical_set_collapse) keeps
+    # candidate volume independent of exact-dup multiplicity
+    sets = _distinct_set_relation(docs, id_col, text_col, elements)
+    work, membership, collapsed = _identical_set_collapse(sets)
     tok = work.select("id", "n", F.explode("toks").alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # prefix length p = n - ceil(t*n) + 1; 1-based rarest-first rank
@@ -809,19 +851,7 @@ def prefix_filter_jaccard_pairs(
     # (all pairs with J >= t), not to the plan — it is generated by a
     # distributed self-join, never gathered per class.
     m = membership.select("sig", "id", "rep")
-    intra = (
-        m.alias("x")
-        .join(
-            m.alias("y"),
-            (F.col("x.sig") == F.col("y.sig"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
+    intra = _intra_class_pairs(membership, "id_a", "id_b", "jaccard")
     cross = (
         rep_pairs.join(
             m.select(F.col("rep").alias("id_a"), F.col("id").alias("x")),
@@ -1140,50 +1170,12 @@ def containment_pairs(
     """
     from pyspark.sql import Window
 
-    from ..session import spread as _spread
-
-    if elements is None:
-        # explicit whitespace class, never \s: Java's \s includes
-        # vertical tab (\x0B) while DuckDB/RE2's does not — the class
-        # below IS RE2's \s, so both engines split identically on any
-        # corpus (same pin as q_text_normalize)
-        elements = F.array_distinct(
-            F.expr(f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f]+')")
-        )
-    sets = (
-        _spread(docs.filter(F.col(text_col).isNotNull()), id_col)
-        .select(
-            F.col(id_col).alias("id"), F.array_distinct(elements).alias("toks")
-        )
-        .withColumn("n", F.size("toks"))
-        .filter(F.col("n") > 0)
-        .localCheckpoint(eager=True)
-    )
-    # --- identical-set pre-collapse (see prefix_filter_jaccard_pairs
-    # for the signature-soundness argument: md5-of-JSON classes merge
-    # identical arrays; an equal set in a different order merely skips
-    # the optimization and still flows through the exact join) ---
-    sets_sig = sets.withColumn("sig", F.md5(F.to_json("toks")))
-    nc = sets.agg(
-        F.count(F.lit(1)), F.countDistinct(F.xxhash64("toks"))
-    ).collect()[0]
-    n_rows, n_sig = int(nc[0]), int(nc[1])
-    collapsed = n_sig <= n_rows * COLLAPSE_DUP_FRACTION
-    membership = None
-    if collapsed:
-        reps = sets_sig.groupBy("sig").agg(F.min("id").alias("rep"))
-        membership = (
-            sets_sig.select("sig", "id")
-            .join(reps, "sig")
-            .localCheckpoint(eager=True)
-        )
-        work = sets_sig.join(
-            membership.filter(F.col("id") == F.col("rep")).select("sig", "id"),
-            ["sig", "id"],
-            "left_semi",
-        ).select("id", "toks", "n")
-    else:
-        work = sets
+    # shared with prefix_filter_jaccard_pairs: one checkpointed
+    # distinct-set relation, then the adaptive identical-set
+    # pre-collapse (see _identical_set_collapse for the signature-
+    # soundness and engage-threshold arguments)
+    sets = _distinct_set_relation(docs, id_col, text_col, elements)
+    work, membership, collapsed = _identical_set_collapse(sets)
     tok = work.select("id", "n", F.explode("toks").alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # prefix as the smaller side: p = n - ceil(t*n) + 1 (1e-9 slack —
@@ -1260,19 +1252,7 @@ def containment_pairs(
     # member of the SMALLER class stays id_small regardless of id
     # order — only size ties fall back to the id orientation.
     m = membership.select("sig", "id", "rep")
-    intra = (
-        m.alias("x")
-        .join(
-            m.alias("y"),
-            (F.col("x.sig") == F.col("y.sig"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(
-            F.col("x.id").alias("id_small"),
-            F.col("y.id").alias("id_large"),
-            F.lit(1.0).alias("containment"),
-        )
-    )
+    intra = _intra_class_pairs(membership, "id_small", "id_large", "containment")
     tie = F.col("n_small") == F.col("n_large")
     cross = (
         rep_pairs.join(

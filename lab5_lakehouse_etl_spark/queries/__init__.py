@@ -220,6 +220,12 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_dedup_index_store": 9,
     "q_dedup_epoch": 9,
     "q_stream_neardup": 9,
+    # r9 late: the exact-similarity kernels' shared set-relation /
+    # identical-set-collapse machinery was extracted into
+    # _distinct_set_relation/_identical_set_collapse (self-review #4);
+    # the router behind this query carries the restructured prefix
+    # branch even though fixtures route dense.
+    "q_dedup_jaccard_dense": 9,
     # r9: banding parameters now derived from corpus statistics
     # (minhash_params) — resolves to the identical (32, 8) at every
     # fixture SF, but the code path (count + chooser) is new.
