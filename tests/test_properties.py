@@ -736,3 +736,52 @@ def test_cross_pairs_blocked_property_equals_bruteforce(spark, vecs, threshold):
             if c >= threshold:
                 want[(ia, ib)] = round(c, 4)
     assert got == want
+
+
+def test_word_ngrams_all_consistent_with_distinct_form(spark):
+    """word_ngrams_all (positional, non-distinct) and word_ngrams
+    (distinct) must stay the same tokenization: distinct(all) == set of
+    word_ngrams, positions are 0-based contiguous, and count equals
+    max(n_tokens - n + 1, 1) — the pin that keeps the two definitions
+    from drifting apart the way the hand-inlined copies did."""
+    from pyspark.sql import functions as F
+
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "x x x x"),          # repeated grams: all != distinct
+            (3, "only two"),         # shorter than n: one short gram
+            (4, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id",
+        D.word_ngrams("text", 3).alias("dst"),
+        D.word_ngrams_all("text", 3).alias("all"),
+        F.size(F.split(F.col("text"), "[ ]+")).alias("ntok"),
+    ).collect()
+    for r in rows:
+        assert sorted(set(r.all)) == sorted(r.dst), r.doc_id
+        assert len(r.all) == max(r.ntok - 2, 1), r.doc_id
+
+
+def test_table_rows_matches_spark_count(spark):
+    """session.table_rows (parquet-footer metadata, zero Spark jobs)
+    equals a real distributed count on every fixture table, and on a
+    multi-file directory written by Spark."""
+    from lab5_lakehouse_etl_spark.session import load_table, table_rows
+    from tests.conftest import SF_DIR
+
+    for t in ("documents", "embeddings", "region"):
+        assert table_rows(SF_DIR, t) == load_table(spark, SF_DIR, t).count()
+
+
+def test_table_rows_multifile_dir(spark, tmp_path):
+    df = spark.range(0, 1234).repartition(4)
+    df.write.parquet(str(tmp_path / "t.parquet"))
+    from lab5_lakehouse_etl_spark.session import table_rows
+
+    assert table_rows(str(tmp_path), "t") == 1234
