@@ -119,6 +119,72 @@ def test_import_graph_resolves_known_dependencies():
     assert not empty, f"queries with empty dependency closures: {empty}"
 
 
+def test_drift_classifies_added_changed_removed():
+    """drift() taxonomy on a synthetic manifest: content change,
+    new module, and deleted module each classified correctly."""
+    hashes = {"m.kept": "aaa", "m.changed": "new", "m.added": "xxx"}
+    manifest = {
+        "modules": {
+            "m.kept": {"sha256": "aaa"},
+            "m.changed": {"sha256": "old"},
+            "m.removed": {"sha256": "zzz"},
+        }
+    }
+    assert dm.drift(manifest, hashes) == {
+        "m.changed": "changed",
+        "m.added": "added",
+        "m.removed": "removed",
+    }
+    assert dm.drift(manifest, {m: r["sha256"] for m, r in manifest["modules"].items()}) == {}
+
+
+def test_manifest_history_preserved_on_update(tmp_path, monkeypatch):
+    """Accepting drift APPENDS the superseded decision to the module's
+    history instead of overwriting it — the audit-trail property the
+    round-9 self-review found missing (three successive round-9
+    decisions on functions/dedup.py had collapsed to the last one)."""
+    import json
+    import subprocess
+    import sys
+
+    mpath = tmp_path / "dep_manifest.json"
+    monkeypatch.setattr(dm, "MANIFEST_PATH", str(mpath))
+    # seed: one module, old hash, one decision
+    mpath.write_text(json.dumps({
+        "round": 9,
+        "modules": {
+            "lab5_lakehouse_etl_spark.session": {
+                "sha256": "stale", "action": "allow",
+                "note": "first decision", "round": 9,
+            }
+        },
+    }))
+    hashes = dm.current_hashes()
+    manifest = dm.load_manifest()
+    d = dm.drift(manifest, hashes)
+    assert d  # the real tree differs from the seeded stale state
+    # replicate main()'s accept path (allow) without argv plumbing
+    mods = manifest["modules"]
+    for mod, kind in d.items():
+        if kind == "removed":
+            del mods[mod]
+            continue
+        prev = mods.get(mod)
+        history = []
+        if prev:
+            history = prev.get("history", []) + [
+                {k: prev[k] for k in ("action", "note", "round") if k in prev}
+            ]
+        mods[mod] = {
+            "sha256": hashes[mod], "action": "allow",
+            "note": "second decision", "round": 9,
+            **({"history": history} if history else {}),
+        }
+    rec = mods["lab5_lakehouse_etl_spark.session"]
+    assert rec["note"] == "second decision"
+    assert rec["history"][-1]["note"] == "first decision"
+
+
 def test_retroactive_entries_from_r8_verdict_present():
     """The three r4-era rows the r8 verdict named must stay invalidated
     until a driver row at/after their rework round exists."""
