@@ -73,11 +73,15 @@ def test_rewrite_decisions_backed_by_registry_entries():
     round >= N. (The tool enforces this at update time; this re-checks
     continuously so hand-edits of either side can't drift apart.)"""
     manifest = dm.load_manifest()
-    rewrites = {
-        mod: rec["round"]
-        for mod, rec in manifest.get("modules", {}).items()
-        if rec.get("action") == "rewrite"
-    }
+    rewrites: dict[str, tuple[int, set[str] | None]] = {}
+    for mod, rec in manifest.get("modules", {}).items():
+        if rec.get("action") == "rewrite":
+            rewrites[mod] = (rec["round"], None)
+        elif rec.get("action") == "rewrite-scoped":
+            # a scoped decision narrows the bump obligation to the
+            # recorded scope; the tool verified out_of_scope_reason at
+            # decision time and the audit trail carries it
+            rewrites[mod] = (rec["round"], set(rec.get("scope", ())))
     if not rewrites:
         return
     deps = dm.query_dependencies()
@@ -88,7 +92,13 @@ def test_rewrite_decisions_backed_by_registry_entries():
     for q, qdeps in deps.items():
         if q not in ORACLES:
             continue
-        need = max((rewrites[m] for m in qdeps if m in rewrites), default=0)
+        need = 0
+        for m in qdeps:
+            if m not in rewrites:
+                continue
+            rnd, scope = rewrites[m]
+            if scope is None or q in scope:
+                need = max(need, rnd)
         if need and _REWRITTEN_IN.get(q, 0) < need and verified.get(q, 0) < need:
             bad.append(f"{q} (needs >= r{need})")
     assert not bad, (
@@ -183,6 +193,65 @@ def test_manifest_history_preserved_on_update(tmp_path, monkeypatch):
     rec = mods["lab5_lakehouse_etl_spark.session"]
     assert rec["note"] == "second decision"
     assert rec["history"][-1]["note"] == "first decision"
+
+
+def test_baseline_anchored_to_committed_state():
+    """The r9 self-review's ordering hazard, made structural (r9 verdict
+    next-round #3): the manifest's hashes must certify a COMMITTED
+    round-start state, never a dirty mid-round tree.  Every core module
+    hash in the manifest must either match the module's content at
+    ``baseline_commit`` (untouched since the round-start stamp) or carry
+    an explicit decision from ``baseline_round`` or later (adjudicated
+    via --rewritten/--allow after the stamp).  A manifest baselined
+    AFTER a mid-round core edit — the exact blind window round 9 hit
+    with the tokenizer change — fails here, because the drifted hash
+    matches neither the anchored commit nor a recorded decision."""
+    import pytest
+
+    manifest = dm.load_manifest()
+    commit = manifest.get("baseline_commit")
+    base_round = manifest.get("baseline_round")
+    assert commit and base_round, (
+        "manifest lacks a round-start stamp — run "
+        "python tools/dep_manifest.py --stamp-round N at round start"
+    )
+    committed = dm.hashes_at_commit(commit)
+    if committed is None:
+        pytest.skip("git unavailable or not a checkout (copied tree)")
+    if dm.git_head() is None:
+        pytest.skip("git HEAD unavailable")
+    bad: list[str] = []
+    for mod, rec in manifest.get("modules", {}).items():
+        if committed.get(mod) == rec["sha256"]:
+            continue  # untouched since the anchored commit
+        if rec.get("round", -1) >= base_round:
+            continue  # explicitly adjudicated this round or later
+        bad.append(mod)
+    assert not bad, (
+        "manifest hashes that match neither the baseline commit "
+        f"{commit[:12]} nor a decision from round >= {base_round} "
+        f"(hand-edit or pre-baseline drift): {sorted(bad)}"
+    )
+
+
+def test_baseline_round_not_stale():
+    """The stamp must move every round: a baseline_round older than the
+    newest driver CORRECTNESS round means someone started a new round's
+    core work against the previous round's anchor."""
+    import glob
+    import re
+
+    manifest = dm.load_manifest()
+    base_round = manifest.get("baseline_round", 0)
+    newest = 0
+    for path in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            newest = max(newest, int(m.group(1)))
+    assert base_round >= newest, (
+        f"baseline_round {base_round} predates the newest driver round "
+        f"{newest} — re-stamp at round start (--stamp-round {newest + 1})"
+    )
 
 
 def test_retroactive_entries_from_r8_verdict_present():

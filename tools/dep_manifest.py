@@ -37,11 +37,34 @@ every existing dedup query; per-query code changes inside a queries/
 module still require a manual ``_REWRITTEN_IN`` entry (the docstring
 discipline the registry already documents).
 
+Round-start discipline (r9 verdict "What's wrong" #1): the manifest
+must be (re)baselined BEFORE any core edit of the round, or changes
+landing before the baseline are invisible to the gate.  ``--stamp-round
+N`` makes that structural: it refuses unless the working tree's core
+modules are drift-free AND byte-identical to git HEAD, then records
+``baseline_round`` and ``baseline_commit``.  tests/test_dep_manifest.py
+verifies every manifest hash either matches the module's content AT
+``baseline_commit`` (via ``git show``) or carries a decision from
+``baseline_round`` or later — so a baseline computed from a dirty
+mid-round tree cannot masquerade as round-start state.
+
+Scoped rewrites: ``--rewritten N --scope q1,q2 --scope-reason "..."``
+records a semantic rewrite whose blast radius is NARROWER than the
+module-granular dependency closure (e.g. a change to one helper family
+inside functions/text.py).  The tool verifies the scoped queries carry
+``_REWRITTEN_IN >= N`` and records the reviewer's justification for
+every affected-but-out-of-scope query in the audit trail.  Module
+granularity stays the conservative default; scope is an explicit,
+recorded reviewer decision, never inferred.
+
 Usage:
     python tools/dep_manifest.py                 # report drift
     python tools/dep_manifest.py --deps q_name   # show a query's deps
     python tools/dep_manifest.py --rewritten 9   # accept, semantic
+    python tools/dep_manifest.py --rewritten 10 --scope q_a,q_b \
+        --scope-reason "..."                     # accept, scoped
     python tools/dep_manifest.py --allow "..."   # accept, no-semantic
+    python tools/dep_manifest.py --stamp-round 10  # round-start baseline
 """
 
 from __future__ import annotations
@@ -226,6 +249,90 @@ def affected_queries(mods: set[str]) -> dict[str, list[str]]:
     return out
 
 
+def git_head(repo: str = REPO) -> str | None:
+    """Current HEAD commit, or None outside a git checkout."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=30,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    return out.stdout.strip() if out.returncode == 0 else None
+
+
+def hashes_at_commit(commit: str, repo: str = REPO) -> dict[str, str] | None:
+    """{core module: sha256 of its content at COMMIT}; None if git is
+    unavailable. Modules absent at the commit are omitted."""
+    import subprocess
+
+    modules = _package_modules()
+    out: dict[str, str] = {}
+    for dotted, rel in modules.items():
+        if not is_core(dotted):
+            continue
+        try:
+            r = subprocess.run(
+                ["git", "-C", repo, "show", f"{commit}:{rel}"],
+                capture_output=True, timeout=30,
+            )
+        except (OSError, subprocess.TimeoutExpired):
+            return None
+        if r.returncode == 0:
+            out[dotted] = hashlib.sha256(r.stdout).hexdigest()
+    return out
+
+
+def stamp_round(rnd: int) -> int:
+    """Record the round-start baseline: refuses unless the tree is
+    drift-free vs the manifest AND core modules are byte-identical to
+    git HEAD (the baseline must certify a COMMITTED state — r9's blind
+    window came from baselining after a mid-round core edit)."""
+    manifest = load_manifest()
+    hashes = current_hashes()
+    d = drift(manifest, hashes)
+    if d:
+        print(
+            "REFUSED: un-adjudicated core drift — decide it first "
+            f"(--rewritten/--allow): {sorted(d)}",
+            file=sys.stderr,
+        )
+        return 1
+    if rnd < manifest.get("round", 0):
+        print(
+            f"REFUSED: stamp round {rnd} < manifest round "
+            f"{manifest['round']}", file=sys.stderr,
+        )
+        return 1
+    head = git_head()
+    if head is None:
+        print("REFUSED: git HEAD unavailable", file=sys.stderr)
+        return 1
+    committed = hashes_at_commit(head)
+    if committed is None:
+        print("REFUSED: cannot read core modules at HEAD", file=sys.stderr)
+        return 1
+    dirty = sorted(
+        m for m, h in hashes.items() if committed.get(m) != h
+    )
+    if dirty:
+        print(
+            f"REFUSED: core modules differ from HEAD (commit them first): "
+            f"{dirty}", file=sys.stderr,
+        )
+        return 1
+    manifest["round"] = max(manifest.get("round", 0), rnd)
+    manifest["baseline_round"] = rnd
+    manifest["baseline_commit"] = head
+    with open(MANIFEST_PATH, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=False)
+        fh.write("\n")
+    print(f"baseline stamped: round {rnd} @ {head[:12]}")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--deps", metavar="QUERY", help="print a query's core deps")
@@ -237,11 +344,35 @@ def main() -> int:
         "affected oracle-paired query must carry _REWRITTEN_IN >= ROUND",
     )
     ap.add_argument(
+        "--scope",
+        metavar="Q1,Q2,...",
+        help="with --rewritten: the rewrite's true blast radius — only "
+        "these queries need _REWRITTEN_IN >= ROUND; requires "
+        "--scope-reason justifying why the other module-closure "
+        "dependents are semantically untouched",
+    )
+    ap.add_argument(
+        "--scope-reason",
+        metavar="TEXT",
+        help="reviewer justification recorded for every affected-but-"
+        "out-of-scope query (required with --scope)",
+    )
+    ap.add_argument(
         "--allow",
         metavar="REASON",
         help="accept drift as reviewed-no-semantic-change, recording REASON",
     )
+    ap.add_argument(
+        "--stamp-round",
+        type=int,
+        metavar="ROUND",
+        help="record the round-start baseline (requires a clean, committed "
+        "core tree); see module docstring",
+    )
     args = ap.parse_args()
+
+    if args.stamp_round is not None:
+        return stamp_round(args.stamp_round)
 
     if args.deps:
         deps = query_dependencies()
@@ -282,9 +413,32 @@ def main() -> int:
             _REWRITTEN_IN,
         )
 
+        scope: set[str] | None = None
+        extra: dict[str, object] = {}
+        if args.scope is not None:
+            if not args.scope_reason:
+                print("REFUSED: --scope requires --scope-reason", file=sys.stderr)
+                return 1
+            scope = {s.strip() for s in args.scope.split(",") if s.strip()}
+            unknown = scope - set(affected)
+            if unknown:
+                print(
+                    f"\nREFUSED: scoped queries not in the affected set "
+                    f"(typo, or not oracle-paired dependents): "
+                    f"{', '.join(sorted(unknown))}",
+                    file=sys.stderr,
+                )
+                return 1
+            extra = {
+                "scope": sorted(scope),
+                "out_of_scope": sorted(set(affected) - scope),
+                "out_of_scope_reason": args.scope_reason,
+            }
+
+        must_bump = scope if scope is not None else set(affected)
         missing = [
             q
-            for q in affected
+            for q in must_bump
             if _REWRITTEN_IN.get(q, 0) < args.rewritten
         ]
         if missing:
@@ -294,11 +448,13 @@ def main() -> int:
                 file=sys.stderr,
             )
             return 1
-        action, note = "rewrite", f"round {args.rewritten}"
+        action = "rewrite" if scope is None else "rewrite-scoped"
+        note = f"round {args.rewritten}"
         rnd = args.rewritten
     else:
         action, note = "allow", args.allow
         rnd = manifest.get("round", 0)
+        extra = {}
 
     mods_out = manifest.get("modules", {})
     for mod, kind in d.items():
@@ -313,14 +469,19 @@ def main() -> int:
             # one — false for the round as a whole
             history = []
             if prev:
+                keep = (
+                    "action", "note", "round",
+                    "scope", "out_of_scope", "out_of_scope_reason",
+                )
                 history = prev.get("history", []) + [
-                    {k: prev[k] for k in ("action", "note", "round") if k in prev}
+                    {k: prev[k] for k in keep if k in prev}
                 ]
             mods_out[mod] = {
                 "sha256": hashes[mod],
                 "action": action,
                 "note": note,
                 "round": rnd,
+                **extra,
                 **({"history": history} if history else {}),
             }
     manifest["modules"] = dict(sorted(mods_out.items()))
