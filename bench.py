@@ -215,14 +215,40 @@ def ratio_regressions(
     the bench's job is visibility; adjudicating a flagged ratio (plan
     regression vs fixture change vs documented rewrite) is review work.
 
+    Baseline selection excludes the CURRENT round's artifact (r9
+    advice): once the driver saves e.g. BENCH_r10.json, a naive
+    newest-file rule would compare round-10 reruns against themselves
+    and mask exactly the cross-round drift this gate exists to surface.
+    The current round comes from tests/dep_manifest.json's
+    ``baseline_round`` (stamped at round start), overridable via
+    ``SPARK_GRAFT_BENCH_BASELINE_ROUND`` (an explicit PRIOR round to
+    baseline against).
+
     Returns ({name: [prev_ratio, cur_ratio]}, baseline_filename)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def _round_of(p: str) -> int:
+        return int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+
+    explicit = os.environ.get("SPARK_GRAFT_BENCH_BASELINE_ROUND")
+    if explicit is not None:
+        cur_round = int(explicit) + 1  # baseline strictly at `explicit`
+    else:
+        try:
+            with open(os.path.join(here, "tests", "dep_manifest.json")) as fh:
+                cur_round = int(json.load(fh).get("baseline_round", 0))
+        except (OSError, ValueError):
+            cur_round = 0
     rounds = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        (
+            p
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if not cur_round or _round_of(p) < cur_round
+        ),
+        key=_round_of,
     )
     if not rounds or cal_sec <= 0:
         return {}, None

@@ -1474,6 +1474,11 @@ def diagnose_missing_pair(
     candidates); here the banding IS the declared gate, so the marker
     classifies a concrete missing pair post-hoc:
 
+    - ``"doc_not_found"``     — one (or both) of the ids is absent from
+      the corpus, or its text is null/shingle-empty: a fixture-side or
+      join-key problem, NOT a similarity verdict.  Conflating this with
+      ``not_a_true_pair`` misdirected triage toward the Jaccard gate
+      when the document itself was missing (r9 advice).
     - ``"not_a_true_pair"``   — exact Jaccard < threshold: the diff is
       on the oracle side (or a fixture change), not a recall miss.
     - ``"banding_recall_miss"`` — true pair, but the two docs share NO
@@ -1492,17 +1497,21 @@ def diagnose_missing_pair(
     Driver-side by design: it runs on ONE pair during failure triage
     (two-row jobs), never inside a declared query plan."""
     pair = docs.filter(F.col(id_col).isin([id_a, id_b]))
+    # null text shingles to [None] (array over a null input), an empty
+    # doc to [] — both mean "no content to compare", not a similarity
+    # verdict, so strip nulls and drop empty sets before gating
     sets = {
-        r["id"]: set(r["sh"])
+        r["id"]: shset
         for r in pair.select(
             F.col(id_col).alias("id"), shingle_fn(text_col).alias("sh")
         ).collect()
+        if (shset := {s for s in (r["sh"] or ()) if s is not None})
     }
     if id_a not in sets or id_b not in sets:
-        return "not_a_true_pair"
+        return "doc_not_found"
     inter = len(sets[id_a] & sets[id_b])
     union = len(sets[id_a] | sets[id_b])
-    if union == 0 or inter / union < threshold:
+    if inter / union < threshold:
         return "not_a_true_pair"
     rows = minhash_band_index(
         pair, id_col=id_col, text_col=text_col,

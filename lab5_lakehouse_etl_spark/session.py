@@ -137,16 +137,30 @@ def table_rows(sf_dir: str, name: str) -> int:
     the query's plan pins never see; the footer already carries the
     exact count.  Falls back to a Spark count only if pyarrow cannot
     read the footer (never expected for the fixture tables — the
-    fallback keeps the helper total rather than fast)."""
+    fallback keeps the helper total rather than fast).
+
+    Directory scans walk RECURSIVELY: a hive-partitioned table nests
+    its files under ``key=value/`` subdirectories, where a top-level
+    ``os.listdir`` finds no ``*.parquet`` and a bare ``sum()`` over the
+    empty generator would silently report 0 rows (r9 advice) — sending
+    e.g. ``minhash_params`` to the smallest banding tier at any corpus
+    scale.  An empty match set is therefore treated as
+    footer-unreadable and routed to the Spark-count fallback too."""
     path = table_path(sf_dir, name)
     try:
         import pyarrow.parquet as pq
 
         if os.path.isdir(path):
-            return sum(
-                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path)
+            files = [
+                os.path.join(root, f)
+                for root, _dirs, names in os.walk(path)
+                for f in names
                 if f.endswith(".parquet")
+            ]
+            if not files:
+                raise FileNotFoundError(f"no parquet files under {path}")
+            return sum(
+                pq.ParquetFile(f).metadata.num_rows for f in files
             )
         return pq.ParquetFile(path).metadata.num_rows
     except Exception:  # noqa: BLE001 — footer unreadable: stay correct

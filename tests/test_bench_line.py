@@ -67,3 +67,22 @@ def test_line_survives_near_zero_regression_ratios():
 def test_line_budget_inside_driver_tail_window():
     # 2000-byte tail minus newline and a safety margin
     assert bench.LINE_BUDGET <= 1950
+
+
+def test_ratio_baseline_excludes_current_round(monkeypatch):
+    """r9 advice: once the driver saves the current round's
+    BENCH_r{N}.json, a newest-file baseline would compare same-round
+    reruns against themselves and mask the cross-round drift the gate
+    exists to surface. With baseline_round = N stamped in
+    tests/dep_manifest.json, the baseline must be a STRICTLY earlier
+    round even when the current round's artifact exists on disk."""
+    import re
+
+    cur = json.load(open("tests/dep_manifest.json"))["baseline_round"]
+    flagged, base = bench.ratio_regressions({}, 0.5)
+    if base is not None:
+        assert int(re.search(r"r(\d+)", base).group(1)) < cur
+    # explicit override pins the baseline round exactly
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BASELINE_ROUND", "8")
+    _f, base8 = bench.ratio_regressions({}, 0.5)
+    assert base8 == "BENCH_r08.json"

@@ -372,6 +372,14 @@ def test_diagnose_missing_pair_markers(spark):
         D.diagnose_missing_pair(docs, 1, 2, est_threshold=1.01)
         == "estimate_gate_miss"
     )
+    # missing-id / null-text branch (r9 advice): a fixture-side absence
+    # is its own marker, NOT a below-threshold verdict — conflating the
+    # two misdirected triage toward the Jaccard gate
+    assert D.diagnose_missing_pair(docs, 1, 99) == "doc_not_found"
+    with_null = docs.union(
+        spark.createDataFrame([(4, None)], "doc_id long, text string")
+    )
+    assert D.diagnose_missing_pair(with_null, 1, 4) == "doc_not_found"
 
 
 def test_banding_recall_boundary_at_moderate_jaccard(spark):

@@ -280,7 +280,10 @@ def test_dedup_canonical_two_shuffles(spark):
 
 def test_quality_entropy_zero_shuffles(spark):
     df = Q.QUERIES["q_quality_entropy"](spark, SF_DIR)
-    # pure row-local HOF fold: a narrow map over the scan, no exchange
+    # Arrow-batched pandas-UDF scale path (functions/text.char_entropy_udf,
+    # the r9 fix for the interpreted-HOF x117 blowup): an ArrowEvalPython
+    # NARROW map over the scan — still zero exchanges; the pure-JVM HOF
+    # form survives only as the parity reference inside the unit tests
     assert shuffle_count(df) == 0
 
 

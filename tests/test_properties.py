@@ -785,3 +785,31 @@ def test_table_rows_multifile_dir(spark, tmp_path):
     from lab5_lakehouse_etl_spark.session import table_rows
 
     assert table_rows(str(tmp_path), "t") == 1234
+
+
+def test_table_rows_hive_partitioned_dir(spark, tmp_path):
+    """r9 advice: a hive-partitioned directory nests files under
+    key=value/ subdirs; the top-level listdir finds no *.parquet and the
+    old sum() over an empty generator silently returned 0 — which would
+    route minhash_params to the 32-hash lab tier at ANY corpus scale.
+    The recursive walk must count every nested footer."""
+    df = spark.range(0, 500).withColumn("p", F.col("id") % 5)
+    df.write.partitionBy("p").parquet(str(tmp_path / "t.parquet"))
+    from lab5_lakehouse_etl_spark.session import table_rows
+
+    assert table_rows(str(tmp_path), "t") == 500
+
+
+def test_table_rows_empty_dir_falls_back_not_zero(spark, tmp_path):
+    """A directory with NO parquet files anywhere must not report 0 from
+    the footer path; it routes to the Spark-count fallback (which then
+    raises on an unreadable location rather than inventing a count)."""
+    import pytest
+
+    (tmp_path / "t.parquet").mkdir()
+    from lab5_lakehouse_etl_spark.session import table_rows
+
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        table_rows(str(tmp_path), "t")
