@@ -29,9 +29,22 @@ LANG_MARKERS = {
 }
 
 
+#: Explicit whitespace class for tokenization — equal to RE2's ``\s``
+#: (``[\t\n\f\r ]``), which the DuckDB oracles' ``string_split_regex``
+#: uses, and a strict SUBSET of Java's ``\s`` (which adds vertical tab
+#: \x0B).  Spelled out on the Spark side so both engines tokenize any
+#: corpus identically — the r9 word_ngrams family migration
+#: (functions/dedup.py), extended to this legacy helper family in r10
+#: (the last engine-``\s`` sites in declared queries).
+WS_CLASS = r"[ \t\n\r\f]+"
+#: The same class spelled for embedding inside a SQL string literal.
+WS_CLASS_SQL = "[ \\\\t\\\\n\\\\r\\\\f]+"
+
+
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization of lowercased text (JVM split)."""
-    return F.split(F.trim(F.lower(text)), r"\s+")
+    """Whitespace tokenization of lowercased text (JVM split,
+    explicit whitespace class — see WS_CLASS)."""
+    return F.split(F.trim(F.lower(text)), WS_CLASS)
 
 
 def token_count(text: Column) -> Column:
@@ -64,7 +77,7 @@ def token_stats(text_col: str) -> Column:
     ...)[0]`` let-binding idiom (same trick as word_ngrams_sql) and
     computes all three counts over that binding — one split per row."""
     return F.expr(
-        f"""transform(array(split(trim(lower({text_col})), '\\\\s+')), toks ->
+        f"""transform(array(split(trim(lower({text_col})), '{WS_CLASS_SQL}')), toks ->
               struct(
                 CAST(size(toks) AS BIGINT) AS n_tokens,
                 CAST(size(array_distinct(toks)) AS BIGINT)
@@ -107,7 +120,7 @@ def quality_token_stats(
     tokens() twice, stopword_count a third time without this)."""
     sw = ", ".join(f"'{s}'" for s in stopwords)
     return F.expr(
-        f"""transform(array(split(trim(lower({text_col})), '\\\\s+')), toks ->
+        f"""transform(array(split(trim(lower({text_col})), '{WS_CLASS_SQL}')), toks ->
               struct(
                 CAST(size(filter(toks, t -> array_contains(array({sw}), t)))
                      AS BIGINT) AS n_stopwords,
@@ -141,7 +154,7 @@ def gopher_repetition_stats(text_col: str) -> Column:
     numerator is comparable to ``total_chars`` = sum of token lengths.
     """
     return F.expr(
-        f"""transform(array(split(trim(lower({text_col})), '\\\\s+')), toks ->
+        f"""transform(array(split(trim(lower({text_col})), '{WS_CLASS_SQL}')), toks ->
           transform(array(named_struct(
               'g2', if(size(toks) < 2, array(),
                        transform(sequence(1, size(toks) - 1),

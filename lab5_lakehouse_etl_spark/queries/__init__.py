@@ -183,8 +183,8 @@ _REWRITTEN_IN: dict[str, int] = {
     # to the explicit whitespace class with the rest of the family.
     "q_dedup_simhash": 9,
     # r8: removal phase refactored onto the shared_gram_occurrences
-    # primitive introduced with q_dup_spans_var.
-    "q_dup_remove": 8,
+    # primitive introduced with q_dup_spans_var (entry superseded by
+    # the r10 whitespace-class bump below).
     # r8: grouped-agg UDAFs moved from the legacy PandasUDFType
     # spelling to type-hint-inferred eval type (same bodies; the eval
     # path through the Arrow serializer is what changed).
@@ -230,6 +230,42 @@ _REWRITTEN_IN: dict[str, int] = {
     # (minhash_params) — resolves to the identical (32, 8) at every
     # fixture SF, but the code path (count + chooser) is new.
     "q_dedup_minhash": 9,
+    # Round-10: the LAST engine-\s tokenization sites migrated to the
+    # explicit [ \t\n\r\f] whitespace class (functions/text.py tokens()
+    # + the three let-bound SQL templates incl. gopher_repetition_stats)
+    # — closing the r9 verdict's remaining cross-engine divergence
+    # family.  The explicit class IS RE2's \s, so the DuckDB oracles
+    # are untouched; on the [a-z0-9 ] fixtures values are provably
+    # identical, but the Java-side code path changed for every query
+    # that tokenizes through the legacy family, enumerated by
+    # function-level reference analysis (scan in the r10 commit
+    # message; the module-closure superset is recorded as the scoped
+    # manifest decision's out_of_scope list).
+    "q_corpus_curate": 10,
+    "q_dup_remove": 10,
+    "q_dup_spans_var": 10,
+    "q_fingerprint": 10,
+    "q_ingest_dedup": 10,
+    "q_ingest_epoch": 10,
+    "q_keyword_search": 10,
+    "q_lm_unigram": 10,
+    "q_pack_sequences": 10,
+    "q_pmi_cooccur": 10,
+    "q_ppl_buckets": 10,
+    "q_ppl_buckets_gk": 10,
+    "q_quality_gopher": 10,
+    "q_sample_stratified": 10,
+    "q_sketch_cms": 10,
+    "q_split_hash": 10,
+    "q_text_langid": 10,
+    "q_text_quality": 10,
+    "q_text_tfidf": 10,
+    "q_text_tokens": 10,
+    "q_vocab_topk": 10,
+    # r10: the UDTF demo's Python tokenizer moved from argless
+    # str.split() (Python \s: adds \x0B + unicode spaces) to the same
+    # explicit class — the one non-JVM member of the divergence family.
+    "q_udtf_tokens": 10,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -1515,14 +1515,10 @@ def q_ingest_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     read pins the pre-append version; r1 is checkpointed because it
     feeds both the output and the append source).
 
-    DOCUMENTED \\s DEFERRAL (r8 advice): the fingerprint tokenizes via
-    the shared rolling_fingerprint (functions/text.py), whose Java \\s
-    includes \\x0B while the oracle's RE2 \\s does not.  Fixtures are
-    pure [a-z0-9 ] so the gate cannot see it; switching the SHARED
-    primitive would invalidate the three other green queries built on
-    it (q_fingerprint, q_ingest_dedup, corpus curation), so this query
-    documents the divergence per-query — the SURVEY methodology's
-    q_text_normalize precedent — instead of churning the family."""
+    Whitespace: the fingerprint tokenizes via the shared
+    rolling_fingerprint (functions/text.py), which since r10 uses the
+    explicit [ \\t\\n\\r\\f] class == the oracle's RE2 \\s — the r8/r9
+    documented Java-\\s divergence on this family is retired."""
     from pyspark.sql.window import Window
 
     from ..functions import text as T

@@ -782,12 +782,22 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     register plain Python UDFs. The LATERAL join shape is the part that
     scales: the UDTF runs partition-local with no shuffle.
     """
+    import re
+
     from pyspark.sql.functions import udtf
+
+    # explicit whitespace class (== RE2's \s, the oracle's splitter):
+    # Python's argless str.split() adds \x0B and unicode spaces, the
+    # same cross-engine divergence family retired from the JVM paths
+    ws = re.compile(r"[ \t\n\r\f]+")
 
     @udtf(returnType="pos int, token string")
     class TokenExplode:
         def eval(self, text: str):
-            for i, t in enumerate(text.strip().lower().split()):
+            stripped = text.strip(" \t\n\r\f").lower()
+            if not stripped:
+                return
+            for i, t in enumerate(ws.split(stripped)):
                 yield i, t
 
     spark.udtf.register("token_explode", TokenExplode)

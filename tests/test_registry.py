@@ -66,10 +66,12 @@ def test_unpaired_sink_behind_paired(correctness_dir, synthetic_rows_only):
 def test_verified_rotate_to_back(correctness_dir):
     all_names = list(Q.ordered_queries())
     front = all_names[:50]
-    # r09 >= every _REWRITTEN_IN stamp, so no rewrite invalidation
+    # a round >= every _REWRITTEN_IN stamp, so no rewrite invalidation
+    # (a hardcoded r09 broke the moment round-10 stamps landed)
+    beyond = max(Q._REWRITTEN_IN.values()) + 1
     _write(
         correctness_dir,
-        "CORRECTNESS_r09.json",
+        f"CORRECTNESS_r{beyond:02d}.json",
         {n: {"hash_match": True} for n in front},
     )
     rotated = list(Q.ordered_queries())
@@ -138,12 +140,13 @@ def test_never_run_rows_only_promoted_once(correctness_dir, synthetic_rows_only)
     to the permanent tail (q_ann_pq / q_sketch_* r6 promotion)."""
     target = synthetic_rows_only
     paired = sorted(Q.ORACLES)
-    # every oracle-paired query verified in r5 or later (>= every
-    # _REWRITTEN_IN stamp, so no rewrite invalidation); rows-only
+    # every oracle-paired query verified at a round >= every
+    # _REWRITTEN_IN stamp, so no rewrite invalidation; rows-only
     # never run
+    beyond = max(Q._REWRITTEN_IN.values()) + 1
     _write(
         correctness_dir,
-        "CORRECTNESS_r09.json",
+        f"CORRECTNESS_r{beyond:02d}.json",
         {n: {"hash_match": True} for n in paired},
     )
     names = list(Q.ordered_queries())
@@ -154,7 +157,7 @@ def test_never_run_rows_only_promoted_once(correctness_dir, synthetic_rows_only)
     # after its first no_oracle row, it falls behind every re-check
     _write(
         correctness_dir,
-        "CORRECTNESS_r10.json",
+        f"CORRECTNESS_r{beyond + 1:02d}.json",
         {target: {"hash_match": None, "err": "no_oracle", "spark_rows": 3}},
     )
     assert list(Q.ordered_queries())[-1] == target, (

@@ -40,10 +40,52 @@ def test_udtf_tokens_equals_builtin_explode(spark):
         .filter(F.col("doc_id") < 20)
         .select(
             "doc_id",
-            F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
-                "pos", "token"
-            ),
+            F.posexplode(
+                F.split(F.trim(F.lower("text")), r"[ \t\n\r\f]+")
+            ).alias("pos", "token"),
         )
         .collect()
     )
     assert udtf == builtin
+
+
+def test_tokens_family_explicit_whitespace_class_matches_re2(spark):
+    """r10 migration pin: the legacy tokens() family must tokenize a
+    planted vertical-tab (\\x0B) corpus exactly like the DuckDB/RE2
+    oracles' string_split_regex('\\s+') — i.e. \\x0B is NOT a
+    separator.  Under the old Java \\s this corpus split differently
+    on the two engines; the fixtures' [a-z0-9 ] alphabet could never
+    expose it, so this planted corpus is the gate."""
+    import duckdb
+
+    from lab5_lakehouse_etl_spark.functions import text as T
+
+    corpus = [
+        (1, "alpha\x0bbeta gamma"),       # \x0B inside a token
+        (2, " leading\tand\nnewline "),   # real separators still split
+        (3, "a\x0b b\x0b\x0bc"),          # \x0B adjacent to spaces
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (list(r["toks"]), r["n"], r["fp"])
+        for r in df.select(
+            "doc_id",
+            T.tokens(F.col("text")).alias("toks"),
+            T.token_count(F.col("text")).alias("n"),
+            T.rolling_fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for doc_id, text in corpus:
+        toks, n, fp = con.execute(
+            r"""SELECT string_split_regex(trim(lower($t)), '\s+'),
+                       CAST(len(string_split_regex(trim(lower($t)), '\s+'))
+                            AS BIGINT),
+                       md5(list_aggregate(
+                           string_split_regex(trim(lower($t)), '\s+'),
+                           'string_agg', ' '))""",
+            {"t": text},
+        ).fetchone()
+        assert got[doc_id] == (toks, n, fp), doc_id
+    # the \x0B stays INSIDE its token on both sides
+    assert got[1][0] == ["alpha\x0bbeta", "gamma"]
