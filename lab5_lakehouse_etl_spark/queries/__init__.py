@@ -214,7 +214,6 @@ _REWRITTEN_IN: dict[str, int] = {
     # pre-collapse (sig/rep/expand).
     "q_dedup_ngram": 9,
     "q_dup_spans": 9,
-    "q_decontaminate": 9,
     "q_dedup_containment": 9,
     "q_dedup_chunks": 9,
     "q_dedup_index_store": 9,
@@ -266,6 +265,15 @@ _REWRITTEN_IN: dict[str, int] = {
     # str.split() (Python \s: adds \x0B + unicode spaces) to the same
     # explicit class — the one non-JVM member of the divergence family.
     "q_udtf_tokens": 10,
+    # r10: the decontamination trio re-pointed at the build-once /
+    # probe-many persisted gram index (functions/decontaminate.py,
+    # r9 verdict next-round #5) — same values, new code path through
+    # ensure_gram_index + the shared probe primitives.
+    # (q_decontaminate's r9 whitespace-rewrite entry is superseded by
+    # this bump.)
+    "q_decontaminate": 10,
+    "q_decontaminate_spans": 10,
+    "q_stream_decontaminate": 10,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

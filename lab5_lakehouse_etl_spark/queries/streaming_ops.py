@@ -455,21 +455,26 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_stream_neardup): each batch probes only the immutable benchmark
     set, so the drained output equals the batch-mode broadcast join
     the oracle states, invariant to file→micro-batch assignment.
-    Per-batch cost is O(batch tokens); the benchmark set is built once
-    (per-doc-distinct grams via word_ngrams, then global distinct) and
-    broadcast once."""
-    from ..functions import dedup as D
+    Per-batch cost is O(batch tokens); the benchmark set is the SAME
+    persisted build-once LakeTable artifact the batch audit and span
+    report probe (functions/decontaminate.ensure_gram_index, r10) —
+    its distinct gram projection broadcasts once per drain."""
+    import os
+
+    from ..functions import decontaminate as DC
     from ..streaming import events as E
 
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     split = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
     train = docs.filter(split < 80).select("doc_id", "text")
-    bench_grams = (
-        docs.filter(split >= 90)
-        .select(F.explode(D.word_ngrams("text", 5)).alias("gram"))
-        .distinct()
+    index = DC.ensure_gram_index(
+        spark,
+        docs.filter(split >= 90).select("doc_id", "text"),
+        cache_key=os.path.abspath(sf_dir),
+        n=5,
     )
+    bench_grams = index.select("gram").distinct()
     scratch = scratch_dir("q_stream_decontaminate", fresh=True)
     land = f"{scratch}/landing"
     train.repartitionByRange(4, "doc_id").write.parquet(land)

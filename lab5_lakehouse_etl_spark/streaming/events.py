@@ -536,21 +536,17 @@ def stream_decontaminate_gate(
     function of the input set — invariant to file→micro-batch
     assignment and replay, which is what lets a DuckDB oracle state it.
     Per-batch cost is O(batch tokens) explode + broadcast hash join +
-    a batch-local count; the corpus side never shuffles."""
-    from pyspark.sql import functions as SF
-
-    from ..functions import dedup as D
+    a batch-local count; the corpus side never shuffles.  The probe is
+    the SHARED primitive (functions/decontaminate.probe_leak_counts,
+    r10) — the same code path as the batch audit, pointed at the same
+    persisted gram index the caller passes in."""
+    from ..functions import decontaminate as DC
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         (
-            batch_df.select(
-                "doc_id", SF.explode(D.word_ngrams("text", 5)).alias("gram")
-            )
-            .join(SF.broadcast(bench_grams), "gram")
-            .groupBy("doc_id")
-            .agg(SF.count(SF.lit(1)).cast("bigint").alias("n_leaked_grams"))
+            DC.probe_leak_counts(batch_df, bench_grams, n=5)
             .write.mode("append")
             .parquet(out_path)
         )

@@ -237,6 +237,38 @@ def test_decontaminate_spans_broadcast_probe_single_merge_shuffle(spark):
     assert shuffle_count(df) == 1
 
 
+def test_decontaminate_index_broadcast_probe(spark):
+    df = Q.QUERIES["q_decontaminate_index"](spark, SF_DIR)
+    # the persisted (test_doc_id, gram) LakeTable broadcasts into the
+    # train-side explode; only contaminated hits reach the test_doc
+    # aggregate exchanges (countDistinct pair → expand + partial/final)
+    assert has_broadcast_join(df)
+
+
+def test_probe_leak_counts_o_batch(spark):
+    """The shared ingest-gate probe (functions/decontaminate.
+    probe_leak_counts — what stream_decontaminate_gate runs per
+    micro-batch) must be O(batch): a narrow explode into a BROADCAST
+    hash join, with the doc-keyed count as the ONLY exchange — so
+    per-batch cost is bounded by batch tokens + contamination volume,
+    never by corpus or benchmark size."""
+    from pyspark.sql import functions as F
+
+    from lab5_lakehouse_etl_spark.functions import decontaminate as DC
+    from lab5_lakehouse_etl_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    split = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100))
+    gram_set = DC.heldout_grams(docs.filter(split >= 90), n=5)
+    batch = docs.filter(split < 80).select("doc_id", "text").limit(50)
+    probed = DC.probe_leak_counts(batch, gram_set, n=5)
+    assert has_broadcast_join(probed)
+    # one exchange for the gram-set distinct (benchmark-bounded, feeds
+    # the broadcast) + one for the doc-keyed count — the BATCH side
+    # itself never shuffles
+    assert shuffle_count(probed) <= 2
+
+
 def test_sample_weighted_window_group_limit_single_shuffle(spark):
     df = Q.QUERIES["q_sample_weighted"](spark, SF_DIR)
     from lab5_lakehouse_etl_spark.plans import explain_str
