@@ -870,3 +870,145 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_norm_copies"),
     )
+
+
+#: BPE training rounds for q_bpe_merges — fixed so the DuckDB oracle
+#: can unroll one CTE stage per round (recursive CTEs cannot aggregate
+#: in the recursive term; same constraint as _pagerank_oracle).
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle(k: int = _BPE_ROUNDS) -> str:
+    """Unrolled BPE merge-pair training as plain DuckDB CTE stages,
+    mechanically generated (the q_pagerank/q_kmeans_embed pattern).
+
+    Word symbols are kept in a delimiter-wrapped string form —
+    ``"ab"`` → ``"|a||b|"`` — so applying a merge is a plain left-to-
+    right non-overlapping ``replace('|l||r|' -> '|lr|')`` in BOTH
+    engines: every symbol carries its own enclosing delimiters, so
+    adjacent matches never share characters and replace-all implements
+    exactly BPE's greedy left-to-right merge (``a a a a`` merges to
+    ``aa aa``, ``a a a`` to ``aa a``).  A bare space-separated form
+    would break on adjacent repeats (matches would share the
+    separating space)."""
+    sql = r"""
+    WITH v AS (
+      SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS sym,
+             count(*) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                   AS word
+            FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    ),
+    w0 AS (SELECT sym, freq FROM v)"""
+    for i in range(1, k + 1):
+        sql += f""",
+    p{i} AS (
+      SELECT s[CAST(j AS INT)] AS l, s[CAST(j AS INT) + 1] AS r,
+             sum(freq) AS c
+      FROM (SELECT string_split(trim(sym, '|'), '||') AS s, freq,
+                   unnest(range(1, len(string_split(trim(sym, '|'), '||'))))
+                       AS j
+            FROM w{i - 1})
+      GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+    w{i} AS (
+      SELECT replace(sym,
+                     '|' || (SELECT l FROM b{i}) || '||'
+                         || (SELECT r FROM b{i}) || '|',
+                     '|' || (SELECT l FROM b{i})
+                         || (SELECT r FROM b{i}) || '|') AS sym,
+             freq
+      FROM w{i - 1}
+    )"""
+    sql += "\n    " + "\n    UNION ALL ".join(
+        f"SELECT {i} AS merge_round, l AS left_sym, r AS right_sym, "
+        f"CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return sql
+
+
+@query("q_bpe_merges", oracle=_bpe_oracle())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-pair training over the corpus (Sennrich et al. 2016,
+    arXiv:1508.07909) — the tokenizer-adjacent primitive an LLM-data
+    pipeline runs to fit a subword vocabulary: K rounds of (count all
+    adjacent symbol pairs weighted by word frequency → merge the most
+    frequent pair everywhere), emitting the learned merge table
+    (merge_round, left_sym, right_sym, pair_count).
+
+    Deterministic tie-break: highest count, then lexicographically
+    smallest (left, right) — identical in both engines, no floats.
+
+    Scale shape (the part that matters at 100 TB): the corpus
+    collapses to the (word, freq) VOCABULARY relation in the first
+    aggregation — ONE corpus-sized shuffle — and every training round
+    runs on that cached vocabulary only: one partial-agg (map-side
+    combine) exchange on pair keys over ~|vocab| rows, an argmax via
+    TakeOrdered (limit 1 — never a full sort), and a narrow
+    replace() map.  The driver receives exactly one row per round
+    (the Lloyd-trainer pattern of q_kmeans_embed: distributed
+    counting, driver-side argmax coordination).  Lineage grows by one
+    projection per round; at production K (~30k merges) checkpoint
+    the vocabulary every ~50 rounds — at the declared K=6 lineage is
+    trivially fine.
+
+    Symbol strings use the delimiter-wrapped form (see _bpe_oracle:
+    ``"ab"`` → ``"|a||b|"``) so the merge is a plain replace-all with
+    exact BPE greedy left-to-right semantics in both engines.  The
+    wrap uses '|', absent from whitespace-tokenized fixture words;
+    a production tokenizer would wrap with a non-printing sentinel.
+    No analogue in the reference (nearest: the string-normalization
+    scalar layer, jobs/order_glue_job.py:84-110)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.regexp_replace("word", "(.)", r"|$1|").alias("sym"), "freq"
+        )
+        .cache()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    cur = vocab
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            cur.select(
+                F.expr(r"split(btrim(sym, '|'), '\\|\\|')").alias("s"),
+                "freq",
+            )
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " j -> struct(s[j-1] AS l, s[j] AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), "l", "r").limit(1).collect()
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rnd, l, r, c))
+        cur = cur.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"), F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|")
+            ),
+        )
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string, "
+        "pair_count bigint",
+    )

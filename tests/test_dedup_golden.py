@@ -562,3 +562,51 @@ def test_text_normalize_planted_punctuation(spark, tmp_path):
         [tuple(r) for r in out],
         Q.QUERIES["q_text_normalize"](spark, str(tmp_path)).columns,
     ) == rows_key(truth.fetchall(), truth.columns)
+
+
+def test_bpe_merges_planted_corpus_greedy_semantics(spark, tmp_path):
+    """q_bpe_merges on a hand-built corpus with hand-computed merges —
+    pins the BPE contracts the sf fixtures can't isolate:
+
+    - pair counts are occurrence counts weighted by word frequency
+      ("abab" contributes (a,b) TWICE per occurrence);
+    - applying a merge is greedy LEFT-TO-RIGHT, non-overlapping:
+      "aaa" under merge (a,a) becomes [aa, a], never [a, aa], and
+      "aaaa"-style adjacent repeats merge pairwise (the
+      delimiter-wrapped replace's whole reason to exist);
+    - the tie-break is (count DESC, left ASC, right ASC);
+    - training STOPS early when no pair remains (fewer than
+      _BPE_ROUNDS rows is a legal, meaningful output).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # vocab: abab x3, ab x2, aaa x1
+    corpus = [
+        (1, "abab abab ab"),
+        (2, "abab ab aaa"),
+    ]
+    table = pa.table({
+        "doc_id": pa.array([r[0] for r in corpus], pa.int64()),
+        "text": pa.array([r[1] for r in corpus], pa.string()),
+        "source": pa.array(["t"] * len(corpus), pa.string()),
+        "lang": pa.array(["en"] * len(corpus), pa.string()),
+    })
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    df = Q.QUERIES["q_bpe_merges"](spark, str(tmp_path))
+    got = [
+        (r.merge_round, r.left_sym, r.right_sym, r.pair_count)
+        for r in df.collect()
+    ]
+    # r1: (a,b) 2x3 + 1x2 = 8 beats (b,a) 3 and (a,a) 2
+    # r2: abab -> |ab||ab| so (ab,ab) 3 beats (a,a) 2
+    # r3: only aaa remains unmerged: (a,a) 2 -> greedy LTR [aa, a]
+    # r4: (aa,a) 1 -- the greedy direction pin: (a,aa) would mean RTL
+    # r5+: vocabulary fully merged -> early stop at 4 rows
+    assert got == [
+        (1, "a", "b", 8),
+        (2, "ab", "ab", 3),
+        (3, "a", "a", 2),
+        (4, "aa", "a", 1),
+    ]
