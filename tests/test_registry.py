@@ -220,3 +220,43 @@ def test_every_declared_query_documented():
     text = open(os.path.join(root, "SURVEY.md")).read()
     missing = sorted(n for n in Q.QUERIES if n not in text)
     assert not missing, f"queries undocumented in SURVEY.md: {missing}"
+
+
+def test_recency_debt_stays_within_window_reach():
+    """Registry-wide evidence-freshness floor (r9 verdict #8): no
+    oracle-paired query's newest REAL driver row may be older than
+    MAX_AGE rounds unless the rotation has already scheduled it inside
+    the driver's next 50-query window — so recency debt fails the suite
+    loudly instead of accumulating into a verdict bullet.
+
+    Runs against the REAL CORRECTNESS_r*.json history (no fixture
+    redirect): age = newest driver round overall minus the query's
+    newest green round. A query whose row is stale but sits in the
+    front 50 of ordered_queries() is about to be re-verified — that is
+    the rotation working, not debt. Debt is a stale row the window
+    CANNOT reach this round."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest = 0
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            newest = max(newest, int(m.group(1)))
+    if not newest:
+        return  # fresh clone without driver artifacts
+    MAX_AGE = 4
+    verified = Q._driver_verified()
+    window = set(list(Q.ordered_queries())[:50])
+    debt = sorted(
+        f"{n} (r{r}, age {newest - r})"
+        for n, r in verified.items()
+        if n in Q.ORACLES
+        and newest - r > MAX_AGE
+        and n not in window
+    )
+    assert not debt, (
+        "oracle-paired queries with driver rows older than "
+        f"{MAX_AGE} rounds that the next window cannot reach: {debt}"
+    )
