@@ -271,6 +271,18 @@ def minhash_params(
     (q_dedup_index_store family) must pick params at index CREATION
     and keep them for the index lifetime: a probe's signatures only
     match an index built with the same (num_hashes, bands, seed).
+
+    The 20k boundary is MEASURED conservative (r10 crossover sweep,
+    tools/scale_stress.py --banding-crossover, 20k-word Zipf corpora
+    at 25k/50k/100k/200k docs, README "banding crossover"): the scale
+    tier's wall is faster or equal at EVERY size at/above the
+    boundary (x0.54-x0.85 of the lab tier at 25k-100k, tied at 200k)
+    with identical verified pairs throughout — so switching at 20k
+    never pays a measured penalty; below it the lab tier is kept for
+    byte-identical fixture candidate sets, not for speed.  (The r9
+    single-shot A/B that showed the scale tier ~1.3x SLOWER at 50k
+    did not reproduce under the controlled sweep — consistent with
+    the r8 stress note that single runs are run-order sensitive.)
     """
     num_hashes = 32 if n_docs <= 20_000 else 128
     floor = 1.0 - miss_budget

@@ -209,7 +209,85 @@ def run() -> None:
     spark.stop()
 
 
+def banding_crossover() -> None:
+    """Measure WHERE the (32, 8) lab tier and the (128, 16) scale tier
+    actually cross (r9 verdict #6): the r9 A/B showed the scale tier
+    still costs ~1.3x at 50k docs, so the 20k tier boundary was an
+    argument, not a measurement.  Runs the q_dedup_minhash kernel
+    (minhash_candidate_pairs -> verified_near_dups -> count) at both
+    parameter points over same-recipe corpora of increasing size
+    (fixed 20k-word Zipf vocabulary — bucket sizes grow linearly with
+    docs, candidate mass quadratically, the regime the tier exists to
+    cap) and prints walls + verified-pair counts (which must match
+    between tiers: both hold the recall floor).
+
+    Corpus generation is vectorized (one rng.choice for all tokens)
+    so 200k-doc corpora generate in seconds, not minutes."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, REPO)
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+    from lab5_lakehouse_etl_spark.session import build_session
+
+    sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [
+        25_000, 50_000, 100_000, 200_000
+    ]
+    V = 20000
+    vocab = np.array([f"w{i:05d}" for i in range(V)])
+    w = 1.0 / np.arange(1, V + 1) ** 1.1
+    w /= w.sum()
+
+    def gen(n_docs: int) -> str:
+        path = f"/tmp/sfband_{n_docs}"
+        dst = f"{path}/documents.parquet"
+        if os.path.exists(dst):
+            return path
+        os.makedirs(path, exist_ok=True)
+        rng = np.random.RandomState(7)
+        lens = rng.randint(80, 320, size=n_docs)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        words = vocab[rng.choice(V, size=int(offs[-1]), p=w)]
+        texts = [
+            " ".join(words[offs[i]:offs[i + 1]]) for i in range(n_docs)
+        ]
+        n_plant = n_docs // 100
+        for i in range(n_plant):  # same planted-dup recipe as generate()
+            texts[n_docs - n_plant + i] = (
+                texts[i] + " w00000" if i % 2 else texts[i]
+            )
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": pa.array(texts),
+            }),
+            dst,
+        )
+        return path
+
+    spark = build_session("banding-crossover", shuffle_partitions=32)
+    print("n_docs  tier       wall_s  verified_pairs", flush=True)
+    for n in sizes:
+        path = gen(n)
+        docs = spark.read.parquet(f"{path}/documents.parquet")
+        for label, (H, B) in (("32x8", (32, 8)), ("128x16", (128, 16))):
+            t0 = time.time()
+            cands = D.minhash_candidate_pairs(
+                docs, num_hashes=H, bands=B
+            )
+            n_pairs = D.verified_near_dups(docs, cands, threshold=0.5).count()
+            print(
+                f"{n:7d} {label:8s} {time.time() - t0:8.1f}  {n_pairs}",
+                flush=True,
+            )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    generate()
-    if "--gen-only" not in sys.argv:
-        run()
+    if "--banding-crossover" in sys.argv:
+        banding_crossover()
+    else:
+        generate()
+        if "--gen-only" not in sys.argv:
+            run()
