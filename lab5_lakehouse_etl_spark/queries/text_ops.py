@@ -892,7 +892,7 @@ def _bpe_oracle(k: int = _BPE_ROUNDS) -> str:
     would break on adjacent repeats (matches would share the
     separating space)."""
     sql = r"""
-    WITH v AS (
+    WITH v AS MATERIALIZED (
       SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS sym,
              count(*) AS freq
       FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
@@ -901,10 +901,10 @@ def _bpe_oracle(k: int = _BPE_ROUNDS) -> str:
       WHERE word <> ''
       GROUP BY word
     ),
-    w0 AS (SELECT sym, freq FROM v)"""
+    w0 AS MATERIALIZED (SELECT sym, freq FROM v)"""
     for i in range(1, k + 1):
         sql += f""",
-    p{i} AS (
+    p{i} AS MATERIALIZED (
       SELECT s[CAST(j AS INT)] AS l, s[CAST(j AS INT) + 1] AS r,
              sum(freq) AS c
       FROM (SELECT string_split(trim(sym, '|'), '||') AS s, freq,
@@ -913,8 +913,8 @@ def _bpe_oracle(k: int = _BPE_ROUNDS) -> str:
             FROM w{i - 1})
       GROUP BY 1, 2
     ),
-    b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
-    w{i} AS (
+    b{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+    w{i} AS MATERIALIZED (
       SELECT replace(sym,
                      '|' || (SELECT l FROM b{i}) || '||'
                          || (SELECT r FROM b{i}) || '|',
@@ -964,19 +964,39 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     No analogue in the reference (nearest: the string-normalization
     scalar layer, jobs/order_glue_job.py:84-110)."""
     docs = load_table(spark, sf_dir, "documents")
+    merges, _merged, cached = _bpe_learn(docs, _BPE_ROUNDS)
+    cached.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string, "
+        "pair_count bigint",
+    )
+
+
+def _bpe_learn(docs: DataFrame, k: int):
+    """Shared BPE trainer (see q_bpe_merges for the full contract):
+    returns (merge list [(round, left, right, count)], merged vocab DF
+    (word, sym, freq) with all k merges applied, and the underlying
+    CACHED base-vocabulary DF — the caller unpersists THAT handle when
+    the merged relation is no longer needed; unpersisting the merged
+    DF would be a no-op since the cache entry belongs to the base).
+    The word column rides through so encoders (q_bpe_encode) can map
+    words to their merged symbols."""
     vocab = (
         docs.select(F.explode(T.tokens(F.col("text"))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
-            F.regexp_replace("word", "(.)", r"|$1|").alias("sym"), "freq"
+            "word",
+            F.regexp_replace("word", "(.)", r"|$1|").alias("sym"),
+            "freq",
         )
         .cache()
     )
     merges: list[tuple[int, str, str, int]] = []
     cur = vocab
-    for rnd in range(1, _BPE_ROUNDS + 1):
+    for rnd in range(1, k + 1):
         pairs = (
             cur.select(
                 F.expr(r"split(btrim(sym, '|'), '\\|\\|')").alias("s"),
@@ -1006,9 +1026,105 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sym"), F.lit(f"|{l}||{r}|"), F.lit(f"|{l}{r}|")
             ),
         )
-    vocab.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "merge_round int, left_sym string, right_sym string, "
-        "pair_count bigint",
+    return merges, cur, vocab
+
+
+def _bpe_encode_oracle(k: int = _BPE_ROUNDS) -> str:
+    """Unrolled BPE train-then-ENCODE as DuckDB CTE stages: the same
+    k merge stages as _bpe_oracle but carrying the word column, ending
+    in a per-document encoded-token-count join."""
+    sql = r"""
+    WITH v AS MATERIALIZED (
+      SELECT word, regexp_replace(word, '(.)', '|\1|', 'g') AS sym,
+             count(*) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                   AS word
+            FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    ),
+    w0 AS MATERIALIZED (SELECT word, sym, freq FROM v)"""
+    for i in range(1, k + 1):
+        sql += f""",
+    p{i} AS MATERIALIZED (
+      SELECT s[CAST(j AS INT)] AS l, s[CAST(j AS INT) + 1] AS r,
+             sum(freq) AS c
+      FROM (SELECT string_split(trim(sym, '|'), '||') AS s, freq,
+                   unnest(range(1, len(string_split(trim(sym, '|'), '||'))))
+                       AS j
+            FROM w{i - 1})
+      GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+    w{i} AS MATERIALIZED (
+      SELECT word,
+             replace(sym,
+                     '|' || (SELECT l FROM b{i}) || '||'
+                         || (SELECT r FROM b{i}) || '|',
+                     '|' || (SELECT l FROM b{i})
+                         || (SELECT r FROM b{i}) || '|') AS sym,
+             freq
+      FROM w{i - 1}
+    )"""
+    sql += f""",
+    enc AS MATERIALIZED (
+      SELECT word,
+             len(string_split(trim(sym, '|'), '||')) AS n_pieces
+      FROM w{k}
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                 AS word
+      FROM documents
     )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT)       AS n_words,
+           CAST(sum(e.n_pieces) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, word FROM tok WHERE word <> '') t
+    JOIN enc e USING (word)
+    GROUP BY t.doc_id"""
+    return sql
+
+
+@query("q_bpe_encode", oracle=_bpe_encode_oracle())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the apply side of q_bpe_merges, completing the
+    tokenizer story train→encode: fit the K-round merge table on the
+    corpus, apply every merge to the vocabulary, and emit the per-
+    document encoded length (doc_id, n_words, n_bpe_tokens) — the
+    number the packing/budgeting operators (q_pack_sequences) would
+    consume from a real subword tokenizer instead of the ceil(len/4)
+    stand-in.
+
+    Scale shape: training is q_bpe_merges' (see there — vocabulary-
+    bounded rounds); ENCODING never touches documents a second time
+    per word: the merged vocabulary (word → n_pieces) is a
+    vocabulary-sized relation that BROADCASTS into the corpus's
+    exploded token stream, then one doc_id-keyed partial-agg count —
+    the same one-shuffle shape as any token-count aggregate.  At
+    production vocabulary sizes (~10M words) the broadcast becomes a
+    shuffled hash join on the word key; the plan is otherwise
+    unchanged.  Word coverage is total by construction (the
+    vocabulary is fit on the same corpus), so the join is inner with
+    no OOV branch; a held-out-corpus encoder would add a left join
+    with a per-character fallback count."""
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, merged, _cached = _bpe_learn(docs, _BPE_ROUNDS)
+    enc = merged.select(
+        "word",
+        F.size(F.expr(r"split(btrim(sym, '|'), '\\|\\|')")).alias(
+            "n_pieces"
+        ),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    out = (
+        toks.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    return out

@@ -610,3 +610,12 @@ def test_bpe_merges_planted_corpus_greedy_semantics(spark, tmp_path):
         (3, "a", "a", 2),
         (4, "aa", "a", 1),
     ]
+    # encode side (q_bpe_encode): after the four merges every vocab
+    # word is a single symbol (abab -> |abab|, ab -> |ab|,
+    # aaa -> |aa||a| -> |aaa|), so each document encodes to one BPE
+    # token per word
+    enc = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in Q.QUERIES["q_bpe_encode"](spark, str(tmp_path)).collect()
+    }
+    assert enc == {1: (3, 3), 2: (3, 3)}
