@@ -832,3 +832,11 @@ def test_dedup_chunks_fingerprint_width_shuffles(spark):
     assert shuffle_count(df) <= 4
     schemas = scan_read_schema(df)
     assert schemas and all(set(s) <= {"doc_id", "text"} for s in schemas)
+
+
+def test_bpe_encode_broadcast_vocab_single_agg_shuffle(spark):
+    df = Q.QUERIES["q_bpe_encode"](spark, SF_DIR)
+    # the merged vocabulary (word -> n_pieces) broadcasts into the
+    # exploded token stream; the doc-keyed count is the only exchange
+    # past the vocabulary build's own aggregate
+    assert has_broadcast_join(df)
