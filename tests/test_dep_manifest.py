@@ -260,3 +260,81 @@ def test_retroactive_entries_from_r8_verdict_present():
     assert _REWRITTEN_IN.get("q_dedup_prefix", 0) >= 7
     assert _REWRITTEN_IN.get("q_table_skipping", 0) >= 5
     assert _REWRITTEN_IN.get("q_table_skipping_dist", 0) >= 5
+
+
+def test_stamp_refuses_unadjudicated_drift(tmp_path, monkeypatch, capsys):
+    """--stamp-round must never baseline away un-decided core drift —
+    that is exactly the r9 blind window it exists to close."""
+    import json
+
+    mpath = tmp_path / "dep_manifest.json"
+    monkeypatch.setattr(dm, "MANIFEST_PATH", str(mpath))
+    # seed a manifest whose one recorded module hash is stale
+    mpath.write_text(json.dumps({
+        "round": 9,
+        "modules": {
+            "lab5_lakehouse_etl_spark.session": {"sha256": "stale"},
+        },
+    }))
+    assert dm.stamp_round(10) == 1
+    assert "REFUSED" in capsys.readouterr().err
+    # and the manifest was not touched
+    assert json.loads(mpath.read_text())["round"] == 9
+
+
+def test_stamp_refuses_core_dirty_vs_head(tmp_path, monkeypatch, capsys):
+    """A baseline computed from a tree whose core modules differ from
+    git HEAD certifies uncommitted state — refused."""
+    import json
+
+    mpath = tmp_path / "dep_manifest.json"
+    monkeypatch.setattr(dm, "MANIFEST_PATH", str(mpath))
+    # manifest matches the CURRENT tree (no drift)...
+    hashes = dm.current_hashes()
+    mpath.write_text(json.dumps({
+        "round": 9,
+        "modules": {m: {"sha256": h} for m, h in hashes.items()},
+    }))
+    # ...but git HEAD claims different content for one module
+    real = dm.hashes_at_commit
+
+    def fake(commit, repo=dm.REPO):
+        out = dict(real(commit, repo))
+        k = next(iter(out))
+        out[k] = "different"
+        return out
+
+    monkeypatch.setattr(dm, "hashes_at_commit", fake)
+    import pytest
+
+    if dm.git_head() is None:
+        pytest.skip("git unavailable")
+    assert dm.stamp_round(10) == 1
+    assert "differ from HEAD" in capsys.readouterr().err
+
+
+def test_stamp_succeeds_and_anchors_on_clean_committed_tree(
+    tmp_path, monkeypatch
+):
+    """Happy path: no drift + core == HEAD → baseline_round and
+    baseline_commit recorded."""
+    import json
+
+    import pytest
+
+    if dm.git_head() is None:
+        pytest.skip("git unavailable")
+    committed = dm.hashes_at_commit(dm.git_head())
+    if committed != dm.current_hashes():
+        pytest.skip("working tree has uncommitted core changes")
+    mpath = tmp_path / "dep_manifest.json"
+    monkeypatch.setattr(dm, "MANIFEST_PATH", str(mpath))
+    mpath.write_text(json.dumps({
+        "round": 9,
+        "modules": {m: {"sha256": h} for m, h in committed.items()},
+    }))
+    assert dm.stamp_round(11) == 0
+    out = json.loads(mpath.read_text())
+    assert out["baseline_round"] == 11
+    assert out["baseline_commit"] == dm.git_head()
+    assert out["round"] == 11

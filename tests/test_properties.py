@@ -813,3 +813,72 @@ def test_table_rows_empty_dir_falls_back_not_zero(spark, tmp_path):
 
     with pytest.raises(AnalysisException):
         table_rows(str(tmp_path), "t")
+
+
+def test_bpe_learn_matches_reference_implementation(spark):
+    """q_bpe_merges' distributed trainer vs a pure-Python reference BPE
+    (Sennrich et al. greedy left-to-right merge, occurrence-weighted
+    pair counts, (count DESC, pair ASC) tie-break) on randomized small
+    corpora — pins both the merge TABLE and the per-word merged piece
+    counts (the q_bpe_encode contract) across seeds, including the
+    adjacent-repeat words where the delimiter-wrapped replace has to
+    reproduce greedy semantics exactly."""
+    import random
+
+    from lab5_lakehouse_etl_spark.queries.text_ops import _bpe_learn
+
+    def ref_bpe(freqs, k):
+        vocab = {w: tuple(w) for w in freqs}
+        merges = []
+        for rnd in range(1, k + 1):
+            counts = {}
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + freqs[w]
+            if not counts:
+                break
+            (l, r), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merges.append((rnd, l, r, c))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == l
+                        and syms[i + 1] == r
+                    ):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = tuple(out)
+        return merges, {w: len(s) for w, s in vocab.items()}
+
+    for seed in (0, 1, 2, 3):
+        rng = random.Random(seed)
+        words = {
+            "".join(
+                rng.choice("ab") for _ in range(rng.randint(1, 6))
+            ): rng.randint(1, 4)
+            for _ in range(rng.randint(4, 9))
+        }
+        text_parts = []
+        for w, f in words.items():
+            text_parts.extend([w] * f)
+        rng.shuffle(text_parts)
+        docs = spark.createDataFrame(
+            [(1, " ".join(text_parts))], "doc_id long, text string"
+        )
+        exp_merges, exp_pieces = ref_bpe(words, 3)
+        merges, merged, cached = _bpe_learn(docs, 3)
+        got_pieces = {
+            r["word"]: len(r["sym"].strip("|").split("||"))
+            for r in merged.collect()
+        }
+        cached.unpersist()
+        assert merges == exp_merges, f"seed {seed}"
+        assert got_pieces == exp_pieces, f"seed {seed}"
