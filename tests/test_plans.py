@@ -840,3 +840,26 @@ def test_bpe_encode_broadcast_vocab_single_agg_shuffle(spark):
     # exploded token stream; the doc-keyed count is the only exchange
     # past the vocabulary build's own aggregate
     assert has_broadcast_join(df)
+
+
+def test_gram_index_built_once_per_process(spark):
+    """The build-once/probe-many CLAIM, pinned: after any two
+    decontamination consumers run against the same sf_dir, the scratch
+    area holds exactly ONE gram-index LakeTable for that benchmark
+    snapshot, still at version 0 (never rebuilt, never appended) — the
+    audit, span report, streaming gate, and per-item index query all
+    probe the same artifact."""
+    import hashlib
+    import os
+
+    from lab5_lakehouse_etl_spark.lakehouse import LakeTable
+    from lab5_lakehouse_etl_spark.session import scratch_dir
+
+    Q.QUERIES["q_decontaminate"](spark, SF_DIR).collect()
+    Q.QUERIES["q_decontaminate_index"](spark, SF_DIR).collect()
+    digest = hashlib.md5(
+        f"{os.path.abspath(SF_DIR)}|n=5".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(scratch_dir("gram_index"), digest)
+    assert LakeTable.is_table(path)
+    assert LakeTable(path).version() == 0
