@@ -419,3 +419,161 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return profile.select("p.*")
+
+
+@query(
+    "q_dq_constraints",
+    oracle="""
+    WITH o AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS ck_ok,
+             count(DISTINCT o_orderkey) AS ok_distinct,
+             sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS tp_ok,
+             sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                      THEN 1 ELSE 0 END) AS st_ok
+      FROM orders
+    ),
+    l AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+                      THEN 1 ELSE 0 END) AS qty_ok,
+             sum(CASE WHEN l_extendedprice IS NOT NULL
+                      THEN 1 ELSE 0 END) AS ep_ok
+      FROM lineitem
+    ),
+    c AS (
+      SELECT count(*) AS n_keys,
+             sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                 AS n_contained
+      FROM (SELECT DISTINCT l_orderkey FROM lineitem) lk
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON lk.l_orderkey = o.o_orderkey
+    )
+    SELECT 'completeness_o_custkey' AS constraint,
+           round(ck_ok / CAST(n AS DOUBLE), 6) AS metric,
+           1.0 AS threshold,
+           ck_ok / CAST(n AS DOUBLE) >= 1.0 AS passed FROM o
+    UNION ALL
+    SELECT 'uniqueness_o_orderkey',
+           round(ok_distinct / CAST(n AS DOUBLE), 6), 1.0,
+           ok_distinct / CAST(n AS DOUBLE) >= 1.0 FROM o
+    UNION ALL
+    SELECT 'compliance_o_totalprice_positive',
+           round(tp_ok / CAST(n AS DOUBLE), 6), 1.0,
+           tp_ok / CAST(n AS DOUBLE) >= 1.0 FROM o
+    UNION ALL
+    SELECT 'membership_o_orderstatus',
+           round(st_ok / CAST(n AS DOUBLE), 6), 1.0,
+           st_ok / CAST(n AS DOUBLE) >= 1.0 FROM o
+    UNION ALL
+    SELECT 'compliance_l_quantity_1_50',
+           round(qty_ok / CAST(n AS DOUBLE), 6), 1.0,
+           qty_ok / CAST(n AS DOUBLE) >= 1.0 FROM l
+    UNION ALL
+    SELECT 'completeness_l_extendedprice',
+           round(ep_ok / CAST(n AS DOUBLE), 6), 1.0,
+           ep_ok / CAST(n AS DOUBLE) >= 1.0 FROM l
+    UNION ALL
+    SELECT 'containment_l_orderkey_in_orders',
+           round(n_contained / CAST(n_keys AS DOUBLE), 6), 1.0,
+           n_contained / CAST(n_keys AS DOUBLE) >= 1.0 FROM c
+    """,
+)
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality CONSTRAINT suite (Deequ-style
+    hasCompleteness / isUnique / isContainedIn / compliance checks —
+    Schelter et al. 2018, VLDB, "Automating Large-Scale Data Quality
+    Verification") over the reference's validated tables: one row per
+    constraint with its measured metric, threshold, and pass verdict —
+    the publish gate a lakehouse runs where the reference logs only
+    input/valid/rejected counts (jobs/order_glue_job.py:199-208;
+    q_dq_profile generalizes the METRICS, this adds the VERDICTS).
+
+    Constraints: completeness(o_custkey), uniqueness(o_orderkey),
+    compliance(o_totalprice > 0), membership(o_orderstatus in O/F/P),
+    compliance(l_quantity in [1, 50]), completeness(l_extendedprice),
+    and referential containment(l_orderkey ⊆ orders.o_orderkey).
+
+    Scale shape: every per-table constraint folds into ONE conditional
+    aggregate per table — two fact scans total, each producing a 1-row
+    partial-combining aggregate; the tiny result reshapes to
+    constraint rows via explode, never a per-constraint rescan
+    (Deequ's shared-scan analyzer design).  Only the referential
+    containment needs cross-table data movement: distinct key
+    relations (keys only, never payload) hash-join on the key — the
+    same bounded shuffle any RI check costs at 100 TB.  All verdicts
+    are exact, not sampled."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_custkey").isNotNull().cast("long")).alias("ck_ok"),
+        F.countDistinct("o_orderkey").alias("ok_distinct"),
+        F.sum((F.col("o_totalprice") > 0).cast("long")).alias("tp_ok"),
+        F.sum(
+            F.col("o_orderstatus").isin("O", "F", "P").cast("long")
+        ).alias("st_ok"),
+    )
+    l_agg = li.agg(
+        F.count(F.lit(1)).alias("ln"),
+        F.sum(F.col("l_quantity").between(1, 50).cast("long")).alias(
+            "qty_ok"
+        ),
+        F.sum(F.col("l_extendedprice").isNotNull().cast("long")).alias(
+            "ep_ok"
+        ),
+    )
+    cont = (
+        li.select("l_orderkey")
+        .distinct()
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey"))
+            .distinct()
+            .withColumn("__hit", F.lit(1)),
+            "l_orderkey",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias(
+                "n_contained"
+            ),
+        )
+    )
+
+    def row(name: str, num, den):
+        frac = num / den.cast("double")
+        return F.struct(
+            F.lit(name).alias("constraint"),
+            F.round(frac, 6).alias("metric"),
+            F.lit(1.0).alias("threshold"),
+            (frac >= 1.0).alias("passed"),
+        )
+
+    wide = o.crossJoin(l_agg).crossJoin(cont)
+    return wide.select(
+        F.explode(
+            F.array(
+                row("completeness_o_custkey", F.col("ck_ok"), F.col("n")),
+                row("uniqueness_o_orderkey", F.col("ok_distinct"), F.col("n")),
+                row(
+                    "compliance_o_totalprice_positive",
+                    F.col("tp_ok"),
+                    F.col("n"),
+                ),
+                row("membership_o_orderstatus", F.col("st_ok"), F.col("n")),
+                row("compliance_l_quantity_1_50", F.col("qty_ok"), F.col("ln")),
+                row(
+                    "completeness_l_extendedprice",
+                    F.col("ep_ok"),
+                    F.col("ln"),
+                ),
+                row(
+                    "containment_l_orderkey_in_orders",
+                    F.col("n_contained"),
+                    F.col("n_keys"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
