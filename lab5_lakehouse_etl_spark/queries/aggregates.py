@@ -451,31 +451,31 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT 'completeness_o_custkey' AS constraint,
            round(ck_ok / CAST(n AS DOUBLE), 6) AS metric,
-           1.0 AS threshold,
+           CAST(1.0 AS DOUBLE) AS threshold,
            ck_ok / CAST(n AS DOUBLE) >= 1.0 AS passed FROM o
     UNION ALL
     SELECT 'uniqueness_o_orderkey',
-           round(ok_distinct / CAST(n AS DOUBLE), 6), 1.0,
+           round(ok_distinct / CAST(n AS DOUBLE), 6), CAST(1.0 AS DOUBLE),
            ok_distinct / CAST(n AS DOUBLE) >= 1.0 FROM o
     UNION ALL
     SELECT 'compliance_o_totalprice_positive',
-           round(tp_ok / CAST(n AS DOUBLE), 6), 1.0,
+           round(tp_ok / CAST(n AS DOUBLE), 6), CAST(1.0 AS DOUBLE),
            tp_ok / CAST(n AS DOUBLE) >= 1.0 FROM o
     UNION ALL
     SELECT 'membership_o_orderstatus',
-           round(st_ok / CAST(n AS DOUBLE), 6), 1.0,
+           round(st_ok / CAST(n AS DOUBLE), 6), CAST(1.0 AS DOUBLE),
            st_ok / CAST(n AS DOUBLE) >= 1.0 FROM o
     UNION ALL
     SELECT 'compliance_l_quantity_1_50',
-           round(qty_ok / CAST(n AS DOUBLE), 6), 1.0,
+           round(qty_ok / CAST(n AS DOUBLE), 6), CAST(1.0 AS DOUBLE),
            qty_ok / CAST(n AS DOUBLE) >= 1.0 FROM l
     UNION ALL
     SELECT 'completeness_l_extendedprice',
-           round(ep_ok / CAST(n AS DOUBLE), 6), 1.0,
+           round(ep_ok / CAST(n AS DOUBLE), 6), CAST(1.0 AS DOUBLE),
            ep_ok / CAST(n AS DOUBLE) >= 1.0 FROM l
     UNION ALL
     SELECT 'containment_l_orderkey_in_orders',
-           round(n_contained / CAST(n_keys AS DOUBLE), 6), 1.0,
+           round(n_contained / CAST(n_keys AS DOUBLE), 6), CAST(1.0 AS DOUBLE),
            n_contained / CAST(n_keys AS DOUBLE) >= 1.0 FROM c
     """,
 )
