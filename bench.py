@@ -234,9 +234,13 @@ def ratio_regressions(
         return int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
 
     explicit = os.environ.get("SPARK_GRAFT_BENCH_BASELINE_ROUND")
+    cur_round = None
     if explicit is not None:
-        cur_round = int(explicit) + 1  # baseline strictly at `explicit`
-    else:
+        try:
+            cur_round = int(explicit) + 1  # baseline strictly at `explicit`
+        except ValueError:  # set-but-blank/garbage env: fail soft
+            cur_round = None
+    if cur_round is None:
         try:
             with open(os.path.join(here, "tests", "dep_manifest.json")) as fh:
                 cur_round = int(json.load(fh).get("baseline_round", 0))

@@ -97,7 +97,9 @@ def ensure_gram_index(
     from ..lakehouse import LakeTable
     from ..session import scratch_dir
 
-    digest = hashlib.md5(f"{cache_key}|n={n}".encode()).hexdigest()[:12]
+    digest = hashlib.md5(
+        f"{cache_key}|n={n}|{id_col}|{text_col}".encode()
+    ).hexdigest()[:12]
     path = os.path.join(scratch_dir("gram_index"), digest)
     if not LakeTable.is_table(path):
         build_gram_index(heldout, path, n, id_col, text_col)

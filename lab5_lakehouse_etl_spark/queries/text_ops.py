@@ -786,18 +786,21 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.functions import udtf
 
-    # explicit whitespace class (== RE2's \s, the oracle's splitter):
-    # Python's argless str.split() adds \x0B and unicode spaces, the
-    # same cross-engine divergence family retired from the JVM paths
-    ws = re.compile(r"[ \t\n\r\f]+")
+    # explicit whitespace class (== RE2's \s, the oracle's splitter),
+    # single-sourced from functions/text.WS_CLASS: Python's argless
+    # str.split() adds \x0B and unicode spaces, the same cross-engine
+    # divergence family retired from the JVM paths.  The strip is
+    # SPACES ONLY to mirror trim()/F.trim on both oracle and JVM-twin
+    # sides (a leading tab yields a leading empty token in all three),
+    # and a pure-space document yields the single empty-token row
+    # split('') produces in both engines.
+    ws = re.compile(T.WS_CLASS)
 
     @udtf(returnType="pos int, token string")
     class TokenExplode:
         def eval(self, text: str):
-            stripped = text.strip(" \t\n\r\f").lower()
-            if not stripped:
-                return
-            for i, t in enumerate(ws.split(stripped)):
+            stripped = text.strip(" ").lower()
+            for i, t in enumerate(ws.split(stripped) if stripped else [""]):
                 yield i, t
 
     spark.udtf.register("token_explode", TokenExplode)
@@ -915,11 +918,13 @@ def _bpe_oracle(k: int = _BPE_ROUNDS) -> str:
     ),
     b{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
     w{i} AS MATERIALIZED (
-      SELECT replace(sym,
-                     '|' || (SELECT l FROM b{i}) || '||'
-                         || (SELECT r FROM b{i}) || '|',
-                     '|' || (SELECT l FROM b{i})
-                         || (SELECT r FROM b{i}) || '|') AS sym,
+      SELECT CASE WHEN (SELECT l FROM b{i}) IS NULL THEN sym
+                  ELSE replace(sym,
+                               '|' || (SELECT l FROM b{i}) || '||'
+                                   || (SELECT r FROM b{i}) || '|',
+                               '|' || (SELECT l FROM b{i})
+                                   || (SELECT r FROM b{i}) || '|')
+             END AS sym,
              freq
       FROM w{i - 1}
     )"""
@@ -1058,11 +1063,13 @@ def _bpe_encode_oracle(k: int = _BPE_ROUNDS) -> str:
     b{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
     w{i} AS MATERIALIZED (
       SELECT word,
-             replace(sym,
-                     '|' || (SELECT l FROM b{i}) || '||'
-                         || (SELECT r FROM b{i}) || '|',
-                     '|' || (SELECT l FROM b{i})
-                         || (SELECT r FROM b{i}) || '|') AS sym,
+             CASE WHEN (SELECT l FROM b{i}) IS NULL THEN sym
+                  ELSE replace(sym,
+                               '|' || (SELECT l FROM b{i}) || '||'
+                                   || (SELECT r FROM b{i}) || '|',
+                               '|' || (SELECT l FROM b{i})
+                                   || (SELECT r FROM b{i}) || '|')
+             END AS sym,
              freq
       FROM w{i - 1}
     )"""
@@ -1109,7 +1116,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     no OOV branch; a held-out-corpus encoder would add a left join
     with a per-character fallback count."""
     docs = load_table(spark, sf_dir, "documents")
-    _merges, merged, _cached = _bpe_learn(docs, _BPE_ROUNDS)
+    _merges, merged, cached = _bpe_learn(docs, _BPE_ROUNDS)
+    # release the trainer's cache now: the returned plan recomputes the
+    # vocabulary aggregate once at collect time, instead of pinning a
+    # cache entry in storage memory for the process lifetime (the
+    # driver runs 200+ queries in one session)
+    cached.unpersist()
     enc = merged.select(
         "word",
         F.size(F.expr(r"split(btrim(sym, '|'), '\\|\\|')")).alias(

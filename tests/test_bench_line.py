@@ -78,7 +78,12 @@ def test_ratio_baseline_excludes_current_round(monkeypatch):
     round even when the current round's artifact exists on disk."""
     import re
 
-    cur = json.load(open("tests/dep_manifest.json"))["baseline_round"]
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cur = json.load(
+        open(os.path.join(here, "tests", "dep_manifest.json"))
+    )["baseline_round"]
     flagged, base = bench.ratio_regressions({}, 0.5)
     if base is not None:
         assert int(re.search(r"r(\d+)", base).group(1)) < cur

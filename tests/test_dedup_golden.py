@@ -619,3 +619,20 @@ def test_bpe_merges_planted_corpus_greedy_semantics(spark, tmp_path):
         for r in Q.QUERIES["q_bpe_encode"](spark, str(tmp_path)).collect()
     }
     assert enc == {1: (3, 3), 2: (3, 3)}
+    # and the ORACLE agrees on this early-exhausted corpus (r10 review
+    # finding: an empty merge stage used to NULL-propagate through the
+    # remaining unrolled CTE stages and emit NULL n_bpe_tokens)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    oracle = {
+        doc_id: (n_words, n_tokens)
+        for doc_id, n_words, n_tokens in con.sql(
+            Q.ORACLES["q_bpe_encode"]
+        ).fetchall()
+    }
+    assert oracle == enc
+    o_merges = con.sql(Q.ORACLES["q_bpe_merges"]).fetchall()
+    assert [tuple(r) for r in o_merges] == got

@@ -89,3 +89,59 @@ def test_tokens_family_explicit_whitespace_class_matches_re2(spark):
         assert got[doc_id] == (toks, n, fp), doc_id
     # the \x0B stays INSIDE its token on both sides
     assert got[1][0] == ["alpha\x0bbeta", "gamma"]
+
+
+def test_udtf_tokens_trim_parity_on_edge_whitespace(spark):
+    """r10 review finding: the UDTF's Python strip must mirror
+    trim()/F.trim (SPACES only) — a leading tab yields a leading empty
+    token on the oracle and JVM sides, and a pure-space document yields
+    the single empty-token row split('') produces.  The [a-z0-9 ]
+    fixtures can never expose this; this planted corpus pins the UDTF
+    against the JVM twin on exactly the divergence shapes."""
+    import duckdb
+
+    corpus = [
+        (0, "\tfoo bar"),    # leading tab -> leading empty token
+        (1, "foo bar\n"),    # trailing newline -> trailing empty token
+        (2, "   "),          # pure spaces -> one empty token at pos 0
+        (3, " foo  bar "),   # edge spaces trimmed; double space = one sep
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    df.createOrReplaceTempView("_udtf_edge_docs")
+    from pyspark.sql.functions import udtf  # noqa: F401 (registration)
+
+    # reuse the declared query's UDTF registration by running it once
+    from lab5_lakehouse_etl_spark.queries import text_ops
+    from tests.conftest import SF_DIR
+
+    text_ops.q_udtf_tokens(spark, SF_DIR).limit(1).collect()
+    got = sorted(
+        (r.doc_id, r.pos, r.token)
+        for r in spark.sql(
+            """SELECT d.doc_id, t.pos, t.token
+               FROM _udtf_edge_docs d, LATERAL token_explode(d.text) t"""
+        ).collect()
+    )
+    jvm = sorted(
+        (r.doc_id, r.pos, r.token)
+        for r in df.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.trim(F.lower("text")), r"[ \t\n\r\f]+")
+            ).alias("pos", "token"),
+        ).collect()
+    )
+    assert got == jvm
+    # and both agree with the oracle engine's split semantics
+    con = duckdb.connect()
+    duck = sorted(
+        (doc_id, i, tok)
+        for doc_id, text in corpus
+        for i, tok in enumerate(
+            con.execute(
+                r"SELECT string_split_regex(trim(lower($t)), '\s+')",
+                {"t": text},
+            ).fetchone()[0]
+        )
+    )
+    assert got == duck
