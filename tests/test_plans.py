@@ -858,7 +858,7 @@ def test_gram_index_built_once_per_process(spark):
     Q.QUERIES["q_decontaminate"](spark, SF_DIR).collect()
     Q.QUERIES["q_decontaminate_index"](spark, SF_DIR).collect()
     digest = hashlib.md5(
-        f"{os.path.abspath(SF_DIR)}|n=5".encode()
+        f"{os.path.abspath(SF_DIR)}|n=5|doc_id|text".encode()
     ).hexdigest()[:12]
     path = os.path.join(scratch_dir("gram_index"), digest)
     assert LakeTable.is_table(path)
