@@ -94,8 +94,14 @@ def sample_training_vectors(
 
     Returns (vec_ids, X, base): the sorted sample as parallel id list
     / (n, dim) float64 matrix, plus the normalized (vec_id, v)
-    relation for callers that run a distributed pass afterwards."""
-    base = emb.select(
+    relation for callers that run a distributed pass afterwards.
+
+    NULL embeddings are dropped at normalization (r10 review, same
+    class as the blocked-kernel misalignment fix): a NULL vector has
+    no place in a centroid mean, and a None row in the collected
+    sample crashed the np.array assembly with an inhomogeneous-shape
+    error."""
+    base = emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
@@ -143,17 +149,22 @@ def assign_clusters(
     emb: DataFrame,
     cents: list[tuple[int, list[float]]],
     with_dist: bool = False,
+    decimals: int = 6,
 ) -> DataFrame:
     """Add ``cluster`` = id of the nearest centroid (first-min
     tie-break); with ``with_dist``, also the squared distance to it,
-    rounded to 6 decimals so downstream per-cluster rankings are
-    immune to cross-engine float-summation-order differences."""
+    rounded to ``decimals`` so downstream per-cluster rankings are
+    immune to cross-engine float-summation-order differences.  The
+    width MUST match the caller's oracle twin (cluster_sample_oracle_sql
+    ranks on dist rounded to the same ``decimals``); a hardcoded 6 here
+    silently broke the documented both-engines parity for non-default
+    callers (r10 review)."""
     ids = F.array(*[F.lit(int(cl)) for cl, _ in cents])
     dists = _distances(cents)
     idx = F.array_position(dists, F.array_min(dists)).cast("int")
     out = emb.withColumn("cluster", F.element_at(ids, idx))
     if with_dist:
-        out = out.withColumn("dist", F.round(F.array_min(dists), 6))
+        out = out.withColumn("dist", F.round(F.array_min(dists), decimals))
     return out
 
 
@@ -281,7 +292,7 @@ def kmeans_fit_assign(
     # are bit-identical across engines, so raw comparisons agree.
     from pyspark.sql import Window
 
-    assigned = assign_clusters(base, cents, with_dist=True)
+    assigned = assign_clusters(base, cents, with_dist=True, decimals=decimals)
     if dedup_ids and cents:
         raw_min = F.array_min(_distances(cents))
         assigned = assigned.withColumn("__rawd", raw_min)

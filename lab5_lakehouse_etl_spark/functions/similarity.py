@@ -61,6 +61,9 @@ def topk_cosine(
     sim = F.round(cosine(F.col(vec_col), q), 4).alias("cosine_sim")
     return (
         df.select(F.col(id_col), sim)
+        # zero-norm / NULL vectors have NULL cosine — no defined rank,
+        # so they must not pad the top-k when fewer than k qualify
+        .filter(F.col("cosine_sim").isNotNull())
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -163,8 +166,14 @@ def exact_pairs_blocked(
     if n_blocks is None:
         n_blocks = max(df.sparkSession.sparkContext.defaultParallelism // 2, 4)
 
+    # NULL embeddings must be dropped BEFORE the paired collects:
+    # collect_list skips NULL VALUES but collect_list(id) keeps their
+    # ids, so a NULL row would silently misalign ids[] against vecs[]
+    # and attribute every later vector in the block to the wrong id
+    # (r10 review).  A NULL vector has no defined cosine anyway.
     blocks = (
-        df.withColumn("__bid", F.pmod(F.col(id_col), F.lit(n_blocks)))
+        df.filter(F.col(vec_col).isNotNull())
+        .withColumn("__bid", F.pmod(F.col(id_col), F.lit(n_blocks)))
         .groupBy("__bid")
         .agg(
             F.collect_list(F.col(id_col)).alias("ids"),
@@ -266,15 +275,19 @@ def cross_pairs_blocked(
             a_df.sparkSession.sparkContext.defaultParallelism // 2, 4
         )
 
+    # see exact_pairs_blocked: NULL vectors would misalign ids/vecs
     a_blocks = (
-        a_df.withColumn("__bid", F.pmod(F.col(id_col), F.lit(n_blocks)))
+        a_df.filter(F.col(vec_col).isNotNull())
+        .withColumn("__bid", F.pmod(F.col(id_col), F.lit(n_blocks)))
         .groupBy("__bid")
         .agg(
             F.collect_list(F.col(id_col)).alias("ids_a"),
             F.collect_list(F.col(vec_col)).alias("vecs_a"),
         )
     )
-    b_block = b_df.groupBy(F.lit(0).alias("__one")).agg(
+    b_block = b_df.filter(F.col(vec_col).isNotNull()).groupBy(
+        F.lit(0).alias("__one")
+    ).agg(
         F.collect_list(F.col(id_col)).alias("ids_b"),
         F.collect_list(F.col(vec_col)).alias("vecs_b"),
     )
@@ -357,8 +370,10 @@ def knn_graph(
         n_blocks = max(df.sparkSession.sparkContext.defaultParallelism // 4, 4)
     cut_margin = 2.0 * 10.0 ** (-decimals)
 
+    # see exact_pairs_blocked: NULL vectors would misalign ids/vecs
     blocks = (
-        df.withColumn("__bid", F.pmod(F.col(id_col), F.lit(n_blocks)))
+        df.filter(F.col(vec_col).isNotNull())
+        .withColumn("__bid", F.pmod(F.col(id_col), F.lit(n_blocks)))
         .groupBy("__bid")
         .agg(
             F.collect_list(F.col(id_col)).alias("ids"),
@@ -803,6 +818,10 @@ def pq_topk(
     )
     return (
         codes.select("vec_id", F.round(adist, 6).alias("approx_dist"))
+        # NULL codes (pq_encode propagates NULL embeddings) give NULL
+        # approx_dist, and ascending sort is NULLS FIRST — such rows
+        # have no defined distance and must not fill the top-k
+        .filter(F.col("approx_dist").isNotNull())
         .orderBy("approx_dist", "vec_id")
         .limit(k)
     )
@@ -843,6 +862,7 @@ def pq_search(
         emb.withColumnRenamed(id_col, "vec_id")
         .join(F.broadcast(cand), "vec_id")
         .select("vec_id", F.round(d, 6).alias("dist"))
+        .filter(F.col("dist").isNotNull())  # see pq_topk: NULLS FIRST
         .orderBy("dist", "vec_id")
         .limit(k)
     )

@@ -882,3 +882,96 @@ def test_bpe_learn_matches_reference_implementation(spark):
         cached.unpersist()
         assert merges == exp_merges, f"seed {seed}"
         assert got_pieces == exp_pieces, f"seed {seed}"
+
+
+def test_blocked_kernels_null_embedding_alignment(spark):
+    """r10 review: collect_list skips NULL VALUES but keeps the ids'
+    rows, so a NULL embedding used to misalign ids[] against vecs[]
+    inside the blocked matmul kernels — every vector after the NULL in
+    its block was scored under the WRONG id.  Pin: with a planted NULL
+    row, exact_pairs_blocked equals the brute-force pair set of the
+    non-null subset, and the NULL id never appears."""
+    import itertools
+
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import similarity as S
+
+    rng = np.random.RandomState(3)
+    vecs = {i: rng.randn(8).astype("float32") for i in range(7)}
+    # make a couple of near-duplicate pairs so the threshold passes
+    vecs[5] = vecs[0] + 1e-3
+    vecs[6] = vecs[1] + 1e-3
+    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    rows.insert(2, (99, None))  # the NULL row, mid-block
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = sorted(
+        (r.id_a, r.id_b, round(r.cosine_sim, 4))
+        for r in S.exact_pairs_blocked(df, threshold=0.9).collect()
+    )
+    def cos(a, b):
+        a, b = np.asarray(a, "float64"), np.asarray(b, "float64")
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    exp = sorted(
+        (i, j, round(round(cos(vecs[i], vecs[j]), 6), 4))
+        for i, j in itertools.combinations(sorted(vecs), 2)
+        if round(cos(vecs[i], vecs[j]), 6) >= 0.9
+    )
+    assert got == exp
+    assert all(99 not in (a, b) for a, b, _ in got)
+
+
+def test_pq_and_topk_null_rows_do_not_hijack_ranking(spark):
+    """r10 review: ascending orderBy is NULLS FIRST, so NULL distances
+    (pq_encode propagates NULL embeddings as NULL codes) used to fill
+    the PQ top-k ahead of every real candidate; topk_cosine's NULL
+    cosines (zero-norm vectors) padded the tail when fewer than k rows
+    qualified.  Pin both exclusions."""
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import similarity as S
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (i, [float(x) for x in rng.randn(8)]) for i in range(20)
+    ] + [(98, None), (99, [0.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in rng.randn(8)]
+    top = S.topk_cosine(df, q, k=30).collect()
+    ids = [r.vec_id for r in top]
+    assert 98 not in ids and 99 not in ids  # no NULL-sim padding
+    assert len(ids) == 20
+    books = S.pq_train(df, m=2, k=4)
+    codes = S.pq_encode(df, books)
+    pq_ids = [r.vec_id for r in S.pq_topk(codes, books, q, k=30).collect()]
+    assert 98 not in pq_ids
+    assert len(pq_ids) == 21  # zero vector HAS codes; only NULL drops
+    sr_ids = [
+        r.vec_id for r in S.pq_search(codes, df, books, q, k=30).collect()
+    ]
+    assert 98 not in sr_ids
+
+
+def test_assign_clusters_decimals_plumbed(spark):
+    """r10 review: assign_clusters hardcoded round(dist, 6) while its
+    oracle twin rounds to the caller's `decimals` before ranking — the
+    documented both-engines parity silently broke for any non-default
+    caller.  Pin: decimals=2 yields dists that are exact 2-decimal
+    values."""
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import clustering as C
+
+    rng = np.random.RandomState(7)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(4)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    out = C.kmeans_fit_assign(
+        df, k=3, iters=2, decimals=2, with_dist=True
+    ).collect()
+    assert out
+    for r in out:
+        assert abs(r.dist * 100 - round(r.dist * 100)) < 1e-9, r
