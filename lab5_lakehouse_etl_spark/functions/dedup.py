@@ -358,7 +358,12 @@ def minhash_candidate_pairs(
     # corpus whose scan is already split shuffles nothing.
     n_part = max(spark.sparkContext.defaultParallelism, 8)
     from ..session import spread as _spread
-    spread = _spread(df, id_col, n_part)
+    # NULL text is "no content", never a dup verdict (the exact kernels
+    # and diagnose_missing_pair already say so): without this filter
+    # every NULL doc shares the signature of [NULL] shingles
+    # (xxhash64(NULL) = seed) and verifies at jaccard 1.0 against every
+    # other NULL doc (r10 review).
+    spread = _spread(df.filter(F.col(text_col).isNotNull()), id_col, n_part)
     if backend == "arrow":
         if shingle_fn is not None:
             raise ValueError("custom shingle_fn requires backend='expr'")
@@ -450,7 +455,10 @@ def verified_near_dups(
     if prefilter is None:
         prefilter = df.rdd.getNumPartitions() > 64
     from ..session import spread as _spread
-    base = _spread(df, id_col, n_part)
+    # NULL-text docs have no shingles to verify (see
+    # minhash_candidate_pairs) — the inner verify joins then drop any
+    # candidate touching one, which is the contract
+    base = _spread(df.filter(F.col(text_col).isNotNull()), id_col, n_part)
     if prefilter:
         # candidates cached: three consumers (two id projections + the
         # verify join) would each re-run the whole LSH pipeline.
@@ -540,7 +548,10 @@ def simhash_near_dups(
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     from ..session import spread as _spread
-    fp = _spread(df, id_col, n_part).select(
+    # NULL text folds to fingerprint 0 (the bit aggregate over NULL
+    # token hashes), so every NULL doc would pair at hamming 0 with
+    # every other NULL doc (r10 review) — no content, no verdict
+    fp = _spread(df.filter(F.col(text_col).isNotNull()), id_col, n_part).select(
         F.col(id_col).alias("id"), simhash64(text_col).alias("fp")
     )
     chunks = fp.select(
@@ -1103,7 +1114,11 @@ def exact_jaccard_pairs(
         docs.select(
             F.col(id_col).alias("id"),
             F.array_distinct(elements).alias("toks"),
-        ),
+        # NULL text -> NULL toks: the prefix route's set relation
+        # filters these, but the dense route's Python encoder crashed
+        # on a None array (r10 review) — drop them here so BOTH
+        # kernels see the identical NULL-free input
+        ).filter(F.col("toks").isNotNull()),
         "id",
     ).cache()
     vocab_rel = sets_df.select(F.explode("toks").alias("t")).distinct()
@@ -1308,10 +1323,20 @@ def shared_gram_occurrences(
     the owner is the same window's min, so no owners self-join ever
     duplicates the explode subtree in the physical plan.  At corpus
     scale the span string would shuffle as its xxhash64 with min(span)
-    carried as representative — same plan, 8-byte keys."""
+    carried as representative — same plan, 8-byte keys.
+
+    Fine print, shared with every oracle twin: a document SHORTER
+    than ``n`` tokens contributes exactly one truncated gram — its
+    whole token stream (the ``greatest(..., 1)`` floor).  Two sub-n
+    documents therefore match iff verbatim-identical, and a reported
+    span may state length ``n`` although the document is shorter.
+    This is a deliberate, cross-engine-consistent extension of the
+    >=n ExactSubstr contract (whole-document repeats stay detectable
+    below the gram width); NULL token arrays (NULL text) are dropped
+    — no content, no span."""
     from pyspark.sql import Window
 
-    spans = toks_df.select(
+    spans = toks_df.filter(F.col(toks_col).isNotNull()).select(
         F.col(id_col),
         F.posexplode(
             F.expr(
@@ -1340,10 +1365,15 @@ def shared_chargram_occurrences(
     documents, as (id, start [0-based], owner).  Same single
     span-keyed window plan; feeds :func:`merge_covered_spans` for the
     Lee et al. ExactSubstr configuration, which is defined on
-    bytes/chars (min length ~50), not tokens."""
+    bytes/chars (min length ~50), not tokens.
+
+    Same sub-n fine print as :func:`shared_gram_occurrences` (a
+    shorter-than-n document contributes its whole text as one
+    truncated span); NULL text is dropped — previously every NULL doc
+    shared the [NULL] span with every other (r10 review)."""
     from pyspark.sql import Window
 
-    spans = docs.select(
+    spans = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.posexplode(
             F.expr(
@@ -1568,7 +1598,8 @@ def minhash_band_index(
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     from ..session import spread as _spread
 
-    spread = _spread(df, id_col, n_part)
+    # NULL text never enters the index (see minhash_candidate_pairs)
+    spread = _spread(df.filter(F.col(text_col).isNotNull()), id_col, n_part)
     sigs = spread.select(
         F.col(id_col).alias("id"),
         F.expr(

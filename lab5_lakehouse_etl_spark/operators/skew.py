@@ -54,12 +54,21 @@ def salted_join(
             "small-side rows would be duplicated n_salts times"
         )
     keys = list(on)
-    # per-row salt: hash over the key columns plus a uniform spreader;
-    # monotonically_increasing_id is fine — salt values never affect the
-    # result, only placement
+    # per-row salt: hash over ALL columns — fully DETERMINISTIC under
+    # task retry.  monotonically_increasing_id (the first cut) is
+    # nondeterministic across stage recomputation: after a fetch
+    # failure, recomputed map tasks can assign rows different salts
+    # than the outputs some reducers already consumed, duplicating or
+    # dropping rows through the shuffle (the SPARK-23207 class of
+    # silent corruption; r10 review).  Identical full rows now share a
+    # salt — placement-only, result-identical, and only a key whose
+    # hot rows are byte-identical loses spreading (such rows carry no
+    # distinguishing payload to begin with).
     big_s = big.withColumn(
         SALT,
-        F.pmod(F.xxhash64(*keys, F.monotonically_increasing_id()), F.lit(n_salts)),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+        ),
     )
     small_s = small.withColumn(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -90,7 +99,11 @@ def salted_agg(
         if fn not in allowed:
             raise ValueError(f"{out_col}: {fn} is not losslessly combinable")
 
-    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salts))
+    # deterministic per-row salt over all columns — see salted_join:
+    # monotonically_increasing_id is unstable under stage recomputation
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)
+    )
     partial_exprs = [
         getattr(F, fn)(src).alias(out_col) for out_col, (src, fn) in aggs.items()
     ]

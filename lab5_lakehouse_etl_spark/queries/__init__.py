@@ -218,7 +218,8 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_dedup_chunks": 9,
     "q_dedup_index_store": 9,
     "q_dedup_epoch": 9,
-    "q_stream_neardup": 9,
+    # (q_stream_neardup's r9 entry superseded by the r10 gate rework
+    # below)
     # r9 late: the exact-similarity kernels' shared set-relation /
     # identical-set-collapse machinery was extracted into
     # _distinct_set_relation/_identical_set_collapse (self-review #4);
@@ -274,6 +275,16 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_decontaminate": 10,
     "q_decontaminate_spans": 10,
     "q_stream_decontaminate": 10,
+    # r10 deep-review fixes: the streaming reject gates moved to
+    # replay-idempotent per-batch overwrite sinks (recursive readers),
+    # q_stream_neardup's verify side became corpus ∪ batch (a new doc
+    # absent from the static corpus no longer loses its candidates),
+    # and the skew demos' salt became a deterministic full-row hash
+    # (monotonically_increasing_id is unstable under stage
+    # recomputation — the SPARK-23207 silent-corruption class).
+    "q_stream_neardup": 10,
+    "q_skew_salted_agg": 10,
+    "q_skew_salted_join": 10,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

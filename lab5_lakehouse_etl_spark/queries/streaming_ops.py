@@ -491,7 +491,8 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if not os.path.isdir(out):  # zero contaminated docs
         return spark.createDataFrame([], "doc_id long, n_leaked_grams long")
-    return spark.read.parquet(out)
+    # per-batch subdirectories (replay-idempotent overwrite sinks)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out)
 
 
 @query(
@@ -562,8 +563,9 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import os
 
-    if not os.path.isdir(out):  # zero rejects: nothing was appended
+    if not os.path.isdir(out):  # zero rejects: nothing was written
         return spark.createDataFrame(
             [], "doc_id long, dup_of long, jaccard double"
         )
-    return spark.read.parquet(out)
+    # per-batch subdirectories (replay-idempotent overwrite sinks)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out)

@@ -180,9 +180,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rejects nanos (PARQUET_TYPE_ILLEGAL — Spark timestamps are µs)
     unless the legacy conf reads them as long, so we set the conf and
     branch on the landed type: long → rebuild the µs timestamp with
-    integer division (NOT float division — ns epoch values ~1.7e18
-    exceed double's 2^53 integer range; truncation matches DuckDB's
-    CAST(ts_ns AS TIMESTAMP)); timestamp/timestamp_ntz → cast to the
+    FLOOR integer division (NOT float division — ns epoch values
+    ~1.7e18 exceed double's 2^53 integer range; and not bare `div`,
+    which truncates toward zero: DuckDB's ns→µs conversion FLOORS, so
+    a pre-epoch nanosecond timestamp under `div` would land one µs
+    later than the oracle and than the MICROS encoding of the same
+    instant — measured: DuckDB maps -1500 ns to -2 µs; r10 review); timestamp/timestamp_ntz → cast to the
     session-local TIMESTAMP (a no-op under the pinned UTC timezone),
     so every downstream query sees one stable TIMESTAMP type.
     """
@@ -191,7 +194,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if df.schema["ts"].dataType.simpleString() == "bigint":
-            ts = F.timestamp_micros(F.expr("ts div 1000"))
+            ts = F.timestamp_micros(F.expr("(ts - ((ts % 1000) + 1000) % 1000) div 1000"))
         else:
             ts = F.col("ts").cast("timestamp")
         return df.withColumn("ts", ts).select(

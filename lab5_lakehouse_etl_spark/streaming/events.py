@@ -117,7 +117,7 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         .parquet(_as_stream_dir(path))
     )
     ts = (
-        F.timestamp_micros(F.expr("ts div 1000"))
+        F.timestamp_micros(F.expr("(ts - ((ts % 1000) + 1000) % 1000) div 1000"))
         if ts_is_long
         else F.col("ts").cast("timestamp")
     )
@@ -495,15 +495,33 @@ def stream_neardup_gate(
         cands = D.minhash_probe_index(
             stored_index, D.minhash_band_index(batch_df)
         )
-        ver = D.verified_near_dups(corpus, cands, threshold=0.5)
+        # verify over corpus ∪ batch: a genuinely NEW document (not in
+        # the static corpus relation) must still have shingles for the
+        # exact verify, or its candidates silently vanish through the
+        # inner join and the duplicate is ADMITTED (r10 review).
+        # dropDuplicates on id: in replay/overlap cases a batch doc
+        # already present in the corpus must not double its shingle
+        # rows (which would duplicate verified pairs).
+        verify_side = (
+            corpus.select("doc_id", "text")
+            .unionByName(batch_df.select("doc_id", "text"))
+            .dropDuplicates(["doc_id"])
+        )
+        ver = D.verified_near_dups(verify_side, cands, threshold=0.5)
         (
             ver.select(
                 SF.col("id_b").alias("doc_id"),
                 SF.col("id_a").alias("dup_of"),
                 "jaccard",
             )
-            .write.mode("append")
-            .parquet(out_path)
+            # one DIRECTORY per batch_id, mode=overwrite: foreachBatch
+            # commits the checkpoint AFTER this function returns, so a
+            # replayed batch rewrites ITS OWN directory instead of
+            # appending duplicate reject rows (r10 review — the
+            # batch-independence argument covers dataset contents,
+            # not a non-idempotent append sink)
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch_{batch_id}")
         )
 
     with _state_sized_shuffle(spark):
@@ -547,8 +565,10 @@ def stream_decontaminate_gate(
             return
         (
             DC.probe_leak_counts(batch_df, bench_grams, n=5)
-            .write.mode("append")
-            .parquet(out_path)
+            # per-batch overwrite sink — replay-idempotent, see
+            # stream_neardup_gate
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch_{batch_id}")
         )
 
     with _state_sized_shuffle(spark):

@@ -636,3 +636,59 @@ def test_bpe_merges_planted_corpus_greedy_semantics(spark, tmp_path):
     assert oracle == enc
     o_merges = con.sql(Q.ORACLES["q_bpe_merges"]).fetchall()
     assert [tuple(r) for r in o_merges] == got
+
+
+def test_null_text_never_a_dup_verdict(spark):
+    """r10 deep review: NULL text is "no content", never a similarity
+    verdict.  Previously every NULL-text doc (a) shared the [NULL]
+    shingle signature and verified at jaccard 1.0 through the MinHash
+    pipeline, (b) folded to SimHash fingerprint 0 and paired at
+    hamming 0, (c) crashed the dense exact-Jaccard route while the
+    prefix route silently dropped it, and (d) shared the [NULL] span
+    through the chargram report.  Pin: with planted NULL docs, every
+    kernel returns exactly the NULL-free corpus's answer."""
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+    from lab5_lakehouse_etl_spark.functions import text as T
+    from pyspark.sql import functions as SF
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    near = base.replace("tonight", "today")
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, None), (4, None),
+         (5, "entirely unrelated words appear here now")],
+        "doc_id long, text string",
+    )
+    # (a) minhash: only the true (1,2) pair; never (3,4)
+    cands = D.minhash_candidate_pairs(docs)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.verified_near_dups(docs, cands, threshold=0.5).collect()
+    }
+    assert pairs == {(1, 2)}
+    # (b) simhash: no NULL pair
+    sh = {(r.id_a, r.id_b) for r in D.simhash_near_dups(docs).collect()}
+    assert (3, 4) not in sh
+    # (c) exact-jaccard router: dense route must not crash, and no
+    # NULL doc appears (force dense with a huge vocab cap)
+    dense = {
+        (r.id_a, r.id_b)
+        for r in D.exact_jaccard_pairs(
+            docs, threshold=0.5, dense_vocab_max=10**6
+        ).collect()
+    }
+    prefix = {
+        (r.id_a, r.id_b)
+        for r in D.exact_jaccard_pairs(
+            docs, threshold=0.5, dense_vocab_max=0
+        ).collect()
+    }
+    assert dense == prefix == {(1, 2)}
+    # (d) span reports: no occurrence rows from NULL docs
+    toks = docs.select("doc_id", T.tokens(SF.col("text")).alias("toks"))
+    g = D.shared_gram_occurrences(toks, n=8)
+    assert not {r.doc_id for r in g.collect()} & {3, 4}
+    cg = D.shared_chargram_occurrences(docs, n=20)
+    assert not {r.doc_id for r in cg.collect()} & {3, 4}
+    # (e) the band index never stores a NULL doc
+    idx_ids = {r.id for r in D.minhash_band_index(docs).collect()}
+    assert not idx_ids & {3, 4}

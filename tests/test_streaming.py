@@ -396,12 +396,42 @@ def test_stream_decontaminate_invariant_to_batching(spark, tmp_path):
 
         if not os.path.isdir(out):
             return set()
+        # per-batch subdirectories (replay-idempotent overwrite sinks)
         return {
             (r.doc_id, r.n_leaked_grams)
-            for r in spark.read.parquet(out).collect()
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(out)
+            .collect()
         }
 
     four = drained(1, "four")
     one = drained(4, "one")
     assert four == one
     assert len(four) > 0  # the fixture plants real contamination
+
+
+def test_nanos_rebuild_floors_like_duckdb(spark, tmp_path):
+    """r10 deep review: the ns→µs rebuild for TIMESTAMP(NANOS) fixtures
+    must FLOOR, not truncate toward zero — DuckDB's ns→µs conversion
+    floors (measured: -1500 ns → -2 µs), so a pre-epoch nanosecond
+    event under bare `div` would land one µs later than the oracle and
+    than the MICROS encoding of the same instant, shifting
+    window/watermark assignment between the two supported encodings."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    FLOOR = "(ts - ((ts % 1000) + 1000) % 1000) div 1000"
+    df = spark.createDataFrame(
+        [(-1500,), (-999,), (-1,), (0,), (999,), (1500,)], "ts long"
+    )
+    got = {r.ts: r.us for r in df.select(
+        "ts", F.expr(FLOOR).alias("us")).collect()}
+    con = duckdb.connect()
+    for ns, want in got.items():
+        # DuckDB floors in its ns->us conversion; state it arithmetically
+        duck = con.execute(
+            f"SELECT CAST(floor({ns} / 1000.0) AS BIGINT)"
+        ).fetchone()[0]
+        assert want == duck, (ns, want, duck)
+    assert got == {-1500: -2, -999: -1, -1: -1, 0: 0, 999: 0, 1500: 1}
