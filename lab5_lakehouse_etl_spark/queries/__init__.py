@@ -285,6 +285,12 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_stream_neardup": 10,
     "q_skew_salted_agg": 10,
     "q_skew_salted_join": 10,
+    # Round-11: the real PNG decode path (functions/png.py +
+    # multimodal.decode_image/png_media_from_ids/decode_image_stats) —
+    # new query, listed so the scoped dep-manifest decision can anchor
+    # on it; the other multimodal queries' functions are byte-identical
+    # (additive-only module edit, see the r11 manifest scope reason).
+    "q_multimodal_decode": 11,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

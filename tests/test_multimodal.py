@@ -53,9 +53,106 @@ def test_sample_frames_covers_payload(media):
         assert sum(lens) == sizes[mid]
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError, match="image codecs"):
-        M.decode_image(b"\x89PNG")
+def test_decode_non_png_still_raises():
+    # the real decode path covers PNG; other codecs remain an explicit
+    # NotImplementedError, never a silent wrong answer
+    with pytest.raises(NotImplementedError, match="PNG decode"):
+        M.decode_image(b"\xff\xd8\xff\xe0JFIF-ish")
+
+
+# ---------------------------------------------------------------- PNG codec
+
+
+def _pixels(n: int, seed: int = 7) -> bytes:
+    return bytes((seed * 31 + i * 17) % 256 for i in range(n))
+
+
+@pytest.mark.parametrize("color_type,channels", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_png_roundtrip_all_color_types(color_type, channels):
+    from lab5_lakehouse_etl_spark.functions import png
+
+    w, h = 13, 11  # odd sizes so stride math has no power-of-two luck
+    px = _pixels(w * h * channels, seed=color_type + 3)
+    data = png.encode_png(w, h, px, color_type=color_type)
+    assert data[:8] == png.PNG_SIGNATURE
+    dw, dh, dc, dpx = png.decode_png(data)
+    assert (dw, dh, dc) == (w, h, channels)
+    assert dpx == px
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_roundtrip_each_filter(ftype):
+    # pin every filter individually — the cycling default could in
+    # principle hide a bug where two filter errors cancel
+    from lab5_lakehouse_etl_spark.functions import png
+
+    w, h = 9, 6
+    px = _pixels(w * h * 3, seed=ftype + 11)
+    data = png.encode_png(w, h, px, color_type=2, filter_of_row=lambda y: ftype)
+    assert png.decode_png(data) == (w, h, 3, px)
+
+
+def test_png_crc_corruption_fails_loudly():
+    from lab5_lakehouse_etl_spark.functions import png
+
+    data = bytearray(png.encode_png(4, 4, _pixels(48), color_type=2))
+    # flip one byte inside the IDAT payload (after sig+IHDR chunk)
+    idat_at = bytes(data).index(b"IDAT")
+    data[idat_at + 10] ^= 0x40
+    with pytest.raises(ValueError, match="CRC"):
+        png.decode_png(bytes(data))
+
+
+def test_png_rejects_out_of_scope_forms():
+    import struct
+    import zlib
+
+    from lab5_lakehouse_etl_spark.functions import png
+
+    with pytest.raises(ValueError, match="signature"):
+        png.decode_png(b"not a png at all")
+    with pytest.raises(NotImplementedError, match="color type"):
+        png.encode_png(2, 2, b"\x00" * 4, color_type=3)
+
+    def build(depth=8, color=2, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        raw = b"\x00" + b"\x01" * 6 + b"\x00" + b"\x02" * 6
+        return (
+            png.PNG_SIGNATURE
+            + png._chunk(b"IHDR", ihdr)
+            + png._chunk(b"IDAT", zlib.compress(raw))
+            + png._chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        png.decode_png(build(depth=16))
+    with pytest.raises(NotImplementedError, match="interlacing"):
+        png.decode_png(build(interlace=1))
+    with pytest.raises(NotImplementedError, match="color type"):
+        png.decode_png(build(color=3))
+
+
+def test_decode_image_stats_matches_fixture_formula(spark):
+    # distributed decode == the closed-form ground truth the oracle
+    # states, including a NULL payload row mapping to NULL stats
+    ids = spark.range(0, 25).selectExpr("id AS doc_id")
+    media = M.png_media_from_ids(ids, id_col="doc_id")
+    stats = {r.media_id: r for r in M.decode_image_stats(media).collect()}
+    for mid in range(25):
+        w = 8 + mid % 9
+        h = 8 + (mid // 9) % 9
+        sums = [0, 0, 0]
+        for i in range(w * h * 3):
+            sums[i % 3] += (mid * 31 + i) % 256
+        r = stats[mid]
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert list(r.channel_sums) == sums
+
+    null_media = media.selectExpr(
+        "media_id", "CAST(NULL AS BINARY) AS payload"
+    ).limit(3)
+    for r in M.decode_image_stats(null_media).collect():
+        assert r.width is None and r.channel_sums is None
 
 
 def test_resize_preserves_prefix_and_pads(media):
