@@ -36,6 +36,7 @@ _MODULES = (
     "streaming_ops",
     "pipeline_ops",
     "subqueries",
+    "sql_text",
     "tpch",
     "events_ops",
     "skew_ops",
