@@ -230,8 +230,11 @@ def ratio_regressions(
 
     here = os.path.dirname(os.path.abspath(__file__))
 
-    def _round_of(p: str) -> int:
-        return int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+    def _round_of(p: str) -> int | None:
+        # r11 advice: a stray glob hit without digits after the 'r'
+        # (BENCH_rerun.json) must be skipped, not crash the gate
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else None
 
     explicit = os.environ.get("SPARK_GRAFT_BENCH_BASELINE_ROUND")
     cur_round = None
@@ -246,11 +249,22 @@ def ratio_regressions(
                 cur_round = int(json.load(fh).get("baseline_round", 0))
         except (OSError, ValueError):
             cur_round = 0
+    if not cur_round:
+        # r11 advice: a missing baseline_round would silently revert to
+        # newest-file (self-comparison) — warn on stderr, never stdout
+        # (the recording driver parses stdout's final line)
+        print(
+            "bench: WARNING no baseline_round in tests/dep_manifest.json "
+            "and no SPARK_GRAFT_BENCH_BASELINE_ROUND — the current round's "
+            "own artifact is NOT excluded from baseline selection",
+            file=sys.stderr,
+        )
     rounds = sorted(
         (
             p
             for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-            if not cur_round or _round_of(p) < cur_round
+            if _round_of(p) is not None
+            and (not cur_round or _round_of(p) < cur_round)
         ),
         key=_round_of,
     )

@@ -90,10 +90,20 @@ def ensure_gram_index(
     """Read the persisted gram index for ``cache_key``, building it
     first if this process has not yet done so — so the batch audit, the
     span report, and the ingest gate all probe ONE artifact instead of
-    re-deriving the gram set per query.  The key (e.g. the sf_dir)
-    names the benchmark snapshot; the path lives in the per-process
-    scratch area, so fixtures never leak across processes or stale
-    across driver runs."""
+    re-deriving the gram set per query.  The path lives in the
+    per-process scratch area, so fixtures never leak across processes
+    or stale across driver runs.
+
+    CACHE-KEY CONTRACT (r10 advice): the persisted artifact is keyed on
+    ``(cache_key, n, id_col, text_col)`` ONLY — not on the ``heldout``
+    relation's definition or content.  ``cache_key`` must therefore
+    uniquely name the heldout CONTENTS, not just a fixture directory: a
+    benchmark-snapshot version, or the sf_dir PLUS the split predicate
+    when more than one heldout subset can be derived from it.  Two
+    callers passing different heldout relations under the same key
+    would silently probe whichever index was built first.  All four
+    in-repo consumers derive the identical deterministic test split per
+    sf_dir, so sf_dir alone is a faithful content name for them."""
     from ..lakehouse import LakeTable
     from ..session import scratch_dir
 

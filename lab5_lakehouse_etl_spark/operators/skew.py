@@ -27,6 +27,7 @@ def salted_join(
     on: Sequence[str],
     n_salts: int = 16,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join where the big side's hot keys are spread over
     ``n_salts`` shuffle partitions.
@@ -37,6 +38,20 @@ def salted_join(
     literal range — n_salts× the SMALL side only, never the big side).
     Join keys become (key..., salt); the salt is dropped afterwards, so
     the result equals the unsalted join exactly.
+
+    SALT-UNIQUENESS REQUIREMENT: the salt is a deterministic hash of
+    ``salt_cols`` (default: ALL big-side columns — the only
+    retry-deterministic rowwise signal available without an id; see the
+    SPARK-23207 note below).  Rows that are byte-identical on
+    ``salt_cols`` share one salt, so a hot key whose rows are EXACT
+    duplicates collapses onto a single reducer — silently reinstating
+    the straggler this operator exists to remove (r10 advice).  If the
+    big side lacks a unique id column and can carry fully duplicated
+    hot rows, pass ``salt_cols`` naming columns that distinguish them
+    (ingest offset, file+row position) — or add such a column upstream;
+    there is no deterministic way to spread indistinguishable rows.
+    The declared demo queries are safe: their big sides carry unique
+    ids.
 
     Use when the small side is too big to broadcast AND a key is hot
     enough that one reducer would own it entirely. For broadcastable
@@ -67,7 +82,8 @@ def salted_join(
     big_s = big.withColumn(
         SALT,
         F.pmod(
-            F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+            F.xxhash64(*[F.col(c) for c in (salt_cols or big.columns)]),
+            F.lit(n_salts),
         ),
     )
     small_s = small.withColumn(
@@ -82,6 +98,7 @@ def salted_agg(
     keys: Sequence[str],
     aggs: dict[str, tuple[str, str]],
     n_salts: int = 16,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase aggregation for skewed group keys: partial aggregate on
     (keys..., salt), then final combine on keys.
@@ -93,6 +110,13 @@ def salted_agg(
     aggregation; the explicit salt phase adds a REDUCE-side split for
     keys whose partials alone overwhelm one reducer (e.g. count
     distinct-ish state or extreme row counts per key).
+
+    SALT-UNIQUENESS REQUIREMENT (same contract as :func:`salted_join`,
+    r10 advice): the salt hashes ``salt_cols`` (default all columns);
+    rows byte-identical on those columns share a salt, so a hot group
+    made of EXACT duplicate rows still lands on one reducer.  Pass
+    ``salt_cols`` naming a uniqueness-bearing column set (or add one
+    upstream) when the input can carry fully duplicated hot rows.
     """
     allowed = {"sum", "count", "min", "max"}
     for out_col, (_, fn) in aggs.items():
@@ -102,7 +126,8 @@ def salted_agg(
     # deterministic per-row salt over all columns — see salted_join:
     # monotonically_increasing_id is unstable under stage recomputation
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)
+        F.xxhash64(*[F.col(c) for c in (salt_cols or df.columns)]),
+        F.lit(n_salts),
     )
     partial_exprs = [
         getattr(F, fn)(src).alias(out_col) for out_col, (src, fn) in aggs.items()

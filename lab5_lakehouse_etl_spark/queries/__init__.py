@@ -283,7 +283,11 @@ _REWRITTEN_IN: dict[str, int] = {
     # and the skew demos' salt became a deterministic full-row hash
     # (monotonically_increasing_id is unstable under stage
     # recomputation — the SPARK-23207 silent-corruption class).
-    "q_stream_neardup": 10,
+    # r11: the neardup gate's verify side moved from arbitrary-survivor
+    # dropDuplicates to a deterministic corpus-wins left-anti union
+    # (r10 advice; identical values on the declared fixtures where
+    # overlap rows are identical, but the executed plan changed).
+    "q_stream_neardup": 11,
     "q_skew_salted_agg": 10,
     "q_skew_salted_join": 10,
     # Round-11: the real PNG decode path (functions/png.py +

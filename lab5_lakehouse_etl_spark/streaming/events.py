@@ -499,13 +499,21 @@ def stream_neardup_gate(
         # the static corpus relation) must still have shingles for the
         # exact verify, or its candidates silently vanish through the
         # inner join and the duplicate is ADMITTED (r10 review).
-        # dropDuplicates on id: in replay/overlap cases a batch doc
-        # already present in the corpus must not double its shingle
-        # rows (which would duplicate verified pairs).
-        verify_side = (
-            corpus.select("doc_id", "text")
-            .unionByName(batch_df.select("doc_id", "text"))
-            .dropDuplicates(["doc_id"])
+        # Overlap policy — CORPUS WINS, deterministically (r10 advice):
+        # the first cut used dropDuplicates(["doc_id"]) over the union,
+        # whose surviving row is arbitrary when a replayed/overlapping
+        # batch carries DIFFERENT text for an id already in the corpus,
+        # making the verify outcome (hence the reject set)
+        # nondeterministic.  A left-anti on the corpus ids keeps
+        # exactly the corpus row for overlaps (the stored/indexed text
+        # IS the ground truth a duplicate gate verifies against) and
+        # still contributes batch-only docs' shingles.  Cost: one
+        # id-projected hash join per batch — the corpus text column
+        # never moves for overlap rows.
+        verify_side = corpus.select("doc_id", "text").unionByName(
+            batch_df.select("doc_id", "text").join(
+                corpus.select("doc_id"), "doc_id", "left_anti"
+            )
         )
         ver = D.verified_near_dups(verify_side, cands, threshold=0.5)
         (

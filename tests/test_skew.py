@@ -98,3 +98,38 @@ def test_declared_skew_queries_match_unsalted(spark):
         )
     )
     assert _rows(agg) == _rows(plain)
+
+
+def test_salt_cols_spreads_duplicate_hot_rows(spark):
+    # r10 advice: byte-identical hot rows collapse onto one salt under
+    # the default full-row hash; an explicit uniqueness-bearing
+    # salt_cols spreads them AND stays result-identical
+    hot = spark.range(10_000).selectExpr(
+        "CAST(1 AS BIGINT) AS k", "CAST(7 AS BIGINT) AS v", "id AS uid"
+    )
+    # default (hash over k,v only — simulate an id-less frame)
+    dup = hot.select("k", "v")
+    collapsed = dup.withColumn(
+        skew.SALT, F.pmod(F.xxhash64("k", "v"), F.lit(8))
+    )
+    assert collapsed.select(skew.SALT).distinct().count() == 1
+
+    agg_default = skew.salted_agg(
+        hot, ["k"], {"n": ("v", "count"), "s": ("v", "sum")}
+    )
+    agg_salted = skew.salted_agg(
+        hot, ["k"], {"n": ("v", "count"), "s": ("v", "sum")},
+        salt_cols=["uid"],
+    )
+    assert _rows(agg_default) == _rows(agg_salted)
+    spread = hot.withColumn(
+        skew.SALT, F.pmod(F.xxhash64("uid"), F.lit(8))
+    )
+    assert spread.select(skew.SALT).distinct().count() == 8
+
+    small = spark.range(3).selectExpr("CAST(1 AS BIGINT) AS k", "id AS tag")
+    j_default = skew.salted_join(hot, small, ["k"])
+    j_salted = skew.salted_join(hot, small, ["k"], salt_cols=["uid"])
+    assert _rows(j_default.select("k", "v", "uid", "tag")) == _rows(
+        j_salted.select("k", "v", "uid", "tag")
+    )
