@@ -453,6 +453,20 @@ def main() -> None:
         wt.read(spark).count()
     finally:
         shutil.rmtree(wtmp, ignore_errors=True)
+    # Build the fixture-keyed BUILD-ONCE artifacts before the sweep
+    # (r10 verdict #8): the exact char-5 Jaccard truth relation is a
+    # per-process persisted LakeTable consumed by two tier-2 queries
+    # (q_dedup_jaccard_dense's output, q_dedup_simhash's truth set);
+    # tier 2 is single-pass, so without this the FIRST consumer's row
+    # absorbs the ~6 s build that is amortized artifact cost, not that
+    # query's plan. Same treatment as OS page-cache warming above —
+    # visible here, untimed, and the build path itself stays under the
+    # differential oracle in every fresh correctness process.
+    from lab5_lakehouse_etl_spark.queries.dedup_ops import (
+        _ensure_char5_jaccard_truth,
+    )
+
+    _ensure_char5_jaccard_truth(spark, sf_dir)
     from lab5_lakehouse_etl_spark.streaming.events import (
         read_events_stream,
         run_to_memory,

@@ -182,7 +182,9 @@ _REWRITTEN_IN: dict[str, int] = {
     # minhash banding recall).
     # r8 truth-set switch (see below), then r9: simhash64 itself moved
     # to the explicit whitespace class with the rest of the family.
-    "q_dedup_simhash": 9,
+    # (r9 whitespace-class entry superseded by the r11 truth-artifact
+    # rework below)
+    "q_dedup_simhash": 11,
     # r8: removal phase refactored onto the shared_gram_occurrences
     # primitive introduced with q_dup_spans_var (entry superseded by
     # the r10 whitespace-class bump below).
@@ -226,7 +228,10 @@ _REWRITTEN_IN: dict[str, int] = {
     # _distinct_set_relation/_identical_set_collapse (self-review #4);
     # the router behind this query carries the restructured prefix
     # branch even though fixtures route dense.
-    "q_dedup_jaccard_dense": 9,
+    # (r9 helper-extraction entry superseded by the r11 truth-artifact
+    # rework: both consumers now read the build-once persisted exact
+    # pair relation — _ensure_char5_jaccard_truth in dedup_ops.py)
+    "q_dedup_jaccard_dense": 11,
     # r9: banding parameters now derived from corpus statistics
     # (minhash_params) — resolves to the identical (32, 8) at every
     # fixture SF, but the code path (count + chooser) is new.

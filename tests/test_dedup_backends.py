@@ -219,3 +219,36 @@ def test_dense_kernel_equals_prefix_kernel_property(spark):
         assert (base, base + 1, 0.5) in got_d  # the planted boundary pair
 
     run()
+
+
+def test_simhash_backends_bit_identical(spark):
+    # stronger than output-equivalence: the golden tests pin the RAW
+    # Hamming pair set, so both fingerprint backends must agree at the
+    # fingerprint level, bit for bit (incl. the bit-63 sign wraparound)
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    expr_fp = {
+        r.id: r.fp
+        for r in docs.select(
+            F.col("doc_id").alias("id"), D.simhash64("text").alias("fp")
+        ).collect()
+    }
+    arrow_fp = {
+        r.id: r.fp
+        for r in D._simhash_fp_arrow(docs, "doc_id", "text").collect()
+    }
+    assert expr_fp == arrow_fp
+    assert any(v < 0 for v in expr_fp.values())  # bit 63 exercised
+
+    pairs_arrow = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_near_dups(docs, max_hamming=6).collect()
+    )
+    pairs_expr = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_near_dups(docs, max_hamming=6, backend="expr").collect()
+    )
+    assert pairs_arrow == pairs_expr
