@@ -336,6 +336,7 @@ def compact_line(
             "n_queries": len(all_timings),
             "tier2_total": detail["tier2_total"],
             "tier2_skipped_n": len(detail["tier2_skipped"]),
+            "isolated_n": len(detail.get("isolated_sec", {})),
             "calibration_sec": cal_sec,
             "ratio_regressions": regs_line,
             "ratio_regressions_n": len(regs),
@@ -377,28 +378,10 @@ def preflight() -> None:
         sys.exit(rc)
 
 
-def main() -> None:
-    if "--preflight" in sys.argv or os.environ.get(
-        "SPARK_GRAFT_BENCH_PREFLIGHT"
-    ) == "1":
-        preflight()
-    # budget clock starts AFTER the opt-in preflight on purpose: the
-    # driver never runs preflight, and a local preflight (minutes of
-    # pytest) eating the tier-2 budget would make dev runs silently
-    # less covered than driver runs
-    bench_start = time.perf_counter()
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Python workers inherit this env: pyspark's own stateful-streaming
-    # serializer trips a pandas-2.x FutureWarning (serializers.py:1696,
-    # concat of empty state frames — not our code) once per worker,
-    # which would land in the size-guarded bench tail. Bench-scope
-    # only; pytest keeps the default warning policy.
-    os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
-    Q.load_all()
-    spark = build_session("lab5-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def warmup(spark, sf_dir: str) -> None:
+    """Untimed process bring-up — shared by the main sweep and the
+    --isolate-run child so both measure the engine, not JVM/worker
+    startup; see the inline comments for what each block buys."""
     # Untimed warmup: exercise scan → shuffle → agg once so JVM JIT,
     # codegen compilation, and shuffle-service init don't land in the
     # first measured query, and spin up the Python/Arrow worker pool
@@ -481,6 +464,117 @@ def main() -> None:
         spark,
     ).count()
 
+
+#: Job-count-heavy tier-2 queries re-measured in a FRESH subprocess
+#: (r10 verdict #4): their sweep-slot numbers are dominated by the
+#: measured driver-aging artifact of the 213-plan sweep (per-job
+#: scheduler overhead grows with driver session age — README "Bench
+#: environment variance"), so the sweep row is useless as a regression
+#: signal. The isolated run is one young driver executing only these,
+#: right after warmup — the "fresh-session" number the r8 measurement
+#: quoted. Sweep numbers stay in `queries` (sweep comparability);
+#: isolated numbers land in `isolated_sec` and REPLACE the sweep value
+#: in `queries_ratio`, which is what cross-round regression review
+#: reads for these names.
+ISOLATE_QUERIES = [
+    "q_stream_neardup",
+    "q_ann_index_append",
+    "q_ann_index_store",
+    "q_merge_upsert",
+]
+
+
+def isolate_child(names: list[str], sf_dir: str) -> None:
+    """--isolate-run child: fresh session + shared warmup, then one
+    timed execution per query; prints ONE JSON line."""
+    import gc
+
+    Q.load_all()
+    spark = build_session("lab5-bench-isolated")
+    spark.sparkContext.setLogLevel("ERROR")
+    warmup(spark, sf_dir)
+    out: dict[str, float] = {}
+    for name in names:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        try:
+            force(fn(spark, sf_dir))
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            out[name] = -1.0
+        spark.catalog.clearCache()
+        gc.collect()
+    print(json.dumps({"isolated": out}, separators=(",", ":")))
+    spark.stop()
+
+
+def run_isolated(sf_dir: str, remaining_budget: float) -> tuple[dict, list]:
+    """Spawn the isolate child if the budget allows; returns
+    ({name: isolated_sec}, skipped_names). Fail-soft: a child crash or
+    timeout reports every name as skipped, never kills the bench."""
+    import subprocess
+
+    names = [n for n in ISOLATE_QUERIES if n in Q.QUERIES]
+    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "1" or not names:
+        return {}, names
+    # one session bring-up + warmup (~25 s) + the queries themselves
+    # (~20 s fresh): refuse below 90 s so the child can't blow the
+    # driver's window
+    if remaining_budget < float(
+        os.environ.get("SPARK_GRAFT_BENCH_ISOLATE_MIN_BUDGET", "90")
+    ):
+        return {}, names
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--isolate-run",
+                ",".join(names),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=max(remaining_budget, 60),
+            env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir),
+        )
+        last = proc.stdout.strip().splitlines()[-1]
+        got = json.loads(last).get("isolated", {})
+        return got, [n for n in names if n not in got]
+    except Exception:
+        return {}, names
+
+
+def main() -> None:
+    if "--isolate-run" in sys.argv:
+        os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
+        names = sys.argv[sys.argv.index("--isolate-run") + 1].split(",")
+        isolate_child(
+            [n.strip() for n in names if n.strip()],
+            os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR),
+        )
+        return
+    if "--preflight" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_BENCH_PREFLIGHT"
+    ) == "1":
+        preflight()
+    # budget clock starts AFTER the opt-in preflight on purpose: the
+    # driver never runs preflight, and a local preflight (minutes of
+    # pytest) eating the tier-2 budget would make dev runs silently
+    # less covered than driver runs
+    bench_start = time.perf_counter()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Python workers inherit this env: pyspark's own stateful-streaming
+    # serializer trips a pandas-2.x FutureWarning (serializers.py:1696,
+    # concat of empty state frames — not our code) once per worker,
+    # which would land in the size-guarded bench tail. Bench-scope
+    # only; pytest keeps the default warning policy.
+    os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
+    Q.load_all()
+    spark = build_session("lab5-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    warmup(spark, sf_dir)
+
     # Multiple full passes, report the per-query MINIMUM: pass 1 still
     # pays residual JIT/codegen-cache warm-up for whichever operators
     # run first, which round-over-round diffing then misreads as plan
@@ -543,9 +637,18 @@ def main() -> None:
             spark.catalog.clearCache()
             gc.collect()
 
+    # isolated re-measure of the job-count-heavy family in a fresh
+    # subprocess (r10 verdict #4) — within whatever budget remains
+    isolated, iso_skipped = run_isolated(
+        sf_dir, budget - (time.perf_counter() - bench_start)
+    )
+
     all_timings = {**timings, **t2_timings}
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     regs, regs_baseline = ratio_regressions(timings, cal_sec)
+    # ratio basis: isolated number where one exists (driver-aging-free),
+    # sweep number otherwise — regression review reads queries_ratio
+    ratio_basis = {**all_timings, **{n: t for n, t in isolated.items() if t > 0}}
     detail = {
         "env": env_probe(),
         "ratio_regressions": regs,
@@ -558,11 +661,13 @@ def main() -> None:
         "tier2_n": len(t2_timings),
         "tier2_total": round(sum(t for t in t2_timings.values() if t > 0), 3),
         "tier2_skipped": t2_skipped,
+        "isolated_sec": isolated,
+        "isolated_skipped": iso_skipped,
         "queries": all_timings,
         "calibration_sec": cal_sec,
         "queries_ratio": {
             n: round(t / cal_sec, 2) if cal_sec > 0 and t > 0 else None
-            for n, t in all_timings.items()
+            for n, t in ratio_basis.items()
         },
         "sf": sf_val,
     }
