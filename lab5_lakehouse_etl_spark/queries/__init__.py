@@ -301,6 +301,10 @@ _REWRITTEN_IN: dict[str, int] = {
     # on it; the other multimodal queries' functions are byte-identical
     # (additive-only module edit, see the r11 manifest scope reason).
     "q_multimodal_decode": 11,
+    # Round-11: new vendored Delta-log writer (lakehouse/delta_log.py)
+    # — new query anchoring the scoped manifest decision, like
+    # q_multimodal_decode above.
+    "q_table_delta_log": 11,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -860,3 +860,46 @@ def q_table_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = LakeTable.create(base, path)
     t.merge(spark, src, key=["o_orderkey"], evolve_schema=True)
     return t.read(spark).select("o_orderkey", "o_custkey", "priority_class")
+
+
+@query(
+    "q_table_delta_log",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CASE WHEN n_nationkey < 10 THEN 'dl-updated' ELSE n_name END
+               AS n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def q_table_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-protocol interchange WITHOUT delta-spark (r10 verdict
+    next-round #5; the reference's write path is delta-spark MERGE,
+    jobs/order_glue_job.py:151-158): create a partitioned LakeTable,
+    MERGE an update into it (two versions, so the log carries removes
+    as well as adds), export the vendored ``_delta_log`` JSON commits
+    (lakehouse/delta_log.py — protocol/metaData/add/remove actions per
+    Delta PROTOCOL.md), then read the table back EXCLUSIVELY through
+    the exported log with the spec's snapshot-replay algorithm
+    (read_delta_snapshot: latest metaData wins, newest add/remove per
+    path decides membership, partition columns re-injected from
+    partitionValues with schemaString types).  The oracle restates the
+    merged relation from the source table — a wrong action stream,
+    partition-value encoding, or schemaString breaks the value hash."""
+    tune(spark)
+    from ..lakehouse.delta_log import export_delta_log, read_delta_snapshot
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = scratch_dir("q_table_delta_log", fresh=True) + "/t"
+    t = LakeTable.create(nation, path, partition_by=["n_regionkey"])
+    upd = nation.filter(F.col("n_nationkey") < 10).withColumn(
+        "n_name", F.lit("dl-updated")
+    )
+    t.merge(spark, upd, key=["n_nationkey"])
+    export_delta_log(t)
+    snap = read_delta_snapshot(spark, path)
+    return snap.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )
