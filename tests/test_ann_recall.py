@@ -285,3 +285,74 @@ def test_index_append_is_load_bearing(spark, tmp_path):
     assert 0 not in probe_ids()  # base-only index cannot know vec 0
     t.append(spark, batch.withColumn("cell", cell).repartition("cell"))
     assert 0 in probe_ids()  # the append made it probeable
+
+
+def test_recall_monitor_detects_boundary_drift(spark, tmp_path):
+    """r10 verdict #7: appends never re-cluster, so a drifting stream
+    can land where the fixed hyperplane geometry is blind — a tight
+    new cluster centered in the NULL SPACE of every hyperplane has
+    near-zero plane dots, so its members' sign patterns are noise and
+    the cluster scatters across all 2^n cells.  Probe recall from that
+    slice collapses while the healthy (cell-aligned) slice stays at
+    1.0 — exactly the silent degradation the monitor must surface."""
+    from pyspark.sql import functions as F
+
+    from lab5_lakehouse_etl_spark.lakehouse import LakeTable
+    from lab5_lakehouse_etl_spark.queries.similarity_ops import (
+        ann_probe_recall,
+    )
+
+    dim, n_planes, k = 16, 6, 10
+    planes = np.array(S.hyperplanes(dim, n_planes=n_planes, seed=42))
+    rng = np.random.default_rng(7)
+
+    # healthy base: 4 tight clusters with big hyperplane margins (each
+    # cluster lives inside ONE cell — the shape real embeddings take)
+    centers = rng.normal(size=(4, dim)) * 4.0
+    base = np.concatenate(
+        [c + rng.normal(scale=0.01, size=(100, dim)) for c in centers]
+    )
+
+    # drifted batch: centered in the hyperplanes' common null space
+    # (project out every plane normal, twice for numerical safety)
+    u = rng.normal(size=dim)
+    q_basis, _ = np.linalg.qr(planes.T)  # orthonormal span of normals
+    u = u - q_basis @ (q_basis.T @ u)
+    u = u / np.linalg.norm(u)
+    assert max(abs(planes @ u)) < 1e-9
+    drift = u[None, :] * 4.0 + rng.normal(scale=0.02, size=(80, dim))
+
+    vecs = np.concatenate([base, drift])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    cell = S.lsh_bucket("embedding", [list(map(float, p)) for p in planes])
+    base_df = df.filter(F.col("vec_id") < len(base))
+    drift_df = df.filter(F.col("vec_id") >= len(base))
+    t = LakeTable.create(
+        base_df.withColumn("cell", cell).repartition("cell"),
+        str(tmp_path / "ivf"),
+        partition_by=["cell"],
+    )
+    t.append(spark, drift_df.withColumn("cell", cell).repartition("cell"))
+    stored, hist = t.read(spark), t.partition_histogram("cell")
+
+    # drifted cluster really is scattered: far more distinct cells
+    # than the 4 the healthy clusters occupy
+    drift_cells = (
+        drift_df.withColumn("cell", cell).select("cell").distinct().count()
+    )
+    assert drift_cells > 10
+
+    kw = dict(k=k, n_planes=n_planes, seed=42, min_candidates_factor=4)
+    healthy = ann_probe_recall(
+        spark, stored, hist, df, [0, 100, 200, 300], **kw
+    )
+    drifted = ann_probe_recall(
+        spark, stored, hist, df, [len(base), len(base) + 7, len(base) + 31], **kw
+    )
+    h_mean = sum(r for _, r in healthy) / len(healthy)
+    d_mean = sum(r for _, r in drifted) / len(drifted)
+    assert h_mean == 1.0          # aligned clusters: perfect recall
+    assert d_mean < 0.4           # drifted slice: alarm-level collapse
