@@ -284,8 +284,141 @@ def banding_crossover() -> None:
     spark.stop()
 
 
+def append_slope() -> None:
+    """Measure the O(batch)-vs-O(table) slope of the two persisted
+    incremental indexes (r10 verdict #6): append a FIXED-size batch to
+    a base index of growing size and time the append (+ one probe).
+    If maintenance is truly O(batch), the append wall stays flat while
+    the base grows 8x; a hidden rebuild would scale with the base.
+    Also verifies NO REBUILD structurally: the append commit must
+    carry over every base file (zero removed), only adding new ones.
+
+    Legs: the ANN cell-partitioned index (q_ann_index_append's layout,
+    2000-vector batch, 2^7 cells) and the minhash band index
+    (q_dedup_epoch's layout, 1000-doc batch, 8 band partitions).
+    Corpora reuse the banding_crossover recipe (fixed 20k-word Zipf
+    vocabulary) so bucket densities scale the way a real corpus does.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+    from lab5_lakehouse_etl_spark.functions import similarity as S
+    from lab5_lakehouse_etl_spark.lakehouse import LakeTable
+    from lab5_lakehouse_etl_spark.session import build_session
+
+    spark = build_session("append-slope", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def check_no_rebuild(t: LakeTable) -> str:
+        v = t.version()
+        prev = set(t._manifest(v - 1)["files"])
+        cur = set(t._manifest(v)["files"])
+        removed = prev - cur
+        return (
+            f"carried={len(prev & cur)} added={len(cur - prev)} "
+            f"removed={len(removed)}"
+            + ("  !! REBUILD" if removed else "  (pure append)")
+        )
+
+    dim, batch_n = 64, 2000
+    print("ANN cell index: fixed 2000-vector batch into growing base")
+    print("base_n   append_s  probe_s  commit")
+    for base_n in (20_000, 50_000, 100_000, 200_000):
+        path = f"/tmp/sfslope_ann_{base_n}"
+        pfile = f"{path}/embeddings.parquet"
+        if not os.path.exists(pfile):
+            os.makedirs(path, exist_ok=True)
+            rng = np.random.RandomState(7)
+            emb = rng.randn(base_n + batch_n, dim).astype(np.float32)
+            pq.write_table(
+                pa.table({
+                    "vec_id": pa.array(range(base_n + batch_n), pa.int64()),
+                    "embedding": pa.array(
+                        [r.tolist() for r in emb], pa.list_(pa.float32())
+                    ),
+                }),
+                pfile,
+            )
+        allv = spark.read.parquet(pfile)
+        planes = S.hyperplanes(dim, n_planes=7, seed=42)
+        cell = S.lsh_bucket("embedding", planes)
+        base = allv.filter(F.col("vec_id") < base_n)
+        batch = allv.filter(F.col("vec_id") >= base_n)
+        t = LakeTable.create(   # untimed: build paid once per corpus
+            base.withColumn("cell", cell).repartition("cell"),
+            f"/tmp/sfslope_ann_{base_n}/idx",
+            partition_by=["cell"],
+        )
+        t0 = time.time()
+        t.append(spark, batch.withColumn("cell", cell).repartition("cell"))
+        append_s = time.time() - t0
+        qv = [float(x) for x in allv.filter(F.col("vec_id") == base_n)
+              .first().embedding]
+        t0 = time.time()
+        S.ivf_search_bucketed(
+            t.read(spark), qv, k=10, n_planes=7, seed=42,
+            min_candidates_factor=64, hist=t.partition_histogram("cell"),
+        ).collect()
+        probe_s = time.time() - t0
+        print(f"{base_n:7d}  {append_s:7.1f}  {probe_s:7.1f}  "
+              f"{check_no_rebuild(t)}", flush=True)
+
+    print("\nminhash band index: fixed 1000-doc batch into growing base")
+    print("base_n   append_s  probe_s  commit")
+    V = 20000
+    vocab = np.array([f"w{i:05d}" for i in range(V)])
+    w = 1.0 / np.arange(1, V + 1) ** 1.1
+    w /= w.sum()
+    batch_d = 1000
+    for base_n in (25_000, 50_000, 100_000, 200_000):
+        path = f"/tmp/sfslope_doc_{base_n}"
+        dst = f"{path}/documents.parquet"
+        if not os.path.exists(dst):
+            os.makedirs(path, exist_ok=True)
+            rng = np.random.RandomState(7)
+            n = base_n + batch_d
+            lens = rng.randint(80, 320, size=n)
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            words = vocab[rng.choice(V, size=int(offs[-1]), p=w)]
+            texts = [" ".join(words[offs[i]:offs[i + 1]]) for i in range(n)]
+            pq.write_table(
+                pa.table({
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array(texts),
+                }),
+                dst,
+            )
+        docs = spark.read.parquet(dst)
+        base = docs.filter(F.col("doc_id") < base_n)
+        batch = docs.filter(F.col("doc_id") >= base_n)
+        t = LakeTable.create(   # untimed build, one per corpus
+            D.minhash_band_index(base).repartition("band"),
+            f"{path}/idx",
+            partition_by=["band"],
+        )
+        t0 = time.time()
+        bands = D.minhash_band_index(batch)
+        D.verified_near_dups(
+            docs, D.minhash_probe_index(t.read(spark), bands), threshold=0.5
+        ).count()
+        probe_s = time.time() - t0
+        t0 = time.time()
+        t.append(spark, D.minhash_band_index(batch).repartition("band"))
+        append_s = time.time() - t0
+        print(f"{base_n:7d}  {append_s:7.1f}  {probe_s:7.1f}  "
+              f"{check_no_rebuild(t)}", flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "--banding-crossover" in sys.argv:
+    if "--append-slope" in sys.argv:
+        append_slope()
+    elif "--banding-crossover" in sys.argv:
         banding_crossover()
     else:
         generate()
