@@ -129,8 +129,8 @@ def tier2_queries() -> list[str]:
     rest = [n for n in Q.QUERIES if n not in BENCH_QUERIES]
     heavy_prefixes = (
         "q_stream_", "q_merge_", "q_mv_", "q_table_", "q_pipeline_",
-        "q_ann_index", "q_dedup_index", "q_dedup_epoch", "q_ingest_",
-        "q_xlsx",
+        "q_ann_index", "q_ann_recall", "q_dedup_index", "q_dedup_epoch",
+        "q_ingest_", "q_xlsx",
     )
     heavy = [n for n in rest if n.startswith(heavy_prefixes)]
     return heavy + [n for n in rest if n not in set(heavy)]
@@ -378,10 +378,13 @@ def preflight() -> None:
         sys.exit(rc)
 
 
-def warmup(spark, sf_dir: str) -> None:
+def warmup(spark, sf_dir: str, build_artifacts: bool = True) -> None:
     """Untimed process bring-up — shared by the main sweep and the
     --isolate-run child so both measure the engine, not JVM/worker
-    startup; see the inline comments for what each block buys."""
+    startup; see the inline comments for what each block buys.
+    ``build_artifacts=False`` (the isolate child) skips the build-once
+    fixture artifacts its queries never consume (~10 s saved from the
+    child's budget)."""
     # Untimed warmup: exercise scan → shuffle → agg once so JVM JIT,
     # codegen compilation, and shuffle-service init don't land in the
     # first measured query, and spin up the Python/Arrow worker pool
@@ -445,11 +448,12 @@ def warmup(spark, sf_dir: str) -> None:
     # query's plan. Same treatment as OS page-cache warming above —
     # visible here, untimed, and the build path itself stays under the
     # differential oracle in every fresh correctness process.
-    from lab5_lakehouse_etl_spark.queries.dedup_ops import (
-        _ensure_char5_jaccard_truth,
-    )
+    if build_artifacts:
+        from lab5_lakehouse_etl_spark.queries.dedup_ops import (
+            _ensure_char5_jaccard_truth,
+        )
 
-    _ensure_char5_jaccard_truth(spark, sf_dir)
+        _ensure_char5_jaccard_truth(spark, sf_dir)
     from lab5_lakehouse_etl_spark.streaming.events import (
         read_events_stream,
         run_to_memory,
@@ -476,23 +480,36 @@ def warmup(spark, sf_dir: str) -> None:
 #: isolated numbers land in `isolated_sec` and REPLACE the sweep value
 #: in `queries_ratio`, which is what cross-round regression review
 #: reads for these names.
+#: Three names, not four: q_merge_upsert runs in the heavy-first
+#: tier-2 slots (young driver already) and the r10 verdict judged its
+#: sweep number fine — dropping it keeps the child inside the ~75 s
+#: the default budget leaves after a full tier-2 sweep at sf0.1.
 ISOLATE_QUERIES = [
     "q_stream_neardup",
     "q_ann_index_append",
     "q_ann_index_store",
-    "q_merge_upsert",
 ]
 
 
 def isolate_child(names: list[str], sf_dir: str) -> None:
-    """--isolate-run child: fresh session + shared warmup, then one
-    timed execution per query; prints ONE JSON line."""
+    """--isolate-run child: fresh session + shared warmup, then ONE
+    timed execution per query; prints ONE JSON line.
+
+    Measurement definition (deliberate): isolated_sec is the
+    FIRST-execution wall in a young driver — it includes one-time plan
+    codegen for these multi-job queries (measured ~2x their
+    steady-state wall), which the 200-plan sweep number amortizes but
+    pollutes with driver aging.  The definition is STABLE round over
+    round (same warmup, same fresh process), which is what a
+    regression signal needs; do not compare isolated_sec against the
+    sweep number in `queries` — compare it against prior rounds'
+    isolated_sec."""
     import gc
 
     Q.load_all()
     spark = build_session("lab5-bench-isolated")
     spark.sparkContext.setLogLevel("ERROR")
-    warmup(spark, sf_dir)
+    warmup(spark, sf_dir, build_artifacts=False)
     out: dict[str, float] = {}
     for name in names:
         fn = Q.QUERIES[name]
@@ -517,11 +534,11 @@ def run_isolated(sf_dir: str, remaining_budget: float) -> tuple[dict, list]:
     names = [n for n in ISOLATE_QUERIES if n in Q.QUERIES]
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "1" or not names:
         return {}, names
-    # one session bring-up + warmup (~25 s) + the queries themselves
-    # (~20 s fresh): refuse below 90 s so the child can't blow the
-    # driver's window
+    # one session bring-up + artifact-free warmup (~30 s) + the three
+    # queries (~20 s fresh): refuse below 65 s so the child can't blow
+    # the driver's window (measured child wall ~55 s at sf0.1)
     if remaining_budget < float(
-        os.environ.get("SPARK_GRAFT_BENCH_ISOLATE_MIN_BUDGET", "90")
+        os.environ.get("SPARK_GRAFT_BENCH_ISOLATE_MIN_BUDGET", "65")
     ):
         return {}, names
     try:

@@ -912,7 +912,11 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the sampled query points must stay >= this fraction of k (the
 #: isotropic fixture measures ~0.7-1.0; a drifted batch concentrating
 #: in starved cells drops well below — tests/test_ann_recall.py)
-_MONITOR_PROBES = 5
+#: 3 probes: each costs an index probe + an exact top-k pass (2 jobs),
+#: and the monitor is a periodic health check, not a per-query path —
+#: 3 keeps the declared query's bench row ~5 s while still averaging
+#: over multiple appended-slice points (5 probes measured 9.1 s)
+_MONITOR_PROBES = 3
 _MONITOR_FLOOR = 0.4
 
 
