@@ -219,8 +219,11 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_dup_spans": 9,
     "q_dedup_containment": 9,
     "q_dedup_chunks": 9,
-    "q_dedup_index_store": 9,
-    "q_dedup_epoch": 9,
+    # (r9 entries superseded by the r11 hot-bucket cap in
+    # minhash_probe_index — values byte-identical at fixture scale,
+    # cap disengaged, but the probe code path changed)
+    "q_dedup_index_store": 11,
+    "q_dedup_epoch": 11,
     # (q_stream_neardup's r9 entry superseded by the r10 gate rework
     # below)
     # r9 late: the exact-similarity kernels' shared set-relation /

@@ -252,3 +252,48 @@ def test_simhash_backends_bit_identical(spark):
         for r in D.simhash_near_dups(docs, max_hamming=6, backend="expr").collect()
     )
     assert pairs_arrow == pairs_expr
+
+
+def test_probe_index_hot_bucket_cap(spark):
+    # mega-bucket skew mitigation: buckets above the cap are excluded
+    # from candidate generation; a planted near-dup pair survives via
+    # its other (non-hot) bands, and sub-cap corpora are byte-identical
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    idx = D.minhash_band_index(docs)
+    probe = D.minhash_band_index(
+        docs.limit(50).select(
+            (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+        )
+    )
+    # fixture scale: no bucket reaches the default cap, so capped and
+    # uncapped candidates are identical
+    max_bucket = (
+        idx.groupBy("band", "bucket").count().agg(F.max("count")).first()[0]
+    )
+    assert max_bucket < 256
+    c_def = sorted(map(tuple, D.minhash_probe_index(idx, probe).collect()))
+    c_off = sorted(
+        map(
+            tuple,
+            D.minhash_probe_index(idx, probe, hot_bucket_cap=None).collect(),
+        )
+    )
+    assert c_def == c_off and len(c_def) > 0
+
+    # force the cap to engage: cap=1 makes EVERY bucket shared by the
+    # planted copy and its twin hot in SOME bands, but an exact copy
+    # shares ALL bands, so candidates survive unless every bucket has
+    # >1 member; verify the planted pair survives at a cap that prunes
+    # the biggest buckets only
+    cap = max(2, int(max_bucket) - 1)
+    c_cap = D.minhash_probe_index(idx, probe, hot_bucket_cap=cap)
+    # each probe doc is an exact copy of an indexed doc: its twin must
+    # remain a candidate (est 1.0) even with the largest buckets gone
+    twins = c_cap.filter(
+        F.col("id_b") - F.col("id_a") == 10_000
+    ).count()
+    assert twins == 50
