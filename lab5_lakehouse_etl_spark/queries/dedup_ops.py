@@ -1364,7 +1364,14 @@ def q_dedup_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stored = t.read(spark)
     cands = D.minhash_probe_index(stored, D.minhash_band_index(batch))
-    verified = D.verified_near_dups(docs, cands, threshold=0.5)
+    # prefilter=True: the probe contract is candidates = O(batch), so
+    # the verify must semi-join the corpus down to candidate docs
+    # BEFORE shingling — the auto heuristic keys on scan partition
+    # count and picks the corpus-wide shingle pass on single-file
+    # corpora, which silently made every probe O(table) (r11 slope
+    # measurement; README "append slopes").
+    verified = D.verified_near_dups(docs, cands, threshold=0.5,
+                                    prefilter=True)
     return verified.select(
         F.col("id_b").alias("doc_id"),
         F.col("id_a").alias("dup_of"),
@@ -1464,10 +1471,13 @@ def q_dedup_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["band"],
     )
     r1 = (
+        # prefilter=True on both epoch probes: O(batch) candidates must
+        # not trigger a corpus-wide shingle pass (see q_dedup_index_store)
         D.verified_near_dups(
             docs,
             D.minhash_probe_index(t.read(spark), D.minhash_band_index(b1)),
             threshold=0.5,
+            prefilter=True,
         )
         .select(
             F.col("id_b").alias("doc_id"),
@@ -1484,6 +1494,7 @@ def q_dedup_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         D.minhash_probe_index(t.read(spark), D.minhash_band_index(b2)),
         threshold=0.5,
+        prefilter=True,
     ).select(
         F.col("id_b").alias("doc_id"),
         F.col("id_a").alias("dup_of"),

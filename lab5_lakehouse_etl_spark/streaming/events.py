@@ -515,7 +515,13 @@ def stream_neardup_gate(
                 corpus.select("doc_id"), "doc_id", "left_anti"
             )
         )
-        ver = D.verified_near_dups(verify_side, cands, threshold=0.5)
+        # prefilter=True: probe candidates are O(batch); without it the
+        # auto heuristic (scan partition count) picks a corpus-wide
+        # shingle pass per micro-batch on small-file corpora — an
+        # O(corpus) cost the gate's own scale contract forbids (r11)
+        ver = D.verified_near_dups(
+            verify_side, cands, threshold=0.5, prefilter=True
+        )
         (
             ver.select(
                 SF.col("id_b").alias("doc_id"),
