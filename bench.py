@@ -556,7 +556,12 @@ def run_isolated(sf_dir: str, remaining_budget: float) -> tuple[dict, list]:
         )
         last = proc.stdout.strip().splitlines()[-1]
         got = json.loads(last).get("isolated", {})
-        return got, [n for n in names if n not in got]
+        # a child-side failure is recorded as -1.0; report it as
+        # SKIPPED, not as a measurement (r11 review: counting it in
+        # isolated_n while queries_ratio silently falls back to the
+        # sweep number hides the failed re-measure from review)
+        ok = {k: v for k, v in got.items() if v > 0}
+        return ok, [n for n in names if n not in ok]
     except Exception:
         return {}, names
 

@@ -610,6 +610,10 @@ def simhash_near_dups(
     # NULL text folds to fingerprint 0 (the bit aggregate over NULL
     # token hashes), so every NULL doc would pair at hamming 0 with
     # every other NULL doc (r10 review) — no content, no verdict
+    if backend not in ("arrow", "expr"):
+        # fail loudly: a typo must not silently run the ~5x slower
+        # interpreted-lambda path (r11 review)
+        raise ValueError(f"unknown simhash backend {backend!r}")
     alive = _spread(df.filter(F.col(text_col).isNotNull()), id_col, n_part)
     if backend == "arrow":
         fp = _simhash_fp_arrow(alive, id_col, text_col)
@@ -1691,6 +1695,24 @@ def minhash_band_index(
     )
 
 
+def cap_band_index(index: DataFrame, cap: int) -> DataFrame:
+    """Bound every (band, bucket)'s row count at ``cap`` by keeping
+    its smallest-id members as representatives (deterministic under
+    retry — id order, not arbitrary).  One window shuffle over the
+    narrow index relation; long-lived consumers (streaming gates)
+    run it once and localCheckpoint the result rather than paying the
+    pass per probe.  See minhash_probe_index's HOT-BUCKET CAP note
+    for why sampling, never exclusion."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket").orderBy("id")
+    return (
+        index.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def minhash_probe_index(
     index: DataFrame,
     probe: DataFrame,
@@ -1708,32 +1730,28 @@ def minhash_probe_index(
     of corpus size.  Returns (id_a = indexed doc, id_b = probe doc,
     est_jaccard); caller verifies exact Jaccard on candidates only.
 
-    HOT-BUCKET CAP (r11, measured in README "Round-11 ... append
-    slopes"): on low-diversity corpora the per-band minhash minima are
-    dominated by corpus-global frequent grams, so a few (band, bucket)
-    keys grow linearly with the corpus and the probe join's output
-    grows with them — the classic LSH mega-bucket skew, orthogonal to
-    the banding tier (a 128x16 A/B moved nothing).  Buckets with more
-    than ``hot_bucket_cap`` indexed members are excluded from
-    candidate generation: a frequent-gram bucket only certifies
-    low-information collisions, and a TRUE near-dup pair keeps its
-    collision odds through the remaining bands (miss requires EVERY
-    shared band bucket to be hot; measured on the 25k-doc Zipf stress
-    corpus: 200/200 planted exact+near dups recovered at cap 64 while
-    the probe dropped 14.9 s -> 2.1 s, and at fixture scale every
-    bucket is far below the cap, so candidates — and every declared
-    oracle — are byte-identical).  The hot set is one narrow
-    (band, bucket) aggregate over the index per probe — columns are
-    pruned at the scan; a petabyte deployment maintains it as a side
-    relation updated per append instead.  ``None`` disables."""
-    if hot_bucket_cap:
-        hot = (
-            index.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > hot_bucket_cap)
-            .select("band", "bucket")
-        )
-        index = index.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    HOT-BUCKET CAP (r11): buckets whose membership grows with the
+    corpus (boilerplate mega-clusters, frequent-gram minima on
+    low-diversity corpora) would make the probe join's output
+    quadratic in duplicate multiplicity.  ``hot_bucket_cap`` bounds
+    each (band, bucket)'s contribution to candidate generation by
+    keeping its ``cap`` SMALLEST-id member rows as REPRESENTATIVES —
+    sampling, never exclusion (r11 review): a mega-bucket made of the
+    duplicate cluster itself must still match incoming copies, which
+    representative rows do (every member of a near-identical cluster
+    certifies the others), whereas dropping the bucket outright would
+    ADMIT exactly the duplicates the gate exists to reject.  A new doc
+    probing a capped bucket pairs with min(|bucket|, cap)
+    representatives instead of all members, so per-probe candidate
+    volume is bounded at cap x bands x batch.  At fixture scale every
+    bucket sits far below the cap (candidates byte-identical, pinned
+    by test_probe_index_hot_bucket_cap); callers probing a static
+    index repeatedly should cap ONCE via :func:`cap_band_index` and
+    pass ``hot_bucket_cap=None`` here (the streaming gate does — the
+    capping pass costs one O(index) window shuffle, which a per-batch
+    loop must not repeat).  ``None`` disables."""
+    if hot_bucket_cap is not None:
+        index = cap_band_index(index, hot_bucket_cap)
     a = index.select(
         "band",
         "bucket",

@@ -44,6 +44,7 @@ import hashlib
 import json
 import os
 import shutil
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,6 +61,23 @@ def _table_id(path: str) -> str:
     requires a GUID in metaData; deriving it keeps re-exports
     byte-stable for golden tests."""
     return str(uuid.UUID(hashlib.md5(os.path.abspath(path).encode()).hexdigest()))
+
+
+def _action_path(relpath: str) -> str:
+    """Delta ``add``/``remove`` paths are PERCENT-ENCODED relative URIs
+    (r11 review): hive-escaped dir names already contain ``%XX``
+    sequences (LakeTable escapes ``:``/``%``/… like Hive), so writing
+    them raw would make a spec-compliant reader URL-decode to a
+    filename that does not exist.  Encoding here (and decoding in
+    :func:`_fs_path`) round-trips exactly; ``=`` stays literal — it is
+    a legal URI path character and Delta's own writers keep hive
+    ``col=value`` segments readable."""
+    return urllib.parse.quote(f"data/{relpath}", safe="/=")
+
+
+def _fs_path(action_path: str) -> str:
+    """Inverse of :func:`_action_path`: the on-disk relative path."""
+    return urllib.parse.unquote(action_path)
 
 
 def _partition_values(relpath: str, partition_by: list[str]) -> dict:
@@ -148,7 +166,7 @@ def export_delta_log(table: LakeTable) -> str:
             actions.append(
                 {
                     "remove": {
-                        "path": f"data/{relpath}",
+                        "path": _action_path(relpath),
                         "deletionTimestamp": ts_ms,
                         "dataChange": True,
                     }
@@ -157,7 +175,7 @@ def export_delta_log(table: LakeTable) -> str:
         for relpath in sorted(set(files) - set(prev_files)):
             abspath = os.path.join(table.data_dir, relpath)
             add: dict = {
-                "path": f"data/{relpath}",
+                "path": _action_path(relpath),
                 "partitionValues": _partition_values(relpath, partition_by),
                 "size": os.path.getsize(abspath),
                 "modificationTime": ts_ms,
@@ -232,7 +250,9 @@ def read_delta_snapshot(
     groups: dict[tuple, list[str]] = {}
     for path, pv in snap["files"].items():
         key = tuple(pv.get(c) for c in part_cols)
-        groups.setdefault(key, []).append(os.path.join(table_path, path))
+        groups.setdefault(key, []).append(
+            os.path.join(table_path, _fs_path(path))
+        )
     out: DataFrame | None = None
     for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(data_schema).parquet(*sorted(paths))

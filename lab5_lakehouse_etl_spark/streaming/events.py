@@ -489,11 +489,32 @@ def stream_neardup_gate(
 
     from ..functions import dedup as D
 
+    # Hot-bucket capping of the STATIC index happens ONCE per gate,
+    # materialized (localCheckpoint), so the per-batch probe pays zero
+    # capping passes — per-batch minhash_probe_index is then called
+    # with the cap disabled (r11 review: recomputing the cap per
+    # micro-batch would be an O(index) window shuffle per batch).
+    capped_index = D.cap_band_index(stored_index, 256).localCheckpoint(
+        eager=True
+    )
+
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # WITHIN-batch id dedup, deterministically (r11 review): a
+        # re-landed file picked up in the same availableNow batch as
+        # the original carries the same doc_id twice; without this
+        # both rows reach the band index AND the verify side, and the
+        # reject output doubles (or conflicts, if texts differ — min
+        # text wins, an arbitrary-but-stable tiebreak).  The r10
+        # dropDuplicates this gate replaced had quietly provided the
+        # within-batch half of this invariant.
+        batch_df = batch_df.groupBy("doc_id").agg(
+            SF.min("text").alias("text")
+        )
         cands = D.minhash_probe_index(
-            stored_index, D.minhash_band_index(batch_df)
+            capped_index, D.minhash_band_index(batch_df),
+            hot_bucket_cap=None,
         )
         # verify over corpus ∪ batch: a genuinely NEW document (not in
         # the static corpus relation) must still have shingles for the
@@ -537,6 +558,15 @@ def stream_neardup_gate(
             .write.mode("overwrite")
             .parquet(f"{out_path}/batch_{batch_id}")
         )
+        # verified_near_dups' prefilter path caches two per-batch
+        # relations (candidates + survivor shingles) that nothing
+        # unpersists; over a long-lived stream those blocks accumulate
+        # until eviction thrash (r11 review).  The catalog cache holds
+        # nothing load-bearing here — capped_index is an RDD
+        # localCheckpoint, not a catalog entry, and corpus/index are
+        # plain reads — so clearing per batch is safe and bounds
+        # storage at one batch's working set.
+        spark.catalog.clearCache()
 
     with _state_sized_shuffle(spark):
         q = (

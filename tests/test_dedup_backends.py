@@ -297,3 +297,33 @@ def test_probe_index_hot_bucket_cap(spark):
         F.col("id_b") - F.col("id_a") == 10_000
     ).count()
     assert twins == 50
+
+
+def test_hot_bucket_cap_still_catches_mega_cluster_duplicates(spark):
+    # r11 review: the first cap cut EXCLUDED hot buckets, which would
+    # have ADMITTED a copy of a >cap duplicate cluster (all its shared
+    # buckets are hot precisely because of the duplicates). The
+    # representative-sampling cap must still reject it.
+    from pyspark.sql import functions as F
+
+    boiler = "the same boilerplate footer text repeated on every page"
+    cluster = spark.range(0, 40).selectExpr(
+        "id AS doc_id", f"'{boiler}' AS text"
+    )
+    idx = D.minhash_band_index(cluster)
+    # every band bucket of the cluster holds all 40 members
+    assert (
+        idx.groupBy("band", "bucket").count().agg(F.min("count")).first()[0]
+        == 40
+    )
+    probe = D.minhash_band_index(
+        spark.createDataFrame([(999, boiler)], "doc_id long, text string")
+    )
+    # cap far below the cluster size: representatives must still match
+    cands = D.minhash_probe_index(idx, probe, hot_bucket_cap=5)
+    partners = {r.id_a for r in cands.collect()}
+    assert partners, "copy of a mega-cluster was ADMITTED under the cap"
+    # bounded: at most cap representatives per bucket contribute
+    assert len(partners) <= 5
+    # and capping is deterministic: smallest ids are the representatives
+    assert partners == set(range(len(partners)))

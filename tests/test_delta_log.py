@@ -118,3 +118,31 @@ def test_null_partition_value_roundtrip(spark, tmp_path):
     assert None in vals  # hive default partition -> json null
     got = DL.read_delta_snapshot(spark, t.path)
     assert _rows(got.select("id", "grp")) == _rows(df)
+
+
+def test_action_paths_are_percent_encoded(spark, tmp_path):
+    # hive-escaped dir names contain %XX; the Delta protocol stores
+    # paths as percent-encoded relative URIs, so a spec reader
+    # URL-decodes them — raw paths would decode to missing files
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "c d"), (3, "plain")], "id long, grp string"
+    )
+    t = LakeTable.create(df, str(tmp_path / "enc"), partition_by=["grp"])
+    log_dir = DL.export_delta_log(t)
+    with open(os.path.join(log_dir, "00000000000000000000.json")) as fh:
+        adds = [
+            json.loads(line)["add"]
+            for line in fh
+            if line.strip() and "add" in json.loads(line)
+        ]
+    import urllib.parse
+
+    for a in adds:
+        decoded = urllib.parse.unquote(a["path"])
+        assert os.path.exists(os.path.join(t.path, decoded))
+    # the escaped-char partitions decode to real dirs AND the snapshot
+    # reader reconstructs the exact relation through them
+    vals = {a["partitionValues"]["grp"] for a in adds}
+    assert {"a:b", "c d", "plain"} <= vals
+    got = DL.read_delta_snapshot(spark, t.path)
+    assert _rows(got.select("id", "grp")) == _rows(df)
