@@ -136,6 +136,29 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
+#: Target rows per codec task.  Scan splits are BYTE-sized
+#: (maxPartitionBytes), but a codec stage's cost is per-ROW CPU: a
+#: 128 MB split of an 8-byte id column packs ~10^7 ids into one task,
+#: hours of serialized decode at corpus scale.  10k rows/task keeps a
+#: task in the seconds range for these codecs while leaving the
+#: fixture SFs (≤5k rows) on the shuffle-free single-task fast path —
+#: measured 2-3x faster there than an unconditional repartition(32),
+#: whose task + Arrow overhead exceeds the entire codec CPU.
+_CODEC_ROWS_PER_TASK = 10_000
+
+
+def _id_partitioned(ids: DataFrame, id_col: str) -> DataFrame:
+    """Row-count-adaptive exchange ahead of a codec mapInPandas stage:
+    repartition the 8-byte id column to ``ceil(rows / 10k)`` tasks —
+    uncapped by defaultParallelism, a 10^9-row corpus should fan out
+    to the whole cluster — and skip the shuffle entirely when one task
+    suffices.  The count is one cheap column-less scan job; payload
+    bytes are born distributed AFTER the exchange and never shuffle."""
+    ids = ids.select(id_col)
+    n = -(-ids.count() // _CODEC_ROWS_PER_TASK)
+    return ids.repartition(n) if n > 1 else ids
+
+
 def _fixture_png(media_id: int) -> tuple[int, int, bytes]:
     """Deterministic RGB PNG for one media id: ``width = 8 + id % 9``,
     ``height = 8 + (id // 9) % 9``, sample ``i`` (row-major interleaved
@@ -171,7 +194,9 @@ def png_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return ids.select(id_col).mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _id_partitioned(ids, id_col).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
 
 
 DECODE_STATS_SCHEMA = StructType(
@@ -270,6 +295,269 @@ def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFra
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=RESIZED_SCHEMA
+    )
+
+
+def resize_image_media(
+    media: DataFrame, width: int = 16, height: int = 16
+) -> DataFrame:
+    """REAL image resize: decode PNG → nearest-neighbour resample →
+    re-encode PNG (round-11; supersedes the truncate/pad stub in
+    :func:`resize_media`, which stays for the metadata-contract query).
+
+    Nearest-neighbour uses the floor mapping ``src = (dst * src_dim) //
+    dst_dim`` — exactly restatable in SQL, so the whole decode → index
+    → re-encode → re-decode chain is oracle-checkable bit-for-bit.
+    Arrow-batched mapInPandas; payload bytes never cross a shuffle.
+    In production the body swaps for `PIL.Image.resize(..., NEAREST)`
+    behind the same contract.
+    """
+    import numpy as np
+
+    from . import png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                    continue
+                w, h, c, px = decode_image(bytes(p))
+                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+                src_y = (np.arange(height, dtype=np.int64) * h) // height
+                src_x = (np.arange(width, dtype=np.int64) * w) // width
+                resized = img[src_y[:, None], src_x[None, :], :]
+                out.append(
+                    png.encode_png(
+                        width, height, resized.tobytes(), color_type=2
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
+def _fixture_wav(media_id: int) -> tuple[int, int, int, bytes]:
+    """Deterministic PCM WAV for one media id: ``sample_rate = 8000 *
+    (1 + id % 3)``, ``channels = 1 + id % 2``, ``n_frames = 32 + id %
+    41``, interleaved sample ``k = ((id*131 + k*7919) % 65536) -
+    32768`` (full int16 range).  The formula is the ground truth the
+    q_multimodal_audio DuckDB oracle restates in closed form; the LIST
+    info chunk's odd/even length alternates by id so both branches of
+    the RIFF pad rule are walked."""
+    import numpy as np
+
+    from . import wav
+
+    sample_rate = 8000 * (1 + media_id % 3)
+    channels = 1 + media_id % 2
+    n_frames = 32 + media_id % 41
+    k = np.arange(n_frames * channels, dtype=np.int64)
+    samples = ((media_id * 131 + k * 7919) % 65536 - 32768).astype("<i2")
+    info = b"IART" + (b"x" * (3 + media_id % 2))
+    return (
+        sample_rate,
+        channels,
+        n_frames,
+        wav.encode_wav(sample_rate, channels, samples, info=info),
+    )
+
+
+def wav_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of real RIFF/WAVE payloads, generated
+    deterministically per id inside Arrow-batched mapInPandas (born
+    distributed, never collected)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [_fixture_wav(int(i))[3] for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "audio",
+                    "mime": "audio/wav",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return _id_partitioned(ids, id_col).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("sample_sum", LongType(), True),
+        StructField("abs_sum", LongType(), True),
+        StructField("peak", LongType(), True),
+    ]
+)
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """Decode every payload with the REAL WAV codec (functions/wav.py:
+    chunk walk, pad rule, PCM frame math) and emit per-clip format
+    metadata + exact integer sample statistics — PCM is lossless, so
+    the stats hash-compare bit-exactly against a SQL oracle.
+
+    Arrow-batched mapInPandas; NULL payloads map to NULL stats
+    (quarantine rows, never a crash)."""
+    import numpy as np
+
+    from . import wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "media_id": list(pdf["media_id"]),
+                "sample_rate": [],
+                "channels": [],
+                "n_frames": [],
+                "sample_sum": [],
+                "abs_sum": [],
+                "peak": [],
+            }
+            for p in pdf["payload"]:
+                if p is None:
+                    for k in (
+                        "sample_rate", "channels", "n_frames",
+                        "sample_sum", "abs_sum", "peak",
+                    ):
+                        rows[k].append(None)
+                    continue
+                rate, ch, nf, samples = wav.decode_wav(bytes(p))
+                s = samples.astype(np.int64)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["n_frames"].append(nf)
+                rows["sample_sum"].append(int(s.sum()))
+                rows["abs_sum"].append(int(np.abs(s).sum()))
+                rows["peak"].append(int(np.abs(s).max()) if len(s) else 0)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_STATS_SCHEMA
+    )
+
+
+def _fixture_y4m(media_id: int) -> tuple[int, int, int, bytes]:
+    """Deterministic C444 Y4M stream for one media id: ``width = 4 +
+    id % 5``, ``height = 4 + (id // 5) % 5``, ``n_frames = 2 + id %
+    4``, plane byte ``p`` of frame ``f`` = ``(id*17 + f*251 + p) %
+    256``.  Odd frames carry an X extension parameter on their FRAME
+    header so the parser's to-the-newline walk is exercised."""
+    import numpy as np
+
+    from . import y4m
+
+    width = 4 + media_id % 5
+    height = 4 + (media_id // 5) % 5
+    n_frames = 2 + media_id % 4
+    n = 3 * width * height
+    p = np.arange(n, dtype=np.int64)
+    frames = [
+        ((media_id * 17 + f * 251 + p) % 256).astype(np.uint8).tobytes()
+        for f in range(n_frames)
+    ]
+    return (
+        width,
+        height,
+        n_frames,
+        y4m.encode_y4m(width, height, frames, colorspace="C444"),
+    )
+
+
+def y4m_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of real YUV4MPEG2 payloads, generated
+    deterministically per id inside Arrow-batched mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [_fixture_y4m(int(i))[3] for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "video",
+                    "mime": "video/x-yuv4mpeg",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return _id_partitioned(ids, id_col).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("y_sum", LongType(), False),
+        StructField("u_sum", LongType(), False),
+        StructField("v_sum", LongType(), False),
+    ]
+)
+
+
+def sample_video_stats(media: DataFrame, frame_stride: int = 2) -> DataFrame:
+    """REAL video frame sampling: walk each Y4M container, decode every
+    ``frame_stride``-th frame, and emit one row per sampled frame with
+    exact per-plane (Y/U/V) byte sums.
+
+    This is the flatMap shape of real frame extraction — one input row
+    fans out to N output rows inside the SAME mapInPandas batch, so
+    frame payloads never cross a shuffle and skipped frames' bytes are
+    stepped over at the container walk, not materialized.  NULL
+    payloads contribute zero rows (quarantined upstream)."""
+    import numpy as np
+
+    from . import y4m
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k.name: [] for k in VIDEO_FRAME_SCHEMA.fields
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                w, h, _fps, frames = y4m.decode_y4m(
+                    bytes(p), frame_stride=frame_stride
+                )
+                plane = w * h
+                for idx, payload in frames:
+                    b = np.frombuffer(payload, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["y_sum"].append(int(b[:plane].sum()))
+                    rows["u_sum"].append(int(b[plane : 2 * plane].sum()))
+                    rows["v_sum"].append(int(b[2 * plane :].sum()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=VIDEO_FRAME_SCHEMA
     )
 
 

@@ -308,6 +308,15 @@ _REWRITTEN_IN: dict[str, int] = {
     # — new query anchoring the scoped manifest decision, like
     # q_multimodal_decode above.
     "q_table_delta_log": 11,
+    # Round-11 (second batch): the real WAV/Y4M codecs (functions/
+    # wav.py, functions/y4m.py) and the real nearest-neighbour resize
+    # (multimodal.resize_image_media) — new queries anchoring the
+    # scoped manifest decision; the multimodal.py edit is additive-only
+    # (every function the five pre-existing multimodal queries reach is
+    # byte-identical, recorded in the manifest scope reason).
+    "q_multimodal_audio": 11,
+    "q_multimodal_video": 11,
+    "q_multimodal_resize_real": 11,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -162,6 +162,187 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_audio",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             8000 * (1 + doc_id % 3) AS sample_rate,
+             1 + doc_id % 2          AS channels,
+             32 + doc_id % 41        AS n_frames
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, sample_rate, channels, n_frames,
+             ((doc_id * 131 + k * 7919) % 65536) - 32768 AS v
+      FROM (
+        SELECT doc_id, sample_rate, channels, n_frames,
+               unnest(generate_series(0, n_frames * channels - 1)) AS k
+        FROM p
+      )
+    )
+    SELECT doc_id                        AS media_id,
+           CAST(sample_rate AS BIGINT)   AS sample_rate,
+           CAST(channels AS BIGINT)      AS channels,
+           CAST(n_frames AS BIGINT)      AS n_frames,
+           CAST(SUM(v) AS BIGINT)        AS sample_sum,
+           CAST(SUM(abs(v)) AS BIGINT)   AS abs_sum,
+           CAST(MAX(abs(v)) AS BIGINT)   AS peak
+    FROM s
+    GROUP BY doc_id, sample_rate, channels, n_frames
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: encode a deterministic 16-bit PCM
+    RIFF/WAVE clip per document id (ancillary LIST chunk + odd/even
+    pad-rule mix), decode it with the pure-stdlib codec
+    (functions/wav.py — chunk walk, pad rule, PCM frame math) and emit
+    per-clip format metadata + exact integer sample statistics.  The
+    DuckDB oracle restates the fixture generator's ground truth in
+    closed form (interleaved sample k of clip id is ``((id*131 +
+    k*7919) % 65536) - 32768``), so a single wrong byte anywhere in
+    the encode → chunk-walk → frame-slice → stats path breaks the
+    value hash.  PCM is lossless: integer sums, no float rounding.
+
+    Scale: encode and decode are Arrow-batched mapInPandas stages over
+    the id/payload partitions — payload bytes never shuffle, the final
+    relation is one 7-column row per clip."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.wav_media_from_ids(docs, id_col="doc_id")
+    return M.decode_audio_stats(media)
+
+
+@query(
+    "q_multimodal_video",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             4 + doc_id % 5        AS w,
+             4 + (doc_id // 5) % 5 AS h,
+             2 + doc_id % 4        AS nf
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, w, h,
+             unnest(generate_series(0, nf - 1)) AS fr
+      FROM p
+    ),
+    px AS (
+      SELECT doc_id, w, h, fr,
+             unnest(generate_series(0, 3 * w * h - 1)) AS i
+      FROM f
+      WHERE fr % 2 = 0
+    )
+    SELECT doc_id              AS media_id,
+           CAST(fr AS BIGINT)  AS frame_idx,
+           CAST(w AS BIGINT)   AS width,
+           CAST(h AS BIGINT)   AS height,
+           CAST(SUM(CASE WHEN i < w * h
+                         THEN (doc_id * 17 + fr * 251 + i) % 256
+                    END) AS BIGINT) AS y_sum,
+           CAST(SUM(CASE WHEN i >= w * h AND i < 2 * w * h
+                         THEN (doc_id * 17 + fr * 251 + i) % 256
+                    END) AS BIGINT) AS u_sum,
+           CAST(SUM(CASE WHEN i >= 2 * w * h
+                         THEN (doc_id * 17 + fr * 251 + i) % 256
+                    END) AS BIGINT) AS v_sum
+    FROM px
+    GROUP BY doc_id, fr, w, h
+    """,
+)
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end: encode a deterministic
+    C444 YUV4MPEG2 stream per document id (per-frame X extension
+    parameters on odd frames), walk the container with the pure-stdlib
+    parser (functions/y4m.py) decoding every SECOND frame, and emit
+    one row per sampled frame with exact per-plane byte sums.  The
+    DuckDB oracle restates the fixture ground truth in closed form
+    (plane byte i of frame f is ``(id*17 + f*251 + i) % 256``) over
+    the same stride-2 frame set, so header parsing, frame offsets and
+    plane slicing are all hash-checked.
+
+    Scale: the fan-out from clip to frames happens INSIDE the
+    mapInPandas batch (flatMap shape) — frame payloads never cross a
+    shuffle, and skipped frames are stepped over at the container
+    walk, not materialized."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.y4m_media_from_ids(docs, id_col="doc_id")
+    return M.sample_video_stats(media, frame_stride=2)
+
+
+@query(
+    "q_multimodal_resize_real",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             8 + doc_id % 9        AS w,
+             8 + (doc_id // 9) % 9 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             unnest(generate_series(0, 16 * 16 * 3 - 1)) AS i
+      FROM p
+    ),
+    m AS (
+      SELECT doc_id, w, h,
+             i % 3          AS ch,
+             (i // 3) % 16  AS x,
+             i // 48        AS y
+      FROM px
+    )
+    SELECT doc_id             AS media_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(3 AS BIGINT)  AS channels,
+           CAST(SUM(CASE WHEN ch = 0
+                         THEN (doc_id * 31
+                               + ((y * h) // 16) * w * 3
+                               + ((x * w) // 16) * 3 + ch) % 256
+                    END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN ch = 1
+                         THEN (doc_id * 31
+                               + ((y * h) // 16) * w * 3
+                               + ((x * w) // 16) * 3 + ch) % 256
+                    END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN ch = 2
+                         THEN (doc_id * 31
+                               + ((y * h) // 16) * w * 3
+                               + ((x * w) // 16) * 3 + ch) % 256
+                    END) AS BIGINT) AS sum_b
+    FROM m
+    GROUP BY doc_id, w, h
+    """,
+)
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end (supersedes the q_multimodal_resize
+    stub contract, which is retained for the metadata-plumbing check):
+    encode the deterministic PNG fixture per id, decode it, resample
+    to 16x16 with nearest-neighbour (floor mapping ``src = (dst *
+    src_dim) // dst_dim``), RE-ENCODE as PNG, decode AGAIN with the
+    CRC-verifying codec, and emit the resized image's per-channel
+    pixel sums.  The DuckDB oracle restates the whole chain in closed
+    form — fixture sample formula composed with the NN index map — so
+    the five-stage encode/decode/resize/encode/decode path is
+    hash-checked bit-for-bit.
+
+    Scale: all five stages are Arrow-batched mapInPandas over the same
+    partitions; payload bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.png_media_from_ids(docs, id_col="doc_id")
+    resized = M.resize_image_media(media, width=16, height=16)
+    stats = M.decode_image_stats(resized)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.element_at("channel_sums", 1).alias("sum_r"),
+        F.element_at("channel_sums", 2).alias("sum_g"),
+        F.element_at("channel_sums", 3).alias("sum_b"),
+    )
+
+
+@query(
     "q_multimodal_resize",
     oracle="""
     SELECT doc_id AS media_id,

@@ -165,3 +165,196 @@ def test_resize_preserves_prefix_and_pads(media):
         prefix = bytes(src.payload)[:1024]
         assert bytes(r.payload)[: len(prefix)] == prefix
         assert all(b == 0 for b in bytes(r.payload)[len(prefix):])
+
+
+# ---------------------------------------------------------------- WAV codec
+
+
+def test_wav_roundtrip_both_pad_branches():
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import wav
+
+    k = np.arange(97 * 2, dtype=np.int64)
+    samples = ((k * 7919 + 5) % 65536 - 32768).astype("<i2")
+    # odd- and even-length LIST payloads walk both sides of the RIFF
+    # pad rule; None omits the ancillary chunk entirely
+    for info in (b"IARTabc", b"IARTabcd", None):
+        data = wav.encode_wav(22050, 2, samples, info=info)
+        rate, ch, nf, out = wav.decode_wav(data)
+        assert (rate, ch, nf) == (22050, 2, 97)
+        assert np.array_equal(out, samples)
+
+
+def test_wav_rejects_malformed_containers():
+    import struct
+
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import wav
+
+    samples = np.zeros(8, dtype="<i2")
+    good = wav.encode_wav(8000, 1, samples)
+
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        wav.decode_wav(b"FORMxxxxAIFF" + good[12:])
+    with pytest.raises(ValueError, match="RIFF size"):
+        wav.decode_wav(good[:8] + good[8:20])  # truncated body
+    # non-PCM format tag
+    bad = bytearray(good)
+    fmt_at = bytes(good).index(b"fmt ") + 8
+    struct.pack_into("<H", bad, fmt_at, 3)  # IEEE float tag
+    with pytest.raises(NotImplementedError, match="format tag"):
+        wav.decode_wav(bytes(bad))
+    # wrong bit depth
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, fmt_at + 14, 8)
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        wav.decode_wav(bytes(bad))
+    # inconsistent block align (bits stay 16)
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, fmt_at + 12, 1)
+    with pytest.raises(ValueError, match="block align"):
+        wav.decode_wav(bytes(bad))
+    # data chunk missing (RIFF size field patched to the shorter body)
+    data_at = bytes(good).index(b"data")
+    headless = bytearray(good[:data_at])
+    struct.pack_into("<I", headless, 4, len(headless) - 8)
+    with pytest.raises(ValueError, match="no data chunk"):
+        wav.decode_wav(bytes(headless))
+    with pytest.raises(ValueError, match="divisible"):
+        wav.encode_wav(8000, 2, np.zeros(7, dtype="<i2"))
+
+
+def test_decode_audio_stats_matches_fixture_formula(spark):
+    ids = spark.range(0, 24).selectExpr("id AS doc_id")
+    media = M.wav_media_from_ids(ids, id_col="doc_id")
+    stats = {r.media_id: r for r in M.decode_audio_stats(media).collect()}
+    for mid in range(24):
+        rate = 8000 * (1 + mid % 3)
+        ch = 1 + mid % 2
+        nf = 32 + mid % 41
+        vals = [((mid * 131 + k * 7919) % 65536) - 32768 for k in range(nf * ch)]
+        r = stats[mid]
+        assert (r.sample_rate, r.channels, r.n_frames) == (rate, ch, nf)
+        assert r.sample_sum == sum(vals)
+        assert r.abs_sum == sum(abs(v) for v in vals)
+        assert r.peak == max(abs(v) for v in vals)
+
+    null_media = media.selectExpr(
+        "media_id", "CAST(NULL AS BINARY) AS payload"
+    ).limit(3)
+    for r in M.decode_audio_stats(null_media).collect():
+        assert r.sample_rate is None and r.sample_sum is None
+
+
+# ---------------------------------------------------------------- Y4M codec
+
+
+def test_y4m_roundtrip_and_stride_sampling():
+    from lab5_lakehouse_etl_spark.functions import y4m
+
+    w, h, n = 5, 3, 5
+    frames = [bytes(((f * 251 + p) % 256) for p in range(3 * w * h)) for f in range(n)]
+    data = y4m.encode_y4m(w, h, frames, fps=(30, 1), colorspace="C444")
+    dw, dh, fps, out = y4m.decode_y4m(data)
+    assert (dw, dh, fps) == (w, h, (30, 1))
+    assert out == list(enumerate(frames))
+    # stride-2 sampling keeps exactly the even frame indices, and the
+    # odd frames' Xtag headers are stepped over, not mis-sliced
+    _, _, _, sampled = y4m.decode_y4m(data, frame_stride=2)
+    assert [i for i, _ in sampled] == [0, 2, 4]
+    assert all(payload == frames[i] for i, payload in sampled)
+
+
+def test_y4m_c420_frame_size():
+    from lab5_lakehouse_etl_spark.functions import y4m
+
+    w, h = 4, 2  # even dims: C420 chroma planes are (w/2)x(h/2)
+    frame = bytes(range(int(w * h * 1.5)))
+    data = y4m.encode_y4m(w, h, [frame], colorspace="C420")
+    assert y4m.decode_y4m(data)[3] == [(0, frame)]
+    with pytest.raises(ValueError, match="expected 12"):
+        y4m.encode_y4m(w, h, [frame + b"x"], colorspace="C420")
+
+
+def test_y4m_rejects_malformed_streams():
+    from lab5_lakehouse_etl_spark.functions import y4m
+
+    good = y4m.encode_y4m(2, 2, [bytes(12)], colorspace="C444")
+    with pytest.raises(ValueError, match="magic"):
+        y4m.decode_y4m(b"YUV4MPEG1 W2 H2\nFRAME\n" + bytes(12))
+    with pytest.raises(ValueError, match="missing W"):
+        y4m.decode_y4m(b"YUV4MPEG2 H2 C444\n")
+    with pytest.raises(NotImplementedError, match="interlacing"):
+        y4m.decode_y4m(b"YUV4MPEG2 W2 H2 It C444\nFRAME\n" + bytes(12))
+    with pytest.raises(NotImplementedError, match="colourspace"):
+        y4m.decode_y4m(b"YUV4MPEG2 W2 H2 C422\nFRAME\n" + bytes(8))
+    with pytest.raises(ValueError, match="truncated frame"):
+        y4m.decode_y4m(good[:-3])
+    with pytest.raises(ValueError, match="FRAME marker"):
+        y4m.decode_y4m(good + b"JUNK")
+
+
+def test_sample_video_stats_matches_fixture_formula(spark):
+    ids = spark.range(0, 24).selectExpr("id AS doc_id")
+    media = M.y4m_media_from_ids(ids, id_col="doc_id")
+    rows = M.sample_video_stats(media, frame_stride=2).collect()
+    got = {(r.media_id, r.frame_idx): r for r in rows}
+    expected_keys = set()
+    for mid in range(24):
+        w = 4 + mid % 5
+        h = 4 + (mid // 5) % 5
+        nf = 2 + mid % 4
+        plane = w * h
+        for f in range(0, nf, 2):
+            expected_keys.add((mid, f))
+            sums = [0, 0, 0]
+            for p in range(3 * plane):
+                sums[p // plane] += (mid * 17 + f * 251 + p) % 256
+            r = got[(mid, f)]
+            assert (r.width, r.height) == (w, h)
+            assert [r.y_sum, r.u_sum, r.v_sum] == sums
+    assert set(got) == expected_keys  # odd frames sampled out
+
+    null_media = media.selectExpr(
+        "media_id", "CAST(NULL AS BINARY) AS payload"
+    ).limit(3)
+    assert M.sample_video_stats(null_media).count() == 0
+
+
+# ---------------------------------------------------------- real NN resize
+
+
+@pytest.mark.parametrize("tw,th", [(16, 16), (4, 4)])
+def test_resize_image_media_matches_nn_reference(spark, tw, th):
+    # up- and down-scale against a brute-force nearest-neighbour
+    # reference, through the full decode -> resample -> re-encode ->
+    # re-decode chain (the output payload must be a valid PNG)
+    from lab5_lakehouse_etl_spark.functions import png
+
+    ids = spark.range(0, 12).selectExpr("id AS doc_id")
+    media = M.png_media_from_ids(ids, id_col="doc_id")
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    out = {
+        r.media_id: r
+        for r in M.resize_image_media(media, width=tw, height=th).collect()
+    }
+    for mid, payload in src.items():
+        w, h, c, px = png.decode_png(payload)
+        rw, rh, rc, rpx = png.decode_png(bytes(out[mid].payload))
+        assert (rw, rh, rc) == (tw, th, 3)
+        for y in range(th):
+            for x in range(tw):
+                sy, sx = (y * h) // th, (x * w) // tw
+                for ch in range(c):
+                    assert (
+                        rpx[(y * tw + x) * c + ch]
+                        == px[(sy * w + sx) * c + ch]
+                    )
+
+    null_media = media.selectExpr(
+        "media_id", "CAST(NULL AS BINARY) AS payload"
+    ).limit(2)
+    for r in M.resize_image_media(null_media).collect():
+        assert r.payload is None
