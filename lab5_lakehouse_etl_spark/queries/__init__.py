@@ -317,6 +317,9 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_multimodal_audio": 11,
     "q_multimodal_video": 11,
     "q_multimodal_resize_real": 11,
+    # Round-11 (third batch): pure Python/numpy baseline JPEG codec
+    # (functions/jpeg.py) + the decode_image JPEG dispatch branch.
+    "q_multimodal_jpeg": 11,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -270,6 +270,57 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_jpeg",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             8 * (2 + doc_id % 3)        AS w,
+             8 * (2 + (doc_id // 3) % 3) AS h
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, h,
+             unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS bi
+      FROM p
+    )
+    SELECT doc_id            AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(SUM(64 * ((doc_id * 37 + bi) % 256)) AS BIGINT)
+               AS pixel_sum
+    FROM b
+    GROUP BY doc_id, w, h
+    """,
+)
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-format decode end-to-end: encode a deterministic
+    grayscale baseline JPEG per document id and decode it with the
+    pure Python/numpy codec (functions/jpeg.py — marker walk,
+    stream-defined Huffman tables, bit-unstuffing, DC prediction,
+    dequant + IDCT), emitting per-image dimensions + the exact pixel
+    sum.  Bit-exactness through a LOSSY codec: the fixture's 8x8
+    blocks are constant, so each survives quantization exactly with
+    the DC quantant pinned to 8 (see the jpeg.py module docstring),
+    letting the DuckDB oracle restate the decoded pixels in closed
+    form — general-content accuracy is tolerance-pinned separately in
+    tests/test_multimodal.py.
+
+    Scale: encode and decode are Arrow-batched mapInPandas stages over
+    the id/payload partitions; payload bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.jpeg_media_from_ids(docs, id_col="doc_id")
+    stats = M.decode_image_stats(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.element_at("channel_sums", 1).alias("pixel_sum"),
+    )
+
+
+@query(
     "q_multimodal_resize_real",
     oracle="""
     WITH p AS (

@@ -53,10 +53,14 @@ def test_sample_frames_covers_payload(media):
         assert sum(lens) == sizes[mid]
 
 
-def test_decode_non_png_still_raises():
-    # the real decode path covers PNG; other codecs remain an explicit
-    # NotImplementedError, never a silent wrong answer
-    with pytest.raises(NotImplementedError, match="PNG decode"):
+def test_decode_unsupported_format_still_raises():
+    # the real decode paths cover PNG + baseline JPEG; other formats
+    # remain an explicit NotImplementedError, never a silent wrong
+    # answer — and a JPEG-looking-but-truncated payload fails loudly
+    # in the real decoder, not the dispatcher
+    with pytest.raises(NotImplementedError, match="PNG and baseline-JPEG"):
+        M.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(ValueError, match="truncated JPEG"):
         M.decode_image(b"\xff\xd8\xff\xe0JFIF-ish")
 
 
@@ -358,3 +362,116 @@ def test_resize_image_media_matches_nn_reference(spark, tw, th):
     ).limit(2)
     for r in M.resize_image_media(null_media).collect():
         assert r.payload is None
+
+
+# --------------------------------------------------------------- JPEG codec
+
+
+def test_jpeg_block_constant_exact_roundtrip():
+    # the oracle-path invariant: constant 8x8 blocks + DC quantant 8
+    # survive the lossy pipeline bit-exactly, across a multi-block
+    # grid (DC differential coding crosses block boundaries)
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import jpeg
+
+    for mid in (0, 1, 5, 37, 123, 255):
+        w = 8 * (2 + mid % 3)
+        h = 8 * (2 + (mid // 3) % 3)
+        bw = w // 8
+        img = np.zeros((h, w), dtype=np.uint8)
+        for by in range(h // 8):
+            for bx in range(bw):
+                img[by * 8 :, bx * 8 : bx * 8 + 8][:8] = (
+                    mid * 37 + by * bw + bx
+                ) % 256
+        dw, dh, dc, px = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, img.tobytes()))
+        assert (dw, dh, dc) == (w, h, 1)
+        assert px == img.tobytes()
+
+
+def test_jpeg_general_content_bounded_error():
+    # with the all-ones quant table, loss reduces to coefficient
+    # rounding: per-pixel error must stay tiny on arbitrary content,
+    # including non-block-aligned dimensions (edge-replicated blocks)
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import jpeg
+
+    rng = np.random.default_rng(7)
+    for w, h in ((40, 24), (21, 13), (8, 8), (17, 9)):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        data = jpeg.encode_jpeg(w, h, img.tobytes(), quant=jpeg.LOSSLESS_QUANT)
+        dw, dh, dc, px = jpeg.decode_jpeg(data)
+        assert (dw, dh, dc) == (w, h, 1)
+        err = np.abs(
+            np.frombuffer(px, np.uint8).reshape(h, w).astype(int)
+            - img.astype(int)
+        )
+        assert err.max() <= 4
+
+
+def test_jpeg_entropy_coding_edge_cases():
+    # ZRL (>15-zero runs) and byte stuffing: a block with exactly one
+    # large AC coefficient far into the zigzag forces ZRL symbols, and
+    # high-entropy content makes 0xFF bytes statistically certain
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import jpeg
+
+    # one hot pixel -> spread spectrum; checkerboard -> max-frequency AC
+    img = np.zeros((8, 8), dtype=np.uint8)
+    img[7, 7] = 255
+    board = (np.indices((8, 8)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    for pic in (img, board):
+        data = jpeg.encode_jpeg(8, 8, pic.tobytes(), quant=jpeg.LOSSLESS_QUANT)
+        _, _, _, px = jpeg.decode_jpeg(data)
+        err = np.abs(
+            np.frombuffer(px, np.uint8).astype(int) - pic.reshape(-1).astype(int)
+        )
+        assert err.max() <= 4
+
+
+def test_jpeg_rejects_malformed_and_out_of_scope():
+    import struct
+
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import jpeg
+
+    good = jpeg.encode_jpeg(8, 8, bytes(64))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="truncated JPEG segment"):
+        jpeg.decode_jpeg(good[:10])
+    with pytest.raises(ValueError, match="truncated JPEG entropy"):
+        jpeg.decode_jpeg(good[:-4])
+    # progressive frame marker
+    bad = bytearray(good)
+    sof_at = bytes(good).index(b"\xff\xc0")
+    bad[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF marker"):
+        jpeg.decode_jpeg(bytes(bad))
+    # stream missing its SOF entirely: cut the frame segment out
+    (sof_len,) = struct.unpack(">H", good[sof_at + 2 : sof_at + 4])
+    with pytest.raises(ValueError, match="no SOF0"):
+        jpeg.decode_jpeg(good[:sof_at] + good[sof_at + 2 + sof_len :])
+    with pytest.raises(ValueError, match="expected 64"):
+        jpeg.encode_jpeg(8, 8, bytes(63))
+    with pytest.raises(ValueError, match="quant table entries"):
+        jpeg.encode_jpeg(8, 8, bytes(64), quant=np.zeros((8, 8), int))
+
+
+def test_decode_image_stats_jpeg_matches_fixture_formula(spark):
+    ids = spark.range(0, 18).selectExpr("id AS doc_id")
+    media = M.jpeg_media_from_ids(ids, id_col="doc_id")
+    stats = {r.media_id: r for r in M.decode_image_stats(media).collect()}
+    for mid in range(18):
+        w = 8 * (2 + mid % 3)
+        h = 8 * (2 + (mid // 3) % 3)
+        expect = sum(
+            64 * ((mid * 37 + bi) % 256) for bi in range((w // 8) * (h // 8))
+        )
+        r = stats[mid]
+        assert (r.width, r.height, r.channels) == (w, h, 1)
+        assert list(r.channel_sums) == [expect]
