@@ -3,19 +3,24 @@
 Images/audio/video travel as ``binary`` columns with a metadata struct
 (modality, mime, width/height/duration…). The Spark-side plumbing —
 schema, partition-preserving mapInPandas, Arrow batch shapes — is real
-and tested.  Since round 11 the IMAGE path is real too:
-``decode_image`` decodes PNG payloads with the pure-stdlib codec in
-functions/png.py (CRC-verified chunks, zlib inflate, all five scanline
-filters) and ``decode_image_stats`` turns that into oracle-checkable
-per-channel pixel statistics.  Non-PNG codecs (JPEG/audio/video) stay
-behind ``NotImplementedError`` — those libraries are not in this
-container — and the feature extractor keeps its deterministic
-md5-seeded stand-in so downstream similarity plumbing is exercisable
-end-to-end without a model.
+and tested, and since round 11 so are the CODECS, all pure
+Python/stdlib (+numpy): PNG images (functions/png.py), grayscale
+baseline JPEG (functions/jpeg.py), RIFF/WAVE 16-bit PCM audio
+(functions/wav.py), YUV4MPEG2 video frame sampling (functions/y4m.py),
+and a real nearest-neighbour resize through a full decode → resample →
+re-encode chain.  Each decode path is oracle-checked end to end via
+exact integer statistics against a closed-form fixture formula.  Only
+formats whose codecs are genuinely absent from this container (color
+JPEG, WebP/AVIF, MP3/AAC, H.264) remain behind explicit
+``NotImplementedError``, and the embedding-style feature extractor
+keeps its deterministic md5-seeded stand-in so downstream similarity
+plumbing is exercisable end-to-end without a model.
 
 Scale: payload columns are only materialized inside mapInPandas
 batches; metadata-only queries never touch the bytes (parquet column
-pruning drops the binary column at the scan).
+pruning drops the binary column at the scan); codec stages size their
+task fan-out by row count and codec weight (see
+:func:`_id_partitioned`), and payload bytes never cross a shuffle.
 """
 
 from __future__ import annotations
@@ -362,6 +367,104 @@ def resize_image_media(
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=RESIZED_SCHEMA
+    )
+
+
+#: Pixel-content groups per the q_image_dedup fixture: ids congruent
+#: mod this share pixels (encoded DIFFERENTLY — see below).
+IMAGE_DEDUP_GROUPS = 250
+
+
+def png_variant_media_from_ids(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Media table where PIXEL content repeats across ids but PAYLOAD
+    bytes do not: ids congruent mod ``IMAGE_DEDUP_GROUPS`` render the
+    same image (the _fixture_png formula keyed on ``id % 250``), but
+    each id's PNG picks its scanline filters from its COPY NUMBER
+    (``(y + id // 250) % 5`` — the full id is constant mod 5 within a
+    group, so it cannot vary the encoding), so byte-level fingerprints
+    differ between a group's first five copies (and between any two
+    copies whose filter phase differs; with only five PNG filters,
+    copies 5 apart re-encode identically — still invisible to a
+    byte-hash dedup for the 4/5 of pairs that don't).  This is the
+    honest fixture for content-level image dedup: hashing payloads
+    finds at most the phase-aligned slice of each group; only a decode
+    finds them all."""
+    from . import png
+
+    def encode_variant(media_id: int) -> bytes:
+        key = media_id % IMAGE_DEDUP_GROUPS
+        width = 8 + key % 9
+        height = 8 + (key // 9) % 9
+        pixels = bytes(
+            (key * 31 + i) % 256 for i in range(width * height * 3)
+        )
+        copy_n = media_id // IMAGE_DEDUP_GROUPS
+        return png.encode_png(
+            width,
+            height,
+            pixels,
+            color_type=2,
+            filter_of_row=lambda y: (y + copy_n) % 5,
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [encode_variant(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "image",
+                    "mime": "image/png",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return _id_partitioned(ids, id_col, rows_per_task=1000).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+PIXEL_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("pixel_fp", StringType(), True),
+    ]
+)
+
+
+def pixel_fingerprints(media: DataFrame) -> DataFrame:
+    """CONTENT-level image fingerprint: decode each payload with the
+    real codec and hash the decoded ``dims || pixels`` (md5) — two
+    images are duplicates iff they render identically, regardless of
+    container bytes, filter choices or compression level.  This is the
+    image twin of text exact-dedup's normalize-then-fingerprint rule.
+
+    Scale: decode is Arrow-batched mapInPandas where the payload
+    lives; only (id, 16 B fingerprint) rows leave the stage, so the
+    dedup groupBy shuffles fingerprints, never pixels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fps = []
+            for p in pdf["payload"]:
+                if p is None:
+                    fps.append(None)
+                    continue
+                w, h, c, px = decode_image(bytes(p))
+                fps.append(
+                    hashlib.md5(
+                        f"{w}x{h}x{c}|".encode("ascii") + px
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "pixel_fp": fps}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=PIXEL_FP_SCHEMA
     )
 
 

@@ -320,6 +320,9 @@ _REWRITTEN_IN: dict[str, int] = {
     # Round-11 (third batch): pure Python/numpy baseline JPEG codec
     # (functions/jpeg.py) + the decode_image JPEG dispatch branch.
     "q_multimodal_jpeg": 11,
+    # Round-11 (fourth batch): content-level image dedup across
+    # encodings (png_variant_media_from_ids + pixel_fingerprints).
+    "q_image_dedup": 11,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

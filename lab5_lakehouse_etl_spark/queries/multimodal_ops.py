@@ -1,10 +1,12 @@
 """Multimodal-column declared queries (SURVEY §2.10).
 
-The media table is faked from documents (utf-8 bytes as payload) so the
-binary-column plumbing — schema, pruning, Arrow batch shapes — is
-exercised end-to-end. Metadata/hash ops are SQL-verifiable (DuckDB
-sha256/octet_length over blobs); the mapInPandas feature extraction and
-frame sampling are rows-only.
+Two fixture families: the PLUMBING queries fake a media table from
+documents (utf-8 bytes as payload) to exercise schema, pruning and
+Arrow batch shapes; the CODEC queries generate real container bytes
+per id (PNG / baseline JPEG / RIFF-WAVE / YUV4MPEG2) and decode them
+with the pure-Python codecs in functions/, hash-checked against
+closed-form fixture-formula oracles on exact integer statistics —
+every query here carries a full DuckDB value-hash oracle.
 """
 
 from __future__ import annotations
@@ -267,6 +269,46 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.y4m_media_from_ids(docs, id_col="doc_id")
     return M.sample_video_stats(media, frame_stride=2)
+
+
+@query(
+    "q_image_dedup",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(MIN(doc_id) OVER (PARTITION BY doc_id % 250) AS BIGINT)
+               AS canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id % 250) AS BIGINT)
+               AS group_size
+    FROM documents
+    """,
+)
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-level image dedup across encodings: the fixture renders
+    the same pixels for ids congruent mod 250 but encodes each id's
+    PNG with different scanline filters, so payload bytes differ
+    within every duplicate group — a byte-hash dedup finds NOTHING
+    (pinned in tests/test_multimodal.py), only decode-then-fingerprint
+    does.  Each image is decoded with the real codec, fingerprinted on
+    ``dims || pixels``, and grouped: min-id canonical + group size per
+    image.  The DuckDB oracle restates the fixture's duplicate
+    structure in closed form (groups ARE the mod-250 classes), so a
+    decode divergence anywhere breaks group membership and the hash.
+
+    Scale: decode runs where payloads live; only (id, 16 B
+    fingerprint) rows reach the one dedup shuffle — the image twin of
+    the text exact-dedup plan (q_dedup_exact_docs), pixels never
+    cross the wire."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.png_variant_media_from_ids(docs, id_col="doc_id")
+    fps = M.pixel_fingerprints(media)
+    w = Window.partitionBy("pixel_fp")
+    return fps.select(
+        "media_id",
+        F.min("media_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
 
 
 @query(

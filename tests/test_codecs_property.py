@@ -1,0 +1,125 @@
+"""Property-based round-trip tests for the pure-Python media codecs.
+
+Hypothesis drives the shapes and contents the hand-written fixtures
+can't enumerate: arbitrary dimensions (including 1-pixel-wide strides
+and non-block-aligned JPEG edges), arbitrary payload bytes, every
+PNG color type / filter mix, odd and even ancillary-chunk lengths.
+The invariants are the codec contracts:
+
+* PNG / WAV / Y4M are LOSSLESS — decode(encode(x)) == x exactly;
+* baseline JPEG with the all-ones quant table is NEAR-lossless — the
+  only loss is DCT-coefficient rounding, which bounds per-pixel error.
+
+Examples are capped small (dims <= 24, frames <= 4) so the whole file
+runs in seconds; the goal is branch coverage of the codecs' stride /
+padding / entropy math, not data volume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from lab5_lakehouse_etl_spark.functions import jpeg, png, wav, y4m
+
+_SETTINGS = {"max_examples": 40, "deadline": None}
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_property(w, h, color_type, seed):
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, w * h * channels, dtype=np.uint8).tobytes()
+    # filter choice keyed off the seed so all five filters rotate
+    data = png.encode_png(
+        w, h, px, color_type=color_type, filter_of_row=lambda y: (y + seed) % 5
+    )
+    assert png.decode_png(data) == (w, h, channels, px)
+
+
+@settings(**_SETTINGS)
+@given(
+    rate=st.integers(1, 192_000),
+    channels=st.integers(1, 4),
+    frames=st.integers(0, 64),
+    seed=st.integers(0, 2**32 - 1),
+    info_len=st.one_of(st.none(), st.integers(0, 9)),
+)
+def test_wav_roundtrip_property(rate, channels, frames, seed, info_len):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(
+        -32768, 32768, frames * channels, dtype=np.int64
+    ).astype("<i2")
+    info = None if info_len is None else b"IART" + b"x" * info_len
+    out = wav.decode_wav(wav.encode_wav(rate, channels, samples, info=info))
+    assert out[:3] == (rate, channels, frames)
+    assert np.array_equal(out[3], samples)
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    n=st.integers(0, 4),
+    stride=st.integers(1, 3),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_y4m_roundtrip_and_stride_property(w, h, n, stride, seed):
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, 3 * w * h, dtype=np.uint8).tobytes()
+        for _ in range(n)
+    ]
+    data = y4m.encode_y4m(w, h, frames, colorspace="C444")
+    dw, dh, _fps, out = y4m.decode_y4m(data, frame_stride=stride)
+    assert (dw, dh) == (w, h)
+    assert out == [(i, frames[i]) for i in range(0, n, stride)]
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_jpeg_bounded_error_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    data = jpeg.encode_jpeg(w, h, img.tobytes(), quant=jpeg.LOSSLESS_QUANT)
+    dw, dh, dc, px = jpeg.decode_jpeg(data)
+    assert (dw, dh, dc) == (w, h, 1)
+    err = np.abs(
+        np.frombuffer(px, np.uint8).reshape(h, w).astype(int) - img.astype(int)
+    )
+    assert err.max() <= 4
+
+
+@settings(**_SETTINGS)
+@given(
+    bw=st.integers(1, 3),
+    bh=st.integers(1, 3),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_jpeg_block_constant_exact_property(bw, bh, seed):
+    # the oracle-path invariant generalized: ANY per-block-constant
+    # image decodes bit-exactly under the DC-quantant-8 table
+    rng = np.random.default_rng(seed)
+    img = np.repeat(
+        np.repeat(rng.integers(0, 256, (bh, bw), dtype=np.uint8), 8, axis=0),
+        8,
+        axis=1,
+    )
+    data = jpeg.encode_jpeg(bw * 8, bh * 8, img.tobytes())
+    assert jpeg.decode_jpeg(data)[3] == img.tobytes()

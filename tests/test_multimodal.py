@@ -475,3 +475,31 @@ def test_decode_image_stats_jpeg_matches_fixture_formula(spark):
         r = stats[mid]
         assert (r.width, r.height, r.channels) == (w, h, 1)
         assert list(r.channel_sums) == [expect]
+
+
+# -------------------------------------------------- cross-encoding dedup
+
+
+def test_image_dedup_requires_decode_not_byte_hash(spark):
+    # ids 0..19 with IMAGE_DEDUP_GROUPS temporarily tiny would need a
+    # fixture override; instead use ids spanning one group boundary:
+    # i and i+250 share pixels but not payload bytes
+    ids = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 250, 251, 252, 500)], ["doc_id"]
+    )
+    media = M.png_variant_media_from_ids(ids, id_col="doc_id")
+    rows = {r.media_id: bytes(r.payload) for r in media.collect()}
+    # payload bytes DIFFER within a pixel-duplicate group (filters vary
+    # with the full id) — a byte-hash dedup would find nothing
+    assert rows[0] != rows[250] and rows[250] != rows[500]
+    assert rows[1] != rows[251]
+    fps = {r.media_id: r.pixel_fp for r in M.pixel_fingerprints(media).collect()}
+    assert fps[0] == fps[250] == fps[500]
+    assert fps[1] == fps[251]
+    assert fps[2] == fps[252]
+    assert len({fps[0], fps[1], fps[2]}) == 3  # distinct groups distinct
+    # NULL payload -> NULL fingerprint (quarantine row)
+    null_media = media.selectExpr(
+        "media_id", "CAST(NULL AS BINARY) AS payload"
+    ).limit(1)
+    assert M.pixel_fingerprints(null_media).first().pixel_fp is None
