@@ -468,6 +468,104 @@ def pixel_fingerprints(media: DataFrame) -> DataFrame:
     )
 
 
+def corrupt_png_media_from_ids(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Media table with DELIBERATE damage for the quarantine demo: the
+    standard PNG fixture, except ids ≡ 0 (mod 7) get one IDAT payload
+    byte flipped (CRC now fails) and ids ≡ 1 (mod 7) get a WebP-style
+    container this environment has no codec for.  The corruption is
+    deterministic, so the quarantine verdict has a closed-form
+    oracle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                mid = int(i)
+                if mid % 7 == 1:
+                    payloads.append(
+                        b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(24)
+                    )
+                    continue
+                data = bytearray(_fixture_png(mid)[2])
+                if mid % 7 == 0:
+                    idat_at = bytes(data).index(b"IDAT")
+                    data[idat_at + 4] ^= 0x40  # first IDAT payload byte
+                payloads.append(bytes(data))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "image",
+                    "mime": "image/png",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return _id_partitioned(ids, id_col, rows_per_task=1000).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+QUARANTINE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("status", StringType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
+
+def decode_or_quarantine(media: DataFrame) -> DataFrame:
+    """Ingest-validation decode: every payload is decoded with the real
+    codecs; malformed containers (bad CRC/markers/truncation) become
+    ``status='corrupt'`` rows and codec-less formats
+    ``status='unsupported'`` — never a crash, never silently admitted.
+    This is the pattern the codec modules advertise ("a training
+    pipeline must quarantine, not learn from garbage") as a
+    first-class operator: the survivor set feeds training, the
+    quarantine set feeds triage.
+
+    Scale: same Arrow-batched mapInPandas shape as every decode stage;
+    the try/except is per record, so one bad payload never poisons its
+    batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "media_id": list(pdf["media_id"]),
+                "status": [],
+                "width": [],
+                "height": [],
+            }
+            for p in pdf["payload"]:
+                if p is None:
+                    rows["status"].append("missing")
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    continue
+                try:
+                    w, h, _c, _px = decode_image(bytes(p))
+                    rows["status"].append("ok")
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                except NotImplementedError:
+                    rows["status"].append("unsupported")
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                except ValueError:
+                    rows["status"].append("corrupt")
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=QUARANTINE_SCHEMA
+    )
+
+
 def _fixture_jpeg(media_id: int) -> tuple[int, int, bytes]:
     """Deterministic grayscale baseline JPEG for one media id:
     ``width = 8 * (2 + id % 3)``, ``height = 8 * (2 + (id // 3) % 3)``,

@@ -323,6 +323,9 @@ _REWRITTEN_IN: dict[str, int] = {
     # Round-11 (fourth batch): content-level image dedup across
     # encodings (png_variant_media_from_ids + pixel_fingerprints).
     "q_image_dedup": 11,
+    # Round-11 (fifth batch): decode-validate quarantine gate
+    # (corrupt_png_media_from_ids + decode_or_quarantine).
+    "q_media_quarantine": 11,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

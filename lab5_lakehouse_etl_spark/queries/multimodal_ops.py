@@ -272,6 +272,39 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_media_quarantine",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'corrupt'
+                WHEN doc_id % 7 = 1 THEN 'unsupported'
+                ELSE 'ok' END AS status,
+           CASE WHEN doc_id % 7 IN (0, 1) THEN NULL
+                ELSE CAST(8 + doc_id % 9 AS BIGINT) END        AS width,
+           CASE WHEN doc_id % 7 IN (0, 1) THEN NULL
+                ELSE CAST(8 + (doc_id // 9) % 9 AS BIGINT) END AS height
+    FROM documents
+    """,
+)
+def q_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest validation as a first-class operator: decode every
+    payload with the real (CRC/marker-verifying) codecs and emit a
+    per-record verdict — ok + dimensions, corrupt (one IDAT byte
+    flipped: the CRC check must catch it), or unsupported (a WebP
+    container with no codec here).  The fixture damages ids ≡ 0 and
+    ≡ 1 (mod 7) deterministically, so the DuckDB oracle restates the
+    expected verdict relation in closed form: a decoder that crashes
+    on, silently accepts, or misclassifies a damaged payload breaks
+    the hash.
+
+    Scale: per-record try/except inside the Arrow batch — one bad
+    payload never poisons its batch, and the quarantine set is a
+    relation, not a log line."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.corrupt_png_media_from_ids(docs, id_col="doc_id")
+    return M.decode_or_quarantine(media)
+
+
+@query(
     "q_image_dedup",
     oracle="""
     SELECT doc_id AS media_id,

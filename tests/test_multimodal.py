@@ -503,3 +503,25 @@ def test_image_dedup_requires_decode_not_byte_hash(spark):
         "media_id", "CAST(NULL AS BINARY) AS payload"
     ).limit(1)
     assert M.pixel_fingerprints(null_media).first().pixel_fp is None
+
+
+def test_decode_or_quarantine_verdicts(spark):
+    ids = spark.range(0, 21).selectExpr("id AS doc_id")
+    media = M.corrupt_png_media_from_ids(ids, id_col="doc_id")
+    rows = {r.media_id: r for r in M.decode_or_quarantine(media).collect()}
+    for mid in range(21):
+        r = rows[mid]
+        if mid % 7 == 0:
+            assert r.status == "corrupt" and r.width is None
+        elif mid % 7 == 1:
+            assert r.status == "unsupported" and r.width is None
+        else:
+            assert r.status == "ok"
+            assert (r.width, r.height) == (8 + mid % 9, 8 + (mid // 9) % 9)
+    # NULL payloads get their own verdict, distinct from decode failure
+    null_media = media.selectExpr(
+        "media_id", "CAST(NULL AS BINARY) AS payload"
+    ).limit(2)
+    assert {r.status for r in M.decode_or_quarantine(null_media).collect()} == {
+        "missing"
+    }
