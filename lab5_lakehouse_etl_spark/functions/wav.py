@@ -61,8 +61,13 @@ def encode_wav(
     be a multiple of ``channels``).  ``info`` adds an ancillary
     ``LIST`` chunk before ``data`` so readers must chunk-walk.
     """
+    if channels < 1 or sample_rate < 1:
+        raise ValueError(
+            f"need channels >= 1 and sample_rate >= 1, got "
+            f"{channels}/{sample_rate}"
+        )
     samples = np.asarray(samples, dtype="<i2")
-    if samples.ndim != 1 or (channels > 0 and len(samples) % channels):
+    if samples.ndim != 1 or len(samples) % channels:
         raise ValueError(
             f"need a flat interleaved buffer divisible by {channels} channels"
         )

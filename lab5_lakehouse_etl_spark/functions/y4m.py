@@ -54,6 +54,10 @@ def encode_y4m(
     """
     if colorspace not in _FRAME_FACTOR:
         raise NotImplementedError(f"colourspace {colorspace} unsupported")
+    if colorspace.startswith("C420") and (width % 2 or height % 2):
+        raise ValueError(
+            f"C420 requires even dimensions, got {width}x{height}"
+        )
     expect = int(width * height * _FRAME_FACTOR[colorspace])
     header = (
         f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} "
@@ -102,6 +106,10 @@ def parse_header(data: bytes) -> tuple[int, int, tuple[int, int], str, int]:
         raise ValueError("Y4M header missing W or H")
     if colorspace not in _FRAME_FACTOR:
         raise NotImplementedError(f"colourspace {colorspace} unsupported")
+    if colorspace.startswith("C420") and (width % 2 or height % 2):
+        raise ValueError(
+            f"C420 requires even dimensions, got {width}x{height}"
+        )
     return width, height, fps, colorspace, nl + 1
 
 

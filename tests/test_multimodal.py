@@ -525,3 +525,20 @@ def test_decode_or_quarantine_verdicts(spark):
     assert {r.status for r in M.decode_or_quarantine(null_media).collect()} == {
         "missing"
     }
+
+
+def test_wav_y4m_parameter_validation():
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import wav, y4m
+
+    with pytest.raises(ValueError, match="channels >= 1"):
+        wav.encode_wav(8000, 0, np.zeros(0, dtype="<i2"))
+    with pytest.raises(ValueError, match="sample_rate >= 1"):
+        wav.encode_wav(0, 1, np.zeros(4, dtype="<i2"))
+    # C420 subsamples chroma 2x2: odd dims are unrepresentable and must
+    # fail at both ends, not silently truncate the frame size
+    with pytest.raises(ValueError, match="even dimensions"):
+        y4m.encode_y4m(3, 2, [bytes(9)], colorspace="C420")
+    with pytest.raises(ValueError, match="even dimensions"):
+        y4m.decode_y4m(b"YUV4MPEG2 W3 H2 C420\nFRAME\n" + bytes(9))
