@@ -555,7 +555,13 @@ def decode_or_quarantine(media: DataFrame) -> DataFrame:
                     rows["status"].append("unsupported")
                     rows["width"].append(None)
                     rows["height"].append(None)
-                except ValueError:
+                except Exception:
+                    # any decode failure IS the corrupt verdict: the
+                    # codecs raise ValueError on checks they make, but
+                    # damage they cannot pre-check surfaces as
+                    # zlib.error (bad deflate under a valid CRC),
+                    # struct/IndexError (truncated tables) — a
+                    # quarantine gate classifies those, never crashes
                     rows["status"].append("corrupt")
                     rows["width"].append(None)
                     rows["height"].append(None)

@@ -542,3 +542,32 @@ def test_wav_y4m_parameter_validation():
         y4m.encode_y4m(3, 2, [bytes(9)], colorspace="C420")
     with pytest.raises(ValueError, match="even dimensions"):
         y4m.decode_y4m(b"YUV4MPEG2 W3 H2 C420\nFRAME\n" + bytes(9))
+
+
+def test_quarantine_catches_non_valueerror_damage(spark):
+    # damage the codecs cannot pre-check: corrupt deflate bytes under a
+    # RECOMPUTED (valid) CRC raise zlib.error, not ValueError — the
+    # gate must classify it corrupt, never crash the batch
+    import struct
+    import zlib
+
+    from lab5_lakehouse_etl_spark.functions import png
+
+    data = bytearray(M._fixture_png(3)[2])
+    idat_at = bytes(data).index(b"IDAT")
+    (idat_len,) = struct.unpack(">I", data[idat_at - 4 : idat_at])
+    data[idat_at + 4 + 2] ^= 0xFF  # inside the deflate stream
+    payload = data[idat_at + 4 : idat_at + 4 + idat_len]
+    crc = zlib.crc32(b"IDAT" + payload) & 0xFFFFFFFF
+    struct.pack_into(">I", data, idat_at + 4 + idat_len, crc)
+    with pytest.raises(zlib.error):
+        png.decode_png(bytes(data))  # the raw codec raises zlib.error
+
+    ids = spark.createDataFrame([(0,)], ["media_id"])
+    import pandas as pd  # noqa: F401
+    media = spark.createDataFrame(
+        [(0, bytes(data), "image", "image/png", len(data))],
+        schema=M.MEDIA_SCHEMA,
+    )
+    row = M.decode_or_quarantine(media).first()
+    assert row.status == "corrupt" and row.width is None
