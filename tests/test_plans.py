@@ -871,3 +871,35 @@ def test_gram_index_built_once_per_process(spark):
     path = os.path.join(scratch_dir("gram_index"), digest)
     assert LakeTable.is_table(path)
     assert LakeTable(path).version() == 0
+
+
+def test_codec_queries_prune_scan_to_id(spark):
+    """The r11 codec queries generate payloads FROM ids: their only
+    parquet scan must read doc_id alone (a codec query that drags the
+    text column through the exchange ships the whole corpus for
+    nothing), and the whole pipeline runs in <=1 exchange — the
+    row-count-adaptive codec repartition; decode stages chain
+    shuffle-free."""
+    for name in (
+        "q_multimodal_decode",
+        "q_multimodal_jpeg",
+        "q_multimodal_audio",
+        "q_multimodal_video",
+        "q_multimodal_resize_real",
+        "q_media_quarantine",
+    ):
+        df = Q.QUERIES[name](spark, SF_DIR)
+        schemas = scan_read_schema(df)
+        assert schemas and all(s == ["doc_id"] for s in schemas), name
+        assert shuffle_count(df) <= 1, name
+
+
+def test_image_dedup_shuffles_fingerprints_only(spark):
+    """q_image_dedup: scan reads only doc_id; shuffle budget covers the
+    codec repartition + the ONE dedup exchange, whose rows are (id,
+    16 B fingerprint) — pixels never cross the wire (they exist only
+    inside the two chained mapInPandas stages)."""
+    df = Q.QUERIES["q_image_dedup"](spark, SF_DIR)
+    schemas = scan_read_schema(df)
+    assert schemas and all(s == ["doc_id"] for s in schemas)
+    assert shuffle_count(df) <= 2
