@@ -335,7 +335,10 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = M.png_variant_media_from_ids(docs, id_col="doc_id")
-    fps = M.pixel_fingerprints(media)
+    # NULL fingerprints (quarantined payloads) must never form a
+    # "duplicate group" of unrelated broken rows — none exist in the
+    # fixture, but the operator's generic contract filters them
+    fps = M.pixel_fingerprints(media).filter(F.col("pixel_fp").isNotNull())
     w = Window.partitionBy("pixel_fp")
     return fps.select(
         "media_id",
