@@ -1,17 +1,21 @@
-"""Pure Python/numpy baseline JPEG codec (ITU T.81) — grayscale
-sequential DCT, the real COMPRESSED-image decode path behind the
-multimodal pillar.
+"""Pure Python/numpy baseline JPEG codec (ITU T.81) — sequential
+DCT, grayscale and YCbCr-4:4:4 color, the real COMPRESSED-image
+decode path behind the multimodal pillar.
 
 No reference file:line — the reference repo has no multimodal surface.
 This closes the last image-codec gap the round-10 verdict named: PNG
 (functions/png.py) covered lossless decode; JPEG is the format a real
 training corpus is actually full of.  The decoder implements the
-baseline sequential grayscale subset end to end: marker walk, DQT /
-DHT segment parsing (Huffman tables are built from the STREAM, not
-assumed — any spec-valid canonical table decodes), bit-unstuffing
+baseline sequential subset end to end for 1-component (grayscale) and
+3-component (YCbCr 4:4:4, interleaved MCUs with per-component DC
+predictors and per-component table assignments) frames: marker walk,
+DQT / DHT segment parsing (Huffman tables are built from the STREAM,
+not assumed — any spec-valid canonical table decodes), bit-unstuffing
 (0xFF 0x00), Huffman-coded DC differentials and AC run-lengths
 (EOB/ZRL), dequantization, dezigzag, float IDCT, level shift + clamp,
-and block-grid cropping.  The matching encoder exists so fixtures can
+block-grid cropping, and the JFIF YCbCr→RGB conversion (half-up
+rounding, chosen because ``floor(x + 0.5)`` is exactly restatable in
+SQL — see :func:`_ycbcr_to_rgb`).  The matching encoder exists so fixtures can
 be GENERATED deterministically.
 
 Exactness strategy (how a LOSSY codec gets a bit-exact SQL oracle):
@@ -35,9 +39,9 @@ behind the same ``(width, height, channels, pixels)`` contract.
 
 Out of scope (explicit ``NotImplementedError``, never a wrong
 answer): progressive (SOF2) and arithmetic-coded (SOF9+) scans,
-multi-component (color) images, restart intervals, and 12-bit
-precision — none are producible by :func:`encode_jpeg`, so the
-round-trip surface is closed.
+chroma subsampling (4:2:0 / 4:2:2), multi-scan baselines, restart
+intervals, and 12-bit precision — none are producible by
+:func:`encode_jpeg`, so the round-trip surface is closed.
 """
 
 from __future__ import annotations
@@ -186,74 +190,115 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
+def _encode_block(
+    w: "_BitWriter",
+    block: np.ndarray,
+    quant: np.ndarray,
+    prev_dc: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    """Entropy-encode one level-shifted 8x8 block; returns its DC."""
+    coef = _M @ block @ _M.T
+    q = np.rint(coef / quant).astype(np.int64)
+    zz = [int(q[r, c]) for r, c in ZIGZAG]
+    diff = zz[0] - prev_dc
+    size = _category(diff)
+    code, length = dc_codes[size]
+    w.write(code, length)
+    if size:
+        w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        size = _category(zz[k])
+        code, length = ac_codes[(run << 4) | size]
+        w.write(code, length)
+        v = zz[k]
+        w.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        w.write(code, length)
+    return zz[0]
+
+
 def encode_jpeg(
     width: int,
     height: int,
     pixels: bytes,
     quant: np.ndarray = ORACLE_QUANT,
+    components: int = 1,
 ) -> bytes:
-    """Encode 8-bit grayscale pixels as a baseline sequential JPEG.
+    """Encode 8-bit samples as a baseline sequential JPEG.
 
-    ``quant`` is the natural-order 8x8 quantization table.  Dimensions
-    need not be block-aligned — partial edge blocks replicate their
-    last row/column per the usual convention.
+    ``components=1``: grayscale, ``pixels`` is ``w*h`` luma bytes.
+    ``components=3``: color, ``pixels`` is ``3*w*h`` INTERLEAVED
+    **YCbCr** samples at 4:4:4 (no chroma subsampling); callers
+    converting from RGB use :func:`rgb_to_ycbcr` first — the encoder
+    takes YCbCr directly so the exact-oracle fixtures can pin the
+    decode side's conversion without a lossy pre-step.  All components
+    share quant table 0 and Huffman tables 0 (spec-legal; the decoder
+    reads assignments from the stream).  ``quant`` is the
+    natural-order 8x8 quantization table.  Dimensions need not be
+    block-aligned — partial edge blocks replicate their last
+    row/column per the usual convention.
     """
-    if len(pixels) != width * height:
+    if components not in (1, 3):
+        raise NotImplementedError(f"{components}-component encode unsupported")
+    if len(pixels) != width * height * components:
         raise ValueError(
-            f"pixel buffer is {len(pixels)} bytes; expected {width * height}"
+            f"pixel buffer is {len(pixels)} bytes; "
+            f"expected {width * height * components}"
         )
     quant = np.asarray(quant, dtype=np.int64).reshape(8, 8)
     if (quant < 1).any() or (quant > 255).any():
         raise ValueError("8-bit quant table entries must be in 1..255")
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, components
+    )
     bw = -(-width // 8)
     bh = -(-height // 8)
     padded = np.pad(
-        img, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge"
+        img,
+        ((0, bh * 8 - height), (0, bw * 8 - width), (0, 0)),
+        mode="edge",
     ).astype(np.float64)
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     w = _BitWriter()
-    prev_dc = 0
+    prev_dc = [0] * components
+    # interleaved scan: each MCU is one 8x8 block per component (all
+    # sampling factors 1x1), components in SOF order, each with its
+    # own DC predictor chain
     for by in range(bh):
         for bx in range(bw):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coef = _M @ block @ _M.T
-            q = np.rint(coef / quant).astype(np.int64)
-            zz = [int(q[r, c]) for r, c in ZIGZAG]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            size = _category(diff)
-            code, length = dc_codes[size]
-            w.write(code, length)
-            if size:
-                w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            for k in range(1, last_nz + 1):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    w.write(code, length)
-                    run -= 16
-                size = _category(zz[k])
-                code, length = ac_codes[(run << 4) | size]
-                w.write(code, length)
-                v = zz[k]
-                w.write(v if v >= 0 else v + (1 << size) - 1, size)
-                run = 0
-            if last_nz < 63:
-                code, length = ac_codes[0x00]  # EOB
-                w.write(code, length)
+            for c in range(components):
+                block = (
+                    padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c]
+                    - 128.0
+                )
+                prev_dc[c] = _encode_block(
+                    w, block, quant, prev_dc[c], dc_codes, ac_codes
+                )
 
     dqt = bytes([0x00]) + bytes(int(quant[r, c]) for r, c in ZIGZAG)
-    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    sof = struct.pack(">BHHB", 8, height, width, components) + b"".join(
+        bytes([cid + 1, 0x11, 0]) for cid in range(components)
+    )
     dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
     dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
-    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    sos = bytes([components]) + b"".join(
+        bytes([cid + 1, 0x00]) for cid in range(components)
+    ) + bytes([0, 63, 0])
     return (
         struct.pack(">H", SOI)
         + _seg(0xFFDB, dqt)
@@ -266,14 +311,45 @@ def encode_jpeg(
     )
 
 
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF RGB -> YCbCr (float math, floor(x+0.5) rounding, clamped)
+    — the forward twin of the decoder's :func:`_ycbcr_to_rgb`."""
+    rgb = rgb.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
+    """JFIF YCbCr -> RGB.  Rounding is ``floor(x + 0.5)`` (half-up),
+    NOT numpy's banker's rint: half-up is exactly restatable in SQL
+    (``floor(x + 0.5)``), which is what lets the color-decode query
+    carry a bit-exact DuckDB oracle.  Expression shapes below must
+    stay literally parallel to that oracle (same literals, same
+    association order) — IEEE doubles make the results bit-identical
+    only while the operation sequences match."""
+    p = planes.astype(np.float64)
+    y, cb, cr = p[..., 0], p[..., 1], p[..., 2]
+    r = (y + 1.402 * (cr - 128.0)) + 0.5
+    g = (y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)) + 0.5
+    b = (y + 1.772 * (cb - 128.0)) + 0.5
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(out), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline sequential grayscale JPEG to ``(width,
-    height, 1, pixels)``.
+    """Decode a baseline sequential JPEG to ``(width, height,
+    channels, pixels)`` — grayscale (1 component) or YCbCr 4:4:4
+    color (3 components, emitted as interleaved RGB via
+    :func:`_ycbcr_to_rgb`).
 
     Huffman and quantization tables come from the stream's DHT/DQT
-    segments; ancillary segments (APPn, COM) are skipped per spec;
-    malformed streams fail loudly — a training pipeline must
-    quarantine them, not learn from garbage.
+    segments (per-component assignments honoured); ancillary segments
+    (APPn, COM) are skipped per spec; malformed streams fail loudly —
+    a training pipeline must quarantine them, not learn from garbage.
     """
     if len(data) < 4 or struct.unpack(">H", data[:2])[0] != SOI:
         raise ValueError("not a JPEG: bad SOI marker")
@@ -281,7 +357,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     quants: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    comp_q = comp_dc = comp_ac = 0
+    frame_comps: list[tuple[int, int]] = []
+    scan_tables: dict[int, tuple[int, int]] = {}
     scan_at = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -321,13 +398,19 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise NotImplementedError(f"precision {precision} unsupported")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    f"{ncomp}-component JPEG unsupported (grayscale only)"
+                    f"{ncomp}-component JPEG unsupported "
+                    "(grayscale or YCbCr 4:4:4 only)"
                 )
-            if seg[7] != 0x11:
-                raise NotImplementedError("subsampled components unsupported")
-            comp_q = seg[8]
+            frame_comps = []
+            for c in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "subsampled components unsupported (4:4:4 only)"
+                    )
+                frame_comps.append((cid, tq))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3) or 0xFFC5 <= marker <= 0xFFCF:
             raise NotImplementedError(
                 f"SOF marker 0x{marker:04X} unsupported (baseline SOF0 only)"
@@ -336,9 +419,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             if struct.unpack(">H", seg[:2])[0] != 0:
                 raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xFFDA:  # SOS
-            if seg[0] != 1:
-                raise NotImplementedError("multi-component scan unsupported")
-            comp_dc, comp_ac = seg[2] >> 4, seg[2] & 0x0F
+            ns = seg[0]
+            scan_tables = {
+                seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F)
+                for c in range(ns)
+            }
             scan_at = pos + 2 + length
             break
         # APPn / COM / other ancillary segments: skipped
@@ -347,13 +432,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("JPEG has no SOF0 frame header")
     if scan_at is None:
         raise ValueError("JPEG has no SOS scan")
-    if comp_q not in quants:
-        raise ValueError(f"quant table {comp_q} never defined")
-    for key, kind in (((0, comp_dc), "DC"), ((1, comp_ac), "AC")):
-        if key not in huff:
-            raise ValueError(f"{kind} Huffman table {key[1]} never defined")
-    quant = quants[comp_q]
-    dc_tbl, ac_tbl = huff[(0, comp_dc)], huff[(1, comp_ac)]
+    ncomp = len(frame_comps)
+    if set(scan_tables) != {cid for cid, _ in frame_comps}:
+        raise NotImplementedError(
+            "scan must cover exactly the frame components "
+            "(no multi-scan baseline)"
+        )
+    comps = []  # (quant, dc_tbl, ac_tbl) in SOF order == MCU order
+    for cid, tq in frame_comps:
+        if tq not in quants:
+            raise ValueError(f"quant table {tq} never defined")
+        dc_id, ac_id = scan_tables[cid]
+        for key, kind in (((0, dc_id), "DC"), ((1, ac_id), "AC")):
+            if key not in huff:
+                raise ValueError(f"{kind} Huffman table {key[1]} never defined")
+        comps.append((quants[tq], huff[(0, dc_id)], huff[(1, ac_id)]))
 
     def read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
         code, cl = 0, 0
@@ -367,33 +460,38 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
 
     bw = -(-width // 8)
     bh = -(-height // 8)
-    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    out = np.zeros((bh * 8, bw * 8, ncomp), dtype=np.uint8)
     r = _BitReader(data, scan_at)
-    prev_dc = 0
+    prev_dc = [0] * ncomp
     for by in range(bh):
         for bx in range(bw):
-            zz = [0] * 64
-            size = read_symbol(r, dc_tbl)
-            prev_dc += _extend(r.bits(size), size)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = read_symbol(r, ac_tbl)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                zz[k] = _extend(r.bits(rs & 0x0F), rs & 0x0F)
-                k += 1
-            coef = np.zeros((8, 8), dtype=np.float64)
-            for idx, (row, col) in enumerate(ZIGZAG):
-                coef[row, col] = zz[idx] * quant[row, col]
-            block = _M.T @ coef @ _M + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(block), 0, 255
-            ).astype(np.uint8)
-    return width, height, 1, out[:height, :width].tobytes()
+            for ci, (quant, dc_tbl, ac_tbl) in enumerate(comps):
+                zz = [0] * 64
+                size = read_symbol(r, dc_tbl)
+                prev_dc[ci] += _extend(r.bits(size), size)
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    rs = read_symbol(r, ac_tbl)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _extend(r.bits(rs & 0x0F), rs & 0x0F)
+                    k += 1
+                coef = np.zeros((8, 8), dtype=np.float64)
+                for idx, (row, col) in enumerate(ZIGZAG):
+                    coef[row, col] = zz[idx] * quant[row, col]
+                block = _M.T @ coef @ _M + 128.0
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = np.clip(
+                    np.rint(block), 0, 255
+                ).astype(np.uint8)
+    out = out[:height, :width, :]
+    if ncomp == 1:
+        return width, height, 1, out[..., 0].tobytes()
+    # 3 components: decoded planes are YCbCr (JFIF); emit RGB
+    return width, height, 3, _ycbcr_to_rgb(out).tobytes()

@@ -596,6 +596,63 @@ def _fixture_jpeg(media_id: int) -> tuple[int, int, bytes]:
     return width, height, jpeg.encode_jpeg(width, height, img.tobytes())
 
 
+def _fixture_jpeg_color(media_id: int) -> tuple[int, int, bytes]:
+    """Deterministic YCbCr-4:4:4 color baseline JPEG for one media id:
+    ``width = 8 * (1 + id % 2)``, ``height = 8 * (1 + (id // 2) % 2)``,
+    8x8 block ``bi`` constant at ``Y = (id*11 + bi*3) % 256, Cb =
+    (id*7 + bi*5) % 256, Cr = (id*13 + bi*2) % 256``.  Per-block
+    constants + the DC-quantant-8 table decode the YCbCr planes
+    exactly; the decoder's half-up YCbCr→RGB conversion is then the
+    ONLY arithmetic between fixture and output, and the
+    q_multimodal_jpeg_color oracle restates that conversion verbatim
+    in SQL (same literals, same association order, floor(x+0.5),
+    clamp)."""
+    import numpy as np
+
+    from . import jpeg
+
+    width = 8 * (1 + media_id % 2)
+    height = 8 * (1 + (media_id // 2) % 2)
+    bw = width // 8
+    img = np.zeros((height, width, 3), dtype=np.uint8)
+    for by in range(height // 8):
+        for bx in range(bw):
+            bi = by * bw + bx
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                (media_id * 11 + bi * 3) % 256,
+                (media_id * 7 + bi * 5) % 256,
+                (media_id * 13 + bi * 2) % 256,
+            )
+    return width, height, jpeg.encode_jpeg(
+        width, height, img.tobytes(), components=3
+    )
+
+
+def jpeg_color_media_from_ids(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Media table of real color (YCbCr 4:4:4) baseline-JPEG payloads,
+    generated deterministically per id inside Arrow-batched
+    mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [_fixture_jpeg_color(int(i))[2] for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "image",
+                    "mime": "image/jpeg",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
 def jpeg_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Media table of real baseline-JPEG payloads, generated
     deterministically per id inside Arrow-batched mapInPandas."""

@@ -326,6 +326,9 @@ _REWRITTEN_IN: dict[str, int] = {
     # Round-11 (fifth batch): decode-validate quarantine gate
     # (corrupt_png_media_from_ids + decode_or_quarantine).
     "q_media_quarantine": 11,
+    # Round-11 (sixth batch): YCbCr-4:4:4 color JPEG (jpeg.py
+    # multi-component encode/decode + _ycbcr_to_rgb).
+    "q_multimodal_jpeg_color": 11,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

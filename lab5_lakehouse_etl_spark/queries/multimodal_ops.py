@@ -399,6 +399,78 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_jpeg_color",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             8 * (1 + doc_id % 2)        AS w,
+             8 * (1 + (doc_id // 2) % 2) AS h
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, h,
+             unnest(generate_series(0, (w // 8) * (h // 8) - 1)) AS bi
+      FROM p
+    ),
+    ycc AS (
+      SELECT doc_id, w, h,
+             (doc_id * 11 + bi * 3) % 256 AS y,
+             (doc_id * 7 + bi * 5) % 256  AS cb,
+             (doc_id * 13 + bi * 2) % 256 AS cr
+      FROM b
+    ),
+    rgb AS (
+      SELECT doc_id, w, h,
+             greatest(0.0, least(255.0,
+               floor(y + 1.402 * (cr - 128) + 0.5)))  AS r,
+             greatest(0.0, least(255.0,
+               floor(y - 0.344136 * (cb - 128)
+                       - 0.714136 * (cr - 128) + 0.5))) AS g,
+             greatest(0.0, least(255.0,
+               floor(y + 1.772 * (cb - 128) + 0.5)))  AS bl
+      FROM ycc
+    )
+    SELECT doc_id            AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM(64 * r) AS BIGINT)  AS sum_r,
+           CAST(SUM(64 * g) AS BIGINT)  AS sum_g,
+           CAST(SUM(64 * bl) AS BIGINT) AS sum_b
+    FROM rgb
+    GROUP BY doc_id, w, h
+    """,
+)
+def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color JPEG decode end-to-end: encode a deterministic YCbCr
+    4:4:4 baseline JPEG per document id (interleaved MCUs, three
+    per-component DC predictor chains) and decode it with the pure
+    Python/numpy codec, emitting per-image dimensions + exact
+    per-channel RGB pixel sums.  Bit-exactness through BOTH the lossy
+    pipeline and the colorspace conversion: per-block-constant YCbCr
+    survives quantization exactly (DC quantant 8), and the decoder's
+    JFIF YCbCr→RGB uses half-up rounding so the DuckDB oracle
+    restates the conversion verbatim (same literals, same association
+    order, ``floor(x+0.5)``, clamp) — IEEE doubles make the two
+    engines bit-identical while the expression shapes match.
+
+    Scale: same Arrow-batched mapInPandas shape as the grayscale
+    path; payload bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.jpeg_color_media_from_ids(docs, id_col="doc_id")
+    stats = M.decode_image_stats(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.element_at("channel_sums", 1).alias("sum_r"),
+        F.element_at("channel_sums", 2).alias("sum_g"),
+        F.element_at("channel_sums", 3).alias("sum_b"),
+    )
+
+
+@query(
     "q_multimodal_resize_real",
     oracle="""
     WITH p AS (

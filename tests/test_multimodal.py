@@ -571,3 +571,129 @@ def test_quarantine_catches_non_valueerror_damage(spark):
     )
     row = M.decode_or_quarantine(media).first()
     assert row.status == "corrupt" and row.width is None
+
+
+# --------------------------------------------------------- color JPEG
+
+
+def test_jpeg_color_block_constant_exact():
+    # per-block-constant YCbCr survives the lossy pipeline exactly and
+    # the decoder's half-up RGB conversion matches the reference
+    # formula — across multi-block grids (three DC predictor chains)
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import jpeg
+
+    def ref(y, cb, cr):
+        r = np.floor((y + 1.402 * (cr - 128.0)) + 0.5)
+        g = np.floor(
+            (y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)) + 0.5
+        )
+        b = np.floor((y + 1.772 * (cb - 128.0)) + 0.5)
+        return [int(min(255, max(0, v))) for v in (r, g, b)]
+
+    for mid in (0, 3, 7, 42, 101):
+        w = 8 * (1 + mid % 2)
+        h = 8 * (1 + (mid // 2) % 2)
+        bw = w // 8
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        expect = np.zeros((h, w, 3), dtype=np.uint8)
+        for by in range(h // 8):
+            for bx in range(bw):
+                bi = by * bw + bx
+                y_, cb_, cr_ = (
+                    (mid * 11 + bi * 3) % 256,
+                    (mid * 7 + bi * 5) % 256,
+                    (mid * 13 + bi * 2) % 256,
+                )
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (y_, cb_, cr_)
+                expect[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = ref(
+                    float(y_), float(cb_), float(cr_)
+                )
+        data = jpeg.encode_jpeg(w, h, img.tobytes(), components=3)
+        dw, dh, dc, px = jpeg.decode_jpeg(data)
+        assert (dw, dh, dc) == (w, h, 3)
+        assert px == expect.tobytes()
+
+
+def test_jpeg_color_general_content_bounded_error():
+    # decode(encode(ycc)) must equal the reference conversion of the
+    # original YCbCr within the coefficient-rounding bound
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import jpeg
+
+    rng = np.random.default_rng(11)
+    for w, h in ((24, 16), (21, 13)):
+        ycc = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = jpeg.encode_jpeg(
+            w, h, ycc.tobytes(), quant=jpeg.LOSSLESS_QUANT, components=3
+        )
+        dw, dh, dc, px = jpeg.decode_jpeg(data)
+        assert (dw, dh, dc) == (w, h, 3)
+        got = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+        exp = jpeg._ycbcr_to_rgb(ycc).astype(int)
+        assert np.abs(got - exp).max() <= 16
+
+    # rgb -> ycbcr -> rgb inverts to within conversion rounding
+    rgb = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    back = jpeg._ycbcr_to_rgb(jpeg.rgb_to_ycbcr(rgb)).astype(int)
+    assert np.abs(back - rgb.astype(int)).max() <= 2
+
+
+def test_jpeg_color_rejects_out_of_scope():
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import jpeg
+
+    with pytest.raises(NotImplementedError, match="component encode"):
+        jpeg.encode_jpeg(8, 8, bytes(128), components=2)
+    good = jpeg.encode_jpeg(
+        8, 8, bytes(192), components=3, quant=jpeg.LOSSLESS_QUANT
+    )
+    # subsampling factor on component 0 -> explicit rejection
+    bad = bytearray(good)
+    sof_at = bytes(good).index(b"\xff\xc0")
+    bad[sof_at + 11] = 0x22  # 2x2 sampling
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        jpeg.decode_jpeg(bytes(bad))
+    # scan covering only one of three frame components
+    bad = bytearray(good)
+    sos_at = bytes(good).index(b"\xff\xda")
+    # rebuild a 1-component SOS in place is fiddly; instead corrupt the
+    # scan's component id so it no longer matches the frame set
+    bad[sos_at + 5] ^= 0x7F
+    with pytest.raises(NotImplementedError, match="scan must cover"):
+        jpeg.decode_jpeg(bytes(bad))
+    assert np.frombuffer(
+        jpeg.decode_jpeg(good)[3], np.uint8
+    ).shape == (192,)
+
+
+def test_decode_image_stats_jpeg_color_matches_fixture_formula(spark):
+    ids = spark.range(0, 16).selectExpr("id AS doc_id")
+    media = M.jpeg_color_media_from_ids(ids, id_col="doc_id")
+    stats = {r.media_id: r for r in M.decode_image_stats(media).collect()}
+    import numpy as np
+
+    for mid in range(16):
+        w = 8 * (1 + mid % 2)
+        h = 8 * (1 + (mid // 2) % 2)
+        sums = [0, 0, 0]
+        for bi in range((w // 8) * (h // 8)):
+            y_, cb_, cr_ = (
+                float((mid * 11 + bi * 3) % 256),
+                float((mid * 7 + bi * 5) % 256),
+                float((mid * 13 + bi * 2) % 256),
+            )
+            r_ = np.floor((y_ + 1.402 * (cr_ - 128.0)) + 0.5)
+            g_ = np.floor(
+                (y_ - 0.344136 * (cb_ - 128.0) - 0.714136 * (cr_ - 128.0))
+                + 0.5
+            )
+            b_ = np.floor((y_ + 1.772 * (cb_ - 128.0)) + 0.5)
+            for c, v in enumerate((r_, g_, b_)):
+                sums[c] += 64 * int(min(255, max(0, v)))
+        row = stats[mid]
+        assert (row.width, row.height, row.channels) == (w, h, 3)
+        assert list(row.channel_sums) == sums
