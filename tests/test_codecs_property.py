@@ -123,3 +123,41 @@ def test_jpeg_block_constant_exact_property(bw, bh, seed):
     )
     data = jpeg.encode_jpeg(bw * 8, bh * 8, img.tobytes())
     assert jpeg.decode_jpeg(data)[3] == img.tobytes()
+
+
+@settings(**_SETTINGS)
+@given(
+    bw=st.integers(1, 3),
+    bh=st.integers(1, 3),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_jpeg_color_block_constant_exact_property(bw, bh, seed):
+    # ANY per-block-constant YCbCr image decodes to exactly the
+    # reference conversion under the DC-quantant-8 table — the color
+    # oracle-path invariant generalized beyond the fixture formula
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, (bh, bw, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    data = jpeg.encode_jpeg(bw * 8, bh * 8, img.tobytes(), components=3)
+    dw, dh, dc, px = jpeg.decode_jpeg(data)
+    assert (dw, dh, dc) == (bw * 8, bh * 8, 3)
+    assert px == jpeg._ycbcr_to_rgb(img).tobytes()
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_jpeg_color_bounded_error_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    ycc = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    data = jpeg.encode_jpeg(
+        w, h, ycc.tobytes(), quant=jpeg.LOSSLESS_QUANT, components=3
+    )
+    dw, dh, dc, px = jpeg.decode_jpeg(data)
+    assert (dw, dh, dc) == (w, h, 3)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+    exp = jpeg._ycbcr_to_rgb(ycc).astype(int)
+    assert np.abs(got - exp).max() <= 16
