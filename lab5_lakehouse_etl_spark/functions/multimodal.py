@@ -468,6 +468,51 @@ def pixel_fingerprints(media: DataFrame) -> DataFrame:
     )
 
 
+HIST_FEATURE_SCHEMA = StructType(
+    [StructField("media_id", LongType(), False)]
+    + [StructField(f"h{i}", LongType(), True) for i in range(8)]
+)
+
+
+def image_histogram_features(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction: decode each payload with the
+    real codec and emit an 8-bin intensity histogram over all samples
+    (bin = value // 32) — the model-free feature a quality filter or
+    dedup pre-filter actually computes (all-dark/all-flat detection,
+    coarse content buckets), in contrast to the documented md5
+    stand-in that mimics EMBEDDING-style features.  Integer counts,
+    so the whole decode → bucket → count chain hash-checks against a
+    closed-form oracle.
+
+    Scale: Arrow-batched mapInPandas where the payload lives; output
+    is one 9-column row per image, pixels never leave the stage.
+    NULL payloads map to NULL bins (quarantine rows)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                f.name: [] for f in HIST_FEATURE_SCHEMA.fields
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(int(mid))
+                if p is None:
+                    for i in range(8):
+                        rows[f"h{i}"].append(None)
+                    continue
+                _w, _h, _c, px = decode_image(bytes(p))
+                counts = np.bincount(
+                    np.frombuffer(px, dtype=np.uint8) >> 5, minlength=8
+                )
+                for i in range(8):
+                    rows[f"h{i}"].append(int(counts[i]))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=HIST_FEATURE_SCHEMA
+    )
+
+
 def corrupt_png_media_from_ids(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

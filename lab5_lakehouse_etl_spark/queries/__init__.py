@@ -329,6 +329,9 @@ _REWRITTEN_IN: dict[str, int] = {
     # Round-11 (sixth batch): YCbCr-4:4:4 color JPEG (jpeg.py
     # multi-component encode/decode + _ycbcr_to_rgb).
     "q_multimodal_jpeg_color": 11,
+    # Round-11 (seventh batch): real histogram feature extraction
+    # (image_histogram_features).
+    "q_image_features": 11,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

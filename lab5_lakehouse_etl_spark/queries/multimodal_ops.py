@@ -272,6 +272,51 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_image_features",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             8 + doc_id % 9        AS w,
+             8 + (doc_id // 9) % 9 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id,
+             ((doc_id * 31 + unnest(generate_series(0, w * h * 3 - 1)))
+               % 256) // 32 AS bucket
+      FROM p
+    )
+    SELECT doc_id AS media_id,
+           CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+           CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+           CAST(SUM(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+           CAST(SUM(CASE WHEN bucket = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+           CAST(SUM(CASE WHEN bucket = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+           CAST(SUM(CASE WHEN bucket = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+           CAST(SUM(CASE WHEN bucket = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+           CAST(SUM(CASE WHEN bucket = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image feature extraction: decode the PNG fixture with the
+    real codec and emit an 8-bin intensity histogram per image (bin =
+    sample // 32 over all RGB samples) — the model-free feature a
+    quality filter or dedup pre-filter computes, upgrading the
+    feature story beyond the documented md5 embedding stand-in.  The
+    DuckDB oracle restates the histogram in closed form from the
+    fixture formula, so a single mis-decoded byte moves a count and
+    breaks the hash.
+
+    Scale: decode runs where payloads live; one 9-column row per
+    image leaves the mapInPandas stage, pixels never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.png_media_from_ids(docs, id_col="doc_id")
+    return M.image_histogram_features(media)
+
+
+@query(
     "q_media_quarantine",
     oracle="""
     SELECT doc_id AS media_id,

@@ -697,3 +697,23 @@ def test_decode_image_stats_jpeg_color_matches_fixture_formula(spark):
         row = stats[mid]
         assert (row.width, row.height, row.channels) == (w, h, 3)
         assert list(row.channel_sums) == sums
+
+
+def test_image_histogram_features_match_fixture(spark):
+    ids = spark.range(0, 12).selectExpr("id AS doc_id")
+    media = M.png_media_from_ids(ids, id_col="doc_id")
+    rows = {r.media_id: r for r in M.image_histogram_features(media).collect()}
+    for mid in range(12):
+        w = 8 + mid % 9
+        h = 8 + (mid // 9) % 9
+        expect = [0] * 8
+        for i in range(w * h * 3):
+            expect[((mid * 31 + i) % 256) // 32] += 1
+        got = [getattr(rows[mid], f"h{i}") for i in range(8)]
+        assert got == expect
+        assert sum(got) == w * h * 3  # every sample lands in a bin
+    null_media = media.selectExpr(
+        "media_id", "CAST(NULL AS BINARY) AS payload"
+    ).limit(2)
+    for r in M.image_histogram_features(null_media).collect():
+        assert all(getattr(r, f"h{i}") is None for i in range(8))
