@@ -673,6 +673,79 @@ def _fixture_jpeg_color(media_id: int) -> tuple[int, int, bytes]:
     )
 
 
+def _fixture_jpeg420(media_id: int) -> tuple[int, int, bytes]:
+    """Deterministic 4:2:0 chroma-subsampled color baseline JPEG for
+    one media id: ``width = 16 * (1 + id % 2)``, ``height = 16 *
+    (1 + (id // 2) % 2)`` (whole 16x16 MCUs), MCU ``mi`` (raster
+    order) carries four per-8x8-block-constant Y values ``(id*11 +
+    mi*5 + b*3) % 256`` for Y block ``b`` = 0..3 (top-left, top-right,
+    bottom-left, bottom-right) and MCU-constant chroma ``Cb = (id*7 +
+    mi*5) % 256, Cr = (id*13 + mi*2) % 256``.
+
+    Exactness through the DOUBLY-lossy 4:2:0 path: the encoder's
+    half-up box downsample of MCU-constant chroma is exact, every
+    resulting 8x8 data unit (4 Y + 1 Cb + 1 Cr per MCU) is constant so
+    it survives quantization exactly (DC quantant 8), and replication
+    upsampling of constant chroma is exact — leaving the half-up
+    YCbCr→RGB conversion as the only arithmetic between the fixture
+    formula and the decoded pixels, which the q_multimodal_jpeg420
+    oracle restates verbatim in float64 SQL.  Y varying PER BLOCK
+    (not per MCU) makes the interleaved 4-Y-blocks-then-chroma MCU
+    walk load-bearing: a decoder that mis-orders data units within
+    the MCU shifts Y values across blocks and breaks cross-MCU sums."""
+    import numpy as np
+
+    from . import jpeg
+
+    width = 16 * (1 + media_id % 2)
+    height = 16 * (1 + (media_id // 2) % 2)
+    mw, mh = width // 16, height // 16
+    img = np.zeros((height, width, 3), dtype=np.uint8)
+    for my in range(mh):
+        for mx in range(mw):
+            mi = my * mw + mx
+            cb = (media_id * 7 + mi * 5) % 256
+            cr = (media_id * 13 + mi * 2) % 256
+            for by in range(2):
+                for bx in range(2):
+                    b = by * 2 + bx
+                    yv = (media_id * 11 + mi * 5 + b * 3) % 256
+                    r0, c0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    img[r0 : r0 + 8, c0 : c0 + 8] = (yv, cb, cr)
+    return width, height, jpeg.encode_jpeg(
+        width,
+        height,
+        img.tobytes(),
+        components=3,
+        sampling=[(2, 2), (1, 1), (1, 1)],
+    )
+
+
+def jpeg420_media_from_ids(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Media table of real 4:2:0 chroma-subsampled baseline-JPEG
+    payloads — the dominant real-world JPEG shape — generated
+    deterministically per id inside Arrow-batched mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [_fixture_jpeg420(int(i))[2] for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "image",
+                    "mime": "image/jpeg",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
 def jpeg_color_media_from_ids(
     ids: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

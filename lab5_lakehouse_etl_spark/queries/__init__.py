@@ -332,6 +332,22 @@ _REWRITTEN_IN: dict[str, int] = {
     # Round-11 (seventh batch): real histogram feature extraction
     # (image_histogram_features).
     "q_image_features": 11,
+    # Round-12: functions/jpeg.py generalized to per-component
+    # sampling factors (4:2:0/4:2:2 decode, r11 verdict next-round
+    # #1).  The 4:4:4/grayscale outputs are byte-identical (all-ones
+    # factors degenerate to the old walk; pinned by the unchanged
+    # golden/property tests), but encode_jpeg and decode_jpeg were
+    # RESTRUCTURED (generic MCU walk, per-component planes, upsample
+    # stage), so both pre-existing JPEG queries re-verify.  The color
+    # query's ORACLE also changed semantically: literals now
+    # CAST(... AS DOUBLE) (r11 advice — DuckDB DECIMAL vs float64
+    # divergence on 36 of 256^3 triples), so its r11 green row
+    # certifies a different oracle text.
+    "q_multimodal_jpeg": 12,
+    "q_multimodal_jpeg_color": 12,
+    # Round-12: new 4:2:0 decode query — listed (like r11's new-query
+    # entries) so the scoped dep-manifest decision can anchor on it.
+    "q_multimodal_jpeg420": 12,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

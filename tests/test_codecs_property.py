@@ -144,6 +144,157 @@ def test_jpeg_color_block_constant_exact_property(bw, bh, seed):
     assert px == jpeg._ycbcr_to_rgb(img).tobytes()
 
 
+def _subsample_model(ycc: np.ndarray, sampling) -> np.ndarray:
+    """Reference model of the subsampled round trip MINUS quantization:
+    per-component half-up box downsample then replication upsample —
+    computed independently of the codec's own helpers' call path."""
+    h, w, _ = ycc.shape
+    hmax = max(sh for sh, _ in sampling)
+    vmax = max(sv for _, sv in sampling)
+    out = np.empty_like(ycc)
+    for c, (sh, sv) in enumerate(sampling):
+        ry, rx = vmax // sv, hmax // sh
+        oh, ow = -(-h // ry), -(-w // rx)
+        padded = np.pad(
+            ycc[..., c], ((0, oh * ry - h), (0, ow * rx - w)), mode="edge"
+        ).astype(np.int64)
+        s = padded.reshape(oh, ry, ow, rx).sum(axis=(1, 3))
+        small = (2 * s + ry * rx) // (2 * ry * rx)
+        rows = (np.arange(h) * sv) // vmax
+        cols = (np.arange(w) * sh) // hmax
+        out[..., c] = small[rows][:, cols].astype(np.uint8)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    mw=st.integers(1, 3),
+    mh=st.integers(1, 3),
+    sampling=st.sampled_from(
+        [
+            [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+            [(2, 1), (1, 1), (1, 1)],  # 4:2:2
+            [(1, 2), (1, 1), (1, 1)],  # 4:4:0 (vertical-only)
+            [(4, 1), (1, 1), (1, 1)],  # 4:1:1
+            [(2, 2), (2, 1), (1, 1)],  # mixed divisor layout
+        ]
+    ),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_jpeg_subsampled_mcu_constant_exact_property(mw, mh, sampling, seed):
+    # the 4:2:0-oracle invariant generalized to every divisor layout:
+    # Y constant per 8x8 DATA UNIT (so the within-MCU walk order is
+    # load-bearing at full-pixel-array grain, not just in sums),
+    # chroma constant per MCU -> box downsample, quantization and
+    # replication upsample are all exact, leaving only the half-up
+    # conversion between input and output
+    rng = np.random.default_rng(seed)
+    hmax = max(sh for sh, _ in sampling)
+    vmax = max(sv for _, sv in sampling)
+    w, h = mw * 8 * hmax, mh * 8 * vmax
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for my in range(mh):
+        for mx in range(mw):
+            cb, cr = rng.integers(0, 256, 2)
+            r0, c0 = my * 8 * vmax, mx * 8 * hmax
+            img[r0 : r0 + 8 * vmax, c0 : c0 + 8 * hmax, 1] = cb
+            img[r0 : r0 + 8 * vmax, c0 : c0 + 8 * hmax, 2] = cr
+            for by in range(vmax):
+                for bx in range(hmax):
+                    img[
+                        r0 + by * 8 : r0 + by * 8 + 8,
+                        c0 + bx * 8 : c0 + bx * 8 + 8,
+                        0,
+                    ] = rng.integers(0, 256)
+    # chroma must also be constant per ITS OWN data unit: constant per
+    # MCU guarantees that for every divisor layout above
+    data = jpeg.encode_jpeg(
+        w, h, img.tobytes(), components=3, sampling=sampling
+    )
+    dw, dh, dc, px = jpeg.decode_jpeg(data)
+    assert (dw, dh, dc) == (w, h, 3)
+    assert px == jpeg._ycbcr_to_rgb(_subsample_model(img, sampling)).tobytes()
+    # and for these MCU-constant-chroma fixtures the model's
+    # downsample/upsample is the identity, so the conversion of the
+    # ORIGINAL pixels is the same pin stated two ways
+    assert px == jpeg._ycbcr_to_rgb(img).tobytes()
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    sampling=st.sampled_from(
+        [[(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)]]
+    ),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_jpeg_subsampled_boundary_bounded_error_property(w, h, sampling, seed):
+    # subsampling-boundary pin (r11 verdict next-round #1): ARBITRARY
+    # dims — odd widths, 1-pixel images, non-MCU-aligned edges — with
+    # ARBITRARY content.  The decode must equal the reference model
+    # (half-up box downsample + replication upsample, computed
+    # independently above) to within DCT-coefficient rounding of each
+    # plane through the conversion's coefficient mass (<= ~2 + 2*2.2).
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    data = jpeg.encode_jpeg(
+        w,
+        h,
+        img.tobytes(),
+        quant=jpeg.LOSSLESS_QUANT,
+        components=3,
+        sampling=sampling,
+    )
+    dw, dh, dc, px = jpeg.decode_jpeg(data)
+    assert (dw, dh, dc) == (w, h, 3)
+    model = jpeg._ycbcr_to_rgb(_subsample_model(img, sampling)).astype(int)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(got - model).max() <= 8
+
+
+def test_jpeg_subsampling_scope_and_single_component_rules():
+    # non-divisor layouts refuse loudly on BOTH sides
+    with pytest.raises(NotImplementedError, match="non-divisor"):
+        jpeg.encode_jpeg(
+            8,
+            8,
+            bytes(8 * 8 * 3),
+            components=3,
+            sampling=[(3, 1), (2, 1), (1, 1)],
+        )
+    good = jpeg.encode_jpeg(
+        16,
+        16,
+        bytes(16 * 16 * 3),
+        components=3,
+        sampling=[(2, 2), (1, 1), (1, 1)],
+    )
+    sof_at = bytes(good).index(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[sof_at + 11] = 0x32  # comp 0: 3x2 vs comp 1's 2x? -> non-divisor
+    bad[sof_at + 14] = 0x21
+    with pytest.raises(NotImplementedError, match="non-divisor"):
+        jpeg.decode_jpeg(bytes(bad))
+    # factor 0 / >4 is spec-invalid, not merely unsupported
+    bad = bytearray(good)
+    bad[sof_at + 11] = 0x50
+    with pytest.raises(ValueError, match="outside 1..4"):
+        jpeg.decode_jpeg(bytes(bad))
+    # a single-component scan is NON-interleaved: declared sampling
+    # factors must not change the decode (T.81 A.2.2)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    gray = jpeg.encode_jpeg(
+        16, 16, img.tobytes(), quant=jpeg.LOSSLESS_QUANT
+    )
+    sof_at = bytes(gray).index(b"\xff\xc0")
+    patched = bytearray(gray)
+    assert patched[sof_at + 11] == 0x11
+    patched[sof_at + 11] = 0x22
+    assert jpeg.decode_jpeg(bytes(patched)) == jpeg.decode_jpeg(gray)
+
+
 @settings(**_SETTINGS)
 @given(
     w=st.integers(1, 20),

@@ -477,6 +477,42 @@ def test_decode_image_stats_jpeg_matches_fixture_formula(spark):
         assert list(r.channel_sums) == [expect]
 
 
+def test_decode_image_stats_jpeg420_matches_fixture_formula(spark):
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import jpeg
+
+    ids = spark.range(0, 12).selectExpr("id AS doc_id")
+    media = M.jpeg420_media_from_ids(ids, id_col="doc_id")
+    stats = {r.media_id: r for r in M.decode_image_stats(media).collect()}
+    for mid in range(12):
+        w = 16 * (1 + mid % 2)
+        h = 16 * (1 + (mid // 2) % 2)
+        sums = np.zeros(3, dtype=np.int64)
+        for mi in range((w // 16) * (h // 16)):
+            ycc = np.array(
+                [
+                    [
+                        (mid * 11 + mi * 5 + b * 3) % 256,
+                        (mid * 7 + mi * 5) % 256,
+                        (mid * 13 + mi * 2) % 256,
+                    ]
+                    for b in range(4)
+                ],
+                dtype=np.float64,
+            )
+            sums += 64 * jpeg._ycbcr_to_rgb(ycc).astype(np.int64).sum(axis=0)
+        r = stats[mid]
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert list(r.channel_sums) == sums.tolist()
+    # the payloads genuinely carry subsampled chroma: the Cb/Cr planes
+    # are quarter-size, so a 4:2:0 stream is smaller than the same
+    # pixels at 4:4:4
+    pay = {r.media_id: bytes(r.payload) for r in media.collect()}
+    sof_at = pay[0].index(b"\xff\xc0")
+    assert pay[0][sof_at + 11] == 0x22  # Y declared 2x2
+
+
 # -------------------------------------------------- cross-encoding dedup
 
 
@@ -651,11 +687,19 @@ def test_jpeg_color_rejects_out_of_scope():
     good = jpeg.encode_jpeg(
         8, 8, bytes(192), components=3, quant=jpeg.LOSSLESS_QUANT
     )
-    # subsampling factor on component 0 -> explicit rejection
+    # divisor subsampling is IN scope since r12; the scope boundary is
+    # now spec-invalid factors (0 or >4) and non-divisor layouts
     bad = bytearray(good)
     sof_at = bytes(good).index(b"\xff\xc0")
-    bad[sof_at + 11] = 0x22  # 2x2 sampling
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    bad[sof_at + 11] = 0x02  # h=0: spec-invalid, not merely unsupported
+    with pytest.raises(ValueError, match="outside 1..4"):
+        jpeg.decode_jpeg(bytes(bad))
+    # declaring 2x2 Y on a stream ENCODED at 4:4:4 now parses as a
+    # (legal) 4:2:0 layout whose entropy stream is too short — a
+    # malformed-stream error, never a silent wrong answer
+    bad = bytearray(good)
+    bad[sof_at + 11] = 0x22
+    with pytest.raises(ValueError):
         jpeg.decode_jpeg(bytes(bad))
     # scan covering only one of three frame components
     bad = bytearray(good)
