@@ -351,9 +351,18 @@ def resize_image_media(
                 src_y = (np.arange(height, dtype=np.int64) * h) // height
                 src_x = (np.arange(width, dtype=np.int64) * w) // width
                 resized = img[src_y[:, None], src_x[None, :], :]
+                # re-encode with the PNG color type MATCHING the
+                # decoded channel count (r11 advice): grayscale PNGs
+                # and grayscale JPEGs decode 1-channel, PNG also
+                # yields 2/4-channel — forcing color_type=2 crashed
+                # those in the executor with a buffer-length error
+                color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
                 out.append(
                     png.encode_png(
-                        width, height, resized.tobytes(), color_type=2
+                        width,
+                        height,
+                        resized.tobytes(),
+                        color_type=color_type,
                     )
                 )
             yield pd.DataFrame(
@@ -985,10 +994,14 @@ def sample_video_stats(media: DataFrame, frame_stride: int = 2) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None:
                     continue
-                w, h, _fps, frames = y4m.decode_y4m(
+                w, h, _fps, cs, frames = y4m.decode_y4m(
                     bytes(p), frame_stride=frame_stride
                 )
-                plane = w * h
+                # plane layout comes from the stream's colourspace
+                # (r11 advice): a C420 frame's chroma planes are
+                # quarter-size — slicing them with C444 math would
+                # silently mis-sum U and zero V
+                y_plane, chroma = y4m.plane_sizes(w, h, cs)
                 for idx, payload in frames:
                     b = np.frombuffer(payload, dtype=np.uint8).astype(
                         np.int64
@@ -997,9 +1010,11 @@ def sample_video_stats(media: DataFrame, frame_stride: int = 2) -> DataFrame:
                     rows["frame_idx"].append(idx)
                     rows["width"].append(w)
                     rows["height"].append(h)
-                    rows["y_sum"].append(int(b[:plane].sum()))
-                    rows["u_sum"].append(int(b[plane : 2 * plane].sum()))
-                    rows["v_sum"].append(int(b[2 * plane :].sum()))
+                    rows["y_sum"].append(int(b[:y_plane].sum()))
+                    rows["u_sum"].append(
+                        int(b[y_plane : y_plane + chroma].sum())
+                    )
+                    rows["v_sum"].append(int(b[y_plane + chroma :].sum()))
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(

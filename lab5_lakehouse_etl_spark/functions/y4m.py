@@ -113,12 +113,28 @@ def parse_header(data: bytes) -> tuple[int, int, tuple[int, int], str, int]:
     return width, height, fps, colorspace, nl + 1
 
 
+def plane_sizes(width: int, height: int, colorspace: str) -> tuple[int, int]:
+    """``(y_plane_bytes, chroma_plane_bytes)`` for one frame of the
+    given colourspace — the layout consumers MUST derive from the
+    stream header rather than assume (r11 advice: a C420 payload
+    sliced with C444 plane math silently mis-sums both chroma
+    planes)."""
+    if colorspace not in _FRAME_FACTOR:
+        raise NotImplementedError(f"colourspace {colorspace} unsupported")
+    y_plane = width * height
+    chroma = y_plane if colorspace == "C444" else (width // 2) * (height // 2)
+    return y_plane, chroma
+
+
 def decode_y4m(
     data: bytes, frame_stride: int = 1
-) -> tuple[int, int, tuple[int, int], list[tuple[int, bytes]]]:
-    """Decode a Y4M stream to ``(width, height, fps, frames)`` where
-    ``frames`` is ``[(frame_idx, planar_payload), ...]`` for every
-    ``frame_stride``-th frame.
+) -> tuple[int, int, tuple[int, int], str, list[tuple[int, bytes]]]:
+    """Decode a Y4M stream to ``(width, height, fps, colorspace,
+    frames)`` where ``frames`` is ``[(frame_idx, planar_payload), ...]``
+    for every ``frame_stride``-th frame.  The colourspace is part of
+    the return contract (r11 advice) because the planar payload's
+    layout depends on it — consumers derive plane sizes via
+    :func:`plane_sizes`, never by assuming C444's ``3*w*h``.
 
     Frame sampling happens HERE, at the container walk: skipped
     frames' pixel bytes are never materialized as Python objects, only
@@ -142,4 +158,4 @@ def decode_y4m(
             frames.append((idx, data[start:end]))
         pos = end
         idx += 1
-    return width, height, fps, frames
+    return width, height, fps, colorspace, frames

@@ -348,6 +348,16 @@ _REWRITTEN_IN: dict[str, int] = {
     # Round-12: new 4:2:0 decode query — listed (like r11's new-query
     # entries) so the scoped dep-manifest decision can anchor on it.
     "q_multimodal_jpeg420": 12,
+    # Round-12 (second batch), the two r11 ADVICE contract fixes:
+    # decode_y4m now returns the colourspace and sample_video_stats
+    # derives plane sizes from it (C420 payloads previously mis-sliced
+    # chroma silently); resize_image_media re-encodes with the PNG
+    # color type matching the decoded channel count (non-RGB decodes
+    # previously crashed in encode_png).  Values identical on the
+    # declared C444/RGB fixtures, but both executed code paths
+    # changed.
+    "q_multimodal_video": 12,
+    "q_multimodal_resize_real": 12,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -83,7 +83,7 @@ def test_y4m_roundtrip_and_stride_property(w, h, n, stride, seed):
         for _ in range(n)
     ]
     data = y4m.encode_y4m(w, h, frames, colorspace="C444")
-    dw, dh, _fps, out = y4m.decode_y4m(data, frame_stride=stride)
+    dw, dh, _fps, _cs, out = y4m.decode_y4m(data, frame_stride=stride)
     assert (dw, dh) == (w, h)
     assert out == [(i, frames[i]) for i in range(0, n, stride)]
 

@@ -261,12 +261,12 @@ def test_y4m_roundtrip_and_stride_sampling():
     w, h, n = 5, 3, 5
     frames = [bytes(((f * 251 + p) % 256) for p in range(3 * w * h)) for f in range(n)]
     data = y4m.encode_y4m(w, h, frames, fps=(30, 1), colorspace="C444")
-    dw, dh, fps, out = y4m.decode_y4m(data)
-    assert (dw, dh, fps) == (w, h, (30, 1))
+    dw, dh, fps, cs, out = y4m.decode_y4m(data)
+    assert (dw, dh, fps, cs) == (w, h, (30, 1), "C444")
     assert out == list(enumerate(frames))
     # stride-2 sampling keeps exactly the even frame indices, and the
     # odd frames' Xtag headers are stepped over, not mis-sliced
-    _, _, _, sampled = y4m.decode_y4m(data, frame_stride=2)
+    _, _, _, _, sampled = y4m.decode_y4m(data, frame_stride=2)
     assert [i for i, _ in sampled] == [0, 2, 4]
     assert all(payload == frames[i] for i, payload in sampled)
 
@@ -277,7 +277,7 @@ def test_y4m_c420_frame_size():
     w, h = 4, 2  # even dims: C420 chroma planes are (w/2)x(h/2)
     frame = bytes(range(int(w * h * 1.5)))
     data = y4m.encode_y4m(w, h, [frame], colorspace="C420")
-    assert y4m.decode_y4m(data)[3] == [(0, frame)]
+    assert y4m.decode_y4m(data)[3:] == ("C420", [(0, frame)])
     with pytest.raises(ValueError, match="expected 12"):
         y4m.encode_y4m(w, h, [frame + b"x"], colorspace="C420")
 
@@ -327,6 +327,40 @@ def test_sample_video_stats_matches_fixture_formula(spark):
     assert M.sample_video_stats(null_media).count() == 0
 
 
+def test_sample_video_stats_c420_plane_layout(spark):
+    # r11 advice: a C420 payload's chroma planes are quarter-size —
+    # plane sums derived with C444 math would mis-slice U and zero V.
+    # Build a C420 stream whose three plane sums are all distinct and
+    # pin them exactly.
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import y4m
+
+    w, h = 6, 4
+    yp = np.arange(w * h, dtype=np.int64) % 256
+    up = (np.arange((w // 2) * (h // 2), dtype=np.int64) * 3 + 7) % 256
+    vp = (np.arange((w // 2) * (h // 2), dtype=np.int64) * 5 + 11) % 256
+    frame = np.concatenate([yp, up, vp]).astype(np.uint8).tobytes()
+    data = y4m.encode_y4m(w, h, [frame], colorspace="C420")
+    media = spark.createDataFrame(
+        [(1, bytearray(data))], ["media_id", "payload"]
+    )
+    rows = M.sample_video_stats(media, frame_stride=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.width, r.height, r.frame_idx) == (w, h, 0)
+    assert [r.y_sum, r.u_sum, r.v_sum] == [
+        int(yp.sum()),
+        int(up.sum()),
+        int(vp.sum()),
+    ]
+    # plane_sizes is the single source of the layout rule
+    assert y4m.plane_sizes(w, h, "C420") == (24, 6)
+    assert y4m.plane_sizes(w, h, "C444") == (24, 24)
+    with pytest.raises(NotImplementedError, match="colourspace"):
+        y4m.plane_sizes(w, h, "C422")
+
+
 # ---------------------------------------------------------- real NN resize
 
 
@@ -362,6 +396,53 @@ def test_resize_image_media_matches_nn_reference(spark, tw, th):
     ).limit(2)
     for r in M.resize_image_media(null_media).collect():
         assert r.payload is None
+
+
+def test_resize_image_media_preserves_channel_count(spark):
+    # r11 advice: non-RGB decodes (grayscale PNG/JPEG, grey+alpha,
+    # RGBA) must re-encode with the MATCHING color type instead of
+    # crashing in encode_png with a buffer-length error
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import jpeg, png
+
+    w, h = 10, 6
+    rng = np.random.default_rng(5)
+    payloads = {
+        1: png.encode_png(
+            w, h, rng.integers(0, 256, w * h, np.uint8).tobytes(),
+            color_type=0,
+        ),
+        2: png.encode_png(
+            w, h, rng.integers(0, 256, w * h * 2, np.uint8).tobytes(),
+            color_type=4,
+        ),
+        4: png.encode_png(
+            w, h, rng.integers(0, 256, w * h * 4, np.uint8).tobytes(),
+            color_type=6,
+        ),
+        # grayscale JPEG decodes 1-channel through decode_image too
+        5: jpeg.encode_jpeg(
+            w, h, rng.integers(0, 256, w * h, np.uint8).tobytes()
+        ),
+    }
+    media = spark.createDataFrame(
+        [(mid, bytearray(p)) for mid, p in payloads.items()],
+        ["media_id", "payload"],
+    )
+    out = {
+        r.media_id: r
+        for r in M.resize_image_media(media, width=4, height=4).collect()
+    }
+    expect_c = {1: 1, 2: 2, 4: 4, 5: 1}
+    for mid, payload in payloads.items():
+        sw, sh, sc, spx = M.decode_image(payload)
+        rw, rh, rc, rpx = png.decode_png(bytes(out[mid].payload))
+        assert (rw, rh, rc) == (4, 4, expect_c[mid])
+        src = np.frombuffer(spx, np.uint8).reshape(sh, sw, sc)
+        sy = (np.arange(4) * sh) // 4
+        sx = (np.arange(4) * sw) // 4
+        assert rpx == src[sy[:, None], sx[None, :], :].tobytes()
 
 
 # --------------------------------------------------------------- JPEG codec
