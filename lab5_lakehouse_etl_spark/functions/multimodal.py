@@ -4,14 +4,15 @@ Images/audio/video travel as ``binary`` columns with a metadata struct
 (modality, mime, width/height/duration…). The Spark-side plumbing —
 schema, partition-preserving mapInPandas, Arrow batch shapes — is real
 and tested, and since round 11 so are the CODECS, all pure
-Python/stdlib (+numpy): PNG images (functions/png.py), grayscale
-baseline JPEG (functions/jpeg.py), RIFF/WAVE 16-bit PCM audio
+Python/stdlib (+numpy): PNG images including palette/PLTE forms
+(functions/png.py), baseline JPEG — grayscale and YCbCr color at
+4:4:4 / 4:2:2 / 4:2:0 (functions/jpeg.py), RIFF/WAVE 16-bit PCM audio
 (functions/wav.py), YUV4MPEG2 video frame sampling (functions/y4m.py),
 and a real nearest-neighbour resize through a full decode → resample →
 re-encode chain.  Each decode path is oracle-checked end to end via
 exact integer statistics against a closed-form fixture formula.  Only
-formats whose codecs are genuinely absent from this container (color
-JPEG, WebP/AVIF, MP3/AAC, H.264) remain behind explicit
+formats whose codecs are genuinely absent from this container
+(WebP/AVIF, progressive JPEG, MP3/AAC, H.264) remain behind explicit
 ``NotImplementedError``, and the embedding-style feature extractor
 keeps its deterministic md5-seeded stand-in so downstream similarity
 plumbing is exercisable end-to-end without a model.
@@ -82,11 +83,14 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL decode for PNG and baseline-JPEG payloads, dispatched on
     the magic bytes, returning ``(width, height, channels, pixels)``:
     PNG via the pure-stdlib codec (functions/png.py: chunk walk + CRC
-    verify + zlib inflate + full five-filter unfiltering), grayscale
-    baseline JPEG via the pure Python/numpy codec (functions/jpeg.py:
-    stream-defined Huffman tables, dequant + IDCT, bit-unstuffing).
-    Other formats raise ``NotImplementedError`` (WebP/AVIF codecs are
-    not in this container; production swaps in
+    verify + zlib inflate + full five-filter unfiltering, truecolor /
+    grey / alpha AND palette-with-PLTE/tRNS forms), baseline JPEG —
+    grayscale and YCbCr color at 4:4:4 / 4:2:2 / 4:2:0 — via the pure
+    Python/numpy codec (functions/jpeg.py: stream-defined Huffman
+    tables, sampling-factor MCU walk, dequant + IDCT,
+    bit-unstuffing, chroma upsampling).  Other formats raise
+    ``NotImplementedError`` (WebP/AVIF codecs are not in this
+    container; production swaps in
     ``PIL.Image.open(io.BytesIO(payload))`` behind the same contract).
     """
     from . import jpeg, png
@@ -390,15 +394,21 @@ def png_variant_media_from_ids(
     """Media table where PIXEL content repeats across ids but PAYLOAD
     bytes do not: ids congruent mod ``IMAGE_DEDUP_GROUPS`` render the
     same image (the _fixture_png formula keyed on ``id % 250``), but
-    each id's PNG picks its scanline filters from its COPY NUMBER
-    (``(y + id // 250) % 5`` — the full id is constant mod 5 within a
-    group, so it cannot vary the encoding), so byte-level fingerprints
-    differ between a group's first five copies (and between any two
-    copies whose filter phase differs; with only five PNG filters,
-    copies 5 apart re-encode identically — still invisible to a
-    byte-hash dedup for the 4/5 of pairs that don't).  This is the
-    honest fixture for content-level image dedup: hashing payloads
-    finds at most the phase-aligned slice of each group; only a decode
+    each id's encoding varies with its COPY NUMBER (``id // 250`` —
+    the full id is constant mod 5 within a group, so it cannot vary
+    the encoding): even copies are truecolor PNGs whose scanline
+    filters phase with the copy number (``(y + copy_n) % 5``), ODD
+    copies re-encode the SAME pixels as a PALETTE PNG (color type 3 —
+    every fixture image has ≤ 256 distinct colors; the palette is
+    built in first-appearance order).  Duplicate groups therefore
+    span two PNG color types as well as filter choices, so byte-level
+    fingerprints differ between a group's first ten copies (and any
+    two copies whose type-and-phase differ; copies 10 apart re-encode
+    identically — still invisible to a byte-hash dedup for the 9/10
+    of pairs that don't).  This is the honest fixture for
+    content-level image dedup ACROSS ENCODINGS: hashing payloads
+    finds at most the aligned slice of each group; only a decode —
+    including the PLTE expansion back to the identical RGB samples —
     finds them all."""
     from . import png
 
@@ -410,6 +420,25 @@ def png_variant_media_from_ids(
             (key * 31 + i) % 256 for i in range(width * height * 3)
         )
         copy_n = media_id // IMAGE_DEDUP_GROUPS
+        if copy_n % 2:
+            # palette twin: identical pixels, different color type —
+            # first-appearance palette order (deterministic)
+            order: dict[bytes, int] = {}
+            indices = bytearray()
+            for j in range(width * height):
+                color = pixels[3 * j : 3 * j + 3]
+                if color not in order:
+                    order[color] = len(order)
+                indices.append(order[color])
+            palette = b"".join(order)
+            return png.encode_png(
+                width,
+                height,
+                bytes(indices),
+                color_type=3,
+                palette=palette,
+                filter_of_row=lambda y: (y + copy_n) % 5,
+            )
         return png.encode_png(
             width,
             height,

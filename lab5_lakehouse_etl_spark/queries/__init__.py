@@ -358,6 +358,16 @@ _REWRITTEN_IN: dict[str, int] = {
     # changed.
     "q_multimodal_video": 12,
     "q_multimodal_resize_real": 12,
+    # Round-12 (third batch): PNG palette decode (color type 3,
+    # depths 1/2/4/8, PLTE/tRNS) — functions/png.py decode_png was
+    # restructured (stride/bpp split, palette expansion stage), and
+    # the q_image_dedup fixture now re-encodes odd copies as palette
+    # PNGs, so every query decoding PNGs through decode_png/
+    # decode_image re-verifies.
+    "q_image_dedup": 12,
+    "q_multimodal_decode": 12,
+    "q_media_quarantine": 12,
+    "q_image_features": 12,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

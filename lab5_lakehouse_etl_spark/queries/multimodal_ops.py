@@ -362,15 +362,20 @@ def q_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTENT-level image dedup across encodings: the fixture renders
-    the same pixels for ids congruent mod 250 but encodes each id's
-    PNG with different scanline filters, so payload bytes differ
-    within every duplicate group — a byte-hash dedup finds NOTHING
-    (pinned in tests/test_multimodal.py), only decode-then-fingerprint
-    does.  Each image is decoded with the real codec, fingerprinted on
-    ``dims || pixels``, and grouped: min-id canonical + group size per
-    image.  The DuckDB oracle restates the fixture's duplicate
-    structure in closed form (groups ARE the mod-250 classes), so a
-    decode divergence anywhere breaks group membership and the hash.
+    the same pixels for ids congruent mod 250 but encodes each id
+    differently — even copies as truecolor PNGs with copy-phased
+    scanline filters, odd copies as PALETTE PNGs (color type 3, r12)
+    of the identical pixels — so payload bytes differ within every
+    duplicate group and the copies even disagree on PNG COLOR TYPE.
+    A byte-hash dedup finds NOTHING (pinned in
+    tests/test_multimodal.py); only decode-then-fingerprint — with
+    the palette side expanding through PLTE back to the same RGB
+    samples — finds them all.  Each image is decoded with the real
+    codec, fingerprinted on ``dims || pixels``, and grouped: min-id
+    canonical + group size per image.  The DuckDB oracle restates the
+    fixture's duplicate structure in closed form (groups ARE the
+    mod-250 classes), so a decode divergence anywhere — either codec
+    path — breaks group membership and the hash.
 
     Scale: decode runs where payloads live; only (id, 16 B
     fingerprint) rows reach the one dedup shuffle — the image twin of

@@ -51,6 +51,47 @@ def test_png_roundtrip_property(w, h, color_type, seed):
 
 @settings(**_SETTINGS)
 @given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    n_entries=st.integers(1, 256),
+    with_trns=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_png_palette_roundtrip_property(w, h, n_entries, with_trns, seed):
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, 3 * n_entries, dtype=np.uint8).tobytes()
+    idx = rng.integers(0, n_entries, w * h, dtype=np.uint8).tobytes()
+    trns = (
+        rng.integers(0, 256, rng.integers(0, n_entries + 1), dtype=np.uint8)
+        .tobytes()
+        if with_trns
+        else None
+    )
+    data = png.encode_png(
+        w,
+        h,
+        idx,
+        color_type=3,
+        palette=palette,
+        trns=trns,
+        filter_of_row=lambda y: (y + seed) % 5,
+    )
+    dw, dh, dc, px = png.decode_png(data)
+    assert (dw, dh) == (w, h)
+    if trns is None:
+        assert dc == 3
+        assert px == b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+    else:
+        assert dc == 4
+        assert px == b"".join(
+            palette[3 * i : 3 * i + 3]
+            + bytes([trns[i] if i < len(trns) else 255])
+            for i in idx
+        )
+
+
+@settings(**_SETTINGS)
+@given(
     rate=st.integers(1, 192_000),
     channels=st.integers(1, 4),
     frames=st.integers(0, 64),

@@ -115,8 +115,11 @@ def test_png_rejects_out_of_scope_forms():
 
     with pytest.raises(ValueError, match="signature"):
         png.decode_png(b"not a png at all")
-    with pytest.raises(NotImplementedError, match="color type"):
+    # palette encode is IN scope since r12 but demands its palette
+    with pytest.raises(ValueError, match="requires a palette"):
         png.encode_png(2, 2, b"\x00" * 4, color_type=3)
+    with pytest.raises(NotImplementedError, match="color type"):
+        png.encode_png(2, 2, b"\x00" * 4, color_type=5)
 
     def build(depth=8, color=2, interlace=0):
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
@@ -132,8 +135,86 @@ def test_png_rejects_out_of_scope_forms():
         png.decode_png(build(depth=16))
     with pytest.raises(NotImplementedError, match="interlacing"):
         png.decode_png(build(interlace=1))
-    with pytest.raises(NotImplementedError, match="color type"):
+    # a palette image with no PLTE chunk is malformed, not unsupported
+    with pytest.raises(ValueError, match="no PLTE"):
         png.decode_png(build(color=3))
+    with pytest.raises(ValueError, match="invalid for a palette"):
+        png.decode_png(build(depth=16, color=3))
+
+
+def test_png_palette_roundtrip_and_trns():
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import png
+
+    rng = np.random.default_rng(9)
+    w, h = 11, 7
+    palette = rng.integers(0, 256, 3 * 17, dtype=np.uint8).tobytes()
+    idx = rng.integers(0, 17, w * h, dtype=np.uint8).tobytes()
+    data = png.encode_png(w, h, idx, color_type=3, palette=palette)
+    dw, dh, dc, px = png.decode_png(data)
+    assert (dw, dh, dc) == (w, h, 3)
+    assert px == b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+    # tRNS shorter than the palette: missing entries are opaque
+    data = png.encode_png(
+        w, h, idx, color_type=3, palette=palette, trns=bytes([10, 20, 30])
+    )
+    dw, dh, dc, px = png.decode_png(data)
+    assert dc == 4
+    for i, x in enumerate(idx):
+        assert px[4 * i : 4 * i + 3] == palette[3 * x : 3 * x + 3]
+        assert px[4 * i + 3] == ([10, 20, 30][x] if x < 3 else 255)
+    # out-of-range palette indices fail loudly on both sides
+    with pytest.raises(ValueError, match="palette index"):
+        png.encode_png(2, 2, bytes([17] * 4), color_type=3, palette=palette)
+
+
+def test_png_palette_subbyte_depths():
+    # 1/2/4-bit palette PNGs (the common web favicon shapes): filters
+    # run over PACKED bytes with bpp=1, indices unpack big-endian —
+    # hand-built streams since the encoder only emits depth 8
+    import struct
+    import zlib
+
+    from lab5_lakehouse_etl_spark.functions import png
+
+    def build(w, h, depth, indices, palette, ftype=0):
+        per_byte = 8 // depth
+        stride = (w * depth + 7) // 8
+        raw = bytearray()
+        prev = bytes(stride)
+        for y in range(h):
+            row = bytearray(stride)
+            for x in range(w):
+                shift = 8 - depth * (x % per_byte + 1)
+                row[x // per_byte] |= indices[y * w + x] << shift
+            raw.append(ftype)
+            raw += png._filter_scanline(ftype, bytes(row), prev, 1)
+            prev = bytes(row)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+        return (
+            png.PNG_SIGNATURE
+            + png._chunk(b"IHDR", ihdr)
+            + png._chunk(b"PLTE", palette)
+            + png._chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + png._chunk(b"IEND", b"")
+        )
+
+    palette = bytes(range(48))  # 16 entries
+    for depth, ftype in ((1, 2), (2, 1), (4, 4)):
+        w, h = 9, 5  # odd width: the last byte is partially used
+        nmax = 1 << depth
+        indices = [(x * 3 + y * 7) % nmax for y in range(h) for x in range(w)]
+        dw, dh, dc, px = png.decode_png(
+            build(w, h, depth, indices, palette, ftype)
+        )
+        assert (dw, dh, dc) == (w, h, 3)
+        assert px == b"".join(
+            palette[3 * i : 3 * i + 3] for i in indices
+        )
+    # an index past the palette end is a loud error, not a clamp
+    with pytest.raises(ValueError, match="palette index"):
+        png.decode_png(build(2, 2, 4, [15, 0, 0, 0], bytes(9)))
 
 
 def test_decode_image_stats_matches_fixture_formula(spark):
@@ -610,6 +691,20 @@ def test_image_dedup_requires_decode_not_byte_hash(spark):
     # with the full id) — a byte-hash dedup would find nothing
     assert rows[0] != rows[250] and rows[250] != rows[500]
     assert rows[1] != rows[251]
+    # ...and the odd copies are genuinely a DIFFERENT COLOR TYPE
+    # (palette, r12): the dedup must survive the PLTE expansion, not
+    # just filter-phase byte noise
+    import struct
+
+    def color_type(payload: bytes) -> int:
+        ihdr_at = payload.index(b"IHDR")
+        return struct.unpack(
+            ">IIBBBBB", payload[ihdr_at + 4 : ihdr_at + 17]
+        )[3]
+
+    assert color_type(rows[0]) == 2 and color_type(rows[500]) == 2
+    assert color_type(rows[250]) == 3 and color_type(rows[251]) == 3
+    assert b"PLTE" in rows[250] and b"PLTE" not in rows[0]
     fps = {r.media_id: r.pixel_fp for r in M.pixel_fingerprints(media).collect()}
     assert fps[0] == fps[250] == fps[500]
     assert fps[1] == fps[251]
