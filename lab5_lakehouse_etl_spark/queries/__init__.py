@@ -368,6 +368,11 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_multimodal_decode": 12,
     "q_media_quarantine": 12,
     "q_image_features": 12,
+    # Round-12 (fourth batch): Iceberg spec-v2 metadata interchange —
+    # new modules lakehouse/avro.py + lakehouse/iceberg_meta.py,
+    # executed only by this new query (anchor for the scoped manifest
+    # decision, like q_table_delta_log in r11).
+    "q_table_iceberg": 12,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead
