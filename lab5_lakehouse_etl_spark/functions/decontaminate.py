@@ -32,9 +32,6 @@ training-data-pipeline extension surface (SURVEY §2.10b).
 
 from __future__ import annotations
 
-import hashlib
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -103,17 +100,21 @@ def ensure_gram_index(
     callers passing different heldout relations under the same key
     would silently probe whichever index was built first.  All four
     in-repo consumers derive the identical deterministic test split per
-    sf_dir, so sf_dir alone is a faithful content name for them."""
-    from ..lakehouse import LakeTable
-    from ..session import scratch_dir
+    sf_dir, so sf_dir alone is a faithful content name for them.
 
-    digest = hashlib.md5(
-        f"{cache_key}|n={n}|{id_col}|{text_col}".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(scratch_dir("gram_index"), digest)
-    if not LakeTable.is_table(path):
-        build_gram_index(heldout, path, n, id_col, text_col)
-    return LakeTable(path).read(spark)
+    Since r12 the build-once mechanics live in the shared
+    :func:`functions.artifacts.ensure_lake_artifact` (the r11 verdict's
+    consolidation of this pattern with dedup_ops' Jaccard truth
+    artifact); the digest inputs and scratch family are unchanged, so
+    the artifact path is byte-compatible with r10/r11 caches."""
+    from .artifacts import ensure_lake_artifact
+
+    return ensure_lake_artifact(
+        spark,
+        "gram_index",
+        f"{cache_key}|n={n}|{id_col}|{text_col}",
+        lambda: heldout_grams(heldout, n, id_col, text_col, with_ids=True),
+    )
 
 
 def probe_contaminated_docs(

@@ -184,7 +184,9 @@ _REWRITTEN_IN: dict[str, int] = {
     # to the explicit whitespace class with the rest of the family.
     # (r9 whitespace-class entry superseded by the r11 truth-artifact
     # rework below)
-    "q_dedup_simhash": 11,
+    # (r11 truth-artifact entry superseded by the r12 shared-helper
+    # consolidation below — functions/artifacts.ensure_lake_artifact)
+    "q_dedup_simhash": 12,
     # r8: removal phase refactored onto the shared_gram_occurrences
     # primitive introduced with q_dup_spans_var (entry superseded by
     # the r10 whitespace-class bump below).
@@ -234,7 +236,8 @@ _REWRITTEN_IN: dict[str, int] = {
     # (r9 helper-extraction entry superseded by the r11 truth-artifact
     # rework: both consumers now read the build-once persisted exact
     # pair relation — _ensure_char5_jaccard_truth in dedup_ops.py)
-    "q_dedup_jaccard_dense": 11,
+    # (r11 entry superseded by the r12 shared-helper consolidation)
+    "q_dedup_jaccard_dense": 12,
     # r9: banding parameters now derived from corpus statistics
     # (minhash_params) — resolves to the identical (32, 8) at every
     # fixture SF, but the code path (count + chooser) is new.
@@ -281,9 +284,11 @@ _REWRITTEN_IN: dict[str, int] = {
     # ensure_gram_index + the shared probe primitives.
     # (q_decontaminate's r9 whitespace-rewrite entry is superseded by
     # this bump.)
-    "q_decontaminate": 10,
-    "q_decontaminate_spans": 10,
-    "q_stream_decontaminate": 10,
+    # (r10 entries superseded by the r12 shared-helper consolidation
+    # — ensure_gram_index now delegates to ensure_lake_artifact)
+    "q_decontaminate": 12,
+    "q_decontaminate_spans": 12,
+    "q_stream_decontaminate": 12,
     # r10 deep-review fixes: the streaming reject gates moved to
     # replay-idempotent per-batch overwrite sinks (recursive readers),
     # q_stream_neardup's verify side became corpus ∪ batch (a new doc
@@ -303,7 +308,8 @@ _REWRITTEN_IN: dict[str, int] = {
     # new query, listed so the scoped dep-manifest decision can anchor
     # on it; the other multimodal queries' functions are byte-identical
     # (additive-only module edit, see the r11 manifest scope reason).
-    "q_multimodal_decode": 11,
+    # ("q_multimodal_decode" r11 entry superseded by the r12 PNG-
+    # palette batch below)
     # Round-11: new vendored Delta-log writer (lakehouse/delta_log.py)
     # — new query anchoring the scoped manifest decision, like
     # q_multimodal_decode above.
@@ -315,23 +321,22 @@ _REWRITTEN_IN: dict[str, int] = {
     # (every function the five pre-existing multimodal queries reach is
     # byte-identical, recorded in the manifest scope reason).
     "q_multimodal_audio": 11,
-    "q_multimodal_video": 11,
-    "q_multimodal_resize_real": 11,
+    # (video/resize r11 entries superseded by the r12 ADVICE-fix
+    # batch below)
     # Round-11 (third batch): pure Python/numpy baseline JPEG codec
     # (functions/jpeg.py) + the decode_image JPEG dispatch branch.
-    "q_multimodal_jpeg": 11,
+    # (jpeg/jpeg_color r11 entries superseded by the r12 subsampling
+    # batch below)
     # Round-11 (fourth batch): content-level image dedup across
     # encodings (png_variant_media_from_ids + pixel_fingerprints).
-    "q_image_dedup": 11,
+    # (image_dedup/quarantine/features r11 entries superseded by the
+    # r12 PNG-palette batch below)
     # Round-11 (fifth batch): decode-validate quarantine gate
     # (corrupt_png_media_from_ids + decode_or_quarantine).
-    "q_media_quarantine": 11,
     # Round-11 (sixth batch): YCbCr-4:4:4 color JPEG (jpeg.py
     # multi-component encode/decode + _ycbcr_to_rgb).
-    "q_multimodal_jpeg_color": 11,
     # Round-11 (seventh batch): real histogram feature extraction
     # (image_histogram_features).
-    "q_image_features": 11,
     # Round-12: functions/jpeg.py generalized to per-component
     # sampling factors (4:2:0/4:2:2 decode, r11 verdict next-round
     # #1).  The 4:4:4/grayscale outputs are byte-identical (all-ones
@@ -373,6 +378,15 @@ _REWRITTEN_IN: dict[str, int] = {
     # executed only by this new query (anchor for the scoped manifest
     # decision, like q_table_delta_log in r11).
     "q_table_iceberg": 12,
+    # Round-12 (fifth batch): the build-once scratch-artifact pattern
+    # consolidated into functions/artifacts.ensure_lake_artifact (r11
+    # verdict next-round #4).  Artifact paths, digests and persisted
+    # values are byte-compatible, but the executed build/read path of
+    # every consumer now goes through the shared helper:
+    # ensure_gram_index's consumers and the Jaccard-truth pair are
+    # bumped to 12 in place above; q_decontaminate_index is the one
+    # consumer with no earlier entry.
+    "q_decontaminate_index": 12,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -111,33 +111,29 @@ def _ensure_char5_jaccard_truth(
     exhaustive exact join is a VERIFICATION artifact consumed by two
     declared queries (q_dedup_jaccard_dense's output, q_dedup_simhash's
     truth set), and recomputing it per run was the two most expensive
-    bench rows (7.3 s / 5.5 s at sf0.1).  Persisted as a LakeTable in
-    the per-process scratch area keyed by md5(sf_dir | threshold |
-    element spec) — sf_dir names the read-only fixture CONTENTS, per
-    the ensure_gram_index cache-key contract
-    (functions/decontaminate.py).  First caller pays the adaptive
+    bench rows (7.3 s / 5.5 s at sf0.1).  Persisted via the SHARED
+    build-once helper (functions/artifacts.ensure_lake_artifact —
+    r12, the r11 self-review's accepted-debt consolidation with
+    ensure_gram_index), keyed by md5(sf_dir | threshold | element
+    spec) — sf_dir names the read-only fixture CONTENTS, per the
+    helper's cache-key contract.  First caller pays the adaptive
     exact-join build (functions/dedup.exact_jaccard_pairs, routed
     dense on this low-entropy corpus); every later caller reads a
     3-column parquet relation.  Values are bit-identical either way:
     (id_a bigint, id_b bigint, jaccard double) round-trips parquet
     exactly."""
-    import hashlib
-    import os
+    from ..functions.artifacts import ensure_lake_artifact
 
-    from ..lakehouse import LakeTable
-    from ..session import scratch_dir
-
-    digest = hashlib.md5(
-        f"char5-jaccard|{sf_dir}|t={threshold}".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(scratch_dir("jaccard_truth"), digest)
-    if not LakeTable.is_table(path):
-        docs = load_table(spark, sf_dir, "documents")
-        pairs = D.exact_jaccard_pairs(
-            docs, threshold=threshold, elements=D.char_shingles("text", 5)
-        )
-        LakeTable.create(pairs, path)
-    return LakeTable(path).read(spark)
+    return ensure_lake_artifact(
+        spark,
+        "jaccard_truth",
+        f"char5-jaccard|{sf_dir}|t={threshold}",
+        lambda: D.exact_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"),
+            threshold=threshold,
+            elements=D.char_shingles("text", 5),
+        ),
+    )
 
 
 @query("q_dedup_jaccard_dense", oracle=_CHAR_SHINGLE_JACCARD_ORACLE)
