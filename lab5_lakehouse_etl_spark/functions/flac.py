@@ -1,0 +1,601 @@
+"""Pure Python/numpy FLAC codec (RFC 9639) — the COMPRESSED-audio
+decode path behind the multimodal pillar (r11 verdict next-round #8:
+unlike MP3/AAC, FLAC is losslessly and exactly decodable in pure
+integer math, so the audio pillar gets a compressed format with a
+closed-form sample-sum oracle, the same exactness discipline as the
+JPEG DC-exact path — except FLAC needs no fixture trickery at all:
+EVERY stream decodes bit-exactly).
+
+No reference file:line — the reference repo has no multimodal
+surface.  The decoder implements the full fixed-blocksize subset of
+the spec: metadata walk (STREAMINFO parsed, other blocks skipped per
+spec), frame sync + header (block-size/sample-rate/sample-size codes
+including the get-from-end-of-header and get-from-STREAMINFO forms,
+UTF-8-coded frame numbers, CRC-8), all four subframe types (CONSTANT,
+VERBATIM, FIXED orders 0-4, LPC orders 1-32 with quantized
+coefficients and signed shift), wasted-bits unpacking, Rice-coded
+residual partitions (methods 0 and 1, escape partitions), all four
+channel assignments (independent, left/side, right/side, mid/side),
+frame CRC-16, and the STREAMINFO md5 of the decoded PCM — so a
+single wrong bit anywhere fails loudly instead of producing wrong
+samples.  The matching encoder exists so fixtures can be GENERATED
+deterministically; it emits FIXED-predictor subframes with real Rice
+residuals (falling back to CONSTANT/VERBATIM where those are
+smaller/needed), optional mid/side decorrelation, and the true PCM
+md5 — streams any conforming decoder accepts.
+
+Scale: pure per-record CPU work with no Spark coupling; called inside
+Arrow-batched ``mapInPandas`` (functions/multimodal.py) so decode
+runs where the payload bytes live and never crosses a shuffle.  In
+production the body swaps for libFLAC (via soundfile/pyav) behind the
+same ``(rate, channels, n_frames, samples)`` contract; the bit-loop
+here is the container-constraint fallback, not the design.
+
+Out of scope (explicit errors, never a wrong answer): variable
+blocksize streams, sample sizes other than 8/12/16/20/24 bits, and
+more than 2 channels for the side-channel assignments (the spec
+only defines them for stereo) — none are producible by
+:func:`encode_flac`, so the round-trip surface is closed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+MAGIC = b"fLaC"
+
+#: frame-header block-size codes 0b0010..0b0101 and 0b1000..0b1111
+_BLOCK_SIZES = {
+    0b0001: 192,
+    **{n: 576 << (n - 2) for n in range(0b0010, 0b0110)},
+    **{n: 256 << (n - 8) for n in range(0b1000, 0b10000)},
+}
+#: frame-header sample-rate codes (0b0000 = use STREAMINFO)
+_SAMPLE_RATES = {
+    0b0001: 88200, 0b0010: 176400, 0b0011: 192000, 0b0100: 8000,
+    0b0101: 16000, 0b0110: 22050, 0b0111: 24000, 0b1000: 32000,
+    0b1001: 44100, 0b1010: 48000, 0b1011: 96000,
+}
+#: frame-header sample-size codes (0b000 = use STREAMINFO)
+_SAMPLE_SIZES = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24}
+
+#: FIXED predictor coefficients by order (applied to prior samples)
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the frame
+    header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 — the
+    whole-frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self._acc = (self._acc << bits) | (value & ((1 << bits) - 1))
+        self._n += bits
+        while self._n >= 8:
+            self.out.append((self._acc >> (self._n - 8)) & 0xFF)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a 1
+
+    def rice(self, v: int, param: int) -> None:
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1  # zigzag fold
+        self.unary(u >> param)
+        if param:
+            self.write(u & ((1 << param) - 1), param)
+
+    def align(self) -> None:
+        if self._n:
+            self.write(0, 8 - self._n)
+
+    def bytes(self) -> bytes:
+        assert self._n == 0, "unaligned"
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.bitpos = pos * 8
+
+    @property
+    def bytepos(self) -> int:
+        return self.bitpos // 8
+
+    def read(self, bits: int) -> int:
+        end = self.bitpos + bits
+        if end > len(self.data) * 8:
+            raise ValueError("truncated FLAC bitstream")
+        v = 0
+        p = self.bitpos
+        while bits:
+            byte = self.data[p >> 3]
+            avail = 8 - (p & 7)
+            take = min(avail, bits)
+            v = (v << take) | (
+                (byte >> (avail - take)) & ((1 << take) - 1)
+            )
+            p += take
+            bits -= take
+        self.bitpos = p
+        return v
+
+    def signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v >> (bits - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1_000_000:
+                raise ValueError("runaway unary code (corrupt stream)")
+        return q
+
+    def rice(self, param: int) -> int:
+        u = (self.unary() << param) | (self.read(param) if param else 0)
+        return (u >> 1) if u % 2 == 0 else -((u + 1) >> 1)
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+
+def _utf8_code(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame numbers, up to 36
+    bits)."""
+    if n < 0x80:
+        return bytes([n])
+    for extra in range(1, 7):
+        if n < (1 << (6 * extra + (6 - extra))):
+            lead = (0xFF << (7 - extra)) & 0xFF
+            out = [lead | (n >> (6 * extra))]
+            for i in range(extra - 1, -1, -1):
+                out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise ValueError(f"frame number {n} exceeds 36 bits")
+
+
+def _utf8_decode(r: _BitReader) -> int:
+    first = r.read(8)
+    if first < 0x80:
+        return first
+    extra = 0
+    mask = 0x40
+    while first & mask:
+        extra += 1
+        mask >>= 1
+    if extra == 0 or extra > 6:
+        raise ValueError("invalid UTF-8-coded frame number")
+    n = first & (mask - 1)
+    for _ in range(extra):
+        b = r.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("invalid UTF-8-coded frame number")
+        n = (n << 6) | (b & 0x3F)
+    return n
+
+
+def _fixed_residual(samples: np.ndarray, order: int) -> np.ndarray:
+    res = samples.astype(np.int64)
+    for _ in range(order):
+        res = np.diff(res)
+    return res
+
+
+def _best_rice_param(res: np.ndarray) -> int:
+    if len(res) == 0:
+        return 0
+    folded = np.where(res >= 0, res.astype(np.int64) << 1, ((-res) << 1) - 1)
+    best, best_bits = 0, None
+    for p in range(15):
+        bits = int((folded >> p).sum()) + len(res) * (p + 1)
+        if best_bits is None or bits < best_bits:
+            best, best_bits = p, bits
+    return best
+
+
+def _encode_subframe(
+    w: _BitWriter, chan: np.ndarray, bps: int
+) -> None:
+    """One subframe: CONSTANT if the channel is constant, else the
+    best of FIXED orders 0..2 with a single Rice partition, falling
+    back to VERBATIM when Rice would be larger (pathological noise)."""
+    if len(chan) and (chan == chan[0]).all():
+        w.write(0, 1)
+        w.write(0b000000, 6)  # CONSTANT
+        w.write(0, 1)
+        w.write(int(chan[0]), bps)
+        return
+    options = []
+    for order in range(min(3, len(chan))):
+        res = _fixed_residual(chan, order)
+        p = _best_rice_param(res)
+        folded = np.where(res >= 0, res.astype(np.int64) << 1, ((-res) << 1) - 1)
+        cost = int((folded >> p).sum()) + len(res) * (p + 1) + order * bps
+        options.append((cost, order, p, res))
+    cost, order, p, res = min(options, key=lambda t: t[0])
+    if cost > len(chan) * bps:
+        w.write(0, 1)
+        w.write(0b000001, 6)  # VERBATIM
+        w.write(0, 1)
+        for v in chan:
+            w.write(int(v), bps)
+        return
+    w.write(0, 1)
+    w.write(0b001000 | order, 6)  # FIXED
+    w.write(0, 1)  # no wasted bits
+    for v in chan[:order]:
+        w.write(int(v), bps)
+    w.write(0b00, 2)  # residual method 0: 4-bit Rice params
+    w.write(0, 4)  # partition order 0 -> one partition
+    w.write(p, 4)
+    for v in res:
+        w.rice(int(v), p)
+
+
+def encode_flac(
+    sample_rate: int,
+    channels: int,
+    samples: np.ndarray,
+    block_size: int = 256,
+    bits_per_sample: int = 16,
+    stereo_mode: str = "independent",
+) -> bytes:
+    """Encode interleaved integer samples as a FLAC stream.
+
+    ``samples`` is a 1-D interleaved array (``n_frames * channels``
+    values in ``[-2^(b-1), 2^(b-1))``).  ``stereo_mode`` for 2-channel
+    input: ``independent`` (default), ``mid_side``, ``left_side`` or
+    ``right_side`` — the decorrelated SIDE channel carries
+    ``bits_per_sample + 1`` bits per the spec.  Fixed blocking only;
+    the last frame may be short (8-bit blocksize-minus-1 header
+    form so every frame header exercises the end-of-header path).
+    """
+    if channels < 1 or channels > 8:
+        raise ValueError(f"{channels} channels out of range 1..8")
+    if bits_per_sample not in (8, 12, 16, 20, 24):
+        raise NotImplementedError(
+            f"{bits_per_sample}-bit encode unsupported"
+        )
+    if stereo_mode != "independent" and channels != 2:
+        raise ValueError("side-channel modes are stereo-only")
+    samples = np.asarray(samples, dtype=np.int64)
+    if len(samples) % channels:
+        raise ValueError("sample count not a multiple of channels")
+    lo, hi = -(1 << (bits_per_sample - 1)), 1 << (bits_per_sample - 1)
+    if len(samples) and (samples.min() < lo or samples.max() >= hi):
+        raise ValueError(f"samples exceed {bits_per_sample}-bit range")
+    n_frames = len(samples) // channels
+    deinter = samples.reshape(n_frames, channels).T
+
+    # STREAMINFO md5 is over the ORIGINAL little-endian PCM bytes
+    width = (bits_per_sample + 7) // 8
+    md5 = hashlib.md5(
+        b"".join(
+            int(v).to_bytes(width, "little", signed=True) for v in samples
+        )
+    ).digest()
+
+    frames = bytearray()
+    for fi, start in enumerate(range(0, n_frames, block_size)):
+        nb = min(block_size, n_frames - start)
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)  # sync
+        w.write(0, 1)  # reserved
+        w.write(0, 1)  # fixed blocking
+        # blocksize: value-minus-1 at end of header (8-bit form when it
+        # fits, else 16-bit) — every frame exercises the
+        # get-from-end-of-header path
+        w.write(0b0110 if nb <= 256 else 0b0111, 4)
+        w.write(0b0000, 4)  # sample rate: from STREAMINFO
+        if channels == 2 and stereo_mode != "independent":
+            w.write(
+                {"left_side": 0b1000, "right_side": 0b1001,
+                 "mid_side": 0b1010}[stereo_mode],
+                4,
+            )
+        else:
+            w.write(channels - 1, 4)
+        w.write(
+            {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}[
+                bits_per_sample
+            ],
+            3,
+        )
+        w.write(0, 1)  # reserved
+        for b in _utf8_code(fi):
+            w.write(b, 8)
+        w.write(nb - 1, 8 if nb <= 256 else 16)
+        header = w.bytes()
+        w.write(_crc8(header), 8)
+
+        block = deinter[:, start : start + nb]
+        if channels == 2 and stereo_mode != "independent":
+            left, right = block[0], block[1]
+            side = left - right
+            if stereo_mode == "left_side":
+                chans = [(left, bits_per_sample), (side, bits_per_sample + 1)]
+            elif stereo_mode == "right_side":
+                chans = [(side, bits_per_sample + 1), (right, bits_per_sample)]
+            else:
+                mid = (left + right) >> 1
+                chans = [(mid, bits_per_sample), (side, bits_per_sample + 1)]
+        else:
+            chans = [(block[c], bits_per_sample) for c in range(channels)]
+        for chan, bps in chans:
+            _encode_subframe(w, chan, bps)
+        w.align()
+        frame = w.bytes()
+        frames += frame + struct.pack(">H", _crc16(frame))
+
+    streaminfo = (
+        struct.pack(">HH", block_size, block_size)
+        + b"\x00" * 6  # min/max frame size: 0 = unknown (spec-legal)
+        + (
+            (sample_rate << 44)
+            | ((channels - 1) << 41)
+            | ((bits_per_sample - 1) << 36)
+            | n_frames
+        ).to_bytes(8, "big")
+        + md5
+    )
+    header = MAGIC + bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
+    return header + streaminfo + bytes(frames)
+
+
+def decode_flac(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a FLAC stream to ``(sample_rate, channels, n_frames,
+    samples)`` with ``samples`` a 1-D interleaved int32 numpy array —
+    bit-exact PCM (FLAC is lossless), verified three ways: per-frame
+    header CRC-8, whole-frame CRC-16, and the STREAMINFO md5 of the
+    decoded PCM.  Corrupt payloads fail loudly — a training pipeline
+    must quarantine them, not learn from garbage."""
+    if data[:4] != MAGIC:
+        raise ValueError("not a FLAC stream: bad magic")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated FLAC metadata")
+        last = data[pos] & 0x80
+        btype = data[pos] & 0x7F
+        size = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + size]
+        if len(body) != size:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            streaminfo = body
+        elif btype == 127:
+            raise ValueError("invalid FLAC metadata block type 127")
+        pos += 4 + size
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("FLAC stream has no STREAMINFO")
+    packed = int.from_bytes(streaminfo[10:18], "big")
+    si_rate = packed >> 44
+    si_channels = ((packed >> 41) & 0x7) + 1
+    si_bps = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    si_md5 = streaminfo[18:34]
+
+    out: list[np.ndarray] = []
+    got = 0
+    while pos < len(data) and (total == 0 or got < total):
+        frame_start = pos
+        r = _BitReader(data, pos)
+        if r.read(14) != 0b11111111111110:
+            raise ValueError(f"bad frame sync at byte {pos}")
+        r.read(1)  # reserved
+        if r.read(1):
+            raise NotImplementedError(
+                "variable-blocksize streams unsupported"
+            )
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        ch_code = r.read(4)
+        ss_code = r.read(3)
+        r.read(1)  # reserved
+        _utf8_decode(r)  # frame number (fixed blocking)
+        if bs_code == 0:
+            raise ValueError("reserved blocksize code 0")
+        elif bs_code == 0b0110:
+            nb = r.read(8) + 1
+        elif bs_code == 0b0111:
+            nb = r.read(16) + 1
+        else:
+            nb = _BLOCK_SIZES[bs_code]
+        if sr_code == 0b1111:
+            raise ValueError("invalid sample-rate code 15")
+        elif sr_code == 0:
+            rate = si_rate
+        elif sr_code in _SAMPLE_RATES:
+            rate = _SAMPLE_RATES[sr_code]
+        elif sr_code == 0b1100:
+            rate = r.read(8) * 1000
+        elif sr_code == 0b1101:
+            rate = r.read(16)
+        else:
+            rate = r.read(16) * 10
+        if rate != si_rate:
+            raise ValueError("frame sample rate != STREAMINFO")
+        if ss_code == 0:
+            bps = si_bps
+        elif ss_code in _SAMPLE_SIZES:
+            bps = _SAMPLE_SIZES[ss_code]
+        else:
+            raise ValueError(f"reserved sample-size code {ss_code}")
+        if ch_code < 8:
+            channels, assign = ch_code + 1, "independent"
+        elif ch_code == 0b1000:
+            channels, assign = 2, "left_side"
+        elif ch_code == 0b1001:
+            channels, assign = 2, "right_side"
+        elif ch_code == 0b1010:
+            channels, assign = 2, "mid_side"
+        else:
+            raise ValueError(f"reserved channel assignment {ch_code}")
+        if channels != si_channels:
+            raise ValueError("frame channel count != STREAMINFO")
+        header_len = r.bytepos - frame_start
+        if _crc8(data[frame_start : frame_start + header_len]) != r.read(8):
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+
+        chans = []
+        for ci in range(channels):
+            cbps = bps
+            if (
+                (assign == "left_side" and ci == 1)
+                or (assign == "right_side" and ci == 0)
+                or (assign == "mid_side" and ci == 1)
+            ):
+                cbps += 1  # the side channel carries one extra bit
+            chans.append(_decode_subframe(r, nb, cbps))
+        r.align()
+        frame_len = r.bytepos - frame_start
+        crc = struct.unpack(
+            ">H", data[r.bytepos : r.bytepos + 2]
+        )[0]
+        if _crc16(data[frame_start : frame_start + frame_len]) != crc:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = r.bytepos + 2
+
+        if assign == "left_side":
+            left, side = chans
+            chans = [left, left - side]
+        elif assign == "right_side":
+            side, right = chans
+            chans = [side + right, right]
+        elif assign == "mid_side":
+            mid, side = chans
+            mid = (mid << 1) | (side & 1)
+            chans = [(mid + side) >> 1, (mid - side) >> 1]
+        block = np.stack(chans).T.reshape(-1)
+        out.append(block)
+        got += nb
+    samples = (
+        np.concatenate(out) if out else np.zeros(0, dtype=np.int64)
+    )
+    if total and got != total:
+        raise ValueError(
+            f"stream ends after {got} of {total} inter-channel samples"
+        )
+    width = (si_bps + 7) // 8
+    md5 = hashlib.md5(
+        b"".join(
+            int(v).to_bytes(width, "little", signed=True) for v in samples
+        )
+    ).digest()
+    if si_md5 != bytes(16) and md5 != si_md5:
+        raise ValueError("decoded PCM md5 != STREAMINFO md5")
+    n_frames = len(samples) // si_channels
+    return si_rate, si_channels, n_frames, samples.astype(np.int32)
+
+
+def _decode_subframe(r: _BitReader, nb: int, bps: int) -> np.ndarray:
+    if r.read(1):
+        raise ValueError("subframe header padding bit set")
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):  # wasted-bits flag: unary count - 1 follows
+        wasted = r.unary() + 1
+        bps -= wasted
+    if stype == 0b000000:  # CONSTANT
+        v = r.signed(bps)
+        res = np.full(nb, v, dtype=np.int64)
+    elif stype == 0b000001:  # VERBATIM
+        res = np.array([r.signed(bps) for _ in range(nb)], dtype=np.int64)
+    elif 0b001000 <= stype <= 0b001100:  # FIXED 0..4
+        order = stype & 0x07
+        warm = [r.signed(bps) for _ in range(order)]
+        resid = _decode_residual(r, nb, order)
+        coefs = _FIXED_COEFS[order]
+        s = list(warm)
+        for v in resid:
+            pred = sum(c * s[-1 - j] for j, c in enumerate(coefs))
+            s.append(v + pred)
+        res = np.array(s, dtype=np.int64)
+    elif stype >= 0b100000:  # LPC, order 1..32
+        order = (stype & 0x1F) + 1
+        warm = [r.signed(bps) for _ in range(order)]
+        precision = r.read(4)
+        if precision == 0b1111:
+            raise ValueError("invalid LPC precision code 15")
+        precision += 1
+        shift = r.read(5)
+        if shift >> 4:
+            raise ValueError("negative LPC shift is spec-forbidden")
+        coefs = [r.signed(precision) for _ in range(order)]
+        resid = _decode_residual(r, nb, order)
+        s = list(warm)
+        for v in resid:
+            pred = sum(c * s[-1 - j] for j, c in enumerate(coefs)) >> shift
+            s.append(v + pred)
+        res = np.array(s, dtype=np.int64)
+    else:
+        raise ValueError(f"reserved subframe type {stype:06b}")
+    return res << wasted
+
+
+def _decode_residual(r: _BitReader, nb: int, order: int) -> list[int]:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError(f"reserved residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = r.read(4)
+    nparts = 1 << porder
+    if nb % nparts:
+        raise ValueError("block size not divisible by partitions")
+    out: list[int] = []
+    for part in range(nparts):
+        count = (nb >> porder) - (order if part == 0 else 0)
+        if count < 0:
+            raise ValueError("negative partition sample count")
+        param = r.read(pbits)
+        if param == escape:
+            raw = r.read(5)
+            out += [r.signed(raw) if raw else 0 for _ in range(count)]
+        else:
+            out += [r.rice(param) for _ in range(count)]
+    return out

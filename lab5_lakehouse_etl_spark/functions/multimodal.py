@@ -880,6 +880,69 @@ def wav_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _fixture_flac(media_id: int) -> tuple[int, int, int, bytes]:
+    """Deterministic FLAC clip for one media id: ``sample_rate = 8000
+    * (1 + id % 3)``, ``channels = 1 + id % 2``, ``n_frames = 40 + id
+    % 50``, interleaved sample ``k`` = ``((id*31 + k*k) % 4096) -
+    2048`` — a quadratic ramp whose order-2 FIXED residual is tiny
+    between mod-wraps and huge at them, so the Rice coder's
+    quotient/remainder split does real work (pure noise would route
+    every subframe VERBATIM and prove nothing about entropy
+    decoding).  Stereo ids (the odd ones) rotate through ALL FOUR
+    channel assignments (``(id // 2) % 4``: independent / mid_side /
+    left_side / right_side — keyed on ``id // 2`` because ``id % 4``
+    of an odd id only ever hits two residues), so decorrelation
+    reconstruction sits under the oracle too.  FLAC is lossless:
+    decode reproduces the formula bit-exactly, no fixture trickery
+    needed."""
+    import numpy as np
+
+    from . import flac
+
+    rate = 8000 * (1 + media_id % 3)
+    channels = 1 + media_id % 2
+    n_frames = 40 + media_id % 50
+    k = np.arange(n_frames * channels, dtype=np.int64)
+    samples = ((media_id * 31 + k * k) % 4096) - 2048
+    mode = (
+        ["independent", "mid_side", "left_side", "right_side"][
+            (media_id // 2) % 4
+        ]
+        if channels == 2
+        else "independent"
+    )
+    return (
+        rate,
+        channels,
+        n_frames,
+        flac.encode_flac(
+            rate, channels, samples, block_size=32, stereo_mode=mode
+        ),
+    )
+
+
+def flac_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of real FLAC payloads (compressed audio), generated
+    deterministically per id inside Arrow-batched mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [_fixture_flac(int(i))[3] for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "audio",
+                    "mime": "audio/flac",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return _id_partitioned(ids, id_col, rows_per_task=1000).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
 AUDIO_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -893,17 +956,40 @@ AUDIO_STATS_SCHEMA = StructType(
 )
 
 
+def decode_audio(payload: bytes) -> tuple[int, int, int, "object"]:
+    """REAL audio decode dispatched on the magic bytes — the audio
+    twin of :func:`decode_image`: RIFF/WAVE PCM via functions/wav.py,
+    FLAC (compressed, losslessly decoded pure-Python) via
+    functions/flac.py.  Returns ``(rate, channels, n_frames,
+    interleaved_samples)``.  Other formats raise
+    ``NotImplementedError`` (MP3/AAC decoders are not in this
+    container; production swaps in soundfile/PyAV behind the same
+    contract)."""
+    from . import flac, wav
+
+    if payload is None:
+        raise NotImplementedError("NULL payload has no decodable format")
+    payload = bytes(payload)
+    if payload[:4] == b"RIFF":
+        return wav.decode_wav(payload)
+    if payload[:4] == flac.MAGIC:
+        return flac.decode_flac(payload)
+    raise NotImplementedError(
+        "only RIFF/WAVE and FLAC decode are available in this "
+        "environment; swap in soundfile/PyAV in production"
+    )
+
+
 def decode_audio_stats(media: DataFrame) -> DataFrame:
-    """Decode every payload with the REAL WAV codec (functions/wav.py:
-    chunk walk, pad rule, PCM frame math) and emit per-clip format
-    metadata + exact integer sample statistics — PCM is lossless, so
+    """Decode every payload with the REAL audio codecs
+    (:func:`decode_audio` — WAV chunk walk / FLAC frame+Rice decode,
+    dispatched on magic bytes) and emit per-clip format metadata +
+    exact integer sample statistics — both formats are lossless, so
     the stats hash-compare bit-exactly against a SQL oracle.
 
     Arrow-batched mapInPandas; NULL payloads map to NULL stats
     (quarantine rows, never a crash)."""
     import numpy as np
-
-    from . import wav
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -924,7 +1010,7 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
                     ):
                         rows[k].append(None)
                     continue
-                rate, ch, nf, samples = wav.decode_wav(bytes(p))
+                rate, ch, nf, samples = decode_audio(bytes(p))
                 s = samples.astype(np.int64)
                 rows["sample_rate"].append(rate)
                 rows["channels"].append(ch)

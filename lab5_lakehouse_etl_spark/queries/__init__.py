@@ -387,6 +387,22 @@ _REWRITTEN_IN: dict[str, int] = {
     # bumped to 12 in place above; q_decontaminate_index is the one
     # consumer with no earlier entry.
     "q_decontaminate_index": 12,
+    # Round-12 (sixth batch): FLAC decode (r11 verdict next-round #8)
+    # — new module functions/flac.py (frame sync + CRC-8/16, UTF-8
+    # frame numbers, Rice partitions, FIXED/LPC predictors, stereo
+    # decorrelation, STREAMINFO md5 verify) plus a magic-byte
+    # decode_audio dispatcher in functions/multimodal.py.
+    # q_multimodal_audio's executed path changed (decode_wav call →
+    # decode_audio dispatch); the remaining multimodal queries are
+    # module-granularity invalidations of the multimodal.py edit
+    # (meta/resize were already r6-deferred window leaders, so their
+    # tier move is a no-op for window arithmetic).
+    "q_multimodal_flac": 12,
+    "q_multimodal_audio": 12,
+    "q_multimodal_features": 12,
+    "q_multimodal_frames": 12,
+    "q_multimodal_meta": 12,
+    "q_multimodal_resize": 12,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -26,7 +26,7 @@ try:
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pytest.skip("hypothesis not installed", allow_module_level=True)
 
-from lab5_lakehouse_etl_spark.functions import jpeg, png, wav, y4m
+from lab5_lakehouse_etl_spark.functions import flac, jpeg, png, wav, y4m
 
 _SETTINGS = {"max_examples": 40, "deadline": None}
 
@@ -107,6 +107,56 @@ def test_wav_roundtrip_property(rate, channels, frames, seed, info_len):
     out = wav.decode_wav(wav.encode_wav(rate, channels, samples, info=info))
     assert out[:3] == (rate, channels, frames)
     assert np.array_equal(out[3], samples)
+
+
+@settings(**_SETTINGS)
+@given(
+    channels=st.integers(1, 2),
+    frames=st.integers(0, 300),
+    block_size=st.sampled_from([16, 64, 256, 300]),
+    bits=st.sampled_from([8, 12, 16, 20, 24]),
+    mode=st.sampled_from(
+        ["independent", "mid_side", "left_side", "right_side"]
+    ),
+    shape=st.sampled_from(["noise", "smooth", "constant", "mixed"]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_flac_roundtrip_property(
+    channels, frames, block_size, bits, mode, shape, seed
+):
+    # FLAC is LOSSLESS: decode(encode(x)) == x exactly for every
+    # content shape (noise routes VERBATIM, smooth routes FIXED+Rice,
+    # constant routes CONSTANT, mixed exercises per-block choice),
+    # every stereo decorrelation mode, block size (incl. non-power-of
+    # -two and 16-bit end-of-header forms) and sample width
+    if mode != "independent" and channels != 2:
+        mode = "independent"
+    rng = np.random.default_rng(seed)
+    n = frames * channels
+    hi = 1 << (bits - 1)
+    if shape == "noise":
+        samples = rng.integers(-hi, hi, n, dtype=np.int64)
+    elif shape == "constant":
+        samples = np.full(n, int(rng.integers(-hi, hi)), dtype=np.int64)
+    elif shape == "smooth":
+        t = np.arange(n)
+        samples = ((hi // 2) * np.sin(t / 9)).astype(np.int64)
+    else:
+        t = np.arange(n)
+        samples = ((hi // 4) * np.sin(t / 5)).astype(
+            np.int64
+        ) + rng.integers(-3, 4, n)
+    data = flac.encode_flac(
+        44100,
+        channels,
+        samples,
+        block_size=block_size,
+        bits_per_sample=bits,
+        stereo_mode=mode,
+    )
+    rate, ch, nf, out = flac.decode_flac(data)
+    assert (rate, ch, nf) == (44100, channels, frames)
+    assert np.array_equal(out, samples)
 
 
 @settings(**_SETTINGS)

@@ -333,6 +333,94 @@ def test_decode_audio_stats_matches_fixture_formula(spark):
         assert r.sample_rate is None and r.sample_sum is None
 
 
+# --------------------------------------------------------------- FLAC codec
+
+
+def test_flac_integrity_checks_fail_loudly():
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import flac
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32768, 500, dtype=np.int64)
+    good = flac.encode_flac(44100, 1, s, block_size=128)
+    with pytest.raises(ValueError, match="magic"):
+        flac.decode_flac(b"RIFFxxxxWAVE")
+    # frame-data corruption -> CRC-16 (or header CRC-8) mismatch
+    bad = bytearray(good)
+    bad[len(bad) // 2] ^= 0x10
+    with pytest.raises(ValueError, match="CRC"):
+        flac.decode_flac(bytes(bad))
+    # STREAMINFO md5 corruption -> md5 mismatch after full decode
+    bad = bytearray(good)
+    bad[30] ^= 0xFF  # inside the 16-byte md5 field (offset 8+10+12..)
+    with pytest.raises(ValueError, match="md5"):
+        flac.decode_flac(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        flac.decode_flac(good[:-20])
+    with pytest.raises(NotImplementedError, match="bit encode"):
+        flac.encode_flac(8000, 1, np.zeros(4, np.int64), bits_per_sample=13)
+    with pytest.raises(ValueError, match="stereo-only"):
+        flac.encode_flac(
+            8000, 1, np.zeros(4, np.int64), stereo_mode="mid_side"
+        )
+    # variable-blocksize flag refuses loudly (patch the frame header
+    # bit after the 14-bit sync of the first frame)
+    frame_at = 4 + 4 + 34
+    bad = bytearray(good)
+    bad[frame_at + 1] |= 0x01  # byte 1 low bit = blocking strategy
+    with pytest.raises(NotImplementedError, match="variable-blocksize"):
+        flac.decode_flac(bytes(bad))
+
+
+def test_decode_audio_dispatch(spark):
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import flac, wav
+
+    s = np.arange(-50, 50, dtype=np.int64)
+    w = wav.encode_wav(8000, 1, s.astype("<i2"))
+    f = flac.encode_flac(8000, 1, s)
+    for payload in (w, f):
+        rate, ch, nf, out = M.decode_audio(payload)
+        assert (rate, ch, nf) == (8000, 1, 100)
+        assert np.array_equal(np.asarray(out, dtype=np.int64), s)
+    with pytest.raises(NotImplementedError, match="RIFF/WAVE and FLAC"):
+        M.decode_audio(b"ID3\x04mp3-ish payload")
+
+
+def test_decode_audio_stats_flac_matches_fixture_formula(spark):
+    ids = spark.range(0, 16).selectExpr("id AS doc_id")
+    media = M.flac_media_from_ids(ids, id_col="doc_id")
+    stats = {r.media_id: r for r in M.decode_audio_stats(media).collect()}
+    for mid in range(16):
+        rate = 8000 * (1 + mid % 3)
+        ch = 1 + mid % 2
+        nf = 40 + mid % 50
+        vals = [
+            ((mid * 31 + k * k) % 4096) - 2048 for k in range(nf * ch)
+        ]
+        r = stats[mid]
+        assert (r.sample_rate, r.channels, r.n_frames) == (rate, ch, nf)
+        assert r.sample_sum == sum(vals)
+        assert r.abs_sum == sum(abs(v) for v in vals)
+        assert r.peak == max(abs(v) for v in vals)
+    # the stereo fixtures genuinely span all FOUR channel assignments
+    # — (id // 2) % 4 over the odd (stereo) ids; read the assignment
+    # nibble straight out of the first frame header byte 3
+    pay = {r.media_id: bytes(r.payload) for r in media.collect()}
+    frame_at = 4 + 4 + 34  # magic + block header + STREAMINFO
+    assigns = {
+        mid: pay[mid][frame_at + 3] >> 4 for mid in (1, 3, 5, 7)
+    }
+    assert assigns == {
+        1: 0b0001,  # independent stereo
+        3: 0b1010,  # mid/side
+        5: 0b1000,  # left/side
+        7: 0b1001,  # right/side
+    }
+
+
 # ---------------------------------------------------------------- Y4M codec
 
 
