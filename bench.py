@@ -511,6 +511,7 @@ def isolate_child(names: list[str], sf_dir: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     warmup(spark, sf_dir, build_artifacts=False)
     out: dict[str, float] = {}
+    phases: dict[str, float] = {}
     for name in names:
         fn = Q.QUERIES[name]
         t0 = time.perf_counter()
@@ -519,28 +520,45 @@ def isolate_child(names: list[str], sf_dir: str) -> None:
             out[name] = round(time.perf_counter() - t0, 3)
         except Exception:
             out[name] = -1.0
+        if name == "q_stream_neardup":
+            # cost attribution (r11 verdict #7): index-build vs drain
+            # split of the registry's heaviest query, so an O(table)
+            # regression in the per-batch probe path is visible as
+            # drain-side job/time growth instead of hiding in the
+            # build wall.  Populated by the query itself.
+            from lab5_lakehouse_etl_spark.queries import streaming_ops
+
+            phases = dict(streaming_ops.NEARDUP_PHASES)
         spark.catalog.clearCache()
         gc.collect()
-    print(json.dumps({"isolated": out}, separators=(",", ":")))
+    print(
+        json.dumps(
+            {"isolated": out, "neardup_phases": phases},
+            separators=(",", ":"),
+        )
+    )
     spark.stop()
 
 
-def run_isolated(sf_dir: str, remaining_budget: float) -> tuple[dict, list]:
+def run_isolated(
+    sf_dir: str, remaining_budget: float
+) -> tuple[dict, list, dict]:
     """Spawn the isolate child if the budget allows; returns
-    ({name: isolated_sec}, skipped_names). Fail-soft: a child crash or
-    timeout reports every name as skipped, never kills the bench."""
+    ({name: isolated_sec}, skipped_names, neardup_phases). Fail-soft: a
+    child crash or timeout reports every name as skipped, never kills
+    the bench."""
     import subprocess
 
     names = [n for n in ISOLATE_QUERIES if n in Q.QUERIES]
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "1" or not names:
-        return {}, names
+        return {}, names, {}
     # one session bring-up + artifact-free warmup (~30 s) + the three
     # queries (~20 s fresh): refuse below 65 s so the child can't blow
     # the driver's window (measured child wall ~55 s at sf0.1)
     if remaining_budget < float(
         os.environ.get("SPARK_GRAFT_BENCH_ISOLATE_MIN_BUDGET", "65")
     ):
-        return {}, names
+        return {}, names, {}
     try:
         proc = subprocess.run(
             [
@@ -555,15 +573,20 @@ def run_isolated(sf_dir: str, remaining_budget: float) -> tuple[dict, list]:
             env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir),
         )
         last = proc.stdout.strip().splitlines()[-1]
-        got = json.loads(last).get("isolated", {})
+        parsed = json.loads(last)
+        got = parsed.get("isolated", {})
         # a child-side failure is recorded as -1.0; report it as
         # SKIPPED, not as a measurement (r11 review: counting it in
         # isolated_n while queries_ratio silently falls back to the
         # sweep number hides the failed re-measure from review)
         ok = {k: v for k, v in got.items() if v > 0}
-        return ok, [n for n in names if n not in ok]
+        return (
+            ok,
+            [n for n in names if n not in ok],
+            parsed.get("neardup_phases", {}),
+        )
     except Exception:
-        return {}, names
+        return {}, names, {}
 
 
 def main() -> None:
@@ -645,7 +668,7 @@ def main() -> None:
     # starved it whenever the sweep grew (r11: 12 new queries pushed
     # the sweep past the 65 s floor and isolated_n silently dropped to
     # 0 — the exact regression-instrument loss the r10 verdict flagged)
-    isolated, iso_skipped = run_isolated(
+    isolated, iso_skipped, neardup_phases = run_isolated(
         sf_dir, budget - (time.perf_counter() - bench_start)
     )
 
@@ -700,6 +723,7 @@ def main() -> None:
         "tier2_skipped": t2_skipped,
         "isolated_sec": isolated,
         "isolated_skipped": iso_skipped,
+        "neardup_phases": neardup_phases,
         "queries": all_timings,
         "calibration_sec": cal_sec,
         "queries_ratio": {

@@ -7,7 +7,9 @@ and tested, and since round 11 so are the CODECS, all pure
 Python/stdlib (+numpy): PNG images including palette/PLTE forms
 (functions/png.py), baseline JPEG — grayscale and YCbCr color at
 4:4:4 / 4:2:2 / 4:2:0 (functions/jpeg.py), RIFF/WAVE 16-bit PCM audio
-(functions/wav.py), YUV4MPEG2 video frame sampling (functions/y4m.py),
+(functions/wav.py), FLAC compressed audio — losslessly decoded:
+Rice-coded residuals, FIXED/LPC predictors, stereo decorrelation
+(functions/flac.py), YUV4MPEG2 video frame sampling (functions/y4m.py),
 and a real nearest-neighbour resize through a full decode → resample →
 re-encode chain.  Each decode path is oracle-checked end to end via
 exact integer statistics against a closed-form fixture formula.  Only

@@ -3,6 +3,7 @@
 from .inspect import (
     explain_str,
     has_broadcast_join,
+    job_count,
     has_pushed_filters,
     scan_read_schema,
     shuffle_count,
@@ -11,6 +12,7 @@ from .inspect import (
 __all__ = [
     "explain_str",
     "has_broadcast_join",
+    "job_count",
     "has_pushed_filters",
     "scan_read_schema",
     "shuffle_count",

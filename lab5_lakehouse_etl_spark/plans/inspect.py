@@ -60,3 +60,23 @@ def shuffle_count(df: DataFrame) -> int:
     # partitioning in a separate Arguments line
     txt = explain_str(df)
     return len(re.findall(r"\(\d+\) Exchange\b", txt))
+
+
+def job_count(spark) -> int:
+    """Cumulative Spark-job count of this session (AppStatusStore).
+
+    Unlike ``statusTracker().getJobIdsForGroup`` this sees jobs
+    scheduled from ANY thread — including Structured Streaming's
+    micro-batch execution threads, where thread-local job groups set
+    on the caller never propagate — so deltas around a streaming
+    drain measure the drain's real job cost.  Used by the
+    q_stream_neardup cost-structure pin (r11 verdict #7): an O(table)
+    regression in the per-batch probe path shows up as job/time
+    growth attributed to the DRAIN phase, where before it could hide
+    inside the index-build wall."""
+    return (
+        spark.sparkContext._jsc.sc()  # noqa: SLF001
+        .statusStore()
+        .jobsList(None)
+        .size()
+    )

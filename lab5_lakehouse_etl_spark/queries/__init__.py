@@ -403,6 +403,17 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_multimodal_frames": 12,
     "q_multimodal_meta": 12,
     "q_multimodal_resize": 12,
+    # Round-12 (seventh batch): q_stream_neardup cost-structure
+    # attribution (r11 verdict #7) — the query and
+    # streaming/events.stream_neardup_gate now record build/cap/drain
+    # wall+job splits into NEARDUP_PHASES (read by bench's isolated
+    # run; drain job budget pinned in tests/test_plans.py).  Scoped
+    # rewrite: the events.py edit is confined to stream_neardup_gate's
+    # body (plus the new read-only plans.job_count helper), which no
+    # other streaming query executes, so the module-granular closure's
+    # other members keep their rows (decision recorded in the
+    # dep-manifest audit trail).
+    "q_stream_neardup": 12,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

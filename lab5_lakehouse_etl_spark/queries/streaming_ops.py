@@ -24,6 +24,18 @@ from ..session import load_table, scratch_dir, table_path, tune
 from ..streaming import events as E
 from . import query
 
+#: Cost attribution of the LAST q_stream_neardup run (r11 verdict #7:
+#: the registry's heaviest query mixes one-time index-build cost with
+#: the per-batch probe drain in a single wall number, so an O(table)
+#: regression in the probe path could hide inside the build time).
+#: Keys: build_sec/build_jobs (landing write + band-index LakeTable
+#: create), cap_sec/cap_jobs (the gate's one-time hot-bucket-cap
+#: materialization — also build-side cost), drain_sec/drain_jobs (the
+#: 4-micro-batch foreachBatch drain — the part whose per-batch cost
+#: must stay O(batch)).  bench.py's isolated run copies this into its
+#: JSON line; tests/test_plans.py pins the drain job budget.
+NEARDUP_PHASES: dict[str, float] = {}
+
 
 @query(
     "q_window_tumbling",
@@ -536,8 +548,11 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs history split), so the drained output is invariant to how files
     land in micro-batches and equals the batch-mode cross-split pair
     set the oracle brute-forces."""
+    import time
+
     from ..functions import dedup as D
     from ..lakehouse import LakeTable
+    from ..plans import job_count
     from ..streaming import events as E
 
     tune(spark)
@@ -546,12 +561,16 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 4 == 0)
     scratch = scratch_dir("q_stream_neardup", fresh=True)
     land = f"{scratch}/landing"
+    NEARDUP_PHASES.clear()
+    t0, j0 = time.monotonic(), job_count(spark)
     batch.repartitionByRange(4, "doc_id").write.parquet(land)
     t = LakeTable.create(
         D.minhash_band_index(base).repartition("band"),
         f"{scratch}/band_index",
         partition_by=["band"],
     )
+    NEARDUP_PHASES["build_sec"] = round(time.monotonic() - t0, 3)
+    NEARDUP_PHASES["build_jobs"] = job_count(spark) - j0
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
@@ -559,7 +578,8 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = f"{scratch}/rejects"
     E.stream_neardup_gate(
-        spark, stream, t.read(spark), docs, out, f"{scratch}/ckpt"
+        spark, stream, t.read(spark), docs, out, f"{scratch}/ckpt",
+        phases=NEARDUP_PHASES,
     )
     import os
 

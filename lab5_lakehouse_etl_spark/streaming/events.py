@@ -468,6 +468,7 @@ def stream_neardup_gate(
     corpus: DataFrame,
     out_path: str,
     checkpoint_dir: str,
+    phases: dict | None = None,
 ) -> None:
     """foreachBatch near-dup gate — the STREAMING form of
     q_dedup_index_store's ingest probe: each micro-batch of documents
@@ -484,19 +485,34 @@ def stream_neardup_gate(
     DuckDB oracle state it.  Per-batch cost is O(batch) signature
     compute + a join against the narrow index + candidate-only verify;
     at corpus scale the verify's semi-join prefilter keeps the shingle
-    pass candidate-sized (verified_near_dups docstring)."""
+    pass candidate-sized (verified_near_dups docstring).
+
+    ``phases`` (optional) receives cost attribution (r11 verdict #7):
+    ``cap_sec``/``cap_jobs`` for the one-time hot-bucket-cap
+    materialization (index-build cost), ``drain_sec``/``drain_jobs``
+    for the micro-batch drain itself — the part whose per-batch cost
+    the O(batch) contract governs.  Job deltas come from
+    plans.job_count (AppStatusStore), which sees the streaming
+    thread's jobs where thread-local job groups would not."""
+    import time
+
     from pyspark.sql import functions as SF
 
     from ..functions import dedup as D
+    from ..plans import job_count
 
     # Hot-bucket capping of the STATIC index happens ONCE per gate,
     # materialized (localCheckpoint), so the per-batch probe pays zero
     # capping passes — per-batch minhash_probe_index is then called
     # with the cap disabled (r11 review: recomputing the cap per
     # micro-batch would be an O(index) window shuffle per batch).
+    t0, j0 = time.monotonic(), job_count(spark)
     capped_index = D.cap_band_index(stored_index, 256).localCheckpoint(
         eager=True
     )
+    if phases is not None:
+        phases["cap_sec"] = round(time.monotonic() - t0, 3)
+        phases["cap_jobs"] = job_count(spark) - j0
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -568,6 +584,7 @@ def stream_neardup_gate(
         # storage at one batch's working set.
         spark.catalog.clearCache()
 
+    t0, j0 = time.monotonic(), job_count(spark)
     with _state_sized_shuffle(spark):
         q = (
             docs_stream.writeStream.foreachBatch(gate)
@@ -576,6 +593,9 @@ def stream_neardup_gate(
             .start()
         )
         q.awaitTermination()
+    if phases is not None:
+        phases["drain_sec"] = round(time.monotonic() - t0, 3)
+        phases["drain_jobs"] = job_count(spark) - j0
 
 
 def stream_decontaminate_gate(

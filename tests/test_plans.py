@@ -903,3 +903,31 @@ def test_image_dedup_shuffles_fingerprints_only(spark):
     schemas = scan_read_schema(df)
     assert schemas and all(s == ["doc_id"] for s in schemas)
     assert shuffle_count(df) <= 2
+
+
+def test_stream_neardup_drain_job_budget(spark):
+    """q_stream_neardup cost-structure pin (r11 verdict #7): the
+    registry's heaviest query splits into a one-time index build
+    (landing write + band-index LakeTable + the gate's hot-bucket-cap
+    materialization) and a 4-micro-batch drain whose per-batch cost
+    must stay O(batch). This pins the DRAIN's job count so a
+    structural regression in the probe path — e.g. re-capping the
+    index per batch (an O(index) window shuffle each trigger) or the
+    verify leg falling back to a corpus-wide shingle pass — shows up
+    as job growth instead of hiding inside the build wall.
+
+    Measured baseline: 29 jobs per micro-batch (116/4) on the
+    capped-probe + prefiltered-verify + overwrite-sink path; budget
+    36/batch leaves headroom for Spark-version job-split jitter, not
+    for a new per-batch table scan (the cheapest O(table) leg adds
+    4+ jobs/batch). Job counts are size-independent, so the sf0.001
+    fixture pins the same structure the sf0.1 bench runs."""
+    from lab5_lakehouse_etl_spark.queries import streaming_ops
+
+    df = Q.QUERIES["q_stream_neardup"](spark, SF_DIR)
+    df.collect()
+    ph = streaming_ops.NEARDUP_PHASES
+    assert set(ph) >= {"build_jobs", "cap_jobs", "drain_jobs"}
+    # the cap is ONE materialization, never per-batch
+    assert ph["cap_jobs"] <= 4
+    assert ph["drain_jobs"] <= 4 * 36
