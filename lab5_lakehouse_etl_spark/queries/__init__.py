@@ -414,6 +414,16 @@ _REWRITTEN_IN: dict[str, int] = {
     # other members keep their rows (decision recorded in the
     # dep-manifest audit trail).
     "q_stream_neardup": 12,
+    # Round-12 (eighth batch): progressive (SOF2) JPEG decode — the
+    # r11 verdict "What's missing" #1's second half.  functions/
+    # jpeg.py gains the multi-scan coefficient-accumulating decode
+    # (_decode_prog_scan: DC first/refine, AC first/refine, EOB runs,
+    # correction bits), a vectorized final IDCT (_idct_plane), the
+    # encode_jpeg_progressive fixture encoder, and the decode tail
+    # factored into _assemble_pixels (shared with baseline, moved
+    # verbatim).  All JPEG-decoding queries were already bumped to 12
+    # above; this new query anchors the batch.
+    "q_multimodal_jpeg_prog": 12,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -681,6 +681,101 @@ def q_multimodal_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_jpeg_prog",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             16 * (1 + doc_id % 2)        AS w,
+             16 * (1 + (doc_id // 2) % 2) AS h
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, w, h,
+             unnest(generate_series(0, (w // 16) * (h // 16) - 1)) AS mi
+      FROM p
+    ),
+    blk AS (
+      SELECT doc_id, w, h, mi,
+             unnest(generate_series(0, 3)) AS b
+      FROM m
+    ),
+    ycc AS (
+      SELECT doc_id, w, h,
+             (doc_id * 17 + mi * 7 + b * 5) % 256 AS y,
+             (doc_id * 5 + mi * 3) % 256          AS cb,
+             (doc_id * 19 + mi * 11) % 256        AS cr
+      FROM blk
+    ),
+    rgb AS (
+      SELECT doc_id, w, h,
+             greatest(0.0, least(255.0,
+               floor(CAST(y AS DOUBLE)
+                       + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5)))
+                 AS r,
+             greatest(0.0, least(255.0,
+               floor(CAST(y AS DOUBLE)
+                       - CAST(0.344136 AS DOUBLE) * (cb - 128)
+                       - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5)))
+                 AS g,
+             greatest(0.0, least(255.0,
+               floor(CAST(y AS DOUBLE)
+                       + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5)))
+                 AS bl
+      FROM ycc
+    )
+    SELECT doc_id            AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM(64 * r) AS BIGINT)  AS sum_r,
+           CAST(SUM(64 * g) AS BIGINT)  AS sum_g,
+           CAST(SUM(64 * bl) AS BIGINT) AS sum_b
+    FROM rgb
+    GROUP BY doc_id, w, h
+    """,
+)
+def q_multimodal_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PROGRESSIVE (SOF2) JPEG decode end-to-end — the other
+    dominant real-world JPEG shape (r11 verdict "What's missing" #1,
+    second half: cameras emit 4:2:0 baseline, the web re-encodes to
+    progressive): encode a deterministic progressive 4:2:0 JPEG per
+    document id (multi-scan script: interleaved DC first + DC
+    refinement, per-component two-band AC first + AC refinement —
+    the full T.81 G.1 procedure set with cross-block EOB runs) and
+    decode it with the pure Python/numpy codec's coefficient-
+    accumulating scan walk (functions/jpeg.py `_decode_prog_scan`),
+    emitting per-image dimensions + exact per-channel RGB sums.
+
+    Exactness: progressive TRANSMISSION is lossless — once all scans
+    land, the accumulated coefficients equal the baseline encoding's
+    bit-for-bit — so the q_multimodal_jpeg420 exactness argument
+    (constant data units survive quantization; box downsample and
+    replication upsample of constant chroma are exact; the half-up
+    YCbCr→RGB conversion is restated verbatim in CAST-to-DOUBLE SQL)
+    carries over unchanged.  The fixture's DC-only blocks make the
+    AC scans pure cross-block EOB-run streams, pinning the EOBn
+    encode/decode pair under the oracle; general-content coverage of
+    newly-nonzero refinement and ZRL-in-refinement is pinned by the
+    progressive==baseline property tests in
+    tests/test_codecs_property.py.
+
+    Scale: same Arrow-batched mapInPandas shape as the other codec
+    paths; payload bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.jpeg_prog_media_from_ids(docs, id_col="doc_id")
+    stats = M.decode_image_stats(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.element_at("channel_sums", 1).alias("sum_r"),
+        F.element_at("channel_sums", 2).alias("sum_g"),
+        F.element_at("channel_sums", 3).alias("sum_b"),
+    )
+
+
+@query(
     "q_multimodal_resize_real",
     oracle="""
     WITH p AS (

@@ -403,3 +403,66 @@ def test_jpeg_color_bounded_error_property(w, h, seed):
     got = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
     exp = jpeg._ycbcr_to_rgb(ycc).astype(int)
     assert np.abs(got - exp).max() <= 16
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    layout=st.sampled_from(
+        [
+            (1, None),
+            (3, [(1, 1), (1, 1), (1, 1)]),
+            (3, [(2, 2), (1, 1), (1, 1)]),
+            (3, [(2, 1), (1, 1), (1, 1)]),
+            (3, [(1, 2), (1, 1), (1, 1)]),
+        ]
+    ),
+    lossless=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_jpeg_progressive_equals_baseline_property(w, h, layout, lossless, seed):
+    """Progressive transmission is LOSSLESS: once every scan lands,
+    the accumulated coefficients equal the baseline encoding's
+    bit-for-bit, so decode(progressive(x)) must equal
+    decode(baseline(x)) BYTE-IDENTICALLY for arbitrary content — this
+    one invariant pins the whole multi-scan entropy layer (DC
+    first/refine, AC first/refine, cross-block EOB runs, buffered
+    correction bits, ZRL-in-refinement) against the already-pinned
+    baseline path, on every sampling layout and both quant tables."""
+    comps, sampling = layout
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * comps, dtype=np.uint8).tobytes()
+    quant = jpeg.LOSSLESS_QUANT if lossless else jpeg.ORACLE_QUANT
+    base = jpeg.encode_jpeg(
+        w, h, px, quant=quant, components=comps, sampling=sampling
+    )
+    prog = jpeg.encode_jpeg_progressive(
+        w, h, px, quant=quant, components=comps, sampling=sampling
+    )
+    assert jpeg.decode_jpeg(prog) == jpeg.decode_jpeg(base)
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(17, 64),
+    h=st.integers(17, 64),
+    n_spikes=st.integers(0, 6),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_jpeg_progressive_sparse_content_property(w, h, n_spikes, seed):
+    """Mostly-flat images with isolated spikes drive the progressive
+    entropy coder's rare branches: multi-block EOB runs with embedded
+    correction bits (a spike block's neighbours are pure EOB), ZRL
+    runs inside refinement scans (long zero gaps before a
+    high-frequency newly-nonzero coefficient), and the
+    buffered-bit-ordering split between a pending EOB run's bits and
+    the current block's bits."""
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w), 128, np.uint8)
+    for _ in range(n_spikes):
+        img[rng.integers(0, h), rng.integers(0, w)] = rng.integers(0, 256)
+    px = img.tobytes()
+    base = jpeg.encode_jpeg(w, h, px, quant=jpeg.LOSSLESS_QUANT)
+    prog = jpeg.encode_jpeg_progressive(w, h, px, quant=jpeg.LOSSLESS_QUANT)
+    assert jpeg.decode_jpeg(prog) == jpeg.decode_jpeg(base)

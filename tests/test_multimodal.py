@@ -696,11 +696,17 @@ def test_jpeg_rejects_malformed_and_out_of_scope():
         jpeg.decode_jpeg(good[:10])
     with pytest.raises(ValueError, match="truncated JPEG entropy"):
         jpeg.decode_jpeg(good[:-4])
-    # progressive frame marker
+    # extended-sequential frame marker (SOF1) stays out of scope;
+    # SOF2 progressive is SUPPORTED since r12 — flipping a baseline
+    # stream's SOF to SOF2 leaves a baseline-style SOS (Se=63) that
+    # the progressive scan validator rejects loudly instead
     bad = bytearray(good)
     sof_at = bytes(good).index(b"\xff\xc0")
-    bad[sof_at + 1] = 0xC2
+    bad[sof_at + 1] = 0xC1
     with pytest.raises(NotImplementedError, match="SOF marker"):
+        jpeg.decode_jpeg(bytes(bad))
+    bad[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError, match="DC scan must have Se = 0"):
         jpeg.decode_jpeg(bytes(bad))
     # stream missing its SOF entirely: cut the frame segment out
     (sof_len,) = struct.unpack(">H", good[sof_at + 2 : sof_at + 4])
@@ -761,6 +767,44 @@ def test_decode_image_stats_jpeg420_matches_fixture_formula(spark):
     pay = {r.media_id: bytes(r.payload) for r in media.collect()}
     sof_at = pay[0].index(b"\xff\xc0")
     assert pay[0][sof_at + 11] == 0x22  # Y declared 2x2
+
+
+def test_decode_image_stats_jpeg_prog_matches_fixture_formula(spark):
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import jpeg
+
+    ids = spark.range(0, 12).selectExpr("id AS doc_id")
+    media = M.jpeg_prog_media_from_ids(ids, id_col="doc_id")
+    stats = {r.media_id: r for r in M.decode_image_stats(media).collect()}
+    for mid in range(12):
+        w = 16 * (1 + mid % 2)
+        h = 16 * (1 + (mid // 2) % 2)
+        sums = np.zeros(3, dtype=np.int64)
+        for mi in range((w // 16) * (h // 16)):
+            ycc = np.array(
+                [
+                    [
+                        (mid * 17 + mi * 7 + b * 5) % 256,
+                        (mid * 5 + mi * 3) % 256,
+                        (mid * 19 + mi * 11) % 256,
+                    ]
+                    for b in range(4)
+                ],
+                dtype=np.float64,
+            )
+            sums += 64 * jpeg._ycbcr_to_rgb(ycc).astype(np.int64).sum(axis=0)
+        r = stats[mid]
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert list(r.channel_sums) == sums.tolist()
+    # the payloads are genuinely PROGRESSIVE multi-scan streams: SOF2
+    # frame marker, and one SOS per script entry (2 DC scans + 3
+    # components x 2 bands x first+refine = 14)
+    pay = bytes(
+        media.filter("media_id = 0").collect()[0].payload
+    )
+    assert b"\xff\xc2" in pay and b"\xff\xc0" not in pay
+    assert pay.count(b"\xff\xda") == 14
 
 
 # -------------------------------------------------- cross-encoding dedup

@@ -883,7 +883,9 @@ def test_codec_queries_prune_scan_to_id(spark):
     for name in (
         "q_multimodal_decode",
         "q_multimodal_jpeg",
+        "q_multimodal_jpeg_prog",
         "q_multimodal_audio",
+        "q_multimodal_flac",
         "q_multimodal_video",
         "q_multimodal_resize_real",
         "q_media_quarantine",
