@@ -15,7 +15,9 @@ DQT / DHT segment parsing (Huffman tables are built from the STREAM,
 not assumed — any spec-valid canonical table decodes), bit-unstuffing
 (0xFF 0x00), Huffman-coded DC differentials and AC run-lengths
 (EOB/ZRL), dequantization, dezigzag, float IDCT, level shift + clamp,
-block-grid cropping, chroma upsampling, and the JFIF YCbCr→RGB
+block-grid cropping, chroma upsampling, restart intervals (DRI/RSTn
+resync with predictor reset — the structure virtually every camera
+JPEG carries), and the JFIF YCbCr→RGB
 conversion (half-up rounding, chosen because ``floor(x + 0.5)`` is
 exactly restatable in SQL — see :func:`_ycbcr_to_rgb`).  The matching
 encoder exists so fixtures can be GENERATED deterministically.
@@ -81,8 +83,8 @@ answer): arithmetic-coded frames (SOF9+), hierarchical/lossless
 frames, non-divisor sampling ratios (a factor-3 component mixed with
 factor-2 — fractional chroma windows; no mainstream encoder emits
 them), multi-scan baselines, subset-interleaved progressive DC scans
-(a DC scan must cover one or all frame components), restart
-intervals, and 12-bit precision — none are producible by
+(a DC scan must cover one or all frame components), and 12-bit
+precision — none are producible by
 :func:`encode_jpeg` / :func:`encode_jpeg_progressive`, so the
 round-trip surface is closed.
 """
@@ -188,6 +190,14 @@ class _BitWriter:
             self.write(0xFF, 8 - self._n)  # pad with 1-bits
         return bytes(self.out)
 
+    def restart_marker(self, n: int) -> None:
+        """Byte-align with 1-bit padding (stuffed if the pad byte is
+        0xFF, like any entropy byte) and emit RSTn — markers are raw
+        2-byte sequences, never stuffed."""
+        if self._n:
+            self.write(0xFF, 8 - self._n)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 class _BitReader:
     def __init__(self, data: bytes, pos: int) -> None:
@@ -226,6 +236,25 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, n: int) -> None:
+        """Consume a restart boundary: discard the current byte's
+        remaining pad bits (the encoder 1-padded to byte alignment; a
+        stuffed pad byte's 0x00 was already skipped by ``_fill``) and
+        read the expected RSTn marker — modulo-8 sequence numbers per
+        T.81 E.1.2, a mismatch means lost sync and fails loudly."""
+        self._acc = 0
+        self._n = 0
+        want = 0xD0 + (n & 7)
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated JPEG entropy stream (restart)")
+        got = self.data[self.pos : self.pos + 2]
+        if got[0] != 0xFF or got[1] != want:
+            raise ValueError(
+                f"expected restart marker 0xFF{want:02X}, got "
+                f"0x{got[0]:02X}{got[1]:02X} (restart-interval sync lost)"
+            )
+        self.pos += 2
 
 
 def _extend(v: int, size: int) -> int:
@@ -332,6 +361,7 @@ def encode_jpeg(
     quant: np.ndarray = ORACLE_QUANT,
     components: int = 1,
     sampling: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode 8-bit samples as a baseline sequential JPEG.
 
@@ -352,7 +382,11 @@ def encode_jpeg(
     ``[(2, 1), (1, 1), (1, 1)]`` 4:2:2.  Subsampled components are
     box-averaged with half-up rounding (:func:`_downsample`) and each
     MCU interleaves ``h*v`` data units per component per T.81 A.2.3.
-    """
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (modulo-8 sequence) after every that-many MCUs — byte-aligned,
+    DC predictors reset — the resync structure virtually every camera
+    JPEG carries (T.81 E.1.2)."""
     if components not in (1, 3):
         raise NotImplementedError(f"{components}-component encode unsupported")
     if len(pixels) != width * height * components:
@@ -396,6 +430,8 @@ def encode_jpeg(
     # interleaved scan: each MCU carries h*v data units per component
     # (top-to-bottom, left-to-right within the MCU), components in SOF
     # order, each with its own DC predictor chain (T.81 A.2.3)
+    n_mcu = mcuy * mcux
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
             for c, (h, v) in enumerate(sampling):
@@ -407,6 +443,11 @@ def encode_jpeg(
                         prev_dc[c] = _encode_block(
                             w, block, quant, prev_dc[c], dc_codes, ac_codes
                         )
+            idx = my * mcux + mx + 1
+            if restart_interval and idx % restart_interval == 0 and idx < n_mcu:
+                w.restart_marker(rst)
+                rst += 1
+                prev_dc = [0] * components
 
     dqt = bytes([0x00]) + bytes(int(quant[r, c]) for r, c in ZIGZAG)
     sof = struct.pack(">BHHB", 8, height, width, components) + b"".join(
@@ -418,12 +459,18 @@ def encode_jpeg(
     sos = bytes([components]) + b"".join(
         bytes([cid + 1, 0x00]) for cid in range(components)
     ) + bytes([0, 63, 0])
+    dri = (
+        _seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         struct.pack(">H", SOI)
         + _seg(0xFFDB, dqt)
         + _seg(0xFFC0, sof)
         + _seg(0xFFC4, dht_dc)
         + _seg(0xFFC4, dht_ac)
+        + dri
         + _seg(0xFFDA, sos)
         + w.flush()
         + struct.pack(">H", 0xFFD9)  # EOI
@@ -480,38 +527,44 @@ def _enc_ac_first(
     se: int,
     al: int,
     ac_codes: dict,
+    dri: int = 0,
 ) -> bytes:
     """Entropy-encode one AC FIRST scan (spectral band ``ss..se``,
     point transform ``al``) over a component's ceil block grid —
     jcphuff ``encode_mcu_AC_first`` semantics (EOB runs accumulate
-    across blocks; magnitudes are ``|coef| >> al`` with sign kept)."""
+    across blocks; magnitudes are ``|coef| >> al`` with sign kept).
+    ``dri`` > 0 flushes the pending EOB run and emits an RSTn marker
+    every that-many blocks (the non-interleaved MCU)."""
     w = _BitWriter()
     eobrun = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = zzblocks[by, bx]
-            run = 0
-            for k in range(ss, se + 1):
-                t = int(zz[k])
-                ta = (-t if t < 0 else t) >> al
-                if ta == 0:
-                    run += 1
-                    continue
-                eobrun = _emit_eobrun(w, ac_codes, eobrun)
-                while run > 15:
-                    code, length = ac_codes[0xF0]
-                    w.write(code, length)
-                    run -= 16
-                nbits = ta.bit_length()
-                code, length = ac_codes[(run << 4) | nbits]
+    n_blk = bh * bw
+    for bi in range(n_blk):
+        zz = zzblocks[bi // bw, bi % bw]
+        run = 0
+        for k in range(ss, se + 1):
+            t = int(zz[k])
+            ta = (-t if t < 0 else t) >> al
+            if ta == 0:
+                run += 1
+                continue
+            eobrun = _emit_eobrun(w, ac_codes, eobrun)
+            while run > 15:
+                code, length = ac_codes[0xF0]
                 w.write(code, length)
-                v = ta if t >= 0 else -ta
-                w.write(v if v >= 0 else v + (1 << nbits) - 1, nbits)
-                run = 0
-            if run:
-                eobrun += 1
-                if eobrun == 0x7FFF:
-                    eobrun = _emit_eobrun(w, ac_codes, eobrun)
+                run -= 16
+            nbits = ta.bit_length()
+            code, length = ac_codes[(run << 4) | nbits]
+            w.write(code, length)
+            v = ta if t >= 0 else -ta
+            w.write(v if v >= 0 else v + (1 << nbits) - 1, nbits)
+            run = 0
+        if run:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(w, ac_codes, eobrun)
+        if dri and (bi + 1) % dri == 0 and bi + 1 < n_blk:
+            eobrun = _emit_eobrun(w, ac_codes, eobrun)
+            w.restart_marker((bi + 1) // dri - 1)
     _emit_eobrun(w, ac_codes, eobrun)
     return w.flush()
 
@@ -524,6 +577,7 @@ def _enc_ac_refine(
     se: int,
     al: int,
     ac_codes: dict,
+    dri: int = 0,
 ) -> bytes:
     """Entropy-encode one AC REFINEMENT scan (``Ah = al + 1 → Al =
     al``) — jcphuff ``encode_mcu_AC_refine`` semantics: newly-nonzero
@@ -540,45 +594,48 @@ def _enc_ac_refine(
     # (``br``) flush AFTER the next symbol+sign (the decoder consumes
     # them while walking to the new coefficient's position)
     pending: list[int] = []
-    for by in range(bh):
-        for bx in range(bw):
-            zz = zzblocks[by, bx]
-            absv = [(abs(int(zz[k])) >> al) for k in range(ss, se + 1)]
-            eob = 0  # band position of the last newly-nonzero coef
-            for i, t in enumerate(absv):
-                if t == 1:
-                    eob = ss + i
-            run = 0
-            br: list[int] = []
-            for k in range(ss, se + 1):
-                t = absv[k - ss]
-                if t == 0:
-                    run += 1
-                    continue
-                while run > 15 and k <= eob:
-                    eobrun = _emit_eobrun(w, ac_codes, eobrun, pending)
-                    code, length = ac_codes[0xF0]
-                    w.write(code, length)
-                    run -= 16
-                    for b in br:
-                        w.write(b, 1)
-                    br.clear()
-                if t > 1:  # previously nonzero: correction bit only
-                    br.append((abs(int(zz[k])) >> al) & 1)
-                    continue
+    n_blk = bh * bw
+    for bi in range(n_blk):
+        zz = zzblocks[bi // bw, bi % bw]
+        absv = [(abs(int(zz[k])) >> al) for k in range(ss, se + 1)]
+        eob = 0  # band position of the last newly-nonzero coef
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = ss + i
+        run = 0
+        br: list[int] = []
+        for k in range(ss, se + 1):
+            t = absv[k - ss]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob:
                 eobrun = _emit_eobrun(w, ac_codes, eobrun, pending)
-                code, length = ac_codes[(run << 4) | 1]
+                code, length = ac_codes[0xF0]
                 w.write(code, length)
-                w.write(0 if int(zz[k]) < 0 else 1, 1)
+                run -= 16
                 for b in br:
                     w.write(b, 1)
                 br.clear()
-                run = 0
-            if run or br:
-                eobrun += 1
-                pending.extend(br)
-                if eobrun == 0x7FFF:
-                    eobrun = _emit_eobrun(w, ac_codes, eobrun, pending)
+            if t > 1:  # previously nonzero: correction bit only
+                br.append((abs(int(zz[k])) >> al) & 1)
+                continue
+            eobrun = _emit_eobrun(w, ac_codes, eobrun, pending)
+            code, length = ac_codes[(run << 4) | 1]
+            w.write(code, length)
+            w.write(0 if int(zz[k]) < 0 else 1, 1)
+            for b in br:
+                w.write(b, 1)
+            br.clear()
+            run = 0
+        if run or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(w, ac_codes, eobrun, pending)
+        if dri and (bi + 1) % dri == 0 and bi + 1 < n_blk:
+            eobrun = _emit_eobrun(w, ac_codes, eobrun, pending)
+            w.restart_marker((bi + 1) // dri - 1)
     _emit_eobrun(w, ac_codes, eobrun, pending)
     return w.flush()
 
@@ -590,6 +647,7 @@ def encode_jpeg_progressive(
     quant: np.ndarray = ORACLE_QUANT,
     components: int = 1,
     sampling: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode 8-bit samples as a PROGRESSIVE (SOF2) JPEG with a fixed
     spec-valid scan script exercising all four entropy procedures:
@@ -602,7 +660,12 @@ def encode_jpeg_progressive(
     (grayscale luma bytes or interleaved YCbCr at any divisor
     ``sampling``), so DECODING this stream yields byte-identical
     pixels to decoding the baseline encoding of the same input —
-    progressive transmission is lossless once every scan lands."""
+    progressive transmission is lossless once every scan lands.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that-many MCUs in EVERY scan (per T.81 the non-interleaved
+    MCU is one data unit): DC predictors reset, pending EOB runs and
+    buffered correction bits flush at each boundary."""
     if components not in (1, 3):
         raise NotImplementedError(f"{components}-component encode unsupported")
     if len(pixels) != width * height * components:
@@ -660,10 +723,14 @@ def encode_jpeg_progressive(
     out += _seg(
         0xFFC4, bytes([0x10]) + bytes(_AC_BITS_PROG) + bytes(_AC_VALS_PROG)
     )
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    n_mcu = mcuy * mcux
 
     # scan 1: interleaved DC first, point transform 1
     w = _BitWriter()
     prev = [0] * components
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, (h, v) in enumerate(sampling):
@@ -680,10 +747,16 @@ def encode_jpeg_progressive(
                                 diff if diff >= 0 else diff + (1 << size) - 1,
                                 size,
                             )
+            idx = my * mcux + mx + 1
+            if restart_interval and idx % restart_interval == 0 and idx < n_mcu:
+                w.restart_marker(rst)
+                rst += 1
+                prev = [0] * components
     out += sos(list(range(components)), 0, 0, 0, 1) + w.flush()
 
     # scan 2: DC refinement (raw low bits, same interleaved order)
     w = _BitWriter()
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, (h, v) in enumerate(sampling):
@@ -692,6 +765,10 @@ def encode_jpeg_progressive(
                         w.write(
                             int(zzs[ci][my * v + by, mx * h + bx, 0]) & 1, 1
                         )
+            idx = my * mcux + mx + 1
+            if restart_interval and idx % restart_interval == 0 and idx < n_mcu:
+                w.restart_marker(rst)
+                rst += 1
     out += sos(list(range(components)), 0, 0, 1, 0) + w.flush()
 
     # scans 3..: per-component AC, two spectral bands, first then refine
@@ -700,13 +777,13 @@ def encode_jpeg_progressive(
         bw_c, bh_c = _ceil_blocks(width, height, h, v, hmax, vmax)
         for ss, se in bands:
             out += sos([ci], ss, se, 0, 1) + _enc_ac_first(
-                zzs[ci], bh_c, bw_c, ss, se, 1, ac_codes
+                zzs[ci], bh_c, bw_c, ss, se, 1, ac_codes, restart_interval
             )
     for ci, (h, v) in enumerate(sampling):
         bw_c, bh_c = _ceil_blocks(width, height, h, v, hmax, vmax)
         for ss, se in bands:
             out += sos([ci], ss, se, 1, 0) + _enc_ac_refine(
-                zzs[ci], bh_c, bw_c, ss, se, 0, ac_codes
+                zzs[ci], bh_c, bw_c, ss, se, 0, ac_codes, restart_interval
             )
     out += struct.pack(">H", 0xFFD9)  # EOI
     return bytes(out)
@@ -766,6 +843,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     scan_tables: dict[int, tuple[int, int]] = {}
     scan_at = None
     progressive = False
+    dri = 0  # restart interval in MCUs (0 = none), from DRI
     # progressive state: per-component zigzag coefficient arrays
     # (padded MCU block grid), accumulated across scans
     coefs: list[np.ndarray] = []
@@ -842,8 +920,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 "(baseline SOF0 or progressive SOF2 only)"
             )
         elif marker == 0xFFDD:  # DRI
-            if struct.unpack(">H", seg[:2])[0] != 0:
-                raise NotImplementedError("restart intervals unsupported")
+            (dri,) = struct.unpack(">H", seg[:2])
         elif marker == 0xFFDA:  # SOS
             ns = seg[0]
             scan_tables = {
@@ -879,6 +956,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 a >> 4,
                 a & 0x0F,
                 huff,
+                dri,
             )
             n_scans += 1
             continue
@@ -976,6 +1054,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                         planes[ci][r0 : r0 + 8, c0 : c0 + 8] = np.clip(
                             np.rint(block), 0, 255
                         ).astype(np.uint8)
+            mi = my * mcux + mx + 1
+            if dri and mi % dri == 0 and mi < mcuy * mcux:
+                r.restart(mi // dri - 1)
+                prev_dc = [0] * ncomp
     return _assemble_pixels(
         planes, sampling, width, height, hmax, vmax, ncomp
     )
@@ -1070,6 +1152,7 @@ def _decode_prog_scan(
     ah: int,
     al: int,
     huff: dict[tuple[int, int], dict[tuple[int, int], int]],
+    dri: int = 0,
 ) -> int:
     """Decode ONE progressive scan's entropy data into the
     per-component coefficient arrays; returns the stream position just
@@ -1101,24 +1184,28 @@ def _decode_prog_scan(
             raise NotImplementedError(
                 "progressive DC scan must cover one or all frame components"
             )
-        units: list[tuple[int, int, int, int]] = []  # (ci, td, by, bx)
+        # MCU-grouped data units: restart intervals count MCUs (T.81
+        # E.1.2); in a non-interleaved scan the MCU is one data unit
+        mcus: list[list[tuple[int, int, int, int]]] = []  # (ci,td,by,bx)
         if len(scomps) == 1 and len(sampling) > 1:
             ci, td, _ta = scomps[0]
             h, v = sampling[ci]
             bw, bh = _ceil_blocks(width, height, h, v, hmax, vmax)
-            units = [
-                (ci, td, by, bx) for by in range(bh) for bx in range(bw)
+            mcus = [
+                [(ci, td, by, bx)] for by in range(bh) for bx in range(bw)
             ]
         else:  # interleaved (or single-component frame: grids coincide)
             for my in range(mcuy):
                 for mx in range(mcux):
-                    for ci, td, _ta in scomps:
-                        h, v = sampling[ci]
-                        units += [
+                    mcus.append(
+                        [
                             (ci, td, my * v + by, mx * h + bx)
+                            for ci, td, _ta in scomps
+                            for h, v in (sampling[ci],)
                             for by in range(v)
                             for bx in range(h)
                         ]
+                    )
         if ah == 0:  # DC first: per-component predictor chains
             tables = {}
             for ci, td, _ta in scomps:
@@ -1126,15 +1213,22 @@ def _decode_prog_scan(
                     raise ValueError(f"DC Huffman table {td} never defined")
                 tables[ci] = huff[(0, td)]
             pred = dict.fromkeys(tables, 0)
-            for ci, _td, by, bx in units:
-                size = _read_symbol_tbl(r, tables[ci])
-                pred[ci] += _extend(r.bits(size), size)
-                coefs[ci][by, bx, 0] = pred[ci] << al
+            for i, mcu in enumerate(mcus):
+                for ci, _td, by, bx in mcu:
+                    size = _read_symbol_tbl(r, tables[ci])
+                    pred[ci] += _extend(r.bits(size), size)
+                    coefs[ci][by, bx, 0] = pred[ci] << al
+                if dri and (i + 1) % dri == 0 and i + 1 < len(mcus):
+                    r.restart((i + 1) // dri - 1)
+                    pred = dict.fromkeys(tables, 0)
         else:  # DC refinement: one raw bit per data unit, no tables
-            for ci, _td, by, bx in units:
-                coefs[ci][by, bx, 0] = int(coefs[ci][by, bx, 0]) | (
-                    r.bit() << al
-                )
+            for i, mcu in enumerate(mcus):
+                for ci, _td, by, bx in mcu:
+                    coefs[ci][by, bx, 0] = int(coefs[ci][by, bx, 0]) | (
+                        r.bit() << al
+                    )
+                if dri and (i + 1) % dri == 0 and i + 1 < len(mcus):
+                    r.restart((i + 1) // dri - 1)
         return r.pos
     # AC scan: single component over its ceil grid
     ci, _td, ta = scomps[0]
@@ -1145,13 +1239,13 @@ def _decode_prog_scan(
     bw, bh = _ceil_blocks(width, height, h, v, hmax, vmax)
     eobrun = 0
     p1, m1 = 1 << al, -(1 << al)
-    for by in range(bh):
-        for bx in range(bw):
-            zz = coefs[ci][by, bx]
-            if ah == 0:  # AC first (G.1.2.2)
-                if eobrun:
-                    eobrun -= 1
-                    continue
+    n_blk = bh * bw
+    for bi in range(n_blk):
+        zz = coefs[ci][bi // bw, bi % bw]
+        if ah == 0:  # AC first (G.1.2.2)
+            if eobrun:
+                eobrun -= 1
+            else:
                 k = ss
                 while k <= se:
                     rs = _read_symbol_tbl(r, tbl)
@@ -1169,7 +1263,7 @@ def _decode_prog_scan(
                                 eobrun += r.bits(run)
                             break
                         k += 16  # ZRL
-                continue
+        else:
             # AC refinement (G.1.2.3, jdphuff.c semantics): newly
             # nonzero coefficients arrive as ±1<<Al; every
             # already-nonzero coefficient passed on the way (and every
@@ -1214,4 +1308,9 @@ def _decode_prog_scan(
                         zz[k] = c + (p1 if c >= 0 else m1)
                     k += 1
                 eobrun -= 1
+        # restart boundary: non-interleaved MCU == one data unit; an
+        # EOB run may not cross it (the encoder flushed), so reset
+        if dri and (bi + 1) % dri == 0 and bi + 1 < n_blk:
+            r.restart((bi + 1) // dri - 1)
+            eobrun = 0
     return r.pos

@@ -795,12 +795,18 @@ def _fixture_jpeg_prog(media_id: int) -> tuple[int, int, bytes]:
                     yv = (media_id * 17 + mi * 7 + b * 5) % 256
                     r0, c0 = my * 16 + by * 8, mx * 16 + bx * 8
                     img[r0 : r0 + 8, c0 : c0 + 8] = (yv, cb, cr)
+    # restart_interval=2: every scan carries RSTn resync markers (DC
+    # predictor reset + EOB-run flush at each boundary), so the
+    # DRI/RSTn machinery — which virtually every camera JPEG uses —
+    # sits under the oracle too (decoded pixels are unchanged by
+    # restarts; a decoder that loses sync fails loudly, never wrongly)
     return width, height, jpeg.encode_jpeg_progressive(
         width,
         height,
         img.tobytes(),
         components=3,
         sampling=[(2, 2), (1, 1), (1, 1)],
+        restart_interval=2,
     )
 
 

@@ -466,3 +466,46 @@ def test_jpeg_progressive_sparse_content_property(w, h, n_spikes, seed):
     base = jpeg.encode_jpeg(w, h, px, quant=jpeg.LOSSLESS_QUANT)
     prog = jpeg.encode_jpeg_progressive(w, h, px, quant=jpeg.LOSSLESS_QUANT)
     assert jpeg.decode_jpeg(prog) == jpeg.decode_jpeg(base)
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 48),
+    h=st.integers(1, 48),
+    comps=st.sampled_from([1, 3]),
+    dri=st.integers(1, 7),
+    progressive=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_jpeg_restart_interval_property(w, h, comps, dri, progressive, seed):
+    """Restart intervals are pure resync structure: a stream encoded
+    with DRI/RSTn markers (DC predictors reset, EOB runs flushed at
+    every boundary) must decode byte-identically to the same pixels
+    encoded without restarts — for baseline AND progressive, any
+    interval, any sampling layout."""
+    rng = np.random.default_rng(seed)
+    sampling = None if comps == 1 else [(2, 2), (1, 1), (1, 1)]
+    px = rng.integers(0, 256, size=w * h * comps, dtype=np.uint8).tobytes()
+    enc = jpeg.encode_jpeg_progressive if progressive else jpeg.encode_jpeg
+    plain = enc(w, h, px, components=comps, sampling=sampling)
+    rst = enc(
+        w, h, px, components=comps, sampling=sampling, restart_interval=dri
+    )
+    assert jpeg.decode_jpeg(rst) == jpeg.decode_jpeg(plain)
+    # interval 1 on a multi-MCU image genuinely carries RST markers
+    if dri == 1 and (w > 8 * (2 if comps == 3 else 1) or h > 8 * (2 if comps == 3 else 1)):
+        assert any(
+            bytes([0xFF, 0xD0 + i]) in rst for i in range(8)
+        )
+
+
+def test_jpeg_restart_sync_loss_fails_loudly():
+    """A missing/mangled RSTn marker is lost sync — the decoder must
+    raise, never emit silently wrong pixels."""
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, size=32 * 32, dtype=np.uint8).tobytes()
+    data = bytearray(jpeg.encode_jpeg(32, 32, px, restart_interval=1))
+    at = data.index(bytes([0xFF, 0xD0]))
+    data[at + 1] = 0xD5  # wrong sequence number
+    with pytest.raises(ValueError, match="restart"):
+        jpeg.decode_jpeg(bytes(data))
