@@ -657,6 +657,126 @@ def decode_or_quarantine(media: DataFrame) -> DataFrame:
     )
 
 
+AV_QUARANTINE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("status", StringType(), False),
+        StructField("n_frames", LongType(), True),
+    ]
+)
+
+
+def corrupt_av_media_from_ids(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Mixed audio/VIDEO media table with DELIBERATE damage — the
+    audio/video twin of :func:`corrupt_png_media_from_ids`, so the
+    quarantine surface is MODALITY-COMPLETE (a 100 TB ingest must
+    route corrupt media of every modality to triage, not just
+    images).  Deterministic kind per ``id % 8``:
+
+    0 valid WAV · 1 valid FLAC · 2 FLAC with its final frame-CRC byte
+    flipped (the CRC-16 verify catches it — the flip sits past every
+    header so no parse path can mask it) · 3 WAV truncated mid-data ·
+    4 an MP3 (ID3v2 container) this environment has no codec for ·
+    5 NULL payload · 6 valid Y4M video · 7 Y4M with a mangled magic.
+    """
+
+    def make(mid: int) -> tuple[bytes | None, str, str | None]:
+        kind = mid % 8
+        if kind == 0:
+            return _fixture_wav(mid)[3], "audio", "audio/wav"
+        if kind == 1:
+            return _fixture_flac(mid)[3], "audio", "audio/flac"
+        if kind == 2:
+            data = bytearray(_fixture_flac(mid)[3])
+            data[-1] ^= 0x5A  # final frame's CRC-16 low byte
+            return bytes(data), "audio", "audio/flac"
+        if kind == 3:
+            data = _fixture_wav(mid)[3]
+            return data[: len(data) // 2], "audio", "audio/wav"
+        if kind == 4:
+            return b"ID3\x03\x00\x00\x00\x00\x00\x0a" + bytes(16), (
+                "audio"
+            ), "audio/mpeg"
+        if kind == 5:
+            return None, "audio", None
+        if kind == 6:
+            return _fixture_y4m(mid)[3], "video", "video/x-yuv4mpeg"
+        data = bytearray(_fixture_y4m(mid)[3])
+        data[8] = ord("9")  # YUV4MPEG2 -> YUV4MPEG9
+        return bytes(data), "video", "video/x-yuv4mpeg"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            made = [make(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [m[0] for m in made],
+                    "modality": [m[1] for m in made],
+                    "mime": [m[2] for m in made],
+                    "n_bytes": [
+                        len(m[0]) if m[0] is not None else None for m in made
+                    ],
+                }
+            )
+
+    return _id_partitioned(ids, id_col, rows_per_task=1000).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_or_quarantine_av(media: DataFrame) -> DataFrame:
+    """Audio/video ingest-validation decode — the modality-dispatched
+    twin of :func:`decode_or_quarantine`: audio payloads run the real
+    WAV/FLAC codecs (:func:`decode_audio` — chunk walk, Rice decode,
+    frame CRC-16 + STREAMINFO md5 verify), video payloads the real
+    Y4M parser; verdicts are ``ok`` (with the decoded frame count),
+    ``corrupt`` (any integrity failure — flipped CRC, truncation,
+    bad magic), ``unsupported`` (codec-less formats like MP3), or
+    ``missing`` — never a crash, never silent admission.
+
+    Scale: Arrow-batched mapInPandas, per-record try/except; one bad
+    payload never poisons its batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import y4m
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                "media_id": list(pdf["media_id"]),
+                "modality": list(pdf["modality"]),
+                "status": [],
+                "n_frames": [],
+            }
+            for p, modality in zip(pdf["payload"], pdf["modality"]):
+                if p is None:
+                    rows["status"].append("missing")
+                    rows["n_frames"].append(None)
+                    continue
+                try:
+                    if modality == "video":
+                        frames = y4m.decode_y4m(bytes(p))[4]
+                        nf = len(frames)
+                    else:
+                        nf = decode_audio(bytes(p))[2]
+                    rows["status"].append("ok")
+                    rows["n_frames"].append(nf)
+                except NotImplementedError:
+                    rows["status"].append("unsupported")
+                    rows["n_frames"].append(None)
+                except Exception:
+                    rows["status"].append("corrupt")
+                    rows["n_frames"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "modality", "payload").mapInPandas(
+        batches, schema=AV_QUARANTINE_SCHEMA
+    )
+
+
 def _fixture_jpeg(media_id: int) -> tuple[int, int, bytes]:
     """Deterministic grayscale baseline JPEG for one media id:
     ``width = 8 * (2 + id % 3)``, ``height = 8 * (2 + (id // 3) % 3)``,

@@ -424,6 +424,11 @@ _REWRITTEN_IN: dict[str, int] = {
     # verbatim).  All JPEG-decoding queries were already bumped to 12
     # above; this new query anchors the batch.
     "q_multimodal_jpeg_prog": 12,
+    # Round-12 (ninth batch): modality-complete quarantine — the
+    # audio/video ingest-validation gate (corrupt_av_media_from_ids +
+    # decode_or_quarantine_av: WAV/FLAC/Y4M verdicts incl. a
+    # CRC-flipped FLAC and a truncated WAV), anchoring this new query.
+    "q_media_quarantine_av": 12,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -405,6 +405,46 @@ def q_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_media_quarantine_av",
+    oracle="""
+    WITH k AS (SELECT doc_id, doc_id % 8 AS kind FROM documents)
+    SELECT doc_id AS media_id,
+           CASE WHEN kind IN (6, 7) THEN 'video' ELSE 'audio' END
+               AS modality,
+           CASE WHEN kind IN (0, 1, 6) THEN 'ok'
+                WHEN kind IN (2, 3, 7) THEN 'corrupt'
+                WHEN kind = 4 THEN 'unsupported'
+                ELSE 'missing' END AS status,
+           CAST(CASE WHEN kind = 0 THEN 32 + doc_id % 41
+                     WHEN kind = 1 THEN 40 + doc_id % 50
+                     WHEN kind = 6 THEN 2 + doc_id % 4 END AS BIGINT)
+               AS n_frames
+    FROM k
+    """,
+)
+def q_media_quarantine_av(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO/VIDEO ingest validation — the modality-completing twin of
+    q_media_quarantine (whose gate classifies images only): every
+    payload is decoded with the real integrity-verifying codecs —
+    WAV chunk walk, FLAC frame CRC-16 + Rice decode + STREAMINFO md5,
+    Y4M header/FRAME parse — and classified per record.  The fixture
+    plants one failure of each kind deterministically (``id % 8``):
+    valid WAV / FLAC / Y4M decode to ``ok`` with their exact frame
+    counts; a FLAC whose final frame-CRC byte is flipped and a WAV
+    truncated mid-data are ``corrupt`` (the CRC / chunk-length checks
+    must catch them); an MP3 (ID3v2) container is ``unsupported``
+    (codec genuinely absent — refused, never misread); NULL payloads
+    are ``missing``.  A decoder that crashes on, silently accepts, or
+    misclassifies any damaged payload breaks the hash.
+
+    Scale: per-record try/except inside the Arrow batch; payload
+    bytes never shuffle; verdicts are a narrow relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.corrupt_av_media_from_ids(docs, id_col="doc_id")
+    return M.decode_or_quarantine_av(media)
+
+
+@query(
     "q_image_dedup",
     oracle="""
     SELECT doc_id AS media_id,

@@ -1069,3 +1069,42 @@ def test_image_histogram_features_match_fixture(spark):
     ).limit(2)
     for r in M.image_histogram_features(null_media).collect():
         assert all(getattr(r, f"h{i}") is None for i in range(8))
+
+
+def test_av_quarantine_classifies_every_failure_kind(spark):
+    """The audio/video gate's verdicts, pinned kind by kind — and the
+    damaged payloads fail for the RIGHT reason (the FLAC flip is
+    caught by the frame CRC-16, the WAV truncation by the chunk
+    walk), not by accident of an earlier parse error."""
+    import pytest
+
+    from lab5_lakehouse_etl_spark.functions import flac, wav
+
+    ids = spark.range(0, 16).selectExpr("id AS doc_id")
+    media = M.corrupt_av_media_from_ids(ids, id_col="doc_id")
+    out = {r.media_id: r for r in M.decode_or_quarantine_av(media).collect()}
+    for mid in range(16):
+        r = out[mid]
+        kind = mid % 8
+        assert r.modality == ("video" if kind in (6, 7) else "audio")
+        want = {
+            0: "ok", 1: "ok", 2: "corrupt", 3: "corrupt",
+            4: "unsupported", 5: "missing", 6: "ok", 7: "corrupt",
+        }[kind]
+        assert r.status == want, (mid, kind, r.status)
+        if kind == 0:
+            assert r.n_frames == 32 + mid % 41
+        elif kind == 1:
+            assert r.n_frames == 40 + mid % 50
+        elif kind == 6:
+            assert r.n_frames == 2 + mid % 4
+        else:
+            assert r.n_frames is None
+    # failure-reason pins (driver-side, no Spark)
+    bad_flac = bytearray(M._fixture_flac(2)[3])
+    bad_flac[-1] ^= 0x5A
+    with pytest.raises(ValueError, match="CRC"):
+        flac.decode_flac(bytes(bad_flac))
+    good_wav = M._fixture_wav(3)[3]
+    with pytest.raises(ValueError):
+        wav.decode_wav(good_wav[: len(good_wav) // 2])
