@@ -9,12 +9,14 @@ Python/stdlib (+numpy): PNG images including palette/PLTE forms
 4:2:2 / 4:2:0, baseline AND progressive SOF2 (functions/jpeg.py), RIFF/WAVE 16-bit PCM audio
 (functions/wav.py), FLAC compressed audio — losslessly decoded:
 Rice-coded residuals, FIXED/LPC predictors, stereo decorrelation
-(functions/flac.py), YUV4MPEG2 video frame sampling (functions/y4m.py),
+(functions/flac.py), lossless WebP/VP8L — prefix codes, LZ77,
+color cache, all four transforms (functions/webp.py), YUV4MPEG2 video
+frame sampling (functions/y4m.py),
 and a real nearest-neighbour resize through a full decode → resample →
 re-encode chain.  Each decode path is oracle-checked end to end via
 exact integer statistics against a closed-form fixture formula.  Only
 formats whose codecs are genuinely absent from this container
-(WebP/AVIF, MP3/AAC, H.264) remain behind explicit
+(lossy-WebP/AVIF, MP3/AAC, H.264) remain behind explicit
 ``NotImplementedError``, and the embedding-style feature extractor
 keeps its deterministic md5-seeded stand-in so downstream similarity
 plumbing is exercisable end-to-end without a model.
@@ -82,20 +84,22 @@ def fake_media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL decode for PNG and baseline-JPEG payloads, dispatched on
-    the magic bytes, returning ``(width, height, channels, pixels)``:
-    PNG via the pure-stdlib codec (functions/png.py: chunk walk + CRC
-    verify + zlib inflate + full five-filter unfiltering, truecolor /
-    grey / alpha AND palette-with-PLTE/tRNS forms), baseline JPEG —
-    grayscale and YCbCr color at 4:4:4 / 4:2:2 / 4:2:0 — via the pure
-    Python/numpy codec (functions/jpeg.py: stream-defined Huffman
-    tables, sampling-factor MCU walk, dequant + IDCT,
-    bit-unstuffing, chroma upsampling).  Other formats raise
-    ``NotImplementedError`` (WebP/AVIF codecs are not in this
-    container; production swaps in
+    """REAL decode for PNG, JPEG and lossless-WebP payloads,
+    dispatched on the magic bytes, returning ``(width, height,
+    channels, pixels)``: PNG via the pure-stdlib codec
+    (functions/png.py: chunk walk + CRC verify + zlib inflate + full
+    five-filter unfiltering, truecolor / grey / alpha AND
+    palette-with-PLTE/tRNS forms), JPEG — grayscale and YCbCr color
+    at 4:4:4 / 4:2:2 / 4:2:0, baseline and progressive, with restart
+    intervals — via the pure Python/numpy codec (functions/jpeg.py),
+    and WebP VP8L (functions/webp.py: prefix codes, LZ77 with the 2-D
+    distance map, color cache, predictor/color/subtract-green/
+    color-indexing transform inversion).  Other formats raise
+    ``NotImplementedError`` (lossy-VP8 and AVIF need full video
+    codecs; production swaps in
     ``PIL.Image.open(io.BytesIO(payload))`` behind the same contract).
     """
-    from . import jpeg, png
+    from . import jpeg, png, webp
 
     if payload is None:
         raise NotImplementedError("NULL payload has no decodable format")
@@ -104,10 +108,13 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return png.decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return jpeg.decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # VP8L lossless decodes; lossy VP8 / VP8X refuse inside
+        return webp.decode_webp(payload)
     raise NotImplementedError(
-        "only PNG and baseline-JPEG decode are available in this "
-        "environment; swap in PIL.Image.open(io.BytesIO(payload)) "
-        "in production"
+        "only PNG, JPEG and lossless-WebP decode are available in "
+        "this environment; swap in PIL.Image.open(io.BytesIO(payload))"
+        " in production"
     )
 
 
@@ -946,6 +953,87 @@ def jpeg_prog_media_from_ids(
                     "payload": payloads,
                     "modality": "image",
                     "mime": "image/jpeg",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+def _fixture_webp(media_id: int) -> tuple[int, int, bytes]:
+    """Deterministic lossless-WebP (VP8L) clip for one media id:
+    ``width = 8 + id % 9``, ``height = 8 + (id // 9) % 9``; pixel
+    (x, y) takes 16-color-palette index ``c = (id*3 + x//4 + 2*y) %
+    16`` with channels ``r = (id*5 + c*17) % 256, g = (id*7 + c*29) %
+    256, b = (id*11 + c*23) % 256, a = 255 - c`` — a SQL-closed-form
+    formula whose 16-color / runs-of-4 structure is encodable by
+    every VP8L shape.  The ENCODING cycles per id (``id % 7``): plain
+    literals / subtract-green / constant-mode predictor (cycling all
+    14 modes via ``id % 14``) / color transform / palette with
+    sub-byte bundling / color cache / distance-1 LZ77 RLE — VP8L is
+    LOSSLESS, so the decoded pixels (hence the oracle sums) are
+    identical regardless of which machinery encoded them, putting
+    prefix codes, transforms, cache and LZ77 all under the same
+    closed-form oracle."""
+    import numpy as np
+
+    from . import webp
+
+    width = 8 + media_id % 9
+    height = 8 + (media_id // 9) % 9
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    c = (media_id * 3 + x // 4 + 2 * y) % 16
+    px = np.stack(
+        [
+            (media_id * 5 + c * 17) % 256,
+            (media_id * 7 + c * 29) % 256,
+            (media_id * 11 + c * 23) % 256,
+            255 - c,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    kind = media_id % 7
+    kwargs: dict = {}
+    if kind == 1:
+        kwargs = {"subtract_green": True}
+    elif kind == 2:
+        kwargs = {"predictor_mode": media_id % 14}
+    elif kind == 3:
+        kwargs = {
+            "color_transform": (
+                (media_id * 7) % 256,
+                (media_id * 13) % 256,
+                (media_id * 29) % 256,
+            )
+        }
+    elif kind == 4:
+        kwargs = {"palette": True}
+    elif kind == 5:
+        kwargs = {"cache_bits": 1 + media_id % 11}
+    elif kind == 6:
+        kwargs = {"rle": True, "cache_bits": 4}
+    return width, height, webp.encode_webp(
+        width, height, px.tobytes(), **kwargs
+    )
+
+
+def webp_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of real lossless-WebP payloads whose ENCODING shape
+    varies per id (transforms / palette / cache / LZ77), generated
+    deterministically inside Arrow-batched mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [_fixture_webp(int(i))[2] for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "image",
+                    "mime": "image/webp",
                     "n_bytes": [len(p) for p in payloads],
                 }
             )

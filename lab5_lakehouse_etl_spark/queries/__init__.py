@@ -429,6 +429,13 @@ _REWRITTEN_IN: dict[str, int] = {
     # decode_or_quarantine_av: WAV/FLAC/Y4M verdicts incl. a
     # CRC-flipped FLAC and a truncated WAV), anchoring this new query.
     "q_media_quarantine_av": 12,
+    # Round-12 (tenth batch): lossless WebP (VP8L) decode — new module
+    # functions/webp.py (prefix codes, code-length transmission, LZ77
+    # with the 120-entry distance map, color cache, all four transform
+    # inversions) + a decode_image dispatch arm; this new query
+    # anchors the batch (its fixture cycles every encoding shape
+    # under one closed-form oracle).
+    "q_multimodal_webp": 12,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -405,6 +405,70 @@ def q_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_webp",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             8 + doc_id % 9          AS w,
+             8 + (doc_id // 9) % 9   AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id * 3 + x // 4 + 2 * y) % 16 AS c
+      FROM p,
+           LATERAL unnest(generate_series(0, w - 1)) AS gx(x),
+           LATERAL unnest(generate_series(0, h - 1)) AS gy(y)
+    )
+    SELECT doc_id            AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS channels,
+           CAST(SUM((doc_id * 5 + c * 17) % 256) AS BIGINT)  AS sum_r,
+           CAST(SUM((doc_id * 7 + c * 29) % 256) AS BIGINT)  AS sum_g,
+           CAST(SUM((doc_id * 11 + c * 23) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM(255 - c) AS BIGINT)                      AS sum_a
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+)
+def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP (VP8L) decode end-to-end — the last image
+    format the pillar refused that is pure-Python decodable: encode a
+    deterministic 16-color fixture per document id where the ENCODING
+    SHAPE cycles per id (plain literals / subtract-green / all 14
+    predictor modes / color transform / palette with sub-byte
+    bundling / color cache / distance-1 LZ77 — functions/webp.py) and
+    decode through the full VP8L machinery (LSB-first prefix codes,
+    code-length-coded Huffman transmission, the 120-entry 2-D
+    distance map, 0x1e35a7bd cache hashing, transform inversion in
+    reverse read order), emitting per-image dimensions + exact RGBA
+    channel sums.
+
+    Exactness: VP8L is LOSSLESS — the decoded pixels equal the
+    fixture formula bit-for-bit no matter which encoding shape
+    carried them, so one closed-form oracle covers all seven shapes;
+    an encoder/decoder disagreement in ANY of them breaks the hash
+    for its id class.
+
+    Scale: same Arrow-batched mapInPandas shape as the other codec
+    paths; payload bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.webp_media_from_ids(docs, id_col="doc_id")
+    stats = M.decode_image_stats(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.element_at("channel_sums", 1).alias("sum_r"),
+        F.element_at("channel_sums", 2).alias("sum_g"),
+        F.element_at("channel_sums", 3).alias("sum_b"),
+        F.element_at("channel_sums", 4).alias("sum_a"),
+    )
+
+
+@query(
     "q_media_quarantine_av",
     oracle="""
     WITH k AS (SELECT doc_id, doc_id % 8 AS kind FROM documents)

@@ -509,3 +509,95 @@ def test_jpeg_restart_sync_loss_fails_loudly():
     data[at + 1] = 0xD5  # wrong sequence number
     with pytest.raises(ValueError, match="restart"):
         jpeg.decode_jpeg(bytes(data))
+
+
+from lab5_lakehouse_etl_spark.functions import webp  # noqa: E402
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    shape=st.sampled_from(
+        ["plain", "sg", "pred", "ct", "cache", "stack"]
+    ),
+    mode=st.integers(0, 13),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_webp_roundtrip_property(w, h, shape, mode, seed):
+    """VP8L is LOSSLESS: decode(encode(x)) == x byte-for-byte for
+    arbitrary RGBA content under every encoding shape — literals,
+    subtract-green, each of the 14 predictor modes, arbitrary color
+    transforms, the color cache, and stacked transforms."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, w * h * 4, dtype=np.uint8).tobytes()
+    kwargs = {
+        "plain": {},
+        "sg": {"subtract_green": True},
+        "pred": {"predictor_mode": mode},
+        "ct": {
+            "color_transform": tuple(
+                int(v) for v in rng.integers(0, 256, 3)
+            )
+        },
+        "cache": {"cache_bits": 1 + mode % 11},
+        "stack": {
+            "predictor_mode": mode,
+            "color_transform": (34, 200, 17),
+            "subtract_green": True,
+        },
+    }[shape]
+    data = webp.encode_webp(w, h, px, **kwargs)
+    assert webp.decode_webp(data) == (w, h, 4, px)
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    n_colors=st.integers(1, 17),
+    rle=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_webp_palette_and_rle_roundtrip_property(w, h, n_colors, rle, seed):
+    """Palette images round-trip across every bundling width (1/2/4/8
+    bits per index) and RLE runs through the real length/distance
+    prefix machinery."""
+    rng = np.random.default_rng(seed)
+    colors = rng.integers(0, 256, (max(n_colors, 2), 4), dtype=np.uint8)
+    idx = rng.integers(0, len(colors), w * h)
+    px = colors[idx].reshape(-1).tobytes()
+    data = webp.encode_webp(w, h, px, palette=not rle, rle=rle)
+    assert webp.decode_webp(data) == (w, h, 4, px)
+
+
+def test_webp_distance_map_matches_spec():
+    """The generated 120-entry LZ77 neighborhood table equals the
+    published spec table (spot-pinned at the head, documented interior
+    landmarks, and the tail)."""
+    m = webp._DIST_MAP
+    assert len(m) == 120
+    assert m[:16] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    ]
+    assert m[34] == (0, 5) and m[96] == (8, 0) and m[97] == (4, 7)
+    assert m[-4:] == [(7, 7), (-7, 7), (8, 6), (8, 7)]
+
+
+def test_webp_rejects_malformed_and_out_of_scope():
+    import numpy as np
+
+    with pytest.raises(ValueError, match="RIFF"):
+        webp.decode_webp(b"not webp")
+    with pytest.raises(NotImplementedError, match="VP8L"):
+        webp.decode_webp(b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(24))
+    with pytest.raises(NotImplementedError, match="VP8X"):
+        webp.decode_webp(b"RIFF\x24\x00\x00\x00WEBPVP8X" + bytes(24))
+    good = webp.encode_webp(4, 4, bytes(64))
+    with pytest.raises(ValueError, match="truncated"):
+        webp.decode_webp(good[:-3])
+    with pytest.raises(ValueError, match="signature"):
+        webp.decode_webp(good[:20] + b"\x00" + good[21:])
+    with pytest.raises(ValueError):
+        webp.encode_webp(4, 4, bytes(63))

@@ -54,12 +54,16 @@ def test_sample_frames_covers_payload(media):
 
 
 def test_decode_unsupported_format_still_raises():
-    # the real decode paths cover PNG + baseline JPEG; other formats
-    # remain an explicit NotImplementedError, never a silent wrong
-    # answer — and a JPEG-looking-but-truncated payload fails loudly
-    # in the real decoder, not the dispatcher
-    with pytest.raises(NotImplementedError, match="PNG and baseline-JPEG"):
+    # the real decode paths cover PNG, JPEG and lossless WebP; other
+    # formats remain an explicit NotImplementedError, never a silent
+    # wrong answer — a LOSSY WebP refuses inside the VP8L codec, an
+    # unknown container in the dispatcher, and a
+    # JPEG-looking-but-truncated payload fails loudly in the real
+    # decoder
+    with pytest.raises(NotImplementedError, match="lossy VP8"):
         M.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(NotImplementedError, match="PNG, JPEG and"):
+        M.decode_image(b"GIF89a" + bytes(16))
     with pytest.raises(ValueError, match="truncated JPEG"):
         M.decode_image(b"\xff\xd8\xff\xe0JFIF-ish")
 
