@@ -601,3 +601,144 @@ def test_webp_rejects_malformed_and_out_of_scope():
         webp.decode_webp(good[:20] + b"\x00" + good[21:])
     with pytest.raises(ValueError):
         webp.encode_webp(4, 4, bytes(63))
+
+
+def _vp8l_header(w, width, height):
+    w.write(0x2F, 8)
+    w.write(width - 1, 14)
+    w.write(height - 1, 14)
+    w.write(0, 1)  # alpha hint
+    w.write(0, 3)  # version
+
+
+def _wrap_vp8l(body: bytes) -> bytes:
+    import struct
+
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_webp_meta_prefix_groups_decode():
+    """Decoder path the fixture encoder never emits: a META prefix
+    image splitting the image into two tile columns, each with its own
+    prefix-code group (single-symbol codes -> zero bits per pixel).
+    Left tile must decode to color A, right tile to color B — group
+    selection per (red << 8 | green) of the entropy-image pixel."""
+    w = webp._LsbWriter()
+    _vp8l_header(w, 16, 1)
+    w.write(0, 1)  # no transforms
+    w.write(0, 1)  # no color cache
+    w.write(1, 1)  # meta prefix image present
+    w.write(0, 3)  # meta_bits = 3 (8-px tiles) -> entropy image 2x1
+    # entropy image (nested): no cache bit=0, then 5 codes; green must
+    # emit group indices 0 then 1 -> two-symbol simple code, others
+    # single-symbol
+    w.write(0, 1)  # nested cache bit
+    w.write(1, 1)  # green: simple
+    w.write(1, 1)  # 2 symbols
+    w.write(0, 1)  # first symbol in 1 bit
+    w.write(0, 1)  # symbol 0
+    w.write(1, 8)  # symbol 1
+    for _ in range(3):  # red, blue, alpha = 0
+        webp._write_code_single(w, 0)
+    webp._write_code_single(w, 0)  # distance
+    w.write(0, 1)  # entropy pixel (0,0): green=0 (code 0, 1 bit)
+    w.write(1, 1)  # entropy pixel (1,0): green=1
+    # two groups, constant colors A=(a=255, r=1, g=2, b=3), B=(255,9,8,7)
+    for r_, g_, b_ in ((1, 2, 3), (9, 8, 7)):
+        webp._write_code_single(w, g_)  # green
+        webp._write_code_single(w, r_)  # red
+        webp._write_code_single(w, b_)  # blue
+        webp._write_code_single(w, 255)  # alpha
+        webp._write_code_single(w, 0)  # distance
+    # pixels: all codes single-symbol -> zero bits
+    dw, dh, dc, px = webp.decode_webp(_wrap_vp8l(w.flush()))
+    assert (dw, dh, dc) == (16, 1, 4)
+    import numpy as np
+
+    arr = np.frombuffer(px, np.uint8).reshape(16, 4)
+    assert (arr[:8] == [1, 2, 3, 255]).all()
+    assert (arr[8:] == [9, 8, 7, 255]).all()
+
+
+def test_webp_clc_repeats_and_max_symbol_decode():
+    """Decoder paths the fixture encoder never emits: zero-run repeat
+    op 18 and the MAX-SYMBOL limit field.  Green lengths [1, 2, 2]
+    (complete: 1/2 + 1/4 + 1/4) are transmitted as three literals and
+    an 18-run for the tail, with the max-symbol field capping the CLC
+    reads at exactly 4; then two pixels decode through the resulting
+    code."""
+    clc_lengths = {18: 2, 1: 2, 2: 2, 16: 2}
+    w2 = webp._LsbWriter()
+    _vp8l_header(w2, 2, 1)
+    w2.write(0, 1); w2.write(0, 1); w2.write(0, 1)
+    w2.write(0, 1)  # not simple
+    w2.write(19 - 4, 4)
+    for sym in webp._CLC_ORDER:
+        w2.write(clc_lengths.get(sym, 0), 3)
+    w2.write(1, 1)  # max-symbol field present
+    w2.write(0, 3)  # length_nbits = 2
+    w2.write(2, 2)  # max_symbol = 2 + 2 = 4 CLC reads allowed
+
+    def clc2(sym):
+        # CLC canonical over {1,2,16,18}, all length 2, symbol order
+        code = {1: 0b00, 2: 0b01, 16: 0b10, 18: 0b11}[sym]
+        w2.write(webp._rev(code, 2), 2)
+
+    clc2(1)         # lengths[0] = 1
+    clc2(2)         # lengths[1] = 2
+    clc2(2)         # lengths[2] = 2
+    clc2(18)        # zero run covers the tail
+    w2.write(127, 7)
+    # green canonical: 0 -> "0", 1 -> "10", 2 -> "11"
+    for v in (5, 6, 255):
+        webp._write_code_single(w2, v)
+    webp._write_code_single(w2, 0)
+    w2.write(webp._rev(0b10, 2), 2)  # pixel 0: green 1
+    w2.write(webp._rev(0b11, 2), 2)  # pixel 1: green 2
+    dw, dh, dc, px = webp.decode_webp(_wrap_vp8l(w2.flush()))
+    import numpy as np
+
+    arr = np.frombuffer(px, np.uint8).reshape(2, 4)
+    assert (arr[0] == [5, 1, 6, 255]).all()
+    assert (arr[1] == [5, 2, 6, 255]).all()
+
+
+def test_webp_clc_repeat16_decode():
+    """Repeat op 16 (copy previous nonzero length 3-6 times): build
+    green lengths [2,2,2,2] via literal 2 + repeat-16 x3, a complete
+    4-symbol code, and decode all four symbols."""
+    w = webp._LsbWriter()
+    _vp8l_header(w, 4, 1)
+    w.write(0, 1); w.write(0, 1); w.write(0, 1)
+    w.write(0, 1)  # not simple
+    w.write(19 - 4, 4)
+    clc_lengths = {18: 2, 2: 2, 16: 2, 0: 2}
+    for sym in webp._CLC_ORDER:
+        w.write(clc_lengths.get(sym, 0), 3)
+    w.write(0, 1)  # no max-symbol field
+    # CLC canonical over {0,2,16,18} all len 2: 0->00, 2->01, 16->10, 18->11
+    def clc(sym):
+        code = {0: 0b00, 2: 0b01, 16: 0b10, 18: 0b11}[sym]
+        w.write(webp._rev(code, 2), 2)
+    clc(2)          # lengths[0] = 2
+    clc(16)         # repeat prev (2) 3 + bits(2) times
+    w.write(0, 2)   # -> lengths[1..3] = 2
+    clc(18)         # zero-run to cover the rest (276 = 11 + 127 + ...)
+    w.write(127, 7)  # 138
+    clc(18)
+    w.write(127, 7)  # 138 -> 276 total zeros
+    # green canonical: 0->00, 1->01, 2->10, 3->11
+    for v in (40, 41, 255):
+        webp._write_code_single(w, v)
+    webp._write_code_single(w, 0)
+    for g in (0, 1, 2, 3):
+        w.write(webp._rev(g, 2), 2)
+    dw, dh, dc, px = webp.decode_webp(_wrap_vp8l(w.flush()))
+    import numpy as np
+
+    arr = np.frombuffer(px, np.uint8).reshape(4, 4)
+    assert list(arr[:, 1]) == [0, 1, 2, 3]  # greens
+    assert (arr[:, 0] == 40).all() and (arr[:, 2] == 41).all()
