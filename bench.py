@@ -659,7 +659,14 @@ def main() -> None:
             gc.collect()
     total = sum(timings.values())
 
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+    # 480 -> 560 in r12: the identical-calibration r11 run measured the
+    # 227-query sweep at ~0 margin under 480 s; r12's registry is 233
+    # with six new codec-CPU queries (~+25 s) plus amortized-gc savings
+    # below, and 480 s tripped locally (26 tier-2 names skipped).  560 s
+    # stays far inside the driver's round window (which also absorbs a
+    # ~15 min pytest run), restoring the zero-skip invariant with
+    # headroom for one more round of growth.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "560"))
 
     # isolated re-measure of the job-count-heavy family in a fresh
     # subprocess (r10 verdict #4) — BEFORE the tier-2 sweep since r11:
@@ -701,7 +708,12 @@ def main() -> None:
             except Exception:
                 t2_timings[name] = -1.0  # errored: visible, not fatal
             spark.catalog.clearCache()
-            gc.collect()
+            # gc OUTSIDE the timed window costs ~80 ms per call on a
+            # populated driver heap (measured) — ~15 s of dead budget
+            # over a 200-query sweep; every 8th query still bounds
+            # heap creep to a handful of queries' garbage
+            if len(t2_timings) % 8 == 0:
+                gc.collect()
 
     all_timings = {**timings, **t2_timings}
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
