@@ -419,7 +419,7 @@ def png_variant_media_from_ids(
     finds at most the aligned slice of each group; only a decode —
     including the PLTE expansion back to the identical RGB samples —
     finds them all."""
-    from . import png
+    from . import png, webp
 
     def encode_variant(media_id: int) -> bytes:
         key = media_id % IMAGE_DEDUP_GROUPS
@@ -430,6 +430,22 @@ def png_variant_media_from_ids(
         )
         copy_n = media_id // IMAGE_DEDUP_GROUPS
         if copy_n % 2:
+            if key % 2:
+                # WebP twin (r12): identical pixels in a DIFFERENT
+                # FORMAT entirely — VP8L is lossless, and the decoded
+                # RGBA canonicalizes to the PNG copies' RGB, so the
+                # dedup must survive a cross-codec round trip; the
+                # predictor mode varies with the copy so even two WebP
+                # copies differ byte-wise
+                rgba = bytearray()
+                for j in range(width * height):
+                    rgba += pixels[3 * j : 3 * j + 3] + b"\xff"
+                return webp.encode_webp(
+                    width,
+                    height,
+                    bytes(rgba),
+                    predictor_mode=copy_n % 14,
+                )
             # palette twin: identical pixels, different color type —
             # first-appearance palette order (deterministic)
             order: dict[bytes, int] = {}
@@ -464,7 +480,10 @@ def png_variant_media_from_ids(
                     "media_id": pdf[id_col],
                     "payload": payloads,
                     "modality": "image",
-                    "mime": "image/png",
+                    "mime": [
+                        "image/webp" if p[:4] == b"RIFF" else "image/png"
+                        for p in payloads
+                    ],
                     "n_bytes": [len(p) for p in payloads],
                 }
             )
@@ -484,16 +503,20 @@ PIXEL_FP_SCHEMA = StructType(
 
 def pixel_fingerprints(media: DataFrame) -> DataFrame:
     """CONTENT-level image fingerprint: decode each payload with the
-    real codec and hash the decoded ``dims || pixels`` (md5) — two
-    images are duplicates iff they render identically, regardless of
-    container bytes, filter choices or compression level.  This is the
-    image twin of text exact-dedup's normalize-then-fingerprint rule.
+    real codec, CANONICALIZE to RGBA (grey replicated, opaque alpha
+    added), and hash ``dims || canonical pixels`` (md5) — two images
+    are duplicates iff they RENDER identically, regardless of
+    container format, channel layout, filter choices or compression
+    level.  This is the image twin of text exact-dedup's
+    normalize-then-fingerprint rule.
 
     Scale: decode is Arrow-batched mapInPandas where the payload
     lives; only (id, 16 B fingerprint) rows leave the stage, so the
     dedup groupBy shuffles fingerprints, never pixels."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             fps = []
             for p in pdf["payload"]:
@@ -501,9 +524,23 @@ def pixel_fingerprints(media: DataFrame) -> DataFrame:
                     fps.append(None)
                     continue
                 w, h, c, px = decode_image(bytes(p))
+                # canonicalize to RGBA so the fingerprint compares
+                # RENDERED content across channel layouts: grey
+                # replicates to RGB (a type-0 PNG of value v IS the
+                # type-2 PNG of (v,v,v)), and missing alpha is opaque
+                # (an RGB PNG and its RGBA/WebP re-encoding with
+                # alpha=255 render identically)
+                a = np.frombuffer(px, np.uint8).reshape(-1, c)
+                if c == 1:
+                    a = np.column_stack([a[:, 0]] * 3 + [np.full(len(a), 255, np.uint8)])
+                elif c == 2:
+                    a = np.column_stack([a[:, 0]] * 3 + [a[:, 1]])
+                elif c == 3:
+                    a = np.column_stack([a, np.full(len(a), 255, np.uint8)])
                 fps.append(
                     hashlib.md5(
-                        f"{w}x{h}x{c}|".encode("ascii") + px
+                        f"{w}x{h}|".encode("ascii")
+                        + a.astype(np.uint8).tobytes()
                     ).hexdigest()
                 )
             yield pd.DataFrame(

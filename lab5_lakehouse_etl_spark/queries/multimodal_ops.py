@@ -520,17 +520,20 @@ def q_media_quarantine_av(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CONTENT-level image dedup across encodings: the fixture renders
+    """CONTENT-level image dedup across FORMATS: the fixture renders
     the same pixels for ids congruent mod 250 but encodes each id
     differently — even copies as truecolor PNGs with copy-phased
-    scanline filters, odd copies as PALETTE PNGs (color type 3, r12)
-    of the identical pixels — so payload bytes differ within every
-    duplicate group and the copies even disagree on PNG COLOR TYPE.
-    A byte-hash dedup finds NOTHING (pinned in
-    tests/test_multimodal.py); only decode-then-fingerprint — with
-    the palette side expanding through PLTE back to the same RGB
-    samples — finds them all.  Each image is decoded with the real
-    codec, fingerprinted on ``dims || pixels``, and grouped: min-id
+    scanline filters, odd copies as PALETTE PNGs (even group keys;
+    color type 3, r12) or as LOSSLESS WEBP (odd keys; a whole
+    different container and entropy coder, r12) of the identical
+    pixels — so payload bytes differ within every duplicate group and
+    the copies disagree on color type and even on FORMAT.  A
+    byte-hash dedup finds NOTHING (pinned in
+    tests/test_multimodal.py); only decode-then-fingerprint — the
+    palette side expanding through PLTE, the WebP side decoding to
+    RGBA, both canonicalized to the same rendered samples — finds
+    them all.  Each image is decoded with the real codec,
+    fingerprinted on ``dims || canonical RGBA``, and grouped: min-id
     canonical + group size per image.  The DuckDB oracle restates the
     fixture's duplicate structure in closed form (groups ARE the
     mod-250 classes), so a decode divergence anywhere — either codec

@@ -827,9 +827,10 @@ def test_image_dedup_requires_decode_not_byte_hash(spark):
     # with the full id) — a byte-hash dedup would find nothing
     assert rows[0] != rows[250] and rows[250] != rows[500]
     assert rows[1] != rows[251]
-    # ...and the odd copies are genuinely a DIFFERENT COLOR TYPE
-    # (palette, r12): the dedup must survive the PLTE expansion, not
-    # just filter-phase byte noise
+    # ...and the odd copies are genuinely DIFFERENT encodings: for
+    # even group keys a palette PNG (the dedup must survive the PLTE
+    # expansion); for odd keys a WHOLE DIFFERENT FORMAT — a lossless
+    # WebP whose decoded RGBA canonicalizes to the PNG copies' RGB
     import struct
 
     def color_type(payload: bytes) -> int:
@@ -839,8 +840,9 @@ def test_image_dedup_requires_decode_not_byte_hash(spark):
         )[3]
 
     assert color_type(rows[0]) == 2 and color_type(rows[500]) == 2
-    assert color_type(rows[250]) == 3 and color_type(rows[251]) == 3
+    assert color_type(rows[250]) == 3  # key 0 (even): palette PNG
     assert b"PLTE" in rows[250] and b"PLTE" not in rows[0]
+    assert rows[251][:4] == b"RIFF" and rows[251][8:16] == b"WEBPVP8L"
     fps = {r.media_id: r.pixel_fp for r in M.pixel_fingerprints(media).collect()}
     assert fps[0] == fps[250] == fps[500]
     assert fps[1] == fps[251]
