@@ -933,16 +933,23 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             if width is None:
                 raise ValueError("JPEG scan before its SOF2 frame header")
             ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            # explicit component-id lookup: a corrupt scan header
+            # naming an id absent from the SOF must raise ValueError,
+            # not StopIteration (which generator contexts swallow)
+            cid_to_ci = {
+                cid: i for i, (cid, _, _, _) in enumerate(frame_comps)
+            }
+            for c in range(ns):
+                if seg[1 + 2 * c] not in cid_to_ci:
+                    raise ValueError(
+                        f"scan component id {seg[1 + 2 * c]} not in frame"
+                    )
             pos = _decode_prog_scan(
                 data,
                 pos + 2 + length,
                 [
                     (
-                        next(
-                            i
-                            for i, (cid, _, _, _) in enumerate(frame_comps)
-                            if cid == seg[1 + 2 * c]
-                        ),
+                        cid_to_ci[seg[1 + 2 * c]],
                         seg[2 + 2 * c] >> 4,
                         seg[2 + 2 * c] & 0x0F,
                     )

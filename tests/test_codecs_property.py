@@ -742,3 +742,61 @@ def test_webp_clc_repeat16_decode():
     arr = np.frombuffer(px, np.uint8).reshape(4, 4)
     assert list(arr[:, 1]) == [0, 1, 2, 3]  # greens
     assert (arr[:, 0] == 40).all() and (arr[:, 2] == 41).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    codec=st.sampled_from(["png", "jpeg", "jpeg_prog", "flac", "wav", "y4m", "webp"]),
+    flip_at=st.integers(0, 10**6),
+    flip_bits=st.integers(1, 255),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_codec_corruption_always_terminates(codec, flip_at, flip_bits, seed):
+    """Quarantine-gate precondition, fuzzed: a single corrupted byte
+    anywhere in a valid stream must make decode TERMINATE promptly —
+    either raising (ValueError / NotImplementedError / zlib / struct /
+    overflow: the gate classifies any exception as corrupt) or
+    returning some decode (damage in uncheckable payload regions) —
+    never hanging an executor task or escaping as a crash the
+    per-record try/except cannot catch."""
+    import zlib
+
+    from lab5_lakehouse_etl_spark.functions import (
+        flac, jpeg, png, wav, webp, y4m,
+    )
+
+    rng = np.random.default_rng(seed)
+    if codec == "png":
+        data = png.encode_png(9, 7, bytes(rng.integers(0, 256, 189, dtype=np.uint8)), color_type=2)
+        dec = png.decode_png
+    elif codec == "jpeg":
+        data = jpeg.encode_jpeg(17, 9, bytes(rng.integers(0, 256, 153, dtype=np.uint8)), restart_interval=2)
+        dec = jpeg.decode_jpeg
+    elif codec == "jpeg_prog":
+        data = jpeg.encode_jpeg_progressive(17, 9, bytes(rng.integers(0, 256, 153, dtype=np.uint8)))
+        dec = jpeg.decode_jpeg
+    elif codec == "flac":
+        samples = np.asarray(rng.integers(-2048, 2048, 120), dtype=np.int64)
+        data = flac.encode_flac(8000, 2, samples, block_size=16)
+        dec = flac.decode_flac
+    elif codec == "wav":
+        data = wav.encode_wav(8000, 1, np.asarray(rng.integers(-100, 100, 50), dtype="<i2"))
+        dec = wav.decode_wav
+    elif codec == "y4m":
+        frames = [bytes(rng.integers(0, 256, 48, dtype=np.uint8)) for _ in range(2)]
+        data = y4m.encode_y4m(4, 4, frames, colorspace="C444")
+        dec = y4m.decode_y4m
+    else:
+        data = webp.encode_webp(7, 5, bytes(rng.integers(0, 256, 140, dtype=np.uint8)), cache_bits=3)
+        dec = webp.decode_webp
+    bad = bytearray(data)
+    bad[flip_at % len(bad)] ^= flip_bits
+    try:
+        dec(bytes(bad))
+    except (ValueError, NotImplementedError, zlib.error, OverflowError,
+            IndexError, KeyError, EOFError, MemoryError) as e:
+        assert not isinstance(e, MemoryError)  # bounded failure only
+    except Exception as e:  # struct.error and friends
+        import struct as _struct
+
+        assert isinstance(e, _struct.error), type(e)
