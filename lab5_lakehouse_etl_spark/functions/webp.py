@@ -994,7 +994,7 @@ def _write_pixels(
     # distance: only code 1+120 used when rle, else single-symbol
     if rle:
         dist_lengths = _complete_lengths(
-            _prefix_encode(121)[0] + 1, _NUM_DIST
+            max(_prefix_encode(_DIST_CODE[(1, 0)])[0] + 1, 2), _NUM_DIST
         )
         dist_codes = _write_code_lengths(w, dist_lengths)
     else:
@@ -1011,7 +1011,10 @@ def _write_pixels(
             _emit_sym(w, green_codes, 256 + sym)
             if nbits:
                 w.write(extra, nbits)
-            dsym, dnbits, dextra = _prefix_encode(121)  # distance 1 raw
+            # distance 1 via the NEIGHBORHOOD MAP ((dx,dy)=(1,0) ->
+            # code 2), not the raw +120 form — so every RLE round trip
+            # exercises the decoder's 2-D distance-map branch
+            dsym, dnbits, dextra = _prefix_encode(_DIST_CODE[(1, 0)])
             _emit_sym(w, dist_codes, dsym)
             if dnbits:
                 w.write(dextra, dnbits)
