@@ -602,10 +602,14 @@ def corrupt_png_media_from_ids(
 ) -> DataFrame:
     """Media table with DELIBERATE damage for the quarantine demo: the
     standard PNG fixture, except ids ≡ 0 (mod 7) get one IDAT payload
-    byte flipped (CRC now fails) and ids ≡ 1 (mod 7) get a WebP-style
-    container this environment has no codec for.  The corruption is
-    deterministic, so the quarantine verdict has a closed-form
-    oracle."""
+    byte flipped (CRC now fails), ids ≡ 1 (mod 7) get a LOSSY-VP8
+    WebP container this environment has no codec for, ids ≡ 2 a VALID
+    lossless WebP (same dims formula as the PNG fixture — the ok
+    verdict must carry its real dimensions through the VP8L path),
+    and ids ≡ 3 a lossless WebP truncated mid-chunk (the declared
+    chunk size no longer matches — corrupt, loudly; non-deterministic
+    bit flips are the fuzz test's job, a closed-form oracle needs
+    deterministic corruptness)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -616,6 +620,19 @@ def corrupt_png_media_from_ids(
                     payloads.append(
                         b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(24)
                     )
+                    continue
+                if mid % 7 in (2, 3):
+                    wdata = _fixture_webp(mid)[2]
+                    if mid % 7 == 3:
+                        # truncate mid-chunk: the declared VP8L chunk
+                        # size no longer matches the payload — a
+                        # deterministic integrity failure (a single
+                        # bit flip is NOT deterministic corruptness:
+                        # it can land in pad bits and decode "ok"
+                        # with different pixels, which a decodability
+                        # gate rightly admits)
+                        wdata = wdata[: len(wdata) - 3]
+                    payloads.append(wdata)
                     continue
                 data = bytearray(_fixture_png(mid)[2])
                 if mid % 7 == 0:
