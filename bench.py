@@ -659,14 +659,18 @@ def main() -> None:
             gc.collect()
     total = sum(timings.values())
 
-    # 480 -> 560 in r12: the identical-calibration r11 run measured the
+    # 480 -> 660 in r12: the identical-calibration r11 run measured the
     # 227-query sweep at ~0 margin under 480 s; r12's registry is 233
-    # with six new codec-CPU queries (~+25 s) plus amortized-gc savings
-    # below, and 480 s tripped locally (26 tier-2 names skipped).  560 s
+    # with six new codec-CPU queries, and 480 s tripped locally (26
+    # tier-2 names skipped).  560 s restored zero skips on WARM
+    # build-once artifacts (tier-2 ~207 s) but a COLD run — scratch
+    # artifacts rebuilt, which is exactly the driver's per-round state
+    # — measured tier-2 at 335 s (same per-query times on the common
+    # set; the delta is one-time artifact builds) and skipped the last
+    # two names at 560 s.  660 s covers the cold shape with margin and
     # stays far inside the driver's round window (which also absorbs a
-    # ~15 min pytest run), restoring the zero-skip invariant with
-    # headroom for one more round of growth.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "560"))
+    # ~15 min pytest run).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "660"))
 
     # isolated re-measure of the job-count-heavy family in a fresh
     # subprocess (r10 verdict #4) — BEFORE the tier-2 sweep since r11:
