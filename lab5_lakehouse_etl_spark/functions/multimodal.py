@@ -10,7 +10,8 @@ Python/stdlib (+numpy): PNG images including palette/PLTE forms
 (functions/wav.py), FLAC compressed audio — losslessly decoded:
 Rice-coded residuals, FIXED/LPC predictors, stereo decorrelation
 (functions/flac.py), lossless WebP/VP8L — prefix codes, LZ77,
-color cache, all four transforms (functions/webp.py), YUV4MPEG2 video
+color cache, all four transforms (functions/webp.py), GIF — LZW,
+interlace, transparency (functions/gif.py), YUV4MPEG2 video
 frame sampling (functions/y4m.py),
 and a real nearest-neighbour resize through a full decode → resample →
 re-encode chain.  Each decode path is oracle-checked end to end via
@@ -99,7 +100,7 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     codecs; production swaps in
     ``PIL.Image.open(io.BytesIO(payload))`` behind the same contract).
     """
-    from . import jpeg, png, webp
+    from . import gif, jpeg, png, webp
 
     if payload is None:
         raise NotImplementedError("NULL payload has no decodable format")
@@ -111,10 +112,12 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         # VP8L lossless decodes; lossy VP8 / VP8X refuse inside
         return webp.decode_webp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return gif.decode_gif(payload)
     raise NotImplementedError(
-        "only PNG, JPEG and lossless-WebP decode are available in "
-        "this environment; swap in PIL.Image.open(io.BytesIO(payload))"
-        " in production"
+        "only PNG, JPEG, lossless-WebP and GIF decode are available "
+        "in this environment; swap in "
+        "PIL.Image.open(io.BytesIO(payload)) in production"
     )
 
 
@@ -1093,6 +1096,69 @@ def webp_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+def _fixture_gif(media_id: int) -> tuple[int, int, bytes]:
+    """Deterministic GIF for one media id: ``width = 8 + id % 9``,
+    ``height = 8 + (id // 9) % 9``; pixel (x, y) takes palette index
+    ``c = (id*7 + x//4 + 3*y) % 16`` with palette entry ``r = (id*3 +
+    c*19) % 256, g = (id*13 + c*7) % 256, b = (id*17 + c*29) % 256``.
+    Encoding varies per id: INTERLACE for odd ids (the 4-pass row
+    reorder must invert exactly), GIF89a TRANSPARENCY on ids ≡ 0
+    (mod 3) flagging index ``id % 16`` (alpha 0 where that index
+    lands, palette RGB preserved underneath — the sums see both).
+    GIF is lossless for palette content, so the oracle states exact
+    channel sums in closed form."""
+    import numpy as np
+
+    from . import gif
+
+    width = 8 + media_id % 9
+    height = 8 + (media_id // 9) % 9
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    c = ((media_id * 7 + x // 4 + 3 * y) % 16).astype(np.uint8)
+    pal = bytes(
+        v
+        for ci in range(16)
+        for v in (
+            (media_id * 3 + ci * 19) % 256,
+            (media_id * 13 + ci * 7) % 256,
+            (media_id * 17 + ci * 29) % 256,
+        )
+    )
+    transparent = media_id % 16 if media_id % 3 == 0 else None
+    return width, height, gif.encode_gif(
+        width,
+        height,
+        c.tobytes(),
+        pal,
+        interlace=bool(media_id % 2),
+        transparent=transparent,
+    )
+
+
+def gif_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of real GIF payloads (LZW, interlace and
+    transparency varying per id), generated deterministically inside
+    Arrow-batched mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [_fixture_gif(int(i))[2] for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "image",
+                    "mime": "image/gif",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return _id_partitioned(ids, id_col, rows_per_task=1000).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 

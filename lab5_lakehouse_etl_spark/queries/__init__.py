@@ -436,6 +436,11 @@ _REWRITTEN_IN: dict[str, int] = {
     # anchors the batch (its fixture cycles every encoding shape
     # under one closed-form oracle).
     "q_multimodal_webp": 12,
+    # Round-12 (eleventh batch): GIF decode — new module
+    # functions/gif.py (variable-width LZW with the GIF growth
+    # convention, interlace, GIF89a transparency) + a decode_image
+    # dispatch arm; this new query anchors the batch.
+    "q_multimodal_gif": 12,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

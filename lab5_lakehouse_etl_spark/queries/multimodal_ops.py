@@ -472,6 +472,71 @@ def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_gif",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             8 + doc_id % 9          AS w,
+             8 + (doc_id // 9) % 9   AS h,
+             CASE WHEN doc_id % 3 = 0 THEN doc_id % 16 ELSE -1 END AS t
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, t,
+             (doc_id * 7 + x // 4 + 3 * y) % 16 AS c
+      FROM p,
+           LATERAL unnest(generate_series(0, w - 1)) AS gx(x),
+           LATERAL unnest(generate_series(0, h - 1)) AS gy(y)
+    )
+    SELECT doc_id            AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS channels,
+           CAST(SUM((doc_id * 3 + c * 19) % 256) AS BIGINT)  AS sum_r,
+           CAST(SUM((doc_id * 13 + c * 7) % 256) AS BIGINT)  AS sum_g,
+           CAST(SUM((doc_id * 17 + c * 29) % 256) AS BIGINT) AS sum_b,
+           CAST(SUM(CASE WHEN c = t THEN 0 ELSE 255 END) AS BIGINT)
+               AS sum_a
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+)
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end — the web's other ubiquitous legacy
+    image format, completing the image pillar (PNG / JPEG / WebP /
+    GIF): encode a deterministic 16-color GIF per document id through
+    the real LZW compressor (variable code widths mirroring the
+    decoder's growth law — the GIF convention, NOT TIFF's early
+    change — with CLEAR resets before the 4096 ceiling), INTERLACED
+    for odd ids (the 4-pass row reorder must invert exactly) and
+    GIF89a-TRANSPARENT for ids ≡ 0 (mod 3) (the flagged index decodes
+    to alpha 0 with its palette RGB preserved), then decode with
+    functions/gif.py and emit per-image dimensions + exact RGBA
+    channel sums.
+
+    Exactness: GIF is lossless for palette content, so the decoded
+    pixels equal the fixture formula bit-for-bit; the alpha sum pins
+    the transparency path (255 per pixel except where the transparent
+    index lands), and the RGB sums pin LZW + palette + interlace.
+
+    Scale: same Arrow-batched mapInPandas shape as the other codec
+    paths; payload bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.gif_media_from_ids(docs, id_col="doc_id")
+    stats = M.decode_image_stats(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.element_at("channel_sums", 1).alias("sum_r"),
+        F.element_at("channel_sums", 2).alias("sum_g"),
+        F.element_at("channel_sums", 3).alias("sum_b"),
+        F.element_at("channel_sums", 4).alias("sum_a"),
+    )
+
+
+@query(
     "q_media_quarantine_av",
     oracle="""
     WITH k AS (SELECT doc_id, doc_id % 8 AS kind FROM documents)

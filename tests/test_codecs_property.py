@@ -746,7 +746,9 @@ def test_webp_clc_repeat16_decode():
 
 @settings(max_examples=60, deadline=None)
 @given(
-    codec=st.sampled_from(["png", "jpeg", "jpeg_prog", "flac", "wav", "y4m", "webp"]),
+    codec=st.sampled_from(
+        ["png", "jpeg", "jpeg_prog", "flac", "wav", "y4m", "webp", "gif"]
+    ),
     flip_at=st.integers(0, 10**6),
     flip_bits=st.integers(1, 255),
     seed=st.integers(0, 2**31 - 1),
@@ -762,7 +764,7 @@ def test_codec_corruption_always_terminates(codec, flip_at, flip_bits, seed):
     import zlib
 
     from lab5_lakehouse_etl_spark.functions import (
-        flac, jpeg, png, wav, webp, y4m,
+        flac, gif, jpeg, png, wav, webp, y4m,
     )
 
     rng = np.random.default_rng(seed)
@@ -786,9 +788,12 @@ def test_codec_corruption_always_terminates(codec, flip_at, flip_bits, seed):
         frames = [bytes(rng.integers(0, 256, 48, dtype=np.uint8)) for _ in range(2)]
         data = y4m.encode_y4m(4, 4, frames, colorspace="C444")
         dec = y4m.decode_y4m
-    else:
+    elif codec == "webp":
         data = webp.encode_webp(7, 5, bytes(rng.integers(0, 256, 140, dtype=np.uint8)), cache_bits=3)
         dec = webp.decode_webp
+    else:
+        data = gif.encode_gif(9, 6, bytes(rng.integers(0, 8, 54, dtype=np.uint8)), bytes(rng.integers(0, 256, 24, dtype=np.uint8)), interlace=True)
+        dec = gif.decode_gif
     bad = bytearray(data)
     bad[flip_at % len(bad)] ^= flip_bits
     try:
@@ -800,3 +805,72 @@ def test_codec_corruption_always_terminates(codec, flip_at, flip_bits, seed):
         import struct as _struct
 
         assert isinstance(e, _struct.error), type(e)
+
+
+from lab5_lakehouse_etl_spark.functions import gif  # noqa: E402
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 32),
+    n_colors=st.integers(1, 256),
+    interlace=st.booleans(),
+    transparent=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_gif_roundtrip_property(w, h, n_colors, interlace, transparent, seed):
+    """GIF is LOSSLESS for palette content: decode(encode(x))
+    reproduces every palette RGB exactly, interlaced or not, across
+    all LZW width boundaries; the transparent index decodes to
+    alpha 0 with its palette RGB preserved."""
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, 3 * n_colors, dtype=np.uint8).tobytes()
+    idx = rng.integers(0, n_colors, w * h, dtype=np.uint8)
+    t = int(rng.integers(0, n_colors)) if transparent else None
+    data = gif.encode_gif(
+        w, h, idx.tobytes(), pal, interlace=interlace, transparent=t
+    )
+    dw, dh, dc, px = gif.decode_gif(data)
+    assert (dw, dh, dc) == (w, h, 4)
+    arr = np.frombuffer(px, np.uint8).reshape(h, w, 4)
+    p = np.frombuffer(pal, np.uint8).reshape(n_colors, 3)
+    ii = idx.reshape(h, w)
+    assert (arr[..., :3] == p[ii]).all()
+    want_a = np.full((h, w), 255, np.uint8)
+    if t is not None:
+        want_a[ii == t] = 0
+    assert (arr[..., 3] == want_a).all()
+
+
+def test_gif_lzw_width_boundaries_and_reset():
+    """A large random 256-color image crosses every LZW code width
+    (9..12 bits) and forces the pre-4096 CLEAR reset; a structured
+    image exercises long dictionary chains.  Byte-exact both ways."""
+    rng = np.random.default_rng(11)
+    for idx in (
+        rng.integers(0, 256, 300 * 200, dtype=np.uint8),
+        ((np.arange(300 * 200) * 7919) % 16).astype(np.uint8),
+    ):
+        n = int(idx.max()) + 1
+        pal = rng.integers(0, 256, 3 * n, dtype=np.uint8).tobytes()
+        data = gif.encode_gif(300, 200, idx.tobytes(), pal)
+        _, _, _, px = gif.decode_gif(data)
+        arr = np.frombuffer(px, np.uint8).reshape(200, 300, 4)
+        p = np.frombuffer(pal, np.uint8).reshape(n, 3)
+        assert (arr[..., :3] == p[idx.reshape(200, 300)]).all()
+
+
+def test_gif_rejects_malformed():
+    import numpy as np
+
+    with pytest.raises(ValueError, match="magic"):
+        gif.decode_gif(b"GIF99a" + bytes(16))
+    pal = bytes(range(6))
+    good = gif.encode_gif(4, 3, bytes([0, 1] * 6), pal)
+    with pytest.raises(ValueError):
+        gif.decode_gif(good[: len(good) // 2])
+    # palette index beyond the table fails loudly on encode
+    with pytest.raises(ValueError, match="index out of range"):
+        gif.encode_gif(2, 1, bytes([5, 0]), pal)
+    assert gif.gif_frame_count(good) == 1
