@@ -11,7 +11,8 @@ Python/stdlib (+numpy): PNG images including palette/PLTE forms
 Rice-coded residuals, FIXED/LPC predictors, stereo decorrelation
 (functions/flac.py), lossless WebP/VP8L — prefix codes, LZ77,
 color cache, all four transforms (functions/webp.py), GIF — LZW,
-interlace, transparency (functions/gif.py), YUV4MPEG2 video
+interlace, transparency (functions/gif.py), uncompressed BMP
+(functions/bmp.py), YUV4MPEG2 video
 frame sampling (functions/y4m.py),
 and a real nearest-neighbour resize through a full decode → resample →
 re-encode chain.  Each decode path is oracle-checked end to end via
@@ -100,7 +101,7 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     codecs; production swaps in
     ``PIL.Image.open(io.BytesIO(payload))`` behind the same contract).
     """
-    from . import gif, jpeg, png, webp
+    from . import bmp, gif, jpeg, png, webp
 
     if payload is None:
         raise NotImplementedError("NULL payload has no decodable format")
@@ -114,9 +115,11 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return webp.decode_webp(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return gif.decode_gif(payload)
+    if payload[:2] == b"BM":
+        return bmp.decode_bmp(payload)
     raise NotImplementedError(
-        "only PNG, JPEG, lossless-WebP and GIF decode are available "
-        "in this environment; swap in "
+        "only PNG, JPEG, lossless-WebP, GIF and BMP decode are "
+        "available in this environment; swap in "
         "PIL.Image.open(io.BytesIO(payload)) in production"
     )
 
@@ -1154,6 +1157,75 @@ def gif_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "payload": payloads,
                     "modality": "image",
                     "mime": "image/gif",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return _id_partitioned(ids, id_col, rows_per_task=1000).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+def _fixture_bmp(media_id: int) -> tuple[int, int, bytes]:
+    """Deterministic BMP for one media id: ``width = 8 + id % 9``,
+    ``height = 8 + (id // 9) % 9``.  Encoding varies per id
+    (``id % 4``): 24-bit bottom-up or top-down (kinds 0/1 — RGB
+    sample ``i`` = ``(id*23 + i*3) % 256``; the row-order flip must
+    invert exactly, pinned by the round-trip tests), 32-bit RGBA
+    (kind 2 — same RGB, alpha of pixel ``k`` = ``(id + k) % 256``),
+    or 8-bit palette (kind 3 — pixel (x, y) takes index ``(x//2 + y)
+    % 16`` into the 16-entry palette whose flattened sample ``j`` =
+    ``(id*23 + j*3) % 256``).  BMP is uncompressed, so decode
+    reproduces every formula bit-for-bit and the oracle states exact
+    channel sums per kind."""
+    import numpy as np
+
+    from . import bmp
+
+    width = 8 + media_id % 9
+    height = 8 + (media_id // 9) % 9
+    kind = media_id % 4
+    if kind == 3:
+        # palette form: index (x//2 + y) % 16, palette entry c ->
+        # ((id*23 + (3*c)*3) % 256, (id*23 + (3*c+1)*3) % 256, ...)
+        x = np.arange(width, dtype=np.int64)[None, :]
+        y = np.arange(height, dtype=np.int64)[:, None]
+        idx = ((x // 2 + y) % 16).astype(np.uint8)
+        i = np.arange(48, dtype=np.int64)
+        pal = ((media_id * 23 + i * 3) % 256).astype(np.uint8).tobytes()
+        return width, height, bmp.encode_bmp(
+            width, height, idx.tobytes(), depth=8, palette=pal
+        )
+    i = np.arange(width * height * 3, dtype=np.int64)
+    rgb = ((media_id * 23 + i * 3) % 256).astype(np.uint8)
+    if kind == 2:
+        rgba = np.zeros(width * height * 4, np.uint8)
+        r3 = rgb.reshape(-1, 3)
+        rgba = np.column_stack(
+            [r3, ((media_id + np.arange(len(r3))) % 256).astype(np.uint8)]
+        )
+        return width, height, bmp.encode_bmp(
+            width, height, rgba.tobytes(), depth=32
+        )
+    return width, height, bmp.encode_bmp(
+        width, height, rgb.tobytes(), depth=24, top_down=(kind == 1)
+    )
+
+
+def bmp_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of real BMP payloads (depth / row order / palette
+    varying per id), generated deterministically inside Arrow-batched
+    mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [_fixture_bmp(int(i))[2] for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "image",
+                    "mime": "image/bmp",
                     "n_bytes": [len(p) for p in payloads],
                 }
             )

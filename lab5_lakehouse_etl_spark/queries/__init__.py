@@ -441,6 +441,10 @@ _REWRITTEN_IN: dict[str, int] = {
     # convention, interlace, GIF89a transparency) + a decode_image
     # dispatch arm; this new query anchors the batch.
     "q_multimodal_gif": 12,
+    # Round-12 (twelfth batch): BMP decode — new module
+    # functions/bmp.py (uncompressed DIB: 8/24/32-bit, both row
+    # orders, stride padding, BGRX palette) + a dispatch arm.
+    "q_multimodal_bmp": 12,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -537,6 +537,98 @@ def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_bmp",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 4              AS kind,
+             8 + doc_id % 9          AS w,
+             8 + (doc_id // 9) % 9   AS h
+      FROM documents
+    ),
+    rgb AS (  -- kinds 0/1/2: direct sample formula over 3*w*h
+      SELECT doc_id, kind, w, h,
+             CAST(SUM(CASE WHEN i % 3 = 0
+                           THEN (doc_id * 23 + i * 3) % 256 END) AS BIGINT) AS sr,
+             CAST(SUM(CASE WHEN i % 3 = 1
+                           THEN (doc_id * 23 + i * 3) % 256 END) AS BIGINT) AS sg,
+             CAST(SUM(CASE WHEN i % 3 = 2
+                           THEN (doc_id * 23 + i * 3) % 256 END) AS BIGINT) AS sb
+      FROM p, LATERAL unnest(generate_series(0, w * h * 3 - 1)) AS gi(i)
+      WHERE kind < 3
+      GROUP BY doc_id, kind, w, h
+    ),
+    pal AS (  -- kind 3: palette index (x//2 + y) % 16
+      SELECT doc_id, kind, w, h,
+             CAST(SUM((doc_id * 23 + (3 * c + 0) * 3) % 256) AS BIGINT) AS sr,
+             CAST(SUM((doc_id * 23 + (3 * c + 1) * 3) % 256) AS BIGINT) AS sg,
+             CAST(SUM((doc_id * 23 + (3 * c + 2) * 3) % 256) AS BIGINT) AS sb
+      FROM (
+        SELECT doc_id, kind, w, h, (x // 2 + y) % 16 AS c
+        FROM p,
+             LATERAL unnest(generate_series(0, w - 1)) AS gx(x),
+             LATERAL unnest(generate_series(0, h - 1)) AS gy(y)
+        WHERE kind = 3
+      )
+      GROUP BY doc_id, kind, w, h
+    ),
+    alpha AS (  -- kind 2 only: alpha of pixel k = (id + k) % 256
+      SELECT doc_id,
+             CAST(SUM((doc_id + k) % 256) AS BIGINT) AS sa
+      FROM p, LATERAL unnest(generate_series(0, w * h - 1)) AS gk(k)
+      WHERE kind = 2
+      GROUP BY doc_id
+    ),
+    u AS (
+      SELECT * FROM rgb UNION ALL SELECT * FROM pal
+    )
+    SELECT u.doc_id           AS media_id,
+           CAST(w AS BIGINT)  AS width,
+           CAST(h AS BIGINT)  AS height,
+           CAST(CASE WHEN kind = 2 THEN 4 ELSE 3 END AS BIGINT)
+               AS channels,
+           sr AS sum_r, sg AS sum_g, sb AS sum_b,
+           alpha.sa AS sum_a
+    FROM u LEFT JOIN alpha ON u.doc_id = alpha.doc_id
+    """,
+)
+def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode end-to-end — the last common legacy raster
+    format (uncompressed Windows DIB): encode a deterministic BMP per
+    document id with the ENCODING varying per id (24-bit bottom-up /
+    24-bit top-down / 32-bit BGRA with a deterministic alpha plane /
+    8-bit palette through the BGRX color table — functions/bmp.py,
+    incl. the 4-byte row-stride padding every odd width exercises),
+    decode, and emit per-image dimensions + exact channel sums
+    (alpha only where the form carries one; 3-channel rows yield NULL
+    sum_a on both engines).
+
+    Exactness: BMP is uncompressed — decode reproduces the fixture
+    formula bit-for-bit; channel sums pin the BGR→RGB swizzle and
+    palette expansion per kind (the row-order flip is sum-invariant
+    by construction, so it is pinned by the round-trip property tests
+    instead).
+
+    Scale: same Arrow-batched mapInPandas shape as the other codec
+    paths; payload bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.bmp_media_from_ids(docs, id_col="doc_id")
+    stats = M.decode_image_stats(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.element_at("channel_sums", 1).alias("sum_r"),
+        F.element_at("channel_sums", 2).alias("sum_g"),
+        F.element_at("channel_sums", 3).alias("sum_b"),
+        # 3-channel kinds have no alpha: try_element_at -> NULL,
+        # matching the oracle's LEFT JOIN
+        F.try_element_at("channel_sums", F.lit(4)).alias("sum_a"),
+    )
+
+
+@query(
     "q_media_quarantine_av",
     oracle="""
     WITH k AS (SELECT doc_id, doc_id % 8 AS kind FROM documents)

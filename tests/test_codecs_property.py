@@ -747,7 +747,8 @@ def test_webp_clc_repeat16_decode():
 @settings(max_examples=60, deadline=None)
 @given(
     codec=st.sampled_from(
-        ["png", "jpeg", "jpeg_prog", "flac", "wav", "y4m", "webp", "gif"]
+        ["png", "jpeg", "jpeg_prog", "flac", "wav", "y4m", "webp",
+         "gif", "bmp"]
     ),
     flip_at=st.integers(0, 10**6),
     flip_bits=st.integers(1, 255),
@@ -764,7 +765,7 @@ def test_codec_corruption_always_terminates(codec, flip_at, flip_bits, seed):
     import zlib
 
     from lab5_lakehouse_etl_spark.functions import (
-        flac, gif, jpeg, png, wav, webp, y4m,
+        bmp, flac, gif, jpeg, png, wav, webp, y4m,
     )
 
     rng = np.random.default_rng(seed)
@@ -791,9 +792,12 @@ def test_codec_corruption_always_terminates(codec, flip_at, flip_bits, seed):
     elif codec == "webp":
         data = webp.encode_webp(7, 5, bytes(rng.integers(0, 256, 140, dtype=np.uint8)), cache_bits=3)
         dec = webp.decode_webp
-    else:
+    elif codec == "gif":
         data = gif.encode_gif(9, 6, bytes(rng.integers(0, 8, 54, dtype=np.uint8)), bytes(rng.integers(0, 256, 24, dtype=np.uint8)), interlace=True)
         dec = gif.decode_gif
+    else:
+        data = bmp.encode_bmp(9, 6, bytes(rng.integers(0, 256, 162, dtype=np.uint8)))
+        dec = bmp.decode_bmp
     bad = bytearray(data)
     bad[flip_at % len(bad)] ^= flip_bits
     try:
@@ -874,3 +878,55 @@ def test_gif_rejects_malformed():
     with pytest.raises(ValueError, match="index out of range"):
         gif.encode_gif(2, 1, bytes([5, 0]), pal)
     assert gif.gif_frame_count(good) == 1
+
+
+from lab5_lakehouse_etl_spark.functions import bmp  # noqa: E402
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 30),
+    depth=st.sampled_from([8, 24, 32]),
+    top_down=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_bmp_roundtrip_property(w, h, depth, top_down, seed):
+    """BMP is uncompressed: decode(encode(x)) == x exactly across
+    depths, BOTH row orders (bottom-up vs top-down must invert — a
+    sum-invariant bug the oracle can't see), stride padding at every
+    width, and palette expansion through the BGRX color table."""
+    rng = np.random.default_rng(seed)
+    if depth == 8:
+        n = int(rng.integers(1, 257))
+        pal = rng.integers(0, 256, 3 * n, dtype=np.uint8).tobytes()
+        idx = rng.integers(0, n, w * h, dtype=np.uint8).tobytes()
+        data = bmp.encode_bmp(
+            w, h, idx, depth=8, palette=pal, top_down=top_down
+        )
+        p = np.frombuffer(pal, np.uint8).reshape(n, 3)
+        want = (w, h, 3, p[np.frombuffer(idx, np.uint8)].tobytes())
+    else:
+        ch = depth // 8
+        raw = rng.integers(0, 256, w * h * ch, dtype=np.uint8).tobytes()
+        data = bmp.encode_bmp(w, h, raw, depth=depth, top_down=top_down)
+        want = (w, h, ch, raw)
+    assert bmp.decode_bmp(data) == want
+
+
+def test_bmp_rejects_out_of_scope():
+    with pytest.raises(ValueError, match="magic"):
+        bmp.decode_bmp(b"not a bmp")
+    good = bmp.encode_bmp(3, 2, bytes(18))
+    with pytest.raises(ValueError, match="truncated"):
+        bmp.decode_bmp(good[:-5])
+    # RLE8 compression refused loudly
+    bad = bytearray(good)
+    bad[30] = 1
+    with pytest.raises(NotImplementedError, match="compression"):
+        bmp.decode_bmp(bytes(bad))
+    # 16-bit depth refused loudly
+    bad = bytearray(good)
+    bad[28] = 16
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        bmp.decode_bmp(bytes(bad))

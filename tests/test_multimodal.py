@@ -63,10 +63,12 @@ def test_decode_unsupported_format_still_raises():
     with pytest.raises(NotImplementedError, match="lossy VP8"):
         M.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(NotImplementedError, match="PNG, JPEG"):
-        M.decode_image(b"BM" + bytes(16))  # BMP: no codec here
-    # GIF dispatches since r12 — a truncated one fails in the codec
+        M.decode_image(b"II*\x00" + bytes(16))  # TIFF: no codec here
+    # GIF and BMP dispatch since r12 — truncated ones fail in the codec
     with pytest.raises(ValueError):
         M.decode_image(b"GIF89a" + bytes(4))
+    with pytest.raises(ValueError):
+        M.decode_image(b"BM" + bytes(16))
     with pytest.raises(ValueError, match="truncated JPEG"):
         M.decode_image(b"\xff\xd8\xff\xe0JFIF-ish")
 

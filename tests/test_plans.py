@@ -886,6 +886,7 @@ def test_codec_queries_prune_scan_to_id(spark):
         "q_multimodal_jpeg_prog",
         "q_multimodal_webp",
         "q_multimodal_gif",
+        "q_multimodal_bmp",
         "q_multimodal_audio",
         "q_multimodal_flac",
         "q_multimodal_video",
