@@ -222,6 +222,45 @@ def test_every_declared_query_documented():
     assert not missing, f"queries undocumented in SURVEY.md: {missing}"
 
 
+def test_survey_index_matches_registry():
+    """STRICT §2.13 sync (r12 verdict #2): the generated index's
+    header count and per-module name lists must equal the registry
+    grouped by registration module EXACTLY — name-presence-elsewhere
+    in SURVEY.md no longer saves a stale index.  Re-derives the same
+    grouping as tools/gen_survey_index.py and parses the committed
+    block; any drift means `python tools/gen_survey_index.py` was
+    not re-run after a registry edit."""
+    import re
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    from tools.gen_survey_index import HEADER, grouped_registry
+
+    text = open(os.path.join(root, "SURVEY.md")).read()
+    m = re.search(re.escape(HEADER) + r"(.*?)\n### ", text, re.DOTALL)
+    assert m, "SURVEY.md §2.13 header missing"
+    block = m.group(1)
+
+    count = re.search(r"All (\d+) declared queries by module", block)
+    assert count, "§2.13 count line missing"
+    assert int(count.group(1)) == len(Q.QUERIES), (
+        f"§2.13 header says {count.group(1)} queries, registry has "
+        f"{len(Q.QUERIES)} — regenerate with tools/gen_survey_index.py"
+    )
+
+    documented: dict[str, list[str]] = {}
+    for mod, n, names in re.findall(
+        r"- \*\*(\w+)\*\* \((\d+)\): (.+)", block
+    ):
+        documented[mod] = re.findall(r"`([^`]+)`", names)
+        assert len(documented[mod]) == int(n), f"§2.13 {mod}: count lies"
+    assert documented == grouped_registry(), (
+        "§2.13 module lists drifted from the registry — regenerate "
+        "with tools/gen_survey_index.py"
+    )
+
+
 def test_recency_debt_stays_within_window_reach():
     """Registry-wide evidence-freshness floor (r9 verdict #8): no
     oracle-paired query's newest REAL driver row may be older than
