@@ -27,12 +27,33 @@ layout under ``<table>/metadata/``):
   so both snapshot scans and incremental (changelog) consumers see
   the right file sets.
 
+Deletion vectors (r12 verdict next-round #3): a LakeTable DV is a
+parquet relation of ``(file_path, row_index)`` pointers — exactly the
+content of an Iceberg v2 POSITION-DELETE file (spec "Position Delete
+Files": required columns ``file_path`` string / field id 2147483546
+and ``pos`` long / field id 2147483545, sorted by (file_path, pos)).
+The exporter converts each DV pointer set once into a position-delete
+parquet (field ids stamped via PARQUET:field_id so external Iceberg
+readers resolve the columns by id), tracks it in a DELETE manifest
+(``manifest_file.content`` = 1, ``data_file.content`` = 1) written
+with an UNPARTITIONED spec — spec-legal "global" position deletes
+that apply across partitions, which matches LakeTable DV semantics
+(pointers name exact files; partition scoping is redundant) — and
+gives it the data sequence number of the snapshot that ADDED the DV,
+so the spec's application rule (a position delete applies to data
+files with data sequence number <= the delete's) reproduces
+LakeTable's carry-forward semantics exactly: files appended AFTER a
+DV commit carry a higher sequence number and are untouched by it.
+``read_iceberg_snapshot`` applies the deletes the way LakeTable's own
+reader does — broadcast anti-join on (normalized ``_metadata``
+file path, row position) gated by the sequence-number rule; DV
+relations are point-delete-sized by design (the copy-on-write
+``delete`` is the path for big deletes), so the broadcast is always
+small.
+
 Refuse-loudly rules (never a wrong answer), same doctrine as
 delta_log:
 
-* active deletion vectors — v2 would need position-delete FILES
-  (parquet) to express them; exporting adds without deletes would
-  resurrect deleted rows.  Vacuum/rewrite first.
 * column mapping / dropped columns — this exporter assigns field ids
   by name, so a rename would mint a NEW id and silently sever the
   column's history (Iceberg expresses renames by keeping the id);
@@ -298,6 +319,77 @@ def _file_rows(table: LakeTable, m: dict, relpath: str) -> int:
     ).metadata.num_rows
 
 
+#: Iceberg spec reserved field ids for position-delete file columns.
+_POS_DELETE_PATH_ID = 2147483546
+_POS_DELETE_POS_ID = 2147483545
+
+
+def _normalize_file_uri(uri: str) -> str:
+    """``file:/p`` / ``file:///p`` (Spark ``_metadata.file_path``
+    forms) -> plain absolute path ``/p`` — the form manifests store
+    in ``data_file.file_path``.  The spec requires position-delete
+    ``file_path`` values to match the manifest path EXACTLY."""
+    if uri.startswith("file:"):
+        return "/" + uri[5:].lstrip("/")
+    return uri
+
+
+def _write_position_deletes(
+    table: LakeTable, dv_dir: str, out_path: str
+) -> int:
+    """Convert one LakeTable DV pointer set (``(file_path, row_index)``
+    parquet under the table log) into an Iceberg v2 position-delete
+    parquet at ``out_path``: manifest-form paths, spec sort order
+    (file_path, pos), reserved field ids stamped so id-resolving
+    readers find the columns.  Returns the pointer-row count.
+
+    Driver-side pyarrow by design: DV relations are point-delete-sized
+    (kilobytes — the same cost class as the rest of this metadata
+    writer); a delete too big for that belongs in copy-on-write
+    ``delete``, which produces plain data manifests."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(
+        os.path.join(table.log_dir, dv_dir),
+        columns=["file_path", "row_index"],
+    )
+    rows = sorted(
+        (_normalize_file_uri(fp), int(ri))
+        for fp, ri in zip(
+            src.column("file_path").to_pylist(),
+            src.column("row_index").to_pylist(),
+        )
+    )
+    schema = pa.schema(
+        [
+            pa.field(
+                "file_path",
+                pa.string(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": str(_POS_DELETE_PATH_ID).encode()},
+            ),
+            pa.field(
+                "pos",
+                pa.int64(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": str(_POS_DELETE_POS_ID).encode()},
+            ),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": [r[0] for r in rows],
+                "pos": [r[1] for r in rows],
+            },
+            schema=schema,
+        ),
+        out_path,
+    )
+    return len(rows)
+
+
 def export_iceberg_metadata(table: LakeTable) -> str:
     """Mirror every LakeTable version into ``<table>/metadata/`` as
     Iceberg spec-v2 metadata; returns the metadata directory.
@@ -322,16 +414,17 @@ def export_iceberg_metadata(table: LakeTable) -> str:
     add_seq: dict[str, int] = {}  # relpath -> data sequence number
     add_snap: dict[str, int] = {}  # relpath -> snapshot that added it
     prev_files: set[str] = set()
+    # position-delete bookkeeping: a DV dir converts to ONE delete
+    # file, sequence-numbered at the snapshot that first listed it
+    # (= the delete_dv commit; later snapshots carry it as EXISTING)
+    dv_seq: dict[str, int] = {}  # dv dir -> data sequence number
+    dv_snap: dict[str, int] = {}  # dv dir -> snapshot that added it
+    dv_rows: dict[str, int] = {}  # dv dir -> pointer-row count
+    dv_path: dict[str, str] = {}  # dv dir -> delete parquet path
+    prev_dv: set[str] = set()
     versions = table._versions()
     for v in versions:
         m = table._manifest(v)
-        if m.get("dv_dirs"):
-            raise NotImplementedError(
-                "version carries active deletion vectors — expressing "
-                "them in Iceberg v2 needs position-delete files this "
-                "minimal writer does not emit (a plain add/exists scan "
-                "would resurrect deleted rows); vacuum/rewrite first"
-            )
         mapping = m.get("column_mapping") or {}
         if m.get("dropped_physical") or any(
             phys != log for log, phys in mapping.items()
@@ -455,42 +548,128 @@ def export_iceberg_metadata(table: LakeTable) -> str:
             },
         )
 
-        # ---- manifest list (one manifest per snapshot)
+        # ---- position deletes (one delete manifest per snapshot
+        # carrying DVs; unpartitioned spec — see module docstring)
+        dv_dirs = list(m.get("dv_dirs") or [])
+        dv_added = sorted(set(dv_dirs) - prev_dv)
+        dv_existing = sorted(set(dv_dirs) & prev_dv)
+        dv_removed = sorted(prev_dv - set(dv_dirs))
+        delete_manifest_row = None
+        if dv_dirs or dv_removed:
+            for d in dv_added:
+                dv_seq[d] = seq
+                dv_snap[d] = snap_id
+                dv_path[d] = os.path.join(
+                    meta_dir, f"delete-{d.replace('/', '_')}.parquet"
+                )
+                dv_rows[d] = _write_position_deletes(table, d, dv_path[d])
+            # an unpartitioned spec must exist for global deletes
+            for i, s in enumerate(specs):
+                if s["fields"] == []:
+                    unpart_spec_id = i
+                    break
+            else:
+                unpart_spec_id = len(specs)
+                specs.append({"spec-id": unpart_spec_id, "fields": []})
+
+            def dv_entry(d: str, status: int) -> dict:
+                return {
+                    "status": status,
+                    "snapshot_id": dv_snap[d],
+                    "sequence_number": dv_seq[d],
+                    "file_sequence_number": dv_seq[d],
+                    "data_file": {
+                        "content": 1,  # POSITION_DELETES
+                        "file_path": dv_path[d],
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": dv_rows[d],
+                        "file_size_in_bytes": os.path.getsize(dv_path[d]),
+                    },
+                }
+
+            dv_entries = (
+                [dv_entry(d, 1) for d in dv_added]
+                + [dv_entry(d, 0) for d in dv_existing]
+                + [dv_entry(d, 2) for d in dv_removed]
+            )
+            delete_manifest_path = os.path.join(
+                meta_dir, f"{snap_id}-m1.avro"
+            )
+            avro.write_container(
+                delete_manifest_path,
+                _manifest_entry_schema([]),
+                dv_entries,
+                metadata={
+                    "schema": json.dumps(
+                        {**schema, "schema-id": schema_id},
+                        separators=(",", ":"),
+                    ),
+                    "schema-id": str(schema_id),
+                    "partition-spec": "[]",
+                    "partition-spec-id": str(unpart_spec_id),
+                    "format-version": "2",
+                    "content": "deletes",
+                },
+            )
+            delete_manifest_row = {
+                "manifest_path": delete_manifest_path,
+                "manifest_length": os.path.getsize(delete_manifest_path),
+                "partition_spec_id": unpart_spec_id,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    (dv_seq[d] for d in dv_dirs), default=seq
+                ),
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(dv_added),
+                "existing_files_count": len(dv_existing),
+                "deleted_files_count": len(dv_removed),
+                "added_rows_count": sum(dv_rows[d] for d in dv_added),
+                "existing_rows_count": sum(dv_rows[d] for d in dv_existing),
+                "deleted_rows_count": sum(dv_rows[d] for d in dv_removed),
+                "partitions": None,
+            }
+
+        # ---- manifest list (data manifest + optional delete manifest)
         rows_of = {
             e["data_file"]["file_path"]: e["data_file"]["record_count"]
             for e in entries
         }
         list_path = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+        manifest_rows = [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": spec_id,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(
+                    (add_seq[r] for r in files), default=seq
+                ),
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(added),
+                "existing_files_count": len(existing),
+                "deleted_files_count": len(deleted),
+                "added_rows_count": sum(
+                    _file_rows(table, m, r) for r in added
+                ),
+                "existing_rows_count": sum(
+                    _file_rows(table, m, r) for r in existing
+                ),
+                "deleted_rows_count": sum(
+                    rows_of[os.path.join(table.data_dir, r)]
+                    for r in deleted
+                ),
+                "partitions": None,
+            }
+        ]
+        if delete_manifest_row is not None:
+            manifest_rows.append(delete_manifest_row)
         avro.write_container(
             list_path,
             _MANIFEST_FILE_SCHEMA,
-            [
-                {
-                    "manifest_path": manifest_path,
-                    "manifest_length": os.path.getsize(manifest_path),
-                    "partition_spec_id": spec_id,
-                    "content": 0,
-                    "sequence_number": seq,
-                    "min_sequence_number": min(
-                        (add_seq[r] for r in files), default=seq
-                    ),
-                    "added_snapshot_id": snap_id,
-                    "added_files_count": len(added),
-                    "existing_files_count": len(existing),
-                    "deleted_files_count": len(deleted),
-                    "added_rows_count": sum(
-                        _file_rows(table, m, r) for r in added
-                    ),
-                    "existing_rows_count": sum(
-                        _file_rows(table, m, r) for r in existing
-                    ),
-                    "deleted_rows_count": sum(
-                        rows_of[os.path.join(table.data_dir, r)]
-                        for r in deleted
-                    ),
-                    "partitions": None,
-                }
-            ],
+            manifest_rows,
             metadata={"format-version": "2"},
         )
 
@@ -501,9 +680,9 @@ def export_iceberg_metadata(table: LakeTable) -> str:
             "timestamp-ms": ts_ms,
             "manifest-list": list_path,
             "summary": {
-                "operation": "append"
-                if not deleted
-                else "overwrite"
+                "operation": "delete"
+                if dv_added
+                else ("append" if not deleted else "overwrite")
             },
             "schema-id": schema_id,
         }
@@ -541,6 +720,7 @@ def export_iceberg_metadata(table: LakeTable) -> str:
             {"metadata-file": meta_file, "timestamp-ms": ts_ms}
         ]
         prev_files = set(files)
+        prev_dv = set(dv_dirs)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(versions[-1] + 1))
     return meta_dir
@@ -603,6 +783,8 @@ def read_iceberg_snapshot(
     )
     _, manifest_files = avro.read_container(snap["manifest-list"])
     files: dict[str, tuple] = {}  # path -> (partition cols, values)
+    file_seq: dict[str, int] = {}  # path -> data sequence number
+    deletes: list[tuple[str, int]] = []  # (delete path, sequence number)
     for mf in manifest_files:
         spec = spec_of[mf["partition_spec_id"]]
         part_cols = [pf["name"] for pf in spec["fields"]]
@@ -615,10 +797,16 @@ def read_iceberg_snapshot(
                 raise NotImplementedError(
                     f"file format {df_rec['file_format']} unsupported"
                 )
+            if mf["content"] == 1 or df_rec["content"] == 1:
+                deletes.append(
+                    (df_rec["file_path"], int(e["sequence_number"]))
+                )
+                continue
             files[df_rec["file_path"]] = (
                 part_cols,
                 tuple(df_rec["partition"].get(c) for c in part_cols),
             )
+            file_seq[df_rec["file_path"]] = int(e["sequence_number"])
     types = {f.name: f.dataType for f in struct.fields}
     groups: dict[tuple, list[str]] = {}
     part_cols_any: list[str] = []
@@ -629,15 +817,54 @@ def read_iceberg_snapshot(
         [f for f in struct.fields if f.name not in part_cols_any]
     )
     out: DataFrame | None = None
+    keep = [f.name for f in struct.fields]
     for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(data_schema).parquet(*sorted(paths))
+        if deletes:
+            # spec "Scan Planning": a position delete applies to data
+            # files with data sequence number <= the delete file's.
+            # Pointer paths are manifest-form; _metadata.file_path is a
+            # file: URI — normalize at the scan.
+            df = df.select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
         for c, val in zip(part_cols_any, key):
             df = df.withColumn(
                 c,
                 (F.lit(None) if val is None else F.lit(val)).cast(types[c]),
             )
-        df = df.select([f.name for f in struct.fields])
+        df = df.select(keep + (["__fp", "__ri"] if deletes else []))
         out = df if out is None else out.unionByName(df)
     if out is None:
         return spark.createDataFrame([], struct)
+    if deletes:
+        del_df: DataFrame | None = None
+        for dpath, dseq in deletes:
+            part = spark.read.schema("file_path STRING, pos BIGINT").parquet(
+                dpath
+            ).select(
+                F.col("file_path").alias("__fp"),
+                F.col("pos").alias("__ri"),
+                F.lit(dseq).cast("bigint").alias("__dseq"),
+            )
+            del_df = part if del_df is None else del_df.unionByName(part)
+        seq_items = [(p, s) for p, s in file_seq.items()]
+        seq_df = spark.createDataFrame(
+            seq_items, "__fp STRING, __dataseq BIGINT"
+        )
+        # both side relations are metadata-sized: broadcast, the fact
+        # scan never shuffles (same doctrine as LakeTable._apply_dv)
+        joined = out.join(F.broadcast(seq_df), "__fp", "left")
+        cond = (
+            (joined["__fp"] == del_df["__fp"])
+            & (joined["__ri"] == del_df["__ri"])
+            & (joined["__dataseq"] <= del_df["__dseq"])
+        )
+        out = joined.join(
+            F.broadcast(del_df), on=cond, how="left_anti"
+        ).select(keep)
     return out

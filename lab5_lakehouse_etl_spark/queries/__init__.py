@@ -445,6 +445,14 @@ _REWRITTEN_IN: dict[str, int] = {
     # functions/bmp.py (uncompressed DIB: 8/24/32-bit, both row
     # orders, stride padding, BGRX palette) + a dispatch arm.
     "q_multimodal_bmp": 12,
+    # Round-13 (first batch): Iceberg position-delete export for
+    # DV-bearing tables (r12 verdict next-round #3) — iceberg_meta.py
+    # RESTRUCTURED on both sides: the export loop's manifest-list
+    # write became multi-row (data + optional delete manifest) and
+    # read_iceberg_snapshot gained the sequence-gated delete
+    # application, both executed by q_table_iceberg even on DV-free
+    # tables.  The new q_table_iceberg_dv anchors the batch.
+    "q_table_iceberg": 13,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

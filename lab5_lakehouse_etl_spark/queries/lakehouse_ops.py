@@ -975,3 +975,84 @@ def q_table_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
         "from_snapshot",
     )
+
+
+@query(
+    "q_table_iceberg_dv",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(1 AS BIGINT) AS from_snapshot
+    FROM nation
+    WHERE n_nationkey % 3 <> 0 AND n_nationkey % 5 <> 1
+    UNION ALL
+    SELECT CAST(n_nationkey + 100 AS BIGINT), 'ib-extra',
+           CAST(n_regionkey AS BIGINT), CAST(1 AS BIGINT)
+    FROM nation
+    WHERE (n_nationkey + 100) % 5 <> 1
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT), n_name,
+           CAST(n_regionkey AS BIGINT), CAST(0 AS BIGINT)
+    FROM nation
+    WHERE n_nationkey % 3 <> 0
+    """,
+)
+def q_table_iceberg_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg spec-v2 POSITION-DELETE interchange (r12 verdict
+    next-round #3 — the one interchange gap closable without new
+    dependencies): a LakeTable deletion vector IS a relation of
+    ``(file_path, row_index)`` pointers, which is exactly a v2
+    position-delete file, so ``export_iceberg_metadata`` now converts
+    each DV into a field-id-stamped, (file_path, pos)-sorted delete
+    parquet tracked by a DELETE manifest (content=1) under an
+    unpartitioned spec, sequence-numbered at the delete_dv commit.
+
+    The fixture exercises the spec's <=-sequence application rule
+    end-to-end: create (seq 1) → delete_dv ``k%3=0`` (seq 2) → APPEND
+    new rows (seq 3 — files the first delete must NOT touch) →
+    delete_dv ``k%5=1`` (seq 4, pointers into BOTH generations of
+    data files).  The query reads the CURRENT snapshot and a
+    TIME-TRAVEL to the first-delete snapshot exclusively through the
+    exported metadata; the oracle restates both relations from the
+    source table, so a wrong sequence number, pointer path form,
+    manifest content flag or anti-join application breaks the hash.
+
+    Scale: delete files are point-delete-sized by design (the
+    copy-on-write ``delete`` is the big-delete path), so the reader's
+    anti-join broadcasts kilobytes while the data scan stays a
+    partition-pruned distributed parquet read — the same
+    merge-on-read economics that make GDPR-eraser workloads viable on
+    a 100 TB table."""
+    tune(spark)
+    from ..lakehouse.iceberg_meta import (
+        _load_metadata,
+        export_iceberg_metadata,
+        read_iceberg_snapshot,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = scratch_dir("q_table_iceberg_dv", fresh=True) + "/t"
+    t = LakeTable.create(nation, path, partition_by=["n_regionkey"])
+    t.delete_dv(spark, F.col("n_nationkey") % 3 == 0)
+    extra = nation.select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.lit("ib-extra").alias("n_name"),
+        *[c for c in nation.columns if c not in ("n_nationkey", "n_name")],
+    )
+    t.append(spark, extra)
+    t.delete_dv(spark, F.col("n_nationkey") % 5 == 1)
+    export_iceberg_metadata(t)
+    meta = _load_metadata(path)
+    first_delete_snap = meta["snapshots"][1]["snapshot-id"]
+    current = read_iceberg_snapshot(spark, path).withColumn(
+        "from_snapshot", F.lit(1).cast("bigint")
+    )
+    at_first_delete = read_iceberg_snapshot(
+        spark, path, snapshot_id=first_delete_snap
+    ).withColumn("from_snapshot", F.lit(0).cast("bigint"))
+    return current.unionByName(at_first_delete).select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+        "from_snapshot",
+    )

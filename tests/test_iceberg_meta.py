@@ -225,11 +225,6 @@ def test_snapshot_roundtrip_and_statuses_across_versions(
 
 def test_export_refuses_inexpressible_features(spark, tmp_path):
     nation = load_table(spark, SF_DIR, "nation")
-    t = LakeTable.create(nation, str(tmp_path / "dv"))
-    t.delete_dv(spark, F.col("n_nationkey") == 3)
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        IM.export_iceberg_metadata(t)
-
     t2 = LakeTable.create(nation, str(tmp_path / "cm"))
     t2.rename_column("n_name", "nm")
     with pytest.raises(NotImplementedError, match="column mapping"):
@@ -270,3 +265,131 @@ def test_null_partition_and_schema_evolution(spark, tmp_path):
     # the hive default partition round-trips as a NULL partition value
     vals = {r.grp for r in got.collect()}
     assert None in vals
+
+
+# ----------------------------------------------- position deletes (DVs)
+
+
+def test_position_delete_export_roundtrip(spark, nation_table):
+    """DV-bearing tables export as spec-v2 position deletes (r12
+    verdict next-round #3) instead of refusing: DELETE manifests
+    (content=1) under an unpartitioned spec, delete files sorted by
+    (file_path, pos) with the reserved field ids, sequence-numbered at
+    the delete_dv commit so the <= application rule reproduces
+    LakeTable's carry-forward semantics — files appended AFTER a DV
+    are untouched by it, proven by the time-travel reads below."""
+    t, nation = nation_table
+    t.delete_dv(spark, F.col("n_nationkey") % 3 == 0)  # v1, seq 2
+    extra = nation.select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.lit("extra").alias("n_name"),
+        *[c for c in nation.columns if c not in ("n_nationkey", "n_name")],
+    )
+    t.append(spark, extra)  # v2, seq 3
+    t.delete_dv(spark, F.col("n_nationkey") % 5 == 1)  # v3, seq 4
+    IM.export_iceberg_metadata(t)
+    doc = IM._load_metadata(t.path)
+    snaps = doc["snapshots"]
+    assert [s["summary"]["operation"] for s in snaps] == [
+        "append", "delete", "append", "delete",
+    ]
+
+    # current snapshot == LakeTable's own DV-aware read
+    got = IM.read_iceberg_snapshot(spark, t.path)
+    want = t.read(spark)
+    assert _rows(got.select(*want.columns)) == _rows(want)
+
+    # time travel to v1: ONLY the first delete applies
+    got_v1 = IM.read_iceberg_snapshot(
+        spark, t.path, snapshot_id=snaps[1]["snapshot-id"]
+    )
+    exp_v1 = nation.filter(~(F.col("n_nationkey") % 3 == 0))
+    assert _rows(got_v1.select(*nation.columns)) == _rows(exp_v1)
+
+    # time travel to v0: no deletes at all
+    got_v0 = IM.read_iceberg_snapshot(
+        spark, t.path, snapshot_id=snaps[0]["snapshot-id"]
+    )
+    assert _rows(got_v0.select(*nation.columns)) == _rows(nation)
+
+    # v2 (the append): first delete applies, appended rows intact —
+    # the sequence rule at work (delete seq 2 < appended file seq 3)
+    got_v2 = IM.read_iceberg_snapshot(
+        spark, t.path, snapshot_id=snaps[2]["snapshot-id"]
+    )
+    assert got_v2.count() == exp_v1.count() + extra.count()
+
+
+def test_position_delete_file_layout(spark, nation_table):
+    """Spec-fidelity pins on the emitted artifacts: delete manifest
+    content flags, unpartitioned spec id, delete-file sort order and
+    reserved parquet field ids, and per-delete sequence numbers."""
+    import pyarrow.parquet as pq
+
+    t, nation = nation_table
+    t.delete_dv(spark, F.col("n_nationkey") % 3 == 0)
+    t.delete_dv(spark, F.col("n_nationkey") % 5 == 1)
+    IM.export_iceberg_metadata(t)
+    doc = IM._load_metadata(t.path)
+    last = doc["snapshots"][-1]
+    rows = avro.read_container(last["manifest-list"])[1]
+    data_mf = [r for r in rows if r["content"] == 0]
+    del_mf = [r for r in rows if r["content"] == 1]
+    assert len(data_mf) == 1 and len(del_mf) == 1
+    unpart = next(
+        s["spec-id"] for s in doc["partition-specs"] if s["fields"] == []
+    )
+    assert del_mf[0]["partition_spec_id"] == unpart
+    entries = avro.read_container(del_mf[0]["manifest_path"])[1]
+    assert len(entries) == 2  # one ADDED (seq 3), one EXISTING (seq 2)
+    by_seq = sorted(e["sequence_number"] for e in entries)
+    assert by_seq == [2, 3]
+    statuses = {e["sequence_number"]: e["status"] for e in entries}
+    assert statuses[3] == 1 and statuses[2] == 0
+    for e in entries:
+        rec = e["data_file"]
+        assert rec["content"] == 1 and rec["file_format"] == "PARQUET"
+        tbl = pq.read_table(rec["file_path"])
+        assert rec["record_count"] == tbl.num_rows
+        # sorted by (file_path, pos), reserved field ids stamped
+        pairs = list(
+            zip(
+                tbl.column("file_path").to_pylist(),
+                tbl.column("pos").to_pylist(),
+            )
+        )
+        assert pairs == sorted(pairs)
+        sch = pq.ParquetFile(rec["file_path"]).schema_arrow
+        assert (
+            sch.field("file_path").metadata[b"PARQUET:field_id"]
+            == str(IM._POS_DELETE_PATH_ID).encode()
+        )
+        assert (
+            sch.field("pos").metadata[b"PARQUET:field_id"]
+            == str(IM._POS_DELETE_POS_ID).encode()
+        )
+        # pointer paths are manifest-form (no file: scheme) and name
+        # real exported data files
+        data_entries = avro.read_container(data_mf[0]["manifest_path"])[1]
+        known = {e2["data_file"]["file_path"] for e2 in data_entries}
+        assert all(p in known for p, _ in pairs)
+
+
+def test_optimize_materializes_deletes_away(spark, nation_table):
+    """After OPTIMIZE rewrites the DV'd files, re-export carries
+    status=DELETED delete-manifest entries (changelog consumers see
+    the delete files retire) and the scan needs no delete application."""
+    t, nation = nation_table
+    t.delete_dv(spark, F.col("n_nationkey") % 3 == 0)
+    t.optimize(spark)
+    IM.export_iceberg_metadata(t)
+    doc = IM._load_metadata(t.path)
+    last = doc["snapshots"][-1]
+    rows = avro.read_container(last["manifest-list"])[1]
+    del_mf = [r for r in rows if r["content"] == 1]
+    if del_mf:  # retire entries present exactly once, all DELETED
+        entries = avro.read_container(del_mf[0]["manifest_path"])[1]
+        assert all(e["status"] == 2 for e in entries)
+    got = IM.read_iceberg_snapshot(spark, t.path)
+    want = t.read(spark)
+    assert _rows(got.select(*want.columns)) == _rows(want)
