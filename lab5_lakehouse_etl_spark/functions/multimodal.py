@@ -12,7 +12,9 @@ Rice-coded residuals, FIXED/LPC predictors, stereo decorrelation
 (functions/flac.py), lossless WebP/VP8L — prefix codes, LZ77,
 color cache, all four transforms (functions/webp.py), GIF — LZW,
 interlace, transparency (functions/gif.py), uncompressed BMP
-(functions/bmp.py), YUV4MPEG2 video
+(functions/bmp.py), baseline TIFF — both byte orders, strips,
+TIFF-LZW (early change), predictor 2, gray/RGB/palette
+(functions/tiff.py), YUV4MPEG2 video
 frame sampling (functions/y4m.py),
 and a real nearest-neighbour resize through a full decode → resample →
 re-encode chain.  Each decode path is oracle-checked end to end via
@@ -96,12 +98,14 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     intervals — via the pure Python/numpy codec (functions/jpeg.py),
     and WebP VP8L (functions/webp.py: prefix codes, LZ77 with the 2-D
     distance map, color cache, predictor/color/subtract-green/
-    color-indexing transform inversion).  Other formats raise
-    ``NotImplementedError`` (lossy-VP8 and AVIF need full video
-    codecs; production swaps in
+    color-indexing transform inversion), plus GIF, BMP and baseline
+    TIFF (functions/tiff.py: both byte orders, strips, TIFF-LZW with
+    the early-change width convention, predictor 2, gray/RGB/palette
+    photometrics).  Other formats raise ``NotImplementedError``
+    (lossy-VP8 and AVIF need full video codecs; production swaps in
     ``PIL.Image.open(io.BytesIO(payload))`` behind the same contract).
     """
-    from . import bmp, gif, jpeg, png, webp
+    from . import bmp, gif, jpeg, png, tiff, webp
 
     if payload is None:
         raise NotImplementedError("NULL payload has no decodable format")
@@ -117,8 +121,10 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return gif.decode_gif(payload)
     if payload[:2] == b"BM":
         return bmp.decode_bmp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return tiff.decode_tiff(payload)
     raise NotImplementedError(
-        "only PNG, JPEG, lossless-WebP, GIF and BMP decode are "
+        "only PNG, JPEG, lossless-WebP, GIF, BMP and TIFF decode are "
         "available in this environment; swap in "
         "PIL.Image.open(io.BytesIO(payload)) in production"
     )
@@ -1226,6 +1232,89 @@ def bmp_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "payload": payloads,
                     "modality": "image",
                     "mime": "image/bmp",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return _id_partitioned(ids, id_col, rows_per_task=1000).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+def _fixture_tiff(media_id: int) -> tuple[int, int, bytes]:
+    """Deterministic TIFF for one media id: ``width = 8 + id % 9``,
+    ``height = 8 + (id // 9) % 9``.  The ENCODING cycles per id
+    (``id % 5``) through every decode shape: grayscale uncompressed
+    little-endian (kind 0 — pixel ``k`` = ``(id*31 + k*7) % 256``),
+    RGB uncompressed big-endian (kind 1 — sample ``i`` =
+    ``(id*23 + i*3) % 256``), RGB TIFF-LZW (kind 2), RGB TIFF-LZW
+    with predictor 2 + multi-strip ``rows_per_strip=4`` big-endian
+    (kind 3 — same RGB formula; LZW is lossless so decode reproduces
+    it bit-for-bit through the differencing), and 8-bit palette
+    uncompressed (kind 4 — pixel (x, y) takes index ``(x//2 + y) %
+    16`` into the 16-entry palette whose flattened sample ``j`` =
+    ``(id*23 + j*3) % 256`` — the BMP kind-3 formulas, so the oracle
+    reuses their closed forms)."""
+    import numpy as np
+
+    from . import tiff
+
+    width = 8 + media_id % 9
+    height = 8 + (media_id // 9) % 9
+    kind = media_id % 5
+    if kind == 0:
+        k = np.arange(width * height, dtype=np.int64)
+        gray = ((media_id * 31 + k * 7) % 256).astype(np.uint8)
+        return width, height, tiff.encode_tiff(
+            width, height, gray.tobytes(), channels=1
+        )
+    if kind == 4:
+        x = np.arange(width, dtype=np.int64)[None, :]
+        y = np.arange(height, dtype=np.int64)[:, None]
+        idx = ((x // 2 + y) % 16).astype(np.uint8)
+        j = np.arange(48, dtype=np.int64)
+        pal = ((media_id * 23 + j * 3) % 256).astype(np.uint8).tobytes()
+        return width, height, tiff.encode_tiff(
+            width, height, idx.tobytes(), palette=pal
+        )
+    i = np.arange(width * height * 3, dtype=np.int64)
+    rgb = ((media_id * 23 + i * 3) % 256).astype(np.uint8).tobytes()
+    if kind == 1:
+        payload = tiff.encode_tiff(
+            width, height, rgb, channels=3, big_endian=True
+        )
+    elif kind == 2:
+        payload = tiff.encode_tiff(
+            width, height, rgb, channels=3, compression="lzw"
+        )
+    else:
+        payload = tiff.encode_tiff(
+            width,
+            height,
+            rgb,
+            channels=3,
+            compression="lzw",
+            predictor=2,
+            rows_per_strip=4,
+            big_endian=True,
+        )
+    return width, height, payload
+
+
+def tiff_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table of real TIFF payloads (byte order / compression /
+    predictor / strip layout / photometric varying per id), generated
+    deterministically inside Arrow-batched mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [_fixture_tiff(int(i))[2] for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "image",
+                    "mime": "image/tiff",
                     "n_bytes": [len(p) for p in payloads],
                 }
             )

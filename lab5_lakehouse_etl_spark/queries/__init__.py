@@ -453,6 +453,31 @@ _REWRITTEN_IN: dict[str, int] = {
     # application, both executed by q_table_iceberg even on DV-free
     # tables.  The new q_table_iceberg_dv anchors the batch.
     "q_table_iceberg": 13,
+    # Round-13 (second batch): baseline TIFF decode (r12 verdict
+    # next-round #7) — new module functions/tiff.py (both byte
+    # orders, strips, TIFF-LZW with the early-change width
+    # convention pinned against Java ImageIO goldens, predictor 2,
+    # gray/RGB/palette) + a decode_image dispatch arm.  The new
+    # q_multimodal_tiff anchors the batch; decode_image's BODY
+    # changed (new magic branch + refusal message), so every query
+    # executing it re-verifies — the function-level consumer set is
+    # decode_image_stats / pixel_fingerprints /
+    # image_histogram_features / decode_or_quarantine /
+    # resize_image_media callers, enumerated by the scan in the r13
+    # commit message (meta/features/frames/resize/audio/video/flac
+    # and the AV gate do NOT reach decode_image and keep their rows).
+    "q_multimodal_decode": 13,
+    "q_multimodal_jpeg": 13,
+    "q_multimodal_jpeg_color": 13,
+    "q_multimodal_jpeg420": 13,
+    "q_multimodal_jpeg_prog": 13,
+    "q_multimodal_webp": 13,
+    "q_multimodal_gif": 13,
+    "q_multimodal_bmp": 13,
+    "q_multimodal_resize_real": 13,
+    "q_image_dedup": 13,
+    "q_image_features": 13,
+    "q_media_quarantine": 13,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

