@@ -478,6 +478,18 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_image_dedup": 13,
     "q_image_features": 13,
     "q_media_quarantine": 13,
+    # Round-13 (third batch): q_ann_recall_monitor phase attribution
+    # (r12 verdict next-round #4) — the query body gained the
+    # build/append/probe wall+job split (ANN_MONITOR_PHASES) read by
+    # bench's isolated run, with the job budgets pinned in
+    # tests/test_plans.py.  Scoped rewrite: the similarity_ops.py
+    # edit is confined to this query's body plus the new module-level
+    # dict, which no other query reads (decision recorded in the
+    # dep-manifest audit trail, same shape as r12's q_stream_neardup
+    # batch).  The two new r13 queries anchor their batches here:
+    "q_ann_recall_monitor": 13,
+    "q_table_iceberg_dv": 13,
+    "q_multimodal_tiff": 13,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

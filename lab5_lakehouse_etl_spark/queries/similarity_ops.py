@@ -919,6 +919,19 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MONITOR_PROBES = 3
 _MONITOR_FLOOR = 0.4
 
+#: q_ann_recall_monitor cost attribution (r12 verdict next-round #4):
+#: wall + job split of the monitor's three phases — index BUILD
+#: (create, incl. the one-row dim probe), APPEND (the O(batch) cell
+#: commit), and PROBE (histogram + the per-probe IVF-vs-exact
+#: overlap — the monitoring cadence work whose per-probe cost must
+#: stay O(cell), never O(table)).  bench.py's isolated run copies
+#: this into its JSON line; tests/test_plans.py pins the probe job
+#: budget, so a real O(table) regression in the probe path is
+#: visible as probe-side job/time growth instead of hiding inside
+#: host drift (the r12 bench measured a 2.8x whole-query swing on
+#: unchanged code — exactly the ambiguity this split removes).
+ANN_MONITOR_PHASES: dict[str, float] = {}
+
 
 def ann_probe_recall(
     spark: SparkSession,
@@ -993,9 +1006,14 @@ def q_ann_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     a starved probe budget or invisible appended files flips it, and
     the synthetic-drift scenario in tests/test_ann_recall.py pins that
     the alarm actually fires on degradation."""
+    import time
+
     from ..lakehouse import LakeTable
+    from ..plans import job_count
     from ..session import scratch_dir
 
+    ANN_MONITOR_PHASES.clear()
+    t0, j0 = time.monotonic(), job_count(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first().embedding)
     planes = S.hyperplanes(dim, n_planes=7, seed=42)
@@ -1008,7 +1026,13 @@ def q_ann_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
         partition_by=["cell"],
     )
+    ANN_MONITOR_PHASES["build_sec"] = round(time.monotonic() - t0, 3)
+    ANN_MONITOR_PHASES["build_jobs"] = job_count(spark) - j0
+    t0, j0 = time.monotonic(), job_count(spark)
     t.append(spark, batch.withColumn("cell", cell).repartition("cell"))
+    ANN_MONITOR_PHASES["append_sec"] = round(time.monotonic() - t0, 3)
+    ANN_MONITOR_PHASES["append_jobs"] = job_count(spark) - j0
+    t0, j0 = time.monotonic(), job_count(spark)
     stored = t.read(spark)
     hist = t.partition_histogram("cell")
     probe_ids = [i * 4 for i in range(_MONITOR_PROBES)]  # appended slice
@@ -1016,6 +1040,8 @@ def q_ann_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, stored, hist, emb, probe_ids, k=_K, n_planes=7, seed=42
     )
     mean_recall = sum(r for _, r in recalls) / len(recalls)
+    ANN_MONITOR_PHASES["probe_sec"] = round(time.monotonic() - t0, 3)
+    ANN_MONITOR_PHASES["probe_jobs"] = job_count(spark) - j0
     return spark.createDataFrame(
         [
             (

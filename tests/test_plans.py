@@ -936,3 +936,33 @@ def test_stream_neardup_drain_job_budget(spark):
     # the cap is ONE materialization, never per-batch
     assert ph["cap_jobs"] <= 4
     assert ph["drain_jobs"] <= 4 * 36
+
+
+def test_ann_recall_monitor_phase_job_budget(spark):
+    """q_ann_recall_monitor cost-structure pin (r12 verdict #4): the
+    tier-2 heaviest query splits into index BUILD (create + the
+    one-row dim probe), APPEND (one O(batch) cell commit) and PROBE
+    (histogram + per-probe IVF-vs-exact overlap).  This pins each
+    phase's job count so a structural regression — e.g. the probe
+    path falling back to an O(table) scan per probe, or append
+    rebuilding the index — shows up as phase job growth instead of
+    hiding inside host drift (r12 measured a 2.8x whole-query wall
+    swing on unchanged code; job counts are size- and drift-
+    independent, so the sf0.001 fixture pins the same structure the
+    sf0.1 bench isolates).
+
+    Measured baseline: build 4 / append 2 / probe 8 jobs for 3
+    probes (~2-3 jobs per probe: cell-pruned IVF leg + exact re-rank
+    + top-k collect).  Budgets leave jitter headroom, not room for a
+    new per-probe table scan (the cheapest O(table) leg adds 1+ job
+    per probe)."""
+    from lab5_lakehouse_etl_spark.queries import similarity_ops
+
+    df = Q.QUERIES["q_ann_recall_monitor"](spark, SF_DIR)
+    df.collect()
+    ph = similarity_ops.ANN_MONITOR_PHASES
+    assert set(ph) >= {"build_jobs", "append_jobs", "probe_jobs"}
+    assert ph["build_jobs"] <= 8
+    assert ph["append_jobs"] <= 4
+    # 3 probes: at most 5 jobs per probe before the pin trips
+    assert ph["probe_jobs"] <= 15
