@@ -1244,30 +1244,45 @@ def bmp_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def _fixture_tiff(media_id: int) -> tuple[int, int, bytes]:
     """Deterministic TIFF for one media id: ``width = 8 + id % 9``,
     ``height = 8 + (id // 9) % 9``.  The ENCODING cycles per id
-    (``id % 5``) through every decode shape: grayscale uncompressed
+    (``id % 7``) through every decode shape: grayscale uncompressed
     little-endian (kind 0 — pixel ``k`` = ``(id*31 + k*7) % 256``),
     RGB uncompressed big-endian (kind 1 — sample ``i`` =
     ``(id*23 + i*3) % 256``), RGB TIFF-LZW (kind 2), RGB TIFF-LZW
     with predictor 2 + multi-strip ``rows_per_strip=4`` big-endian
     (kind 3 — same RGB formula; LZW is lossless so decode reproduces
-    it bit-for-bit through the differencing), and 8-bit palette
+    it bit-for-bit through the differencing), 8-bit palette
     uncompressed (kind 4 — pixel (x, y) takes index ``(x//2 + y) %
     16`` into the 16-entry palette whose flattened sample ``j`` =
     ``(id*23 + j*3) % 256`` — the BMP kind-3 formulas, so the oracle
-    reuses their closed forms)."""
+    reuses their closed forms), RGB PackBits (kind 5 — same RGB
+    formula through the RLE packets), and grayscale Deflate with
+    predictor 2 (kind 6 — the gray formula through zlib +
+    differencing)."""
     import numpy as np
 
     from . import tiff
 
     width = 8 + media_id % 9
     height = 8 + (media_id // 9) % 9
-    kind = media_id % 5
-    if kind == 0:
+    kind = media_id % 7
+    if kind in (0, 6):
         k = np.arange(width * height, dtype=np.int64)
         gray = ((media_id * 31 + k * 7) % 256).astype(np.uint8)
-        return width, height, tiff.encode_tiff(
-            width, height, gray.tobytes(), channels=1
-        )
+        if kind == 0:
+            payload = tiff.encode_tiff(
+                width, height, gray.tobytes(), channels=1
+            )
+        else:
+            payload = tiff.encode_tiff(
+                width,
+                height,
+                gray.tobytes(),
+                channels=1,
+                compression="deflate",
+                predictor=2,
+                rows_per_strip=5,
+            )
+        return width, height, payload
     if kind == 4:
         x = np.arange(width, dtype=np.int64)[None, :]
         y = np.arange(height, dtype=np.int64)[:, None]
@@ -1286,6 +1301,10 @@ def _fixture_tiff(media_id: int) -> tuple[int, int, bytes]:
     elif kind == 2:
         payload = tiff.encode_tiff(
             width, height, rgb, channels=3, compression="lzw"
+        )
+    elif kind == 5:
+        payload = tiff.encode_tiff(
+            width, height, rgb, channels=3, compression="packbits"
         )
     else:
         payload = tiff.encode_tiff(

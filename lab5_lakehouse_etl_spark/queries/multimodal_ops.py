@@ -633,21 +633,21 @@ def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
       SELECT doc_id,
-             doc_id % 5              AS kind,
+             doc_id % 7              AS kind,
              8 + doc_id % 9          AS w,
              8 + (doc_id // 9) % 9   AS h
       FROM documents
     ),
-    gray AS (  -- kind 0: 1-channel formula over w*h pixels
+    gray AS (  -- kinds 0 (none) / 6 (deflate+predictor2): 1-channel
       SELECT doc_id, kind, w, h,
              CAST(SUM((doc_id * 31 + k * 7) % 256) AS BIGINT) AS sr,
              CAST(NULL AS BIGINT) AS sg,
              CAST(NULL AS BIGINT) AS sb
       FROM p, LATERAL unnest(generate_series(0, w * h - 1)) AS gk(k)
-      WHERE kind = 0
+      WHERE kind IN (0, 6)
       GROUP BY doc_id, kind, w, h
     ),
-    rgb AS (  -- kinds 1/2/3: direct sample formula over 3*w*h
+    rgb AS (  -- kinds 1/2/3/5: direct sample formula over 3*w*h
       SELECT doc_id, kind, w, h,
              CAST(SUM(CASE WHEN i % 3 = 0
                            THEN (doc_id * 23 + i * 3) % 256 END) AS BIGINT) AS sr,
@@ -656,7 +656,7 @@ def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN i % 3 = 2
                            THEN (doc_id * 23 + i * 3) % 256 END) AS BIGINT) AS sb
       FROM p, LATERAL unnest(generate_series(0, w * h * 3 - 1)) AS gi(i)
-      WHERE kind IN (1, 2, 3)
+      WHERE kind IN (1, 2, 3, 5)
       GROUP BY doc_id, kind, w, h
     ),
     pal AS (  -- kind 4: palette index (x//2 + y) % 16
@@ -680,7 +680,7 @@ def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id            AS media_id,
            CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height,
-           CAST(CASE WHEN kind = 0 THEN 1 ELSE 3 END AS BIGINT)
+           CAST(CASE WHEN kind IN (0, 6) THEN 1 ELSE 3 END AS BIGINT)
                AS channels,
            sr AS sum_r, sg AS sum_g, sb AS sum_b
     FROM u
@@ -693,20 +693,22 @@ def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline shape (grayscale LE uncompressed / RGB BE uncompressed /
     RGB TIFF-LZW / RGB TIFF-LZW + predictor-2 horizontal differencing
     in a MULTI-STRIP big-endian layout / 8-bit palette through the
-    16-bit ColorMap — functions/tiff.py), decode, and emit per-image
+    16-bit ColorMap / RGB PackBits RLE / grayscale Deflate +
+    predictor 2 — functions/tiff.py), decode, and emit per-image
     dimensions + exact channel sums (gray rows yield NULL sum_g/sum_b
     on both engines).
 
-    Exactness: uncompressed TIFF is a raw sample walk and TIFF-LZW is
-    lossless, so decode reproduces the fixture formula bit-for-bit —
-    including through the predictor's cumulative row sums and strip
-    boundaries; channel sums pin byte order, strip reassembly,
-    predictor inversion and palette expansion per kind.  The LZW
-    "early change" width convention (the one GIF rejects —
-    functions/gif.py documents the fork) is additionally pinned
-    AGAINST AN INDEPENDENT IMPLEMENTATION by the committed Java
-    ImageIO goldens in tests/test_multimodal.py, so the decoder is
-    interop-correct, not merely self-consistent.
+    Exactness: uncompressed TIFF is a raw sample walk and
+    LZW/Deflate/PackBits are lossless, so decode reproduces the
+    fixture formula bit-for-bit — including through the predictor's
+    cumulative row sums and strip boundaries; channel sums pin byte
+    order, strip reassembly, predictor inversion and palette
+    expansion per kind.  The LZW "early change" width convention
+    (the one GIF rejects — functions/gif.py documents the fork),
+    the PackBits packet walk and the Deflate strips are additionally
+    pinned AGAINST AN INDEPENDENT IMPLEMENTATION by the committed
+    Java ImageIO goldens in tests/test_multimodal.py, so the decoder
+    is interop-correct, not merely self-consistent.
 
     Scale: same Arrow-batched mapInPandas shape as the other codec
     paths; payload bytes never shuffle."""

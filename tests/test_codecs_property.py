@@ -798,7 +798,8 @@ def test_codec_corruption_always_terminates(codec, flip_at, flip_bits, seed):
     elif codec == "tiff":
         from lab5_lakehouse_etl_spark.functions import tiff
 
-        data = tiff.encode_tiff(9, 6, bytes(rng.integers(0, 256, 162, dtype=np.uint8)), channels=3, compression="lzw", predictor=2, rows_per_strip=2)
+        comp = ("lzw", "deflate", "packbits")[seed % 3]
+        data = tiff.encode_tiff(9, 6, bytes(rng.integers(0, 256, 162, dtype=np.uint8)), channels=3, compression=comp, predictor=2 if comp != "packbits" else 1, rows_per_strip=2)
         dec = tiff.decode_tiff
     else:
         data = bmp.encode_bmp(9, 6, bytes(rng.integers(0, 256, 162, dtype=np.uint8)))
@@ -945,7 +946,9 @@ from lab5_lakehouse_etl_spark.functions import tiff  # noqa: E402
     w=st.integers(1, 32),
     h=st.integers(1, 24),
     shape=st.sampled_from(["gray", "gray_wiz", "rgb", "rgba", "palette"]),
-    compression=st.sampled_from(["none", "lzw", "lzw_p2"]),
+    compression=st.sampled_from(
+        ["none", "lzw", "lzw_p2", "deflate", "deflate_p2", "packbits"]
+    ),
     big_endian=st.booleans(),
     rps=st.integers(0, 7),
     seed=st.integers(0, 2**32 - 1),
@@ -953,16 +956,16 @@ from lab5_lakehouse_etl_spark.functions import tiff  # noqa: E402
 def test_tiff_roundtrip_property(w, h, shape, compression, big_endian, rps, seed):
     """TIFF is LOSSLESS in every supported shape: decode(encode(x))
     == x exactly across byte orders, photometrics (incl. the
-    WhiteIsZero storage inversion), TIFF-LZW with and without the
-    horizontal-differencing predictor, and arbitrary strip splits
-    (every strip is an independent LZW stream — a strip-boundary bug
-    breaks this at rps < h)."""
-    if shape == "palette" and compression == "lzw_p2":
-        compression = "lzw"  # predictor over indices is out of fixture scope
+    WhiteIsZero storage inversion), TIFF-LZW / Deflate / PackBits
+    with and without the horizontal-differencing predictor, and
+    arbitrary strip splits (every strip is an independent compressed
+    stream — a strip-boundary bug breaks this at rps < h)."""
+    if shape == "palette" and compression.endswith("_p2"):
+        compression = compression[:-3]  # predictor over indices: out of scope
     rng = np.random.default_rng(seed)
     kw = dict(
-        compression="lzw" if compression.startswith("lzw") else "none",
-        predictor=2 if compression == "lzw_p2" else 1,
+        compression=compression.removesuffix("_p2"),
+        predictor=2 if compression.endswith("_p2") else 1,
         big_endian=big_endian,
         rows_per_strip=rps or None,
     )
@@ -987,13 +990,18 @@ def test_tiff_roundtrip_property(w, h, shape, compression, big_endian, rps, seed
 def test_tiff_lzw_width_boundaries_and_reset():
     """A large random RGB image crosses every TIFF-LZW code width
     (9..12 bits, the EARLY-change boundaries) and forces the pre-4094
-    CLEAR reset; byte-exact both ways, with and without predictor."""
+    CLEAR reset; byte-exact both ways, with and without predictor.
+    The same raster also round-trips PackBits (worst case: all
+    literal packets) and Deflate."""
     rng = np.random.default_rng(13)
     raw = rng.integers(0, 256, 300 * 200 * 3, dtype=np.uint8).tobytes()
     for pred in (1, 2):
         data = tiff.encode_tiff(
             300, 200, raw, channels=3, compression="lzw", predictor=pred
         )
+        assert tiff.decode_tiff(data) == (300, 200, 3, raw)
+    for comp in ("packbits", "deflate"):
+        data = tiff.encode_tiff(300, 200, raw, channels=3, compression=comp)
         assert tiff.decode_tiff(data) == (300, 200, 3, raw)
 
 
@@ -1003,7 +1011,7 @@ def test_tiff_rejects_out_of_scope():
     good = tiff.encode_tiff(3, 2, bytes(18))
     with pytest.raises(ValueError):
         tiff.decode_tiff(good[:12])
-    # PackBits compression refused loudly (flip the compression tag)
+    # CCITT compression refused loudly (flip the compression tag)
     import struct
 
     def with_tag(data: bytes, tag: int, value: int) -> bytes:
@@ -1018,7 +1026,7 @@ def test_tiff_rejects_out_of_scope():
         return bytes(out)
 
     with pytest.raises(NotImplementedError, match="compression"):
-        tiff.decode_tiff(with_tag(good, 259, 32773))
+        tiff.decode_tiff(with_tag(good, 259, 2))  # CCITT RLE
     with pytest.raises(NotImplementedError, match="Planar"):
         tiff.decode_tiff(with_tag(good, 284, 2))
     # tiled layout refused loudly: append a TileWidth tag is overkill —

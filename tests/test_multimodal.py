@@ -1168,6 +1168,16 @@ def test_tiff_decodes_java_imageio_goldens():
     i = np.arange(40 * 30 * 3, dtype=np.int64)
     assert px == ((7 * 23 + i * 3) % 256).astype(np.uint8).tobytes()
 
+    # PackBits + Deflate goldens (same ImageIO writer, 41x29 LCG
+    # raster with planted constant runs so PackBits carries BOTH
+    # packet kinds; ZLib-compressed twin for the deflate path)
+    truth = open(
+        os.path.join(data_dir, "golden_packbits_deflate.rgb"), "rb"
+    ).read()
+    for name in ("golden_packbits.tiff", "golden_deflate.tiff"):
+        payload = open(os.path.join(data_dir, name), "rb").read()
+        assert tiff.decode_tiff(payload) == (41, 29, 3, truth), name
+
 
 def test_decode_image_dispatches_tiff(spark):
     """decode_image routes both TIFF byte orders by magic; the media
@@ -1189,7 +1199,7 @@ def test_decode_image_dispatches_tiff(spark):
     ).collect()
     assert len(stats) == 25
     for r in stats:
-        kind = r.media_id % 5
-        assert r.channels == (1 if kind == 0 else 3)
+        kind = r.media_id % 7
+        assert r.channels == (1 if kind in (0, 6) else 3)
         assert r.width == 8 + r.media_id % 9
         assert r.height == 8 + (r.media_id // 9) % 9
