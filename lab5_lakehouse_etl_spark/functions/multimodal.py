@@ -618,10 +618,16 @@ def corrupt_png_media_from_ids(
     WebP container this environment has no codec for, ids ≡ 2 a VALID
     lossless WebP (same dims formula as the PNG fixture — the ok
     verdict must carry its real dimensions through the VP8L path),
-    and ids ≡ 3 a lossless WebP truncated mid-chunk (the declared
+    ids ≡ 3 a lossless WebP truncated mid-chunk (the declared
     chunk size no longer matches — corrupt, loudly; non-deterministic
     bit flips are the fuzz test's job, a closed-form oracle needs
-    deterministic corruptness)."""
+    deterministic corruptness), ids ≡ 4 a VALID TIFF (the palette
+    kind of the r13 TIFF fixture — the ok verdict must carry its
+    dims through the TIFF path too), and ids ≡ 5 a TIFF cut INSIDE
+    its trailing IFD (the entry walk runs out of bytes — a
+    deterministic structural failure; damage to LZW strip DATA would
+    not be deterministic corruptness, TIFF strips carry no
+    checksum)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -645,6 +651,12 @@ def corrupt_png_media_from_ids(
                         # gate rightly admits)
                         wdata = wdata[: len(wdata) - 3]
                     payloads.append(wdata)
+                    continue
+                if mid % 7 in (4, 5):
+                    tdata = _fixture_tiff(mid)[2]
+                    if mid % 7 == 5:
+                        tdata = tdata[: len(tdata) - 20]  # cut into IFD
+                    payloads.append(tdata)
                     continue
                 data = bytearray(_fixture_png(mid)[2])
                 if mid % 7 == 0:

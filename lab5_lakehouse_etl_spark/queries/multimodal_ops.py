@@ -375,12 +375,12 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_media_quarantine",
     oracle="""
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 7 IN (0, 3) THEN 'corrupt'
+           CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'corrupt'
                 WHEN doc_id % 7 = 1 THEN 'unsupported'
                 ELSE 'ok' END AS status,
-           CASE WHEN doc_id % 7 IN (0, 1, 3) THEN NULL
+           CASE WHEN doc_id % 7 IN (0, 1, 3, 5) THEN NULL
                 ELSE CAST(8 + doc_id % 9 AS BIGINT) END        AS width,
-           CASE WHEN doc_id % 7 IN (0, 1, 3) THEN NULL
+           CASE WHEN doc_id % 7 IN (0, 1, 3, 5) THEN NULL
                 ELSE CAST(8 + (doc_id // 9) % 9 AS BIGINT) END AS height
     FROM documents
     """,
@@ -388,16 +388,18 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest validation as a first-class operator: decode every
     payload with the real (CRC/marker-verifying) codecs and emit a
-    per-record verdict — ok + dimensions (PNG ids and, since r12,
-    VALID lossless-WebP ids decode through their respective real
-    codecs to the same closed-form dims), corrupt (one flipped IDAT
-    byte caught by the PNG CRC; a VP8L stream truncated mid-chunk
-    caught by the declared-size check), or unsupported (a
-    LOSSY-VP8 WebP container whose codec is genuinely absent).  Ids
-    ≡ 0/1/3 (mod 7) are damaged deterministically, so the DuckDB
-    oracle restates the expected verdict relation in closed form: a
-    decoder that crashes on, silently accepts, or misclassifies a
-    damaged payload breaks the hash.
+    per-record verdict — ok + dimensions (PNG ids, VALID
+    lossless-WebP ids since r12, and VALID TIFF ids since r13 decode
+    through their respective real codecs to the same closed-form
+    dims), corrupt (one flipped IDAT byte caught by the PNG CRC; a
+    VP8L stream truncated mid-chunk caught by the declared-size
+    check; a TIFF cut inside its trailing IFD caught by the entry
+    walk), or unsupported (a LOSSY-VP8 WebP container whose codec is
+    genuinely absent).  Ids ≡ 0/1/3/5 (mod 7) are damaged
+    deterministically, so the DuckDB oracle restates the expected
+    verdict relation in closed form: a decoder that crashes on,
+    silently accepts, or misclassifies a damaged payload breaks the
+    hash.
 
     Scale: per-record try/except inside the Arrow batch — one bad
     payload never poisons its batch, and the quarantine set is a

@@ -869,20 +869,25 @@ def test_decode_or_quarantine_verdicts(spark):
     rows = {r.media_id: r for r in M.decode_or_quarantine(media).collect()}
     for mid in range(21):
         r = rows[mid]
-        if mid % 7 in (0, 3):  # PNG CRC flip / truncated VP8L (r12)
+        if mid % 7 in (0, 3, 5):
+            # PNG CRC flip / truncated VP8L (r12) / IFD-cut TIFF (r13)
             assert r.status == "corrupt" and r.width is None
         elif mid % 7 == 1:
             assert r.status == "unsupported" and r.width is None
         else:
-            # kind 2 is a VALID lossless WebP (r12): same dims formula,
-            # decoded through the VP8L path instead of PNG
+            # kind 2 is a VALID lossless WebP (r12) and kind 4 a VALID
+            # TIFF (r13): same dims formula, decoded through their own
+            # real codec paths instead of PNG
             assert r.status == "ok"
             assert (r.width, r.height) == (8 + mid % 9, 8 + (mid // 9) % 9)
-    # the webp kinds are genuinely webp containers
+    # the webp/tiff kinds are genuinely those containers
     pay = {r.media_id: bytes(r.payload) for r in media.collect()}
     assert pay[2][:4] == b"RIFF" and pay[2][12:16] == b"VP8L"
     # kind 3 is the valid stream minus its last 3 bytes
     assert pay[3] == M._fixture_webp(3)[2][:-3]
+    assert pay[4][:2] in (b"II", b"MM")
+    # kind 5 is the valid TIFF cut 20 bytes into its trailing IFD
+    assert pay[5] == M._fixture_tiff(5)[2][:-20]
     # NULL payloads get their own verdict, distinct from decode failure
     null_media = media.selectExpr(
         "media_id", "CAST(NULL AS BINARY) AS payload"
