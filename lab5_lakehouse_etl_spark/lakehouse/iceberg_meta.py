@@ -12,8 +12,9 @@ layout under ``<table>/metadata/``):
 
 * ``v{N}.metadata.json`` per LakeTable version plus
   ``version-hint.text`` — table uuid, location, accumulated
-  ``schemas`` (field ids assigned by FIRST APPEARANCE of a column
-  name, stable across versions), ``partition-specs`` (identity
+  ``schemas`` (field ids assigned by FIRST APPEARANCE of a column's
+  PHYSICAL name, stable across versions AND renames — see the
+  column-mapping paragraph below), ``partition-specs`` (identity
   transforms, partition field ids from 1000), ``snapshots`` with
   sequence numbers, snapshot-log and metadata-log;
 * one manifest list per snapshot (``snap-{id}.avro``) and one data
@@ -51,12 +52,26 @@ relations are point-delete-sized by design (the copy-on-write
 ``delete`` is the path for big deletes), so the broadcast is always
 small.
 
+Column mapping (renames/drops, r13): field ids are assigned by first
+appearance of a column's PHYSICAL name (what the parquet files store
+— LakeTable renames are metadata-only, so the physical name is the
+stable identity, exactly like an Iceberg field id), and the schema
+emits the LOGICAL name under that stable id — which IS how Iceberg
+expresses a rename (same id, new name).  Because the data files carry
+no Iceberg field-id metadata, every metadata.json also carries the
+spec's ``schema.name-mapping.default`` property mapping each field id
+to its known names (physical first), which is precisely the spec's
+mechanism for files written without field ids; external readers
+resolve renamed columns through it, and ``read_iceberg_snapshot``
+does the same (scan under physical names, alias to the snapshot's
+logical names).  Drops need no mapping at all — the field simply
+leaves the current schema while older schemas keep it; LakeTable's
+tombstone list guarantees a dropped physical name is never reused,
+so the global name mapping can never turn ambiguous.
+
 Refuse-loudly rules (never a wrong answer), same doctrine as
 delta_log:
 
-* column mapping / dropped columns — this exporter assigns field ids
-  by name, so a rename would mint a NEW id and silently sever the
-  column's history (Iceberg expresses renames by keeping the id);
 * column types with no exact Iceberg primitive (tinyint/smallint
   would silently widen; nested struct/array/map need element-level
   field ids this minimal writer does not assign);
@@ -86,7 +101,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from . import avro
 from .table import LakeTable, _unescape_partition_value
@@ -423,31 +438,31 @@ def export_iceberg_metadata(table: LakeTable) -> str:
     dv_path: dict[str, str] = {}  # dv dir -> delete parquet path
     prev_dv: set[str] = set()
     versions = table._versions()
+    #: field id -> known names, physical FIRST (the name-mapping rows)
+    name_aliases: dict[int, list[str]] = {}
     for v in versions:
         m = table._manifest(v)
         mapping = m.get("column_mapping") or {}
-        if m.get("dropped_physical") or any(
-            phys != log for log, phys in mapping.items()
-        ):
-            raise NotImplementedError(
-                "version uses column mapping / dropped columns — this "
-                "writer assigns Iceberg field ids by column NAME, so a "
-                "rename would mint a new id and sever the column's "
-                "history; a faithful export needs id-preserving mapping "
-                "metadata it does not emit"
-            )
         seq = v + 1
         snap_id = _snapshot_id(table.path, v)
         ts_ms = int(float(m.get("committed_at", 0)) * 1000)
 
-        # ---- schema (ids by first appearance, stable across versions)
+        # ---- schema (ids by first appearance of the PHYSICAL name —
+        # the parquet-side identity a metadata-only rename never moves
+        # — so a renamed column keeps its id and only the emitted
+        # logical name changes, which is Iceberg's rename semantics)
         fields = []
         for f in m["schema"]["fields"]:
-            if f["name"] not in field_ids:
-                field_ids[f["name"]] = len(field_ids) + 1
+            phys = mapping.get(f["name"], f["name"])
+            if phys not in field_ids:
+                field_ids[phys] = len(field_ids) + 1
+            fid = field_ids[phys]
+            aliases = name_aliases.setdefault(fid, [phys])
+            if f["name"] not in aliases:
+                aliases.append(f["name"])
             fields.append(
                 {
-                    "id": field_ids[f["name"]],
+                    "id": fid,
                     "name": f["name"],
                     "required": not f.get("nullable", True),
                     "type": _iceberg_field_type(f["type"]),
@@ -708,7 +723,19 @@ def export_iceberg_metadata(table: LakeTable) -> str:
             ),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
-            "properties": {},
+            # the spec's mechanism for data files written WITHOUT
+            # field-id metadata: resolve parquet columns (physical
+            # names) to field ids through this mapping — what makes
+            # renamed columns externally readable
+            "properties": {
+                "schema.name-mapping.default": json.dumps(
+                    [
+                        {"field-id": fid, "names": names}
+                        for fid, names in sorted(name_aliases.items())
+                    ],
+                    separators=(",", ":"),
+                )
+            },
             "current-snapshot-id": snap_id,
             "snapshots": snapshots,
             "snapshot-log": snapshot_log,
@@ -813,13 +840,36 @@ def read_iceberg_snapshot(
     for path, (part_cols, key) in files.items():
         part_cols_any = part_cols
         groups.setdefault(key, []).append(path)
+    # name mapping: the data files carry PHYSICAL column names and no
+    # field-id metadata, so scan under the mapped physical name for
+    # each field id and alias back to the snapshot's logical name —
+    # the spec's schema.name-mapping.default resolution
+    nm = {}
+    try:
+        for row in json.loads(
+            meta.get("properties", {}).get("schema.name-mapping.default", "[]")
+        ):
+            nm[row["field-id"]] = row["names"][0]
+    except (ValueError, KeyError, IndexError, TypeError):
+        nm = {}
+    id_of = {f["name"]: f["id"] for f in schema_doc["fields"]}
+    phys_of = {
+        f.name: nm.get(id_of[f.name], f.name) for f in struct.fields
+    }
     data_schema = StructType(
-        [f for f in struct.fields if f.name not in part_cols_any]
+        [
+            StructField(phys_of[f.name], f.dataType, f.nullable)
+            for f in struct.fields
+            if f.name not in part_cols_any
+        ]
     )
     out: DataFrame | None = None
     keep = [f.name for f in struct.fields]
     for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(data_schema).parquet(*sorted(paths))
+        for log in keep:
+            if log not in part_cols_any and phys_of[log] != log:
+                df = df.withColumnRenamed(phys_of[log], log)
         if deletes:
             # spec "Scan Planning": a position delete applies to data
             # files with data sequence number <= the delete file's.

@@ -490,6 +490,12 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_ann_recall_monitor": 13,
     "q_table_iceberg_dv": 13,
     "q_multimodal_tiff": 13,
+    # Round-13 (fourth batch): Iceberg column-mapping export — field
+    # ids re-keyed on PHYSICAL names + the schema.name-mapping.default
+    # property, reader resolves physical->logical through it.  New
+    # query anchor; the other two iceberg queries are already tier-1
+    # at 13 above (the reader/export both changed again).
+    "q_table_iceberg_rename": 13,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

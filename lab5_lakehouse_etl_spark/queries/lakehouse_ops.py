@@ -1056,3 +1056,82 @@ def q_table_iceberg_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
         "from_snapshot",
     )
+
+
+@query(
+    "q_table_iceberg_rename",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name AS nation_label,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(1 AS BIGINT) AS from_snapshot
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey + 100 AS BIGINT), 'ib-renamed',
+           CAST(n_regionkey AS BIGINT), CAST(1 AS BIGINT)
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey AS BIGINT), n_name,
+           CAST(n_regionkey AS BIGINT), CAST(0 AS BIGINT)
+    FROM nation
+    """,
+)
+def q_table_iceberg_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg COLUMN-MAPPING interchange (r13 — closes the exporter's
+    last LakeTable-feature refusal): a metadata-only RENAME keeps its
+    Iceberg field id because ids key on the column's PHYSICAL parquet
+    name (the identity a rename never moves — Iceberg's own rename
+    semantics: same id, new name), and since the data files carry no
+    field-id metadata the export writes the spec's
+    ``schema.name-mapping.default`` property so readers resolve
+    physical columns to ids — including files APPENDED AFTER the
+    rename, which still store the physical name.
+
+    The fixture drives create → rename n_name→nation_label → append;
+    the query reads the CURRENT snapshot (renamed schema over both
+    file generations) and a TIME TRAVEL to the pre-rename snapshot
+    (original names — the v0 leg selects ``n_name``, so a reader that
+    leaked the renamed or physical name into the old schema fails
+    analysis, not just the hash).  The oracle restates both relations.
+
+    Scale: identical read plan to q_table_iceberg — the name mapping
+    is O(columns) metadata; the scan stays partition-pruned parquet
+    with a rename-only projection."""
+    tune(spark)
+    from ..lakehouse.iceberg_meta import (
+        _load_metadata,
+        export_iceberg_metadata,
+        read_iceberg_snapshot,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = scratch_dir("q_table_iceberg_rename", fresh=True) + "/t"
+    t = LakeTable.create(nation, path, partition_by=["n_regionkey"])
+    t.rename_column("n_name", "nation_label")
+    extra = nation.select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.lit("ib-renamed").alias("nation_label"),
+        *[c for c in nation.columns if c not in ("n_nationkey", "n_name")],
+    )
+    t.append(spark, extra)
+    export_iceberg_metadata(t)
+    meta = _load_metadata(path)
+    first_snap = meta["snapshots"][0]["snapshot-id"]
+    current = read_iceberg_snapshot(spark, path).withColumn(
+        "from_snapshot", F.lit(1).cast("bigint")
+    )
+    original = (
+        read_iceberg_snapshot(spark, path, snapshot_id=first_snap)
+        .select(
+            "n_nationkey",
+            F.col("n_name").alias("nation_label"),
+            "n_regionkey",
+        )
+        .withColumn("from_snapshot", F.lit(0).cast("bigint"))
+    )
+    return current.unionByName(original).select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "nation_label",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+        "from_snapshot",
+    )

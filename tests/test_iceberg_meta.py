@@ -224,12 +224,6 @@ def test_snapshot_roundtrip_and_statuses_across_versions(
 
 
 def test_export_refuses_inexpressible_features(spark, tmp_path):
-    nation = load_table(spark, SF_DIR, "nation")
-    t2 = LakeTable.create(nation, str(tmp_path / "cm"))
-    t2.rename_column("n_name", "nm")
-    with pytest.raises(NotImplementedError, match="column mapping"):
-        IM.export_iceberg_metadata(t2)
-
     # a type with no exact Iceberg primitive refuses rather than widens
     df = spark.createDataFrame([(1,)], "id long").selectExpr(
         "CAST(id AS SMALLINT) AS id"
@@ -237,6 +231,61 @@ def test_export_refuses_inexpressible_features(spark, tmp_path):
     t3 = LakeTable.create(df, str(tmp_path / "ty"))
     with pytest.raises(NotImplementedError, match="no exact Iceberg"):
         IM.export_iceberg_metadata(t3)
+
+
+def test_rename_and_drop_export_with_name_mapping(spark, nation_table):
+    """Column mapping exports faithfully (r13): a metadata-only rename
+    keeps the column's field id (ids key on the PHYSICAL name), the
+    schema.name-mapping.default property resolves the parquet files'
+    physical names to ids, and a drop retires the field from the
+    current schema while time travel shows every generation under its
+    own names."""
+    t, nation = nation_table
+    t.rename_column("n_name", "nation_label")  # v1: metadata-only
+    extra = nation.select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.lit("renamed-extra").alias("nation_label"),
+        *[c for c in nation.columns if c not in ("n_nationkey", "n_name")],
+    )
+    t.append(spark, extra)  # v2: files written under the PHYSICAL name
+    t.drop_column("nation_label")  # v3
+    IM.export_iceberg_metadata(t)
+    doc = IM._load_metadata(t.path)
+
+    # stable ids across the rename; the drop retires the field
+    ids = [
+        [(f["id"], f["name"]) for f in s["fields"]] for s in doc["schemas"]
+    ]
+    assert ids[0] == [(1, "n_nationkey"), (2, "n_name"), (3, "n_regionkey")]
+    assert ids[1] == [
+        (1, "n_nationkey"), (2, "nation_label"), (3, "n_regionkey"),
+    ]
+    assert ids[2] == [(1, "n_nationkey"), (3, "n_regionkey")]
+
+    # the name mapping carries the physical name FIRST plus aliases
+    nmap = {
+        r["field-id"]: r["names"]
+        for r in json.loads(
+            doc["properties"]["schema.name-mapping.default"]
+        )
+    }
+    assert nmap[2] == ["n_name", "nation_label"]
+
+    # reads at every generation, exclusively through the metadata
+    snaps = [s["snapshot-id"] for s in doc["snapshots"]]
+    got = IM.read_iceberg_snapshot(spark, t.path)
+    want = t.read(spark)
+    assert got.columns == ["n_nationkey", "n_regionkey"]
+    assert _rows(got.select(*want.columns)) == _rows(want)
+    v2 = IM.read_iceberg_snapshot(spark, t.path, snapshot_id=snaps[2])
+    assert v2.columns == ["n_nationkey", "nation_label", "n_regionkey"]
+    assert v2.count() == 2 * nation.count()
+    assert v2.filter(F.col("nation_label") == "renamed-extra").count() == (
+        nation.count()
+    )
+    v0 = IM.read_iceberg_snapshot(spark, t.path, snapshot_id=snaps[0])
+    assert v0.columns == list(nation.columns)
+    assert _rows(v0.select(*nation.columns)) == _rows(nation)
 
 
 def test_null_partition_and_schema_evolution(spark, tmp_path):
