@@ -1034,3 +1034,37 @@ def test_tiff_rejects_out_of_scope():
     from lab5_lakehouse_etl_spark.functions.tiff import _read_ifd
 
     assert 322 not in _read_ifd(good, "<")
+
+
+@settings(**_SETTINGS)
+@given(
+    n_pages=st.integers(1, 4),
+    big_endian=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_tiff_multipage_roundtrip_property(n_pages, big_endian, seed):
+    """Multi-page TIFF: the IFD chain decodes every page exactly, each
+    page free to differ in dims / compression / photometric; page
+    count walks the chain; an out-of-range page refuses loudly."""
+    rng = np.random.default_rng(seed)
+    comps = ["none", "lzw", "deflate", "packbits"]
+    pages = []
+    truths = []
+    for i in range(n_pages):
+        w = int(rng.integers(1, 20))
+        h = int(rng.integers(1, 16))
+        ch = int(rng.choice([1, 3]))
+        raw = rng.integers(0, 256, w * h * ch, dtype=np.uint8).tobytes()
+        pages.append(
+            {
+                "width": w, "height": h, "pixels": raw,
+                "channels": ch, "compression": comps[i % 4],
+            }
+        )
+        truths.append((w, h, ch, raw))
+    data = tiff.encode_tiff_pages(pages, big_endian=big_endian)
+    assert tiff.tiff_page_count(data) == n_pages
+    for i, want in enumerate(truths):
+        assert tiff.decode_tiff(data, page=i) == want
+    with pytest.raises(ValueError, match="no page"):
+        tiff.decode_tiff(data, page=n_pages)
