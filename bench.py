@@ -890,9 +890,7 @@ def main() -> None:
     regs, regs_baseline = ratio_regressions(timings, cal_sec)
     # automated flag adjudication (r12 verdict #5): re-measure flags on
     # dep-unchanged queries in a fresh subprocess before recording them
-    regs, regs_cleared, remeasure_skipped = auto_remeasure(
-        regs, sf_dir, budget - (time.perf_counter() - bench_start)
-    )
+    regs, regs_cleared, remeasure_skipped = auto_remeasure(regs, sf_dir)
     # ratio basis: isolated number where one exists (driver-aging-free),
     # sweep number otherwise — regression review reads queries_ratio
     ratio_basis = {**all_timings, **{n: t for n, t in isolated.items() if t > 0}}

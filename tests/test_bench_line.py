@@ -91,3 +91,21 @@ def test_ratio_baseline_excludes_current_round(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_BASELINE_ROUND", "8")
     _f, base8 = bench.ratio_regressions({}, 0.5)
     assert base8 == "BENCH_r08.json"
+
+
+def test_main_loop_plumbing_signatures(monkeypatch):
+    """Pin the exact call shapes main() uses for the subprocess
+    helpers (r13 lesson: an auto_remeasure signature change with a
+    stale 3-arg call site crashed AT THE END of a 10-minute sf0.1 run
+    with stderr swallowed — the cheapest possible test would have
+    caught it).  Each helper must no-op cleanly when its feature is
+    disabled/empty, returning the tuple arity main() unpacks."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_REMEASURE", "0")
+    assert bench.auto_remeasure({}, "/root/testdata/sf0.001") == ({}, {}, [])
+    flagged = {"q_x": [1.0, 2.0]}
+    assert bench.auto_remeasure(flagged, "/x") == (flagged, {}, [])
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ISOLATE", "0")
+    out = bench.run_isolated("/root/testdata/sf0.001", 1e9)
+    assert isinstance(out, tuple) and len(out) == 4
+    # _dep_unchanged never raises (fail-soft gate input)
+    assert isinstance(bench._dep_unchanged(["q_agg_groupby"]), list)
