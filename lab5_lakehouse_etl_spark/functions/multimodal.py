@@ -13,8 +13,9 @@ Rice-coded residuals, FIXED/LPC predictors, stereo decorrelation
 color cache, all four transforms (functions/webp.py), GIF — LZW,
 interlace, transparency (functions/gif.py), uncompressed BMP
 (functions/bmp.py), baseline TIFF — both byte orders, strips,
-TIFF-LZW (early change), predictor 2, gray/RGB/palette
-(functions/tiff.py), YUV4MPEG2 video
+multi-page, TIFF-LZW (early change), Deflate, PackBits, predictor 2,
+gray/RGB/palette, bilevel CCITT G4 (functions/tiff.py +
+functions/ccitt.py), YUV4MPEG2 video
 frame sampling (functions/y4m.py),
 and a real nearest-neighbour resize through a full decode → resample →
 re-encode chain.  Each decode path is oracle-checked end to end via
@@ -99,9 +100,11 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     and WebP VP8L (functions/webp.py: prefix codes, LZ77 with the 2-D
     distance map, color cache, predictor/color/subtract-green/
     color-indexing transform inversion), plus GIF, BMP and baseline
-    TIFF (functions/tiff.py: both byte orders, strips, TIFF-LZW with
-    the early-change width convention, predictor 2, gray/RGB/palette
-    photometrics).  Other formats raise ``NotImplementedError``
+    TIFF (functions/tiff.py: both byte orders, strips, multi-page,
+    TIFF-LZW with the early-change width convention, Deflate,
+    PackBits, predictor 2, gray/RGB/palette photometrics, and bilevel
+    CCITT G4 via functions/ccitt.py).  Other formats raise
+    ``NotImplementedError``
     (lossy-VP8 and AVIF need full video codecs; production swaps in
     ``PIL.Image.open(io.BytesIO(payload))`` behind the same contract).
     """
@@ -1256,7 +1259,7 @@ def bmp_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def _fixture_tiff(media_id: int) -> tuple[int, int, bytes]:
     """Deterministic TIFF for one media id: ``width = 8 + id % 9``,
     ``height = 8 + (id // 9) % 9``.  The ENCODING cycles per id
-    (``id % 7``) through every decode shape: grayscale uncompressed
+    (``id % 8``) through every decode shape: grayscale uncompressed
     little-endian (kind 0 — pixel ``k`` = ``(id*31 + k*7) % 256``),
     RGB uncompressed big-endian (kind 1 — sample ``i`` =
     ``(id*23 + i*3) % 256``), RGB TIFF-LZW (kind 2), RGB TIFF-LZW
@@ -1267,16 +1270,28 @@ def _fixture_tiff(media_id: int) -> tuple[int, int, bytes]:
     16`` into the 16-entry palette whose flattened sample ``j`` =
     ``(id*23 + j*3) % 256`` — the BMP kind-3 formulas, so the oracle
     reuses their closed forms), RGB PackBits (kind 5 — same RGB
-    formula through the RLE packets), and grayscale Deflate with
+    formula through the RLE packets), grayscale Deflate with
     predictor 2 (kind 6 — the gray formula through zlib +
-    differencing)."""
+    differencing), and BILEVEL CCITT G4 in a multi-strip layout
+    (kind 7 — ink at (x, y) iff ``(x//3 + y//2 + id) % 5 == 0``,
+    decoding to 0/255 gray through the T.6 vertical/pass/horizontal
+    machinery)."""
     import numpy as np
 
     from . import tiff
 
     width = 8 + media_id % 9
     height = 8 + (media_id // 9) % 9
-    kind = media_id % 7
+    kind = media_id % 8
+    if kind == 7:
+        x = np.arange(width, dtype=np.int64)[None, :]
+        y = np.arange(height, dtype=np.int64)[:, None]
+        ink = ((x // 3 + y // 2 + media_id) % 5 == 0)
+        gray = np.where(ink, 0, 255).astype(np.uint8)
+        return width, height, tiff.encode_tiff(
+            width, height, gray.tobytes(), compression="g4",
+            rows_per_strip=4,
+        )
     if kind in (0, 6):
         k = np.arange(width * height, dtype=np.int64)
         gray = ((media_id * 31 + k * 7) % 256).astype(np.uint8)

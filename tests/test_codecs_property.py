@@ -1068,3 +1068,52 @@ def test_tiff_multipage_roundtrip_property(n_pages, big_endian, seed):
         assert tiff.decode_tiff(data, page=i) == want
     with pytest.raises(ValueError, match="no page"):
         tiff.decode_tiff(data, page=n_pages)
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 24),
+    shape=st.sampled_from(["noise", "sparse", "stripes", "blank"]),
+    compression=st.sampled_from(["none", "g4"]),
+    rps=st.integers(0, 7),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_tiff_bilevel_roundtrip_property(w, h, shape, compression, rps, seed):
+    """Bilevel TIFF is LOSSLESS: packed-bit and CCITT G4 strips both
+    reproduce the 0/255 gray raster exactly across content shapes
+    (noise exercises horizontal MH runs, stripes the vertical modes,
+    sparse the pass mode, blank the all-white degenerate row) and
+    arbitrary strip splits (each strip is an independent G4 stream
+    whose reference line resets — a carry-over bug breaks rps < h)."""
+    rng = np.random.default_rng(seed)
+    if shape == "noise":
+        ink = rng.random((h, w)) < 0.5
+    elif shape == "sparse":
+        ink = rng.random((h, w)) < 0.05
+    elif shape == "stripes":
+        k = int(rng.integers(1, 6))
+        ink = (np.indices((h, w))[1] // k) % 2 == 0
+    else:
+        ink = np.zeros((h, w), bool)
+    gray = np.where(ink, 0, 255).astype(np.uint8).tobytes()
+    data = tiff.encode_tiff(
+        w, h, gray, compression=compression, bilevel=True,
+        rows_per_strip=rps or None,
+    )
+    assert tiff.decode_tiff(data) == (w, h, 1, gray)
+
+
+def test_g4_rejects_malformed():
+    from lab5_lakehouse_etl_spark.functions import ccitt
+
+    with pytest.raises(ValueError, match="truncated"):
+        ccitt.g4_decode(b"", 4, 4)
+    # EOFB before the rows fill
+    with pytest.raises(ValueError, match="ended before"):
+        ccitt.g4_decode(bytes(8), 4, 4)
+    gray = bytes([255] * 12)
+    good = tiff.encode_tiff(4, 3, gray, compression="g4")
+    # G4 over non-bilevel refused at the container level
+    with pytest.raises(NotImplementedError, match="bilevel encode"):
+        tiff.encode_tiff(4, 3, gray, bilevel=True, compression="lzw")

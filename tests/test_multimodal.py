@@ -1204,7 +1204,37 @@ def test_decode_image_dispatches_tiff(spark):
     ).collect()
     assert len(stats) == 25
     for r in stats:
-        kind = r.media_id % 7
-        assert r.channels == (1 if kind in (0, 6) else 3)
+        kind = r.media_id % 8
+        assert r.channels == (1 if kind in (0, 6, 7) else 3)
         assert r.width == 8 + r.media_id % 9
         assert r.height == 8 + (r.media_id // 9) % 9
+
+
+def test_g4_decodes_java_imageio_goldens():
+    """CCITT G4 interop against an independent implementation: the
+    committed goldens were written by Java ImageIO's "CCITT T.6"
+    compressor.  golden_g4_sweep.tiff is the EXHAUSTIVE code-table
+    verifier — 2700x5402, odd row y carrying a white run of exactly
+    y//2 then black, even rows all white, so horizontal-mode MH codes
+    for EVERY white and black run length 0..2700 appear and a single
+    wrong table entry desynchronizes the row that exercises it.
+    golden_g4_rand.tiff mixes sparse-document and noise content
+    (vertical/pass-mode coverage) against a committed raw raster."""
+    import os
+
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import tiff
+
+    data_dir = os.path.join(os.path.dirname(__file__), "data")
+    payload = open(os.path.join(data_dir, "golden_g4_sweep.tiff"), "rb").read()
+    W, H, C, px = tiff.decode_tiff(payload)
+    assert (W, H, C) == (2700, 5402, 1)
+    a = np.frombuffer(px, np.uint8).reshape(H, W)
+    runs = np.where(np.arange(H) % 2 == 0, W, np.arange(H) // 2)
+    exp = (np.arange(W)[None, :] < runs[:, None]).astype(np.uint8) * 255
+    assert np.array_equal(a, exp)
+
+    payload = open(os.path.join(data_dir, "golden_g4_rand.tiff"), "rb").read()
+    truth = open(os.path.join(data_dir, "golden_g4_rand.gray"), "rb").read()
+    assert tiff.decode_tiff(payload) == (321, 200, 1, truth)
