@@ -1117,3 +1117,50 @@ def test_g4_rejects_malformed():
     # G4 over non-bilevel refused at the container level
     with pytest.raises(NotImplementedError, match="bilevel encode"):
         tiff.encode_tiff(4, 3, gray, bilevel=True, compression="lzw")
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 30),
+    tw=st.sampled_from([8, 16, 32]),
+    th=st.sampled_from([8, 16, 32]),
+    shape=st.sampled_from(["rgb_lzw_p2", "rgb_none", "gray_deflate",
+                           "palette", "bilevel_g4"]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_tiff_tiled_roundtrip_property(w, h, tw, th, shape, seed):
+    """Tiled TIFF is LOSSLESS across tile grids that divide the image
+    unevenly (edge tiles stored full-size, clipped on decode), every
+    compression incl. per-tile G4 streams, and the per-tile predictor
+    restart (a cross-tile differencing bug breaks any w > tw case)."""
+    rng = np.random.default_rng(seed)
+    if shape == "bilevel_g4":
+        ink = rng.random((h, w)) < 0.4
+        gray = np.where(ink, 0, 255).astype(np.uint8).tobytes()
+        data = tiff.encode_tiff(
+            w, h, gray, compression="g4", tile=(tw, th)
+        )
+        assert tiff.decode_tiff(data) == (w, h, 1, gray)
+        return
+    if shape == "palette":
+        n = int(rng.integers(1, 257))
+        pal = rng.integers(0, 256, 3 * n, dtype=np.uint8).tobytes()
+        idx = rng.integers(0, n, w * h, dtype=np.uint8).tobytes()
+        data = tiff.encode_tiff(w, h, idx, palette=pal, tile=(tw, th))
+        p = np.frombuffer(pal, np.uint8).reshape(n, 3)
+        assert tiff.decode_tiff(data) == (
+            w, h, 3, p[np.frombuffer(idx, np.uint8)].tobytes()
+        )
+        return
+    ch, comp, pred = {
+        "rgb_lzw_p2": (3, "lzw", 2),
+        "rgb_none": (3, "none", 1),
+        "gray_deflate": (1, "deflate", 2),
+    }[shape]
+    raw = rng.integers(0, 256, w * h * ch, dtype=np.uint8).tobytes()
+    data = tiff.encode_tiff(
+        w, h, raw, channels=ch, compression=comp, predictor=pred,
+        tile=(tw, th),
+    )
+    assert tiff.decode_tiff(data) == (w, h, ch, raw)

@@ -1238,3 +1238,27 @@ def test_g4_decodes_java_imageio_goldens():
     payload = open(os.path.join(data_dir, "golden_g4_rand.tiff"), "rb").read()
     truth = open(os.path.join(data_dir, "golden_g4_rand.gray"), "rb").read()
     assert tiff.decode_tiff(payload) == (321, 200, 1, truth)
+
+
+def test_tiled_tiff_decodes_java_imageio_goldens():
+    """Tiled TIFF interop: golden_tiled_lzw.tiff (32x32 LZW tiles)
+    and golden_tiled_g4.tiff (32x16 CCITT G4 tiles) were written by
+    Java ImageIO with explicit tiling over a 75x53 LCG raster —
+    edge tiles are stored FULL SIZE and clipped on decode, and each
+    tile is an independent compressed stream (our encoder's tiled
+    output reads back through ImageIO too, checked at build time)."""
+    import os
+
+    from lab5_lakehouse_etl_spark.functions import tiff
+
+    data_dir = os.path.join(os.path.dirname(__file__), "data")
+    truth = open(os.path.join(data_dir, "golden_tiled.rgb"), "rb").read()
+    payload = open(
+        os.path.join(data_dir, "golden_tiled_lzw.tiff"), "rb"
+    ).read()
+    assert tiff.decode_tiff(payload) == (75, 53, 3, truth)
+    truth = open(os.path.join(data_dir, "golden_tiled_g4.gray"), "rb").read()
+    payload = open(
+        os.path.join(data_dir, "golden_tiled_g4.tiff"), "rb"
+    ).read()
+    assert tiff.decode_tiff(payload) == (75, 53, 1, truth)
