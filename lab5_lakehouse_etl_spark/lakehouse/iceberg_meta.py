@@ -187,6 +187,62 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                             "type": "long",
                             "field-id": 104,
                         },
+                        {
+                            "name": "lower_bounds",
+                            "field-id": 125,
+                            "default": None,
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "logicalType": "map",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "k126_v127",
+                                        "fields": [
+                                            {
+                                                "name": "key",
+                                                "type": "int",
+                                                "field-id": 126,
+                                            },
+                                            {
+                                                "name": "value",
+                                                "type": "bytes",
+                                                "field-id": 127,
+                                            },
+                                        ],
+                                    },
+                                },
+                            ],
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "field-id": 128,
+                            "default": None,
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "logicalType": "map",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "k129_v130",
+                                        "fields": [
+                                            {
+                                                "name": "key",
+                                                "type": "int",
+                                                "field-id": 129,
+                                            },
+                                            {
+                                                "name": "value",
+                                                "type": "bytes",
+                                                "field-id": 130,
+                                            },
+                                        ],
+                                    },
+                                },
+                            ],
+                        },
                     ],
                 },
             },
@@ -337,6 +393,49 @@ def _file_rows(table: LakeTable, m: dict, relpath: str) -> int:
 #: Iceberg spec reserved field ids for position-delete file columns.
 _POS_DELETE_PATH_ID = 2147483546
 _POS_DELETE_POS_ID = 2147483545
+
+
+def serialize_bound(value, iceberg_type: str) -> bytes | None:
+    """Iceberg single-value serialization (spec Appendix D) for the
+    bound types this exporter emits: little-endian int/long/float/
+    double, UTF-8 string.  Types without an exact emission here (or
+    null stats) return None and the column is simply absent from the
+    bounds map — bounds are optional per column."""
+    import struct as _struct
+
+    if value is None:
+        return None
+    try:
+        if iceberg_type == "int":
+            return _struct.pack("<i", int(value))
+        if iceberg_type == "long":
+            return _struct.pack("<q", int(value))
+        if iceberg_type == "float":
+            return _struct.pack("<f", float(value))
+        if iceberg_type == "double":
+            return _struct.pack("<d", float(value))
+        if iceberg_type == "string":
+            return str(value).encode("utf-8")
+    except (ValueError, OverflowError, _struct.error):
+        return None
+    return None
+
+
+def deserialize_bound(raw: bytes, iceberg_type: str):
+    """Inverse of :func:`serialize_bound` for the numeric types the
+    reader prunes on (strings are exported but never pruned on — a
+    writer may legally truncate string bounds)."""
+    import struct as _struct
+
+    if iceberg_type == "int":
+        return _struct.unpack("<i", raw)[0]
+    if iceberg_type == "long":
+        return _struct.unpack("<q", raw)[0]
+    if iceberg_type == "float":
+        return _struct.unpack("<f", raw)[0]
+    if iceberg_type == "double":
+        return _struct.unpack("<d", raw)[0]
+    return None
 
 
 def _normalize_file_uri(uri: str) -> str:
@@ -518,9 +617,33 @@ def export_iceberg_metadata(table: LakeTable) -> str:
         ]
         entry_schema = _manifest_entry_schema(part_avro_fields)
 
+        phys_of_log = {f["name"]: mapping.get(f["name"], f["name"]) for f in m["schema"]["fields"]}
+        id_by_phys = {phys_of_log[f["name"]]: field_ids[phys_of_log[f["name"]]] for f in m["schema"]["fields"]}
+        itype_by_phys = {
+            phys_of_log[f["name"]]: _iceberg_field_type(f["type"])
+            for f in m["schema"]["fields"]
+        }
+
         def entry(rel: str, status: int) -> dict:
             pv = _partition_values(rel, partition_by)
             abspath = os.path.join(table.data_dir, rel)
+            # per-column bounds from the LakeTable manifest's footer
+            # stats (free — already collected for data skipping);
+            # minmax keys are PHYSICAL column names
+            lowers: list[dict] = []
+            uppers: list[dict] = []
+            minmax = (m.get("file_stats", {}).get(rel) or {}).get(
+                "minmax", {}
+            )
+            for col, (lo, hi) in sorted(minmax.items()):
+                if col not in id_by_phys:
+                    continue
+                lo_b = serialize_bound(lo, itype_by_phys[col])
+                hi_b = serialize_bound(hi, itype_by_phys[col])
+                if lo_b is not None and hi_b is not None:
+                    fid = id_by_phys[col]
+                    lowers.append({"key": fid, "value": lo_b})
+                    uppers.append({"key": fid, "value": hi_b})
             return {
                 "status": status,
                 "snapshot_id": snap_id if status != 0 else add_snap[rel],
@@ -536,6 +659,8 @@ def export_iceberg_metadata(table: LakeTable) -> str:
                     },
                     "record_count": _file_rows(table, m, rel),
                     "file_size_in_bytes": os.path.getsize(abspath),
+                    "lower_bounds": lowers or None,
+                    "upper_bounds": uppers or None,
                 },
             }
 
@@ -600,6 +725,8 @@ def export_iceberg_metadata(table: LakeTable) -> str:
                         "partition": {},
                         "record_count": dv_rows[d],
                         "file_size_in_bytes": os.path.getsize(dv_path[d]),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
                     },
                 }
 
@@ -770,8 +897,33 @@ def _spark_type(iceberg_type: str) -> str:
     raise NotImplementedError(f"iceberg type {iceberg_type!r} unsupported")
 
 
+def _bounds_disjoint(df_rec: dict, prune: dict, schema_doc: dict) -> bool:
+    """True when the data file's exported bounds PROVE it holds no row
+    inside every requested range — the spec's inclusive-bounds file
+    elimination.  Missing bounds or non-numeric types never prune."""
+    id_type = {f["name"]: (f["id"], f["type"]) for f in schema_doc["fields"]}
+    lowers = {r["key"]: r["value"] for r in (df_rec.get("lower_bounds") or [])}
+    uppers = {r["key"]: r["value"] for r in (df_rec.get("upper_bounds") or [])}
+    for col, (lo, hi) in prune.items():
+        if col not in id_type:
+            continue
+        fid, ityp = id_type[col]
+        if fid not in lowers or fid not in uppers:
+            continue
+        fmin = deserialize_bound(bytes(lowers[fid]), ityp)
+        fmax = deserialize_bound(bytes(uppers[fid]), ityp)
+        if fmin is None or fmax is None:
+            continue
+        if fmax < lo or fmin > hi:
+            return True
+    return False
+
+
 def read_iceberg_snapshot(
-    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Materialize an exported Iceberg snapshot EXACTLY as an external
     Iceberg reader would: version-hint → metadata.json → the
@@ -779,7 +931,17 @@ def read_iceberg_snapshot(
     active data files (status ADDED/EXISTING; DELETED entries exist
     for changelog consumers and are excluded from scans), with
     partition columns re-injected from the typed partition struct
-    under the snapshot's schema."""
+    under the snapshot's schema.
+
+    ``prune`` is the bounds-based scan-planning hint real Iceberg
+    readers derive from the query filter: ``{column: (lo, hi)}``
+    inclusive ranges; a data file whose exported lower/upper bounds
+    prove it DISJOINT from any range is skipped before the parquet
+    scan — the caller is expected to apply the same predicate to the
+    returned relation (pruning is an I/O optimization, never a
+    filter).  Only numeric bounds prune (string bounds may be
+    writer-truncated); a file with no bounds for a column is never
+    skipped."""
     meta = _load_metadata(table_path)
     if meta.get("format-version") != 2:
         raise ValueError("expected format-version 2 metadata")
@@ -828,6 +990,8 @@ def read_iceberg_snapshot(
                 deletes.append(
                     (df_rec["file_path"], int(e["sequence_number"]))
                 )
+                continue
+            if prune and _bounds_disjoint(df_rec, prune, schema_doc):
                 continue
             files[df_rec["file_path"]] = (
                 part_cols,

@@ -496,6 +496,12 @@ _REWRITTEN_IN: dict[str, int] = {
     # query anchor; the other two iceberg queries are already tier-1
     # at 13 above (the reader/export both changed again).
     "q_table_iceberg_rename": 13,
+    # Round-13 (fifth batch): per-column lower/upper bounds in every
+    # data_file manifest entry (Appendix-D single-value
+    # serialization from the LakeTable footer stats) + bounds-based
+    # file pruning in the reader.  New query anchor; the other
+    # iceberg queries stay tier-1 at 13.
+    "q_table_iceberg_prune": 13,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

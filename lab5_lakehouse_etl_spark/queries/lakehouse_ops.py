@@ -1135,3 +1135,60 @@ def q_table_iceberg_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
         "from_snapshot",
     )
+
+
+@query(
+    "q_table_iceberg_prune",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)        AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey BETWEEN 500 AND 1500
+    """,
+)
+def q_table_iceberg_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg BOUNDS-based scan planning (r13): the exporter emits
+    per-column ``lower_bounds``/``upper_bounds`` in every data_file
+    manifest entry (spec Appendix-D single-value serialization —
+    little-endian numerics, UTF-8 strings — sourced from the
+    LakeTable manifest's footer stats for free), and the snapshot
+    reader eliminates data files whose bounds prove them disjoint
+    from the query's ranges BEFORE the parquet scan — exactly how
+    real Iceberg plans a filtered scan from manifests alone, no
+    footer reads.
+
+    The fixture range-partitions orders on o_orderkey into 8 files
+    with disjoint key ranges, exports, then reads through the
+    metadata with ``prune={'o_orderkey': (500, 1500)}`` plus the same
+    predicate on the relation (pruning is an I/O optimization, never
+    a filter); at sf0.01 the pruned scan touches 1 of 8 files
+    (pinned in tests/test_iceberg_meta.py — the oracle pins VALUES,
+    so a wrong bound serialization that over-prunes loses rows and
+    breaks the hash, while under-pruning breaks the pytest file-count
+    pin).
+
+    Scale: this is THE property that makes Iceberg metadata useful at
+    100 TB — a selective scan goes manifest-list → bounds → the few
+    matching files, never listing or footer-probing the other
+    99.9%."""
+    tune(spark)
+    from ..lakehouse.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = scratch_dir("q_table_iceberg_prune", fresh=True) + "/t"
+    t = LakeTable.create(orders.repartitionByRange(8, "o_orderkey"), path)
+    export_iceberg_metadata(t)
+    snap = read_iceberg_snapshot(
+        spark, path, prune={"o_orderkey": (500, 1500)}
+    ).filter(F.col("o_orderkey").between(500, 1500))
+    return snap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )

@@ -442,3 +442,53 @@ def test_optimize_materializes_deletes_away(spark, nation_table):
     got = IM.read_iceberg_snapshot(spark, t.path)
     want = t.read(spark)
     assert _rows(got.select(*want.columns)) == _rows(want)
+
+
+def test_bounds_export_and_file_pruning(spark, tmp_path):
+    """Per-column bounds land in the manifest entries (Appendix-D
+    single-value serialization) and the reader's prune hint eliminates
+    disjoint files BEFORE the scan: 8 range-partitioned files, a
+    1000-key range touches exactly the file(s) whose bounds overlap —
+    and values equal the unpruned read under the same predicate."""
+    orders = load_table(spark, SF_DIR, "orders")
+    t = LakeTable.create(
+        orders.repartitionByRange(8, "o_orderkey"), str(tmp_path / "t")
+    )
+    IM.export_iceberg_metadata(t)
+    doc = IM._load_metadata(t.path)
+    (snap,) = doc["snapshots"]
+    (mf,) = IM.avro.read_container(snap["manifest-list"])[1]
+    entries = IM.avro.read_container(mf["manifest_path"])[1]
+    id_of = {
+        f["name"]: f["id"] for f in doc["schemas"][0]["fields"]
+    }
+    kid = id_of["o_orderkey"]
+    los, his = [], []
+    for e in entries:
+        lo = {r["key"]: r["value"] for r in e["data_file"]["lower_bounds"]}
+        hi = {r["key"]: r["value"] for r in e["data_file"]["upper_bounds"]}
+        los.append(IM.deserialize_bound(bytes(lo[kid]), "long"))
+        his.append(IM.deserialize_bound(bytes(hi[kid]), "long"))
+    # 8 files with disjoint, ordered key ranges
+    order = sorted(range(len(los)), key=lambda i: los[i])
+    for a, b in zip(order, order[1:]):
+        assert his[a] < los[b]
+
+    from pyspark.sql import functions as F
+
+    full = IM.read_iceberg_snapshot(spark, t.path)
+    pruned = IM.read_iceberg_snapshot(
+        spark, t.path, prune={"o_orderkey": (500, 1500)}
+    )
+    n_full = full.select(F.input_file_name()).distinct().count()
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    assert n_full == 8 and n_pruned < n_full
+    a = full.filter("o_orderkey BETWEEN 500 AND 1500")
+    b = pruned.filter("o_orderkey BETWEEN 500 AND 1500")
+    assert _rows(a) == _rows(b)
+    # a range past the table prunes EVERYTHING and still returns an
+    # empty, well-typed relation
+    none = IM.read_iceberg_snapshot(
+        spark, t.path, prune={"o_orderkey": (10**12, 10**12 + 5)}
+    )
+    assert none.count() == 0 and none.columns == full.columns
