@@ -189,6 +189,70 @@ def _b1_b2(ref_changes: list[int], a0: int, color: int, width: int):
     return b1, b2
 
 
+def _decode_row_2d(br: _BitReader, ref_changes: list[int], width: int) -> bytearray:
+    """Decode ONE 2-D-coded row against its reference line — the T.6
+    row coder, shared verbatim by G4 strips and T.4 2-D rows."""
+    row = bytearray(width)
+    a0 = -1
+    color = 0
+    while (a0 if a0 >= 0 else 0) < width:
+        b1, b2 = _b1_b2(ref_changes, a0, color, width)
+        # mode decision tree (T.6 table 1): V0=1, VR1=011, VL1=010,
+        # H=001, P=0001, VR2=000011, VL2=000010, VR3=0000011,
+        # VL3=0000010, EOFB prefix=0000000...
+        if br.take_bit():
+            a1 = b1  # V0
+        elif br.take_bit():
+            a1 = b1 + 1 if br.take_bit() else b1 - 1  # 011/010
+        elif br.take_bit():
+            # 001: horizontal — two MH runs from a0
+            a0s = max(a0, 0)
+            r1 = _read_run(br, color)
+            r2 = _read_run(br, 1 - color)
+            if r1 == 0 and r2 == 0:
+                raise ValueError("CCITT G4 zero-progress horizontal")
+            a1 = a0s + r1
+            a2 = a1 + r2
+            if a2 > width or a1 > width:
+                raise ValueError("CCITT G4 horizontal run overruns row")
+            if color:
+                row[a0s:a1] = b"\x01" * (a1 - a0s)
+            else:
+                row[a1:a2] = b"\x01" * (a2 - a1)
+            a0 = a2
+            continue
+        elif br.take_bit():
+            # 0001: pass — a0..b2-1 keep the current colour
+            if color:
+                lo, hi = max(a0, 0), min(b2, width)
+                row[lo:hi] = b"\x01" * (hi - lo)
+            a0 = b2
+            continue
+        elif br.take_bit():
+            a1 = b1 + 2 if br.take_bit() else b1 - 2  # 000011/000010
+        elif br.take_bit():
+            a1 = b1 + 3 if br.take_bit() else b1 - 3  # 0000011/0000010
+        else:
+            # 0000000...: EOFB or damage — either way the strip has
+            # no more rows for us
+            raise ValueError(
+                "CCITT G4 stream ended before the strip filled"
+            )
+        # vertical modes land here with a1 set
+        if a1 < 0 or a1 > width:
+            raise ValueError("CCITT G4 vertical mode out of range")
+        if a0 >= 0 and a1 <= a0:
+            # changing elements are strictly increasing; a corrupt
+            # stream violating that would loop forever
+            raise ValueError("CCITT G4 vertical mode moves backwards")
+        if color:
+            lo = max(a0, 0)
+            row[lo:a1] = b"\x01" * (a1 - lo)
+        a0 = a1
+        color ^= 1
+    return row
+
+
 def g4_decode(data: bytes, width: int, height: int) -> bytes:
     """Decode a T.6 strip to one byte per pixel (1 = black)."""
     if width <= 0 or height <= 0:
@@ -197,67 +261,8 @@ def g4_decode(data: bytes, width: int, height: int) -> bytes:
     out = bytearray()
     ref_changes: list[int] = []  # imaginary all-white line above row 0
     for _y in range(height):
-        row = bytearray(width)
-        cur_changes: list[int] = []
-        a0 = -1
-        color = 0
-        while (a0 if a0 >= 0 else 0) < width:
-            b1, b2 = _b1_b2(ref_changes, a0, color, width)
-            # mode decision tree (T.6 table 1): V0=1, VR1=011, VL1=010,
-            # H=001, P=0001, VR2=000011, VL2=000010, VR3=0000011,
-            # VL3=0000010, EOFB prefix=0000000...
-            if br.take_bit():
-                a1 = b1  # V0
-            elif br.take_bit():
-                a1 = b1 + 1 if br.take_bit() else b1 - 1  # 011/010
-            elif br.take_bit():
-                # 001: horizontal — two MH runs from a0
-                a0s = max(a0, 0)
-                r1 = _read_run(br, color)
-                r2 = _read_run(br, 1 - color)
-                if r1 == 0 and r2 == 0:
-                    raise ValueError("CCITT G4 zero-progress horizontal")
-                a1 = a0s + r1
-                a2 = a1 + r2
-                if a2 > width or a1 > width:
-                    raise ValueError("CCITT G4 horizontal run overruns row")
-                if color:
-                    row[a0s:a1] = b"\x01" * (a1 - a0s)
-                else:
-                    row[a1:a2] = b"\x01" * (a2 - a1)
-                a0 = a2
-                continue
-            elif br.take_bit():
-                # 0001: pass — a0..b2-1 keep the current colour
-                if color:
-                    lo, hi = max(a0, 0), min(b2, width)
-                    row[lo:hi] = b"\x01" * (hi - lo)
-                a0 = b2
-                continue
-            elif br.take_bit():
-                a1 = b1 + 2 if br.take_bit() else b1 - 2  # 000011/000010
-            elif br.take_bit():
-                a1 = b1 + 3 if br.take_bit() else b1 - 3  # 0000011/0000010
-            else:
-                # 0000000...: EOFB or damage — either way the strip has
-                # no more rows for us
-                raise ValueError(
-                    "CCITT G4 stream ended before the strip filled"
-                )
-            # vertical modes land here with a1 set
-            if a1 < 0 or a1 > width:
-                raise ValueError("CCITT G4 vertical mode out of range")
-            if a0 >= 0 and a1 <= a0:
-                # changing elements are strictly increasing; a corrupt
-                # stream violating that would loop forever
-                raise ValueError("CCITT G4 vertical mode moves backwards")
-            if color:
-                lo = max(a0, 0)
-                row[lo:a1] = b"\x01" * (a1 - lo)
-            a0 = a1
-            color ^= 1
-        cur_changes = _changes_of(row, width)
-        ref_changes = cur_changes
+        row = _decode_row_2d(br, ref_changes, width)
+        ref_changes = _changes_of(row, width)
         out += row
     return bytes(out)
 
@@ -275,6 +280,61 @@ def _emit_run(bits: list[str], run: int, color: int) -> None:
     bits.append(term[run])
 
 
+def _encode_row_2d(
+    bits: list[str],
+    ref_changes: list[int],
+    cur_changes: list[int],
+    width: int,
+) -> None:
+    """Encode ONE row 2-D against its reference line (the T.6 row
+    coder, shared by G4 strips and T.4 2-D rows)."""
+    a0 = -1
+    color = 0
+    while (a0 if a0 >= 0 else 0) < width:
+        # a1: next changing element right of a0 with colour
+        # opposite to the coding colour (same parity rule as b1)
+        i = bisect_right(cur_changes, a0 if a0 >= 0 else -1)
+        while i < len(cur_changes) and i % 2 != (
+            0 if color == 0 else 1
+        ):
+            i += 1
+        a1 = cur_changes[i] if i < len(cur_changes) else width
+        b1, b2 = _b1_b2(ref_changes, a0, color, width)
+        if b2 < a1:
+            bits.append("0001")  # pass
+            a0 = b2
+            continue
+        d = a1 - b1
+        if -3 <= d <= 3:
+            bits.append(
+                {
+                    0: "1",
+                    1: "011", -1: "010",
+                    2: "000011", -2: "000010",
+                    3: "0000011", -3: "0000010",
+                }[d]
+            )
+            a0 = a1
+            color ^= 1
+            continue
+        # horizontal: two runs from max(a0, 0)
+        j = i + 1
+        a2 = cur_changes[j] if j < len(cur_changes) else width
+        bits.append("001")
+        a0s = max(a0, 0)
+        _emit_run(bits, a1 - a0s, color)
+        _emit_run(bits, a2 - a1, 1 - color)
+        a0 = a2
+
+
+def _pack_bits(bits: list[str]) -> bytes:
+    stream = "".join(bits)
+    stream += "0" * (-len(stream) % 8)
+    return bytes(
+        int(stream[i : i + 8], 2) for i in range(0, len(stream), 8)
+    )
+
+
 def g4_encode(pixels: bytes, width: int, height: int) -> bytes:
     """Encode one-byte-per-pixel bilevel content (nonzero = black) as
     a T.6 strip, EOFB-terminated."""
@@ -288,47 +348,148 @@ def g4_encode(pixels: bytes, width: int, height: int) -> bytes:
     for y in range(height):
         row = [1 if pixels[y * width + x] else 0 for x in range(width)]
         cur_changes = _changes_of(row, width)
-        a0 = -1
-        color = 0
-        while (a0 if a0 >= 0 else 0) < width:
-            # a1: next changing element right of a0 with colour
-            # opposite to the coding colour (same parity rule as b1)
-            i = bisect_right(cur_changes, a0 if a0 >= 0 else -1)
-            while i < len(cur_changes) and i % 2 != (
-                0 if color == 0 else 1
-            ):
-                i += 1
-            a1 = cur_changes[i] if i < len(cur_changes) else width
-            b1, b2 = _b1_b2(ref_changes, a0, color, width)
-            if b2 < a1:
-                bits.append("0001")  # pass
-                a0 = b2
-                continue
-            d = a1 - b1
-            if -3 <= d <= 3:
-                bits.append(
-                    {
-                        0: "1",
-                        1: "011", -1: "010",
-                        2: "000011", -2: "000010",
-                        3: "0000011", -3: "0000010",
-                    }[d]
-                )
-                a0 = a1
-                color ^= 1
-                continue
-            # horizontal: two runs from max(a0, 0)
-            j = i + 1
-            a2 = cur_changes[j] if j < len(cur_changes) else width
-            bits.append("001")
-            a0s = max(a0, 0)
-            _emit_run(bits, a1 - a0s, color)
-            _emit_run(bits, a2 - a1, 1 - color)
-            a0 = a2
+        _encode_row_2d(bits, ref_changes, cur_changes, width)
         ref_changes = cur_changes
     bits.append("000000000001" * 2)  # EOFB
-    stream = "".join(bits)
-    stream += "0" * (-len(stream) % 8)
-    return bytes(
-        int(stream[i : i + 8], 2) for i in range(0, len(stream), 8)
-    )
+    return _pack_bits(bits)
+
+
+# ------------------------------------------ T.4 variants (MH and G3)
+
+
+def _decode_row_1d(br: _BitReader, width: int) -> bytearray:
+    """Decode ONE 1-D (modified-Huffman) row: alternating white/black
+    MH runs summing exactly to the row width."""
+    row = bytearray(width)
+    pos = 0
+    color = 0
+    while pos < width:
+        run = _read_run(br, color)
+        if pos + run > width:
+            raise ValueError("CCITT MH run overruns row")
+        if color:
+            row[pos : pos + run] = b"\x01" * run
+        pos += run
+        color ^= 1
+    return row
+
+
+def _encode_row_1d(bits: list[str], row, width: int) -> None:
+    changes = _changes_of(row, width)
+    pos = 0
+    color = 0
+    for c in changes + [width]:
+        _emit_run(bits, c - pos, color)
+        pos = c
+        color ^= 1
+        if pos >= width:
+            break
+
+
+def mh_decode(data: bytes, width: int, height: int) -> bytes:
+    """TIFF Compression 2 (Modified Huffman / "CCITT RLE"): each row
+    an independent 1-D MH code starting on a BYTE boundary (the TIFF
+    spec's byte-alignment rule for this compression)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("CCITT MH dimensions invalid")
+    br = _BitReader(data)
+    out = bytearray()
+    for _y in range(height):
+        out += _decode_row_1d(br, width)
+        br.pos = (br.pos + 7) & ~7  # rows are byte-aligned
+    return bytes(out)
+
+
+def mh_encode(pixels: bytes, width: int, height: int) -> bytes:
+    """Encoder twin of :func:`mh_decode` (gray-ink convention as
+    :func:`g4_encode`: nonzero byte = black)."""
+    if len(pixels) != width * height:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes; "
+            f"expected {width * height}"
+        )
+    out = bytearray()
+    for y in range(height):
+        bits: list[str] = []
+        row = [1 if pixels[y * width + x] else 0 for x in range(width)]
+        _encode_row_1d(bits, row, width)
+        out += _pack_bits(bits)  # per-row pack = byte alignment
+    return bytes(out)
+
+
+_EOL = "000000000001"
+
+
+def _expect_eol(br: _BitReader) -> None:
+    """Consume fill bits + one EOL: zero or more 0s, then the 12-bit
+    EOL's closing 1 (T.4 permits fill zeros before every EOL; at
+    least 11 zeros must precede the 1)."""
+    zeros = 0
+    while True:
+        if br.take_bit():
+            if zeros < 11:
+                raise ValueError("CCITT G3: malformed EOL")
+            return
+        zeros += 1
+        if zeros > 64 + 11:  # fill is bounded in practice; corrupt
+            raise ValueError("CCITT G3: runaway EOL fill")
+
+
+def g3_decode(
+    data: bytes, width: int, height: int, two_d: bool = False
+) -> bytes:
+    """TIFF Compression 3 (ITU-T T.4 / Group 3): every row preceded
+    by an EOL (with optional fill); in 2-D mode (T4Options bit 0) a
+    tag bit after each EOL selects 1-D (tag 1, MH runs) or 2-D
+    (tag 0, the T.6 row coder against the previous row)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("CCITT G3 dimensions invalid")
+    br = _BitReader(data)
+    out = bytearray()
+    ref_changes: list[int] = []
+    for _y in range(height):
+        _expect_eol(br)
+        if two_d:
+            if br.take_bit():
+                row = _decode_row_1d(br, width)
+            else:
+                row = _decode_row_2d(br, ref_changes, width)
+        else:
+            row = _decode_row_1d(br, width)
+        ref_changes = _changes_of(row, width)
+        out += row
+    return bytes(out)
+
+
+def g3_encode(
+    pixels: bytes, width: int, height: int, two_d: bool = False
+) -> bytes:
+    """Encoder twin of :func:`g3_decode`: 1-D mode emits EOL + MH
+    rows; 2-D mode emits EOL + tag per row, coding row 0 as 1-D and
+    later rows 2-D against their predecessor (a legal K-parameter
+    choice any T.4 decoder accepts), RTC-terminated."""
+    if len(pixels) != width * height:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes; "
+            f"expected {width * height}"
+        )
+    bits: list[str] = []
+    ref_changes: list[int] = []
+    for y in range(height):
+        row = [1 if pixels[y * width + x] else 0 for x in range(width)]
+        cur_changes = _changes_of(row, width)
+        bits.append(_EOL)
+        if two_d:
+            if y == 0:
+                bits.append("1")
+                _encode_row_1d(bits, row, width)
+            else:
+                bits.append("0")
+                _encode_row_2d(bits, ref_changes, cur_changes, width)
+        else:
+            _encode_row_1d(bits, row, width)
+        ref_changes = cur_changes
+    # RTC: six EOLs (with tag bit 1 each in 2-D mode, per T.4)
+    for _ in range(6):
+        bits.append(_EOL + ("1" if two_d else ""))
+    return _pack_bits(bits)

@@ -1259,7 +1259,7 @@ def bmp_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def _fixture_tiff(media_id: int) -> tuple[int, int, bytes]:
     """Deterministic TIFF for one media id: ``width = 8 + id % 9``,
     ``height = 8 + (id // 9) % 9``.  The ENCODING cycles per id
-    (``id % 8``) through every decode shape: grayscale uncompressed
+    (``id % 9``) through every decode shape: grayscale uncompressed
     little-endian (kind 0 — pixel ``k`` = ``(id*31 + k*7) % 256``),
     RGB uncompressed big-endian (kind 1 — sample ``i`` =
     ``(id*23 + i*3) % 256``), RGB TIFF-LZW (kind 2), RGB TIFF-LZW
@@ -1272,24 +1272,26 @@ def _fixture_tiff(media_id: int) -> tuple[int, int, bytes]:
     reuses their closed forms), RGB PackBits (kind 5 — same RGB
     formula through the RLE packets), grayscale Deflate with
     predictor 2 (kind 6 — the gray formula through zlib +
-    differencing), and BILEVEL CCITT G4 in a multi-strip layout
+    differencing), BILEVEL CCITT G4 in a multi-strip layout
     (kind 7 — ink at (x, y) iff ``(x//3 + y//2 + id) % 5 == 0``,
     decoding to 0/255 gray through the T.6 vertical/pass/horizontal
-    machinery)."""
+    machinery), and BILEVEL CCITT G3 2-D (kind 8 — same ink formula
+    through the T.4 EOL-framed tagged rows)."""
     import numpy as np
 
     from . import tiff
 
     width = 8 + media_id % 9
     height = 8 + (media_id // 9) % 9
-    kind = media_id % 8
-    if kind == 7:
+    kind = media_id % 9
+    if kind in (7, 8):
         x = np.arange(width, dtype=np.int64)[None, :]
         y = np.arange(height, dtype=np.int64)[:, None]
         ink = ((x // 3 + y // 2 + media_id) % 5 == 0)
         gray = np.where(ink, 0, 255).astype(np.uint8)
         return width, height, tiff.encode_tiff(
-            width, height, gray.tobytes(), compression="g4",
+            width, height, gray.tobytes(),
+            compression="g4" if kind == 7 else "g3_2d",
             rows_per_strip=4,
         )
     if kind in (0, 6):

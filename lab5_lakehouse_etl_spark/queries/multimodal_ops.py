@@ -635,7 +635,7 @@ def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
       SELECT doc_id,
-             doc_id % 8              AS kind,
+             doc_id % 9              AS kind,
              8 + doc_id % 9          AS w,
              8 + (doc_id // 9) % 9   AS h
       FROM documents
@@ -649,7 +649,7 @@ def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE kind IN (0, 6)
       GROUP BY doc_id, kind, w, h
     ),
-    bil AS (  -- kind 7: CCITT G4 bilevel — ink iff (x//3+y//2+id)%5=0
+    bil AS (  -- kinds 7 (G4) / 8 (G3 2-D): bilevel — ink iff (x//3+y//2+id)%5=0
       SELECT doc_id, kind, w, h,
              CAST(SUM(CASE WHEN (x // 3 + y // 2 + doc_id) % 5 = 0
                            THEN 0 ELSE 255 END) AS BIGINT) AS sr,
@@ -658,7 +658,7 @@ def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p,
            LATERAL unnest(generate_series(0, w - 1)) AS bx(x),
            LATERAL unnest(generate_series(0, h - 1)) AS by(y)
-      WHERE kind = 7
+      WHERE kind IN (7, 8)
       GROUP BY doc_id, kind, w, h
     ),
     rgb AS (  -- kinds 1/2/3/5: direct sample formula over 3*w*h
@@ -694,7 +694,7 @@ def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id            AS media_id,
            CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height,
-           CAST(CASE WHEN kind IN (0, 6, 7) THEN 1 ELSE 3 END AS BIGINT)
+           CAST(CASE WHEN kind IN (0, 6, 7, 8) THEN 1 ELSE 3 END AS BIGINT)
                AS channels,
            sr AS sum_r, sg AS sum_g, sb AS sum_b
     FROM u
@@ -708,8 +708,8 @@ def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     RGB TIFF-LZW / RGB TIFF-LZW + predictor-2 horizontal differencing
     in a MULTI-STRIP big-endian layout / 8-bit palette through the
     16-bit ColorMap / RGB PackBits RLE / grayscale Deflate +
-    predictor 2 / bilevel CCITT G4 in a multi-strip layout —
-    functions/tiff.py + functions/ccitt.py), decode, and emit
+    predictor 2 / bilevel CCITT G4 and G3 2-D in multi-strip
+    layouts — functions/tiff.py + functions/ccitt.py), decode, and emit
     per-image dimensions + exact channel sums (gray and bilevel rows
     yield NULL sum_g/sum_b on both engines).
 

@@ -798,8 +798,12 @@ def test_codec_corruption_always_terminates(codec, flip_at, flip_bits, seed):
     elif codec == "tiff":
         from lab5_lakehouse_etl_spark.functions import tiff
 
-        comp = ("lzw", "deflate", "packbits")[seed % 3]
-        data = tiff.encode_tiff(9, 6, bytes(rng.integers(0, 256, 162, dtype=np.uint8)), channels=3, compression=comp, predictor=2 if comp != "packbits" else 1, rows_per_strip=2)
+        comp = ("lzw", "deflate", "packbits", "g4", "mh", "g3_2d")[seed % 6]
+        if comp in ("g4", "mh", "g3_2d"):
+            gray = (rng.integers(0, 2, 54, dtype=np.uint8) * 255).tobytes()
+            data = tiff.encode_tiff(9, 6, gray, compression=comp, rows_per_strip=2)
+        else:
+            data = tiff.encode_tiff(9, 6, bytes(rng.integers(0, 256, 162, dtype=np.uint8)), channels=3, compression=comp, predictor=2 if comp != "packbits" else 1, rows_per_strip=2)
         dec = tiff.decode_tiff
     else:
         data = bmp.encode_bmp(9, 6, bytes(rng.integers(0, 256, 162, dtype=np.uint8)))
@@ -1026,7 +1030,11 @@ def test_tiff_rejects_out_of_scope():
         return bytes(out)
 
     with pytest.raises(NotImplementedError, match="compression"):
-        tiff.decode_tiff(with_tag(good, 259, 2))  # CCITT RLE
+        tiff.decode_tiff(with_tag(good, 259, 7))  # JPEG-in-TIFF
+    # CCITT coding over a non-bilevel image is malformed, not merely
+    # unsupported (MH/G3/G4 are all IN scope for bilevel since r13)
+    with pytest.raises(ValueError, match="bilevel"):
+        tiff.decode_tiff(with_tag(good, 259, 2))
     with pytest.raises(NotImplementedError, match="Planar"):
         tiff.decode_tiff(with_tag(good, 284, 2))
     # tiled layout refused loudly: append a TileWidth tag is overkill —
@@ -1075,7 +1083,7 @@ def test_tiff_multipage_roundtrip_property(n_pages, big_endian, seed):
     w=st.integers(1, 40),
     h=st.integers(1, 24),
     shape=st.sampled_from(["noise", "sparse", "stripes", "blank"]),
-    compression=st.sampled_from(["none", "g4"]),
+    compression=st.sampled_from(["none", "g4", "mh", "g3", "g3_2d"]),
     rps=st.integers(0, 7),
     seed=st.integers(0, 2**32 - 1),
 )
@@ -1083,9 +1091,11 @@ def test_tiff_bilevel_roundtrip_property(w, h, shape, compression, rps, seed):
     """Bilevel TIFF is LOSSLESS: packed-bit and CCITT G4 strips both
     reproduce the 0/255 gray raster exactly across content shapes
     (noise exercises horizontal MH runs, stripes the vertical modes,
-    sparse the pass mode, blank the all-white degenerate row) and
-    arbitrary strip splits (each strip is an independent G4 stream
-    whose reference line resets — a carry-over bug breaks rps < h)."""
+    sparse the pass mode, blank the all-white degenerate row), the
+    whole CCITT fax family (G4, byte-aligned MH, EOL-framed G3 1-D
+    and tag-bit 2-D) and arbitrary strip splits (each strip is an
+    independent stream whose reference line resets — a carry-over
+    bug breaks rps < h)."""
     rng = np.random.default_rng(seed)
     if shape == "noise":
         ink = rng.random((h, w)) < 0.5

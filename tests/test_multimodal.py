@@ -1204,8 +1204,8 @@ def test_decode_image_dispatches_tiff(spark):
     ).collect()
     assert len(stats) == 25
     for r in stats:
-        kind = r.media_id % 8
-        assert r.channels == (1 if kind in (0, 6, 7) else 3)
+        kind = r.media_id % 9
+        assert r.channels == (1 if kind in (0, 6, 7, 8) else 3)
         assert r.width == 8 + r.media_id % 9
         assert r.height == 8 + (r.media_id // 9) % 9
 
@@ -1262,3 +1262,20 @@ def test_tiled_tiff_decodes_java_imageio_goldens():
         os.path.join(data_dir, "golden_tiled_g4.tiff"), "rb"
     ).read()
     assert tiff.decode_tiff(payload) == (75, 53, 1, truth)
+
+
+def test_g3_mh_decode_java_imageio_goldens():
+    """Modified-Huffman (Compression 2, "CCITT RLE") and Group 3
+    (Compression 3, "CCITT T.4" — which ImageIO writes in 2-D mode,
+    T4Options=1, EOL + tag-bit rows) interop: both goldens carry the
+    same 61x40 sparse-ink raster; our encoder's mh / g3-1D / g3-2D
+    outputs read back through ImageIO at build time."""
+    import os
+
+    from lab5_lakehouse_etl_spark.functions import tiff
+
+    data_dir = os.path.join(os.path.dirname(__file__), "data")
+    truth = open(os.path.join(data_dir, "golden_g3.gray"), "rb").read()
+    for name in ("golden_g3_mh.tiff", "golden_g3_t4.tiff"):
+        payload = open(os.path.join(data_dir, name), "rb").read()
+        assert tiff.decode_tiff(payload) == (61, 40, 1, truth), name
