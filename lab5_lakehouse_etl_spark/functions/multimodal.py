@@ -624,9 +624,9 @@ def corrupt_png_media_from_ids(
     ids ≡ 3 a lossless WebP truncated mid-chunk (the declared
     chunk size no longer matches — corrupt, loudly; non-deterministic
     bit flips are the fuzz test's job, a closed-form oracle needs
-    deterministic corruptness), ids ≡ 4 a VALID TIFF (the palette
-    kind of the r13 TIFF fixture — the ok verdict must carry its
-    dims through the TIFF path too), and ids ≡ 5 a TIFF cut INSIDE
+    deterministic corruptness), ids ≡ 4 a VALID TIFF (kind cycling per id % 9, exactly the r13
+    TIFF fixture — the ok verdict must carry its dims through the
+    TIFF path too, whatever the kind), and ids ≡ 5 a TIFF cut INSIDE
     its trailing IFD (the entry walk runs out of bytes — a
     deterministic structural failure; damage to LZW strip DATA would
     not be deterministic corruptness, TIFF strips carry no

@@ -300,7 +300,7 @@ _REWRITTEN_IN: dict[str, int] = {
     # dropDuplicates to a deterministic corpus-wins left-anti union
     # (r10 advice; identical values on the declared fixtures where
     # overlap rows are identical, but the executed plan changed).
-    "q_stream_neardup": 11,
+    # "q_stream_neardup": 11,  # superseded by the r12 entry below
     "q_skew_salted_agg": 10,
     "q_skew_salted_join": 10,
     # Round-11: the real PNG decode path (functions/png.py +
@@ -320,7 +320,7 @@ _REWRITTEN_IN: dict[str, int] = {
     # scoped manifest decision; the multimodal.py edit is additive-only
     # (every function the five pre-existing multimodal queries reach is
     # byte-identical, recorded in the manifest scope reason).
-    "q_multimodal_audio": 11,
+    # "q_multimodal_audio": 11,  # superseded by the r12 entry below
     # (video/resize r11 entries superseded by the r12 ADVICE-fix
     # batch below)
     # Round-11 (third batch): pure Python/numpy baseline JPEG codec
@@ -348,11 +348,11 @@ _REWRITTEN_IN: dict[str, int] = {
     # CAST(... AS DOUBLE) (r11 advice — DuckDB DECIMAL vs float64
     # divergence on 36 of 256^3 triples), so its r11 green row
     # certifies a different oracle text.
-    "q_multimodal_jpeg": 12,
-    "q_multimodal_jpeg_color": 12,
+    # "q_multimodal_jpeg": 12,  # superseded by the r13 entry below
+    # "q_multimodal_jpeg_color": 12,  # superseded by the r13 entry below
     # Round-12: new 4:2:0 decode query — listed (like r11's new-query
     # entries) so the scoped dep-manifest decision can anchor on it.
-    "q_multimodal_jpeg420": 12,
+    # "q_multimodal_jpeg420": 12,  # superseded by the r13 entry below
     # Round-12 (second batch), the two r11 ADVICE contract fixes:
     # decode_y4m now returns the colourspace and sample_video_stats
     # derives plane sizes from it (C420 payloads previously mis-sliced
@@ -362,22 +362,22 @@ _REWRITTEN_IN: dict[str, int] = {
     # declared C444/RGB fixtures, but both executed code paths
     # changed.
     "q_multimodal_video": 12,
-    "q_multimodal_resize_real": 12,
+    # "q_multimodal_resize_real": 12,  # superseded by the r13 entry below
     # Round-12 (third batch): PNG palette decode (color type 3,
     # depths 1/2/4/8, PLTE/tRNS) — functions/png.py decode_png was
     # restructured (stride/bpp split, palette expansion stage), and
     # the q_image_dedup fixture now re-encodes odd copies as palette
     # PNGs, so every query decoding PNGs through decode_png/
     # decode_image re-verifies.
-    "q_image_dedup": 12,
-    "q_multimodal_decode": 12,
-    "q_media_quarantine": 12,
-    "q_image_features": 12,
+    # "q_image_dedup": 12,  # superseded by the r13 entry below
+    # "q_multimodal_decode": 12,  # superseded by the r13 entry below
+    # "q_media_quarantine": 12,  # superseded by the r13 entry below
+    # "q_image_features": 12,  # superseded by the r13 entry below
     # Round-12 (fourth batch): Iceberg spec-v2 metadata interchange —
     # new modules lakehouse/avro.py + lakehouse/iceberg_meta.py,
     # executed only by this new query (anchor for the scoped manifest
     # decision, like q_table_delta_log in r11).
-    "q_table_iceberg": 12,
+    # "q_table_iceberg": 12,  # superseded by the r13 entry below
     # Round-12 (fifth batch): the build-once scratch-artifact pattern
     # consolidated into functions/artifacts.ensure_lake_artifact (r11
     # verdict next-round #4).  Artifact paths, digests and persisted
@@ -423,7 +423,7 @@ _REWRITTEN_IN: dict[str, int] = {
     # factored into _assemble_pixels (shared with baseline, moved
     # verbatim).  All JPEG-decoding queries were already bumped to 12
     # above; this new query anchors the batch.
-    "q_multimodal_jpeg_prog": 12,
+    # "q_multimodal_jpeg_prog": 12,  # superseded by the r13 entry below
     # Round-12 (ninth batch): modality-complete quarantine — the
     # audio/video ingest-validation gate (corrupt_av_media_from_ids +
     # decode_or_quarantine_av: WAV/FLAC/Y4M verdicts incl. a
@@ -435,16 +435,16 @@ _REWRITTEN_IN: dict[str, int] = {
     # inversions) + a decode_image dispatch arm; this new query
     # anchors the batch (its fixture cycles every encoding shape
     # under one closed-form oracle).
-    "q_multimodal_webp": 12,
+    # "q_multimodal_webp": 12,  # superseded by the r13 entry below
     # Round-12 (eleventh batch): GIF decode — new module
     # functions/gif.py (variable-width LZW with the GIF growth
     # convention, interlace, GIF89a transparency) + a decode_image
     # dispatch arm; this new query anchors the batch.
-    "q_multimodal_gif": 12,
+    # "q_multimodal_gif": 12,  # superseded by the r13 entry below
     # Round-12 (twelfth batch): BMP decode — new module
     # functions/bmp.py (uncompressed DIB: 8/24/32-bit, both row
     # orders, stride padding, BGRX palette) + a dispatch arm.
-    "q_multimodal_bmp": 12,
+    # "q_multimodal_bmp": 12,  # superseded by the r13 entry below
     # Round-13 (first batch): Iceberg position-delete export for
     # DV-bearing tables (r12 verdict next-round #3) — iceberg_meta.py
     # RESTRUCTURED on both sides: the export loop's manifest-list
@@ -477,7 +477,7 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_multimodal_resize_real": 13,
     "q_image_dedup": 13,
     "q_image_features": 13,
-    "q_media_quarantine": 13,
+    # "q_media_quarantine": 13,  # superseded by the r14 entry below
     # Round-13 (third batch): q_ann_recall_monitor phase attribution
     # (r12 verdict next-round #4) — the query body gained the
     # build/append/probe wall+job split (ANN_MONITOR_PHASES) read by
@@ -489,7 +489,7 @@ _REWRITTEN_IN: dict[str, int] = {
     # batch).  The two new r13 queries anchor their batches here:
     "q_ann_recall_monitor": 13,
     "q_table_iceberg_dv": 13,
-    "q_multimodal_tiff": 13,
+    # "q_multimodal_tiff": 13,  # superseded by the r14 entry below
     # Round-13 (fourth batch): Iceberg column-mapping export — field
     # ids re-keyed on PHYSICAL names + the schema.name-mapping.default
     # property, reader resolves physical->logical through it.  New
@@ -502,6 +502,21 @@ _REWRITTEN_IN: dict[str, int] = {
     # file pruning in the reader.  New query anchor; the other
     # iceberg queries stay tier-1 at 13.
     "q_table_iceberg_prune": 13,
+    # Round-14 (first batch): TIFF 6.0 word alignment (r13 ADVICE) —
+    # _layout_page now pads odd-length strips and out-of-line tag
+    # blobs (and hence the IFD start) to even offsets.  Semantic
+    # change to the ENCODER only; decode is untouched and
+    # decode(encode(x)) == x still byte-exact (property tests).  The
+    # two queries that execute encode_tiff at query time re-verify:
+    # this one (value-identical by construction — outputs are decoded
+    # sample sums) and q_media_quarantine (its ids≡5 truncation cuts
+    # the last 20 bytes, still inside the trailing IFD since padding
+    # precedes the IFD and every page IFD is >= 2+12*8+4 bytes).  The
+    # other 19 flagged queries never reach encode_tiff; their
+    # multimodal.py dependency drift is docstring-only (scope
+    # decision recorded in the dep-manifest audit trail).
+    "q_multimodal_tiff": 14,
+    "q_media_quarantine": 14,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

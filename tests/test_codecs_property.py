@@ -1027,7 +1027,13 @@ def test_tiff_rejects_out_of_scope():
             t, typ = struct.unpack("<HH", data[at : at + 4])
             if t == tag:
                 out[at + 8 : at + 12] = struct.pack("<I", value)
-        return bytes(out)
+                return bytes(out)
+        # tag absent: append an entry before the next-IFD pointer (the
+        # IFD is the file's last structure, so no offset shifts)
+        entry = struct.pack("<HHII", tag, 3, 1, value)
+        at = ifd_at + 2 + 12 * n
+        out[ifd_at : ifd_at + 2] = struct.pack("<H", n + 1)
+        return bytes(out[:at]) + entry + bytes(out[at:])
 
     with pytest.raises(NotImplementedError, match="compression"):
         tiff.decode_tiff(with_tag(good, 259, 7))  # JPEG-in-TIFF
@@ -1037,11 +1043,71 @@ def test_tiff_rejects_out_of_scope():
         tiff.decode_tiff(with_tag(good, 259, 2))
     with pytest.raises(NotImplementedError, match="Planar"):
         tiff.decode_tiff(with_tag(good, 284, 2))
-    # tiled layout refused loudly: append a TileWidth tag is overkill —
-    # the guard reads tag presence, so synthesize via the IFD map
-    from lab5_lakehouse_etl_spark.functions.tiff import _read_ifd
+    # FillOrder 2 (LSB-first bit packing) stays a loud refusal even
+    # though tiled layout (tag 322) decodes since r13
+    with pytest.raises(NotImplementedError, match="FillOrder"):
+        tiff.decode_tiff(with_tag(good, 266, 2))
 
-    assert 322 not in _read_ifd(good, "<")
+
+def _assert_tiff_word_aligned(data: bytes) -> None:
+    """TIFF 6.0 requires every offset (IFD starts, out-of-line tag
+    values, strip/tile data) to be word-aligned.  Our decoder and
+    Java ImageIO tolerate odd offsets, but strict readers may not —
+    so the encoder must pad (r13 advice, tiff.py:_layout_page)."""
+    import struct
+
+    bo = "<" if data[:2] == b"II" else ">"
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4}
+    (ifd_at,) = struct.unpack(bo + "I", data[4:8])
+    while ifd_at:
+        assert ifd_at % 2 == 0, f"odd IFD offset {ifd_at}"
+        (n,) = struct.unpack(bo + "H", data[ifd_at : ifd_at + 2])
+        for i in range(n):
+            at = ifd_at + 2 + 12 * i
+            tag, typ = struct.unpack(bo + "HH", data[at : at + 4])
+            (count,) = struct.unpack(bo + "I", data[at + 4 : at + 8])
+            if typ in sizes and sizes[typ] * count > 4:
+                (off,) = struct.unpack(bo + "I", data[at + 8 : at + 12])
+                assert off % 2 == 0, f"odd value offset for tag {tag}"
+        from lab5_lakehouse_etl_spark.functions.tiff import _read_ifd
+
+        tags = _read_ifd(data, bo, ifd_at)
+        for off_tag in (273, 324):
+            for off in tags.get(off_tag, []):
+                assert off % 2 == 0, f"odd data offset via tag {off_tag}"
+        at = ifd_at + 2 + 12 * n
+        (ifd_at,) = struct.unpack(bo + "I", data[at : at + 4])
+
+
+@settings(**_SETTINGS)
+@given(
+    n_pages=st.integers(1, 3),
+    big_endian=st.booleans(),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_tiff_encoder_word_alignment(n_pages, big_endian, seed):
+    """Encoder output satisfies TIFF 6.0 word alignment for every
+    offset, including odd-length compressed strips and odd-count
+    out-of-line BYTE values, across multi-page layouts."""
+    rng = np.random.default_rng(seed)
+    pages = []
+    for i in range(n_pages):
+        w = int(rng.integers(1, 23))
+        h = int(rng.integers(1, 17))
+        ch = int(rng.choice([1, 3]))
+        raw = rng.integers(0, 256, w * h * ch, dtype=np.uint8).tobytes()
+        pages.append(
+            {
+                "width": w, "height": h, "pixels": raw, "channels": ch,
+                "compression": ["none", "lzw", "deflate", "packbits"][i % 4],
+                "rows_per_strip": int(rng.integers(1, h + 1)),
+            }
+        )
+    data = tiff.encode_tiff_pages(pages, big_endian=big_endian)
+    _assert_tiff_word_aligned(data)
+    for i, p in enumerate(pages):
+        got = tiff.decode_tiff(data, page=i)
+        assert got == (p["width"], p["height"], p["channels"], p["pixels"])
 
 
 @settings(**_SETTINGS)
