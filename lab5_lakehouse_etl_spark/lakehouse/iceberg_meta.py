@@ -355,6 +355,16 @@ def _partition_avro_type(iceberg_type: str) -> str:
     )
 
 
+def _transform_avro_type(result_type: str) -> str | dict:
+    """Avro type of a non-identity transform's partition value:
+    bucket/year/month/hour -> int, truncate -> its source type, and
+    the day transform's date result is int days from epoch with the
+    Avro date logical annotation (spec Appendix A)."""
+    if result_type == "date":
+        return {"type": "int", "logicalType": "date"}
+    return _partition_avro_type(result_type)
+
+
 def _typed_partition_value(raw: str | None, iceberg_type: str):
     if raw is None:
         return None
@@ -504,7 +514,10 @@ def _write_position_deletes(
     return len(rows)
 
 
-def export_iceberg_metadata(table: LakeTable) -> str:
+def export_iceberg_metadata(
+    table: LakeTable,
+    partition_transforms: dict[str, tuple[str, str]] | None = None,
+) -> str:
     """Mirror every LakeTable version into ``<table>/metadata/`` as
     Iceberg spec-v2 metadata; returns the metadata directory.
 
@@ -513,7 +526,36 @@ def export_iceberg_metadata(table: LakeTable) -> str:
     Data files are NOT copied — manifests reference the existing
     ``data/...`` parquet tree by absolute path, exactly how Iceberg
     references files that external compactors wrote elsewhere.
-    """
+
+    ``partition_transforms`` declares that a hive partition column of
+    the LakeTable is a DERIVED transform value, not a data column:
+    ``{derived_col: (transform, source_col)}`` with ``transform`` one
+    of ``bucket[N]`` / ``truncate[W]`` / ``year`` / ``month`` /
+    ``day`` / ``hour`` (see ``iceberg_transforms``).  The exported
+    schema then EXCLUDES the derived column (a transform value lives
+    only in metadata + file layout, exactly like real Iceberg), the
+    spec field names the SOURCE column's field id with the transform
+    string, and the partition struct carries the transform's typed
+    result.  The exporter VERIFIES the claim per data file where the
+    transform is order-preserving: the source column's footer min/max
+    must map to the file's partition value (a file that violates it
+    was not actually partitioned by that transform — loud ValueError,
+    never wrong metadata).  Bucket values are range-checked
+    ``0 <= v < N``; their hash correctness is pinned by the
+    independent-validator tests (Guava murmur3 / Spark hashLong —
+    tests/test_iceberg_transforms.py)."""
+    from . import iceberg_transforms as _tr
+
+    transforms = dict(partition_transforms or {})
+    parsed_tr: dict[str, tuple[str, int | None, str]] = {}
+    for dcol, (tstr, src) in transforms.items():
+        tname, tparam = _tr.parse_transform(tstr)
+        if tname == "identity":
+            raise ValueError(
+                "identity belongs in partition_by, not "
+                "partition_transforms"
+            )
+        parsed_tr[dcol] = (tname, tparam, src)
     meta_dir = os.path.join(table.path, _META_DIR)
     if os.path.isdir(meta_dir):
         shutil.rmtree(meta_dir)
@@ -552,6 +594,23 @@ def export_iceberg_metadata(table: LakeTable) -> str:
         # logical name changes, which is Iceberg's rename semantics)
         fields = []
         for f in m["schema"]["fields"]:
+            if f["name"] in parsed_tr:
+                # a declared transform column is file layout, not data:
+                # it must be partitioned-by (else it would be a real
+                # data column this export silently hides) and never
+                # renamed (its name is the spec field name)
+                if f["name"] not in (m.get("partition_by") or []):
+                    raise ValueError(
+                        f"transform column {f['name']!r} is not a "
+                        "partition column in version "
+                        f"{v}; refusing to drop a data column"
+                    )
+                if f["name"] in mapping:
+                    raise NotImplementedError(
+                        f"transform column {f['name']!r} was renamed; "
+                        "unsupported"
+                    )
+                continue
             phys = mapping.get(f["name"], f["name"])
             if phys not in field_ids:
                 field_ids[phys] = len(field_ids) + 1
@@ -576,20 +635,44 @@ def export_iceberg_metadata(table: LakeTable) -> str:
             schema_id = len(schemas)
             schemas.append({**schema, "schema-id": schema_id})
 
-        # ---- partition spec (identity transforms)
+        # ---- partition spec (identity + declared transforms)
         partition_by = list(m.get("partition_by", []))
         type_of = {f["name"]: f["type"] for f in fields}
-        spec_fields = [
-            {
-                "name": c,
-                "transform": "identity",
-                "source-id": field_ids[c],
-                "field-id": 1000 + i,
-            }
-            for i, c in enumerate(partition_by)
-        ]
-        for c in partition_by:
-            _partition_avro_type(type_of[c])  # refusal check
+        #: derived col -> (tname, tparam, source iceberg type, result)
+        tr_field: dict[str, tuple] = {}
+        spec_fields = []
+        for i, c in enumerate(partition_by):
+            if c in parsed_tr:
+                tname, tparam, src = parsed_tr[c]
+                if src not in type_of:
+                    raise ValueError(
+                        f"transform source column {src!r} not in the "
+                        f"version-{v} schema"
+                    )
+                styp = type_of[src]
+                rtyp = _tr.result_type(tname, styp)
+                _transform_avro_type(rtyp)  # refusal check
+                tr_field[c] = (tname, tparam, src, styp, rtyp)
+                spec_fields.append(
+                    {
+                        "name": c,
+                        "transform": f"{tname}[{tparam}]"
+                        if tparam is not None
+                        else tname,
+                        "source-id": field_ids[mapping.get(src, src)],
+                        "field-id": 1000 + i,
+                    }
+                )
+            else:
+                _partition_avro_type(type_of[c])  # refusal check
+                spec_fields.append(
+                    {
+                        "name": c,
+                        "transform": "identity",
+                        "source-id": field_ids[c],
+                        "field-id": 1000 + i,
+                    }
+                )
         for i, s in enumerate(specs):
             if s["fields"] == spec_fields:
                 spec_id = i
@@ -606,10 +689,22 @@ def export_iceberg_metadata(table: LakeTable) -> str:
         for rel in added:
             add_seq[rel] = seq
             add_snap[rel] = snap_id
+        #: the typed result each partition struct field carries
+        part_result_type = {
+            pf["name"]: tr_field[pf["name"]][4]
+            if pf["name"] in tr_field
+            else type_of[pf["name"]]
+            for pf in spec_fields
+        }
         part_avro_fields = [
             {
                 "name": pf["name"],
-                "type": ["null", _partition_avro_type(type_of[pf["name"]])],
+                "type": [
+                    "null",
+                    _transform_avro_type(part_result_type[pf["name"]])
+                    if pf["name"] in tr_field
+                    else _partition_avro_type(type_of[pf["name"]]),
+                ],
                 "default": None,
                 "field-id": pf["field-id"],
             }
@@ -617,16 +712,48 @@ def export_iceberg_metadata(table: LakeTable) -> str:
         ]
         entry_schema = _manifest_entry_schema(part_avro_fields)
 
-        phys_of_log = {f["name"]: mapping.get(f["name"], f["name"]) for f in m["schema"]["fields"]}
-        id_by_phys = {phys_of_log[f["name"]]: field_ids[phys_of_log[f["name"]]] for f in m["schema"]["fields"]}
+        data_fields = [
+            f for f in m["schema"]["fields"] if f["name"] not in parsed_tr
+        ]
+        phys_of_log = {f["name"]: mapping.get(f["name"], f["name"]) for f in data_fields}
+        id_by_phys = {phys_of_log[f["name"]]: field_ids[phys_of_log[f["name"]]] for f in data_fields}
         itype_by_phys = {
             phys_of_log[f["name"]]: _iceberg_field_type(f["type"])
-            for f in m["schema"]["fields"]
+            for f in data_fields
         }
 
         def entry(rel: str, status: int) -> dict:
             pv = _partition_values(rel, partition_by)
             abspath = os.path.join(table.data_dir, rel)
+            # verify declared transforms against the file's SOURCE
+            # column footer stats (order-preserving transforms only;
+            # bucket gets a range check — hash correctness is pinned
+            # by the independent-validator tests)
+            src_minmax = (m.get("file_stats", {}).get(rel) or {}).get(
+                "minmax", {}
+            )
+            for c, (tname, tparam, src, styp, rtyp) in tr_field.items():
+                val = _typed_partition_value(pv[c], rtyp)
+                if val is None:
+                    continue
+                if tname == "bucket":
+                    if not 0 <= val < tparam:
+                        raise ValueError(
+                            f"{rel}: partition value {val} outside "
+                            f"bucket[{tparam}] range"
+                        )
+                    continue
+                stats = src_minmax.get(phys_of_log.get(src, src))
+                if not stats:
+                    continue  # no stats: claim unverifiable, not wrong
+                lo_t = _tr.apply_transform(tname, tparam, stats[0], styp)
+                hi_t = _tr.apply_transform(tname, tparam, stats[1], styp)
+                if not (lo_t == hi_t == val):
+                    raise ValueError(
+                        f"{rel}: claims {tname} of {src!r} = {val} but "
+                        f"source bounds map to [{lo_t}, {hi_t}] — the "
+                        "table is not partitioned by that transform"
+                    )
             # per-column bounds from the LakeTable manifest's footer
             # stats (free — already collected for data skipping);
             # minmax keys are PHYSICAL column names
@@ -654,7 +781,9 @@ def export_iceberg_metadata(table: LakeTable) -> str:
                     "file_path": abspath,
                     "file_format": "PARQUET",
                     "partition": {
-                        c: _typed_partition_value(pv[c], type_of[c])
+                        c: _typed_partition_value(
+                            pv[c], part_result_type[c]
+                        )
                         for c in partition_by
                     },
                     "record_count": _file_rows(table, m, rel),
@@ -919,6 +1048,51 @@ def _bounds_disjoint(df_rec: dict, prune: dict, schema_doc: dict) -> bool:
     return False
 
 
+def _partition_disjoint(
+    spec: dict, partition: dict, prune: dict, schema_doc: dict
+) -> bool:
+    """Transform-aware partition pruning (the spec's scan planning):
+    a file is skipped when its partition value PROVES no row can fall
+    in the requested source-column range — order-preserving transforms
+    (identity/truncate/year/month/day/hour) map the range endpoints
+    through the transform; bucket prunes only point lookups
+    (``lo == hi``), the one query shape a hash partition can serve.
+    Null partition values and unmapped sources never prune."""
+    from . import iceberg_transforms as _tr
+
+    name_of_id = {f["id"]: f["name"] for f in schema_doc["fields"]}
+    type_of = {f["name"]: f["type"] for f in schema_doc["fields"]}
+    for pf in spec["fields"]:
+        src = name_of_id.get(pf["source-id"])
+        if src is None or src not in prune:
+            continue
+        val = partition.get(pf["name"])
+        if val is None:
+            continue
+        try:
+            tname, tparam = _tr.parse_transform(pf["transform"])
+        except NotImplementedError:
+            continue  # unknown transform in foreign metadata: no prune
+        lo, hi = prune[src]
+        styp = type_of[src]
+        try:
+            if tname == "bucket":
+                if lo == hi and val != _tr.apply_transform(
+                    "bucket", tparam, lo, styp
+                ):
+                    return True
+                continue
+            if not _tr.is_monotonic(tname):
+                continue
+            lo_t = _tr.apply_transform(tname, tparam, lo, styp)
+            hi_t = _tr.apply_transform(tname, tparam, hi, styp)
+        except (TypeError, ValueError, NotImplementedError):
+            continue  # unmappable range: conservatively keep the file
+        if val < lo_t or val > hi_t:
+            return True
+    return False
+
+
 def read_iceberg_snapshot(
     spark: SparkSession,
     table_path: str,
@@ -991,19 +1165,32 @@ def read_iceberg_snapshot(
                     (df_rec["file_path"], int(e["sequence_number"]))
                 )
                 continue
-            if prune and _bounds_disjoint(df_rec, prune, schema_doc):
+            if prune and (
+                _bounds_disjoint(df_rec, prune, schema_doc)
+                or _partition_disjoint(
+                    spec, df_rec["partition"], prune, schema_doc
+                )
+            ):
                 continue
             files[df_rec["file_path"]] = (
-                part_cols,
+                spec["fields"],
                 tuple(df_rec["partition"].get(c) for c in part_cols),
             )
             file_seq[df_rec["file_path"]] = int(e["sequence_number"])
     types = {f.name: f.dataType for f in struct.fields}
     groups: dict[tuple, list[str]] = {}
-    part_cols_any: list[str] = []
-    for path, (part_cols, key) in files.items():
-        part_cols_any = part_cols
+    spec_fields_any: list[dict] = []
+    for path, (sfields, key) in files.items():
+        spec_fields_any = sfields
         groups.setdefault(key, []).append(path)
+    part_cols_any = [pf["name"] for pf in spec_fields_any]
+    # only IDENTITY partition values are row data; a transform value
+    # (bucket/day/...) lives in metadata and file layout only
+    identity_cols = {
+        pf["name"]
+        for pf in spec_fields_any
+        if pf.get("transform", "identity") == "identity"
+    }
     # name mapping: the data files carry PHYSICAL column names and no
     # field-id metadata, so scan under the mapped physical name for
     # each field id and alias back to the snapshot's logical name —
@@ -1047,6 +1234,8 @@ def read_iceberg_snapshot(
                 F.col("_metadata.row_index").alias("__ri"),
             )
         for c, val in zip(part_cols_any, key):
+            if c not in identity_cols:
+                continue
             df = df.withColumn(
                 c,
                 (F.lit(None) if val is None else F.lit(val)).cast(types[c]),

@@ -452,7 +452,7 @@ _REWRITTEN_IN: dict[str, int] = {
     # read_iceberg_snapshot gained the sequence-gated delete
     # application, both executed by q_table_iceberg even on DV-free
     # tables.  The new q_table_iceberg_dv anchors the batch.
-    "q_table_iceberg": 13,
+    # "q_table_iceberg": 13,  # superseded by the r14 entry below
     # Round-13 (second batch): baseline TIFF decode (r12 verdict
     # next-round #7) — new module functions/tiff.py (both byte
     # orders, strips, TIFF-LZW with the early-change width
@@ -488,20 +488,20 @@ _REWRITTEN_IN: dict[str, int] = {
     # dep-manifest audit trail, same shape as r12's q_stream_neardup
     # batch).  The two new r13 queries anchor their batches here:
     "q_ann_recall_monitor": 13,
-    "q_table_iceberg_dv": 13,
+    # "q_table_iceberg_dv": 13,  # superseded by the r14 entry below
     # "q_multimodal_tiff": 13,  # superseded by the r14 entry below
     # Round-13 (fourth batch): Iceberg column-mapping export — field
     # ids re-keyed on PHYSICAL names + the schema.name-mapping.default
     # property, reader resolves physical->logical through it.  New
     # query anchor; the other two iceberg queries are already tier-1
     # at 13 above (the reader/export both changed again).
-    "q_table_iceberg_rename": 13,
+    # "q_table_iceberg_rename": 13,  # superseded by the r14 entry below
     # Round-13 (fifth batch): per-column lower/upper bounds in every
     # data_file manifest entry (Appendix-D single-value
     # serialization from the LakeTable footer stats) + bounds-based
     # file pruning in the reader.  New query anchor; the other
     # iceberg queries stay tier-1 at 13.
-    "q_table_iceberg_prune": 13,
+    # "q_table_iceberg_prune": 13,  # superseded by the r14 entry below
     # Round-14 (first batch): TIFF 6.0 word alignment (r13 ADVICE) —
     # _layout_page now pads odd-length strips and out-of-line tag
     # blobs (and hence the IFD start) to even offsets.  Semantic
@@ -517,6 +517,21 @@ _REWRITTEN_IN: dict[str, int] = {
     # decision recorded in the dep-manifest audit trail).
     "q_multimodal_tiff": 14,
     "q_media_quarantine": 14,
+    # Round-14 (second batch): Iceberg NON-IDENTITY partition
+    # transforms (r13 verdict next-round #3) — iceberg_meta.py
+    # restructured on both sides again: the exporter's schema build
+    # now excludes declared transform columns and verifies per-file
+    # partition claims against source footer bounds, the spec build
+    # emits transform strings with result-typed partition structs,
+    # and the reader gained transform-aware scan planning
+    # (_partition_disjoint) plus identity-only partition-value
+    # injection.  Every query reading through export/read re-verifies;
+    # the two new queries (q_table_iceberg_bucket, q_table_iceberg_time)
+    # anchor the batch as tier-1 unverified.
+    "q_table_iceberg": 14,
+    "q_table_iceberg_dv": 14,
+    "q_table_iceberg_rename": 14,
+    "q_table_iceberg_prune": 14,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead
