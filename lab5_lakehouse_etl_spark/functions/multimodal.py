@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     LongType,
     StringType,
@@ -659,6 +660,21 @@ def corrupt_png_media_from_ids(
                     tdata = _fixture_tiff(mid)[2]
                     if mid % 7 == 5:
                         tdata = tdata[: len(tdata) - 20]  # cut into IFD
+                    else:
+                        # the VALID TIFF ids carry EXIF so the gate's
+                        # has_exif verdict has a positive class (r13
+                        # verdict #4: "the quarantine gate reports
+                        # EXIF presence"); tags don't touch pixels,
+                        # so the dims/sums oracles are unaffected
+                        from .exif import add_tiff_exif
+
+                        tdata = add_tiff_exif(
+                            tdata,
+                            {
+                                "orientation": 1 + mid % 8,
+                                "make": "CamCo",
+                            },
+                        )
                     payloads.append(tdata)
                     continue
                 data = bytearray(_fixture_png(mid)[2])
@@ -687,6 +703,9 @@ QUARANTINE_SCHEMA = StructType(
         StructField("status", StringType(), False),
         StructField("width", LongType(), True),
         StructField("height", LongType(), True),
+        # EXIF presence (r14): curation triage needs to know which
+        # admitted images carry camera metadata (GPS = PII vector)
+        StructField("has_exif", BooleanType(), False),
     ]
 )
 
@@ -705,6 +724,8 @@ def decode_or_quarantine(media: DataFrame) -> DataFrame:
     the try/except is per record, so one bad payload never poisons its
     batch."""
 
+    from .exif import extract_exif
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows: dict[str, list] = {
@@ -712,13 +733,19 @@ def decode_or_quarantine(media: DataFrame) -> DataFrame:
                 "status": [],
                 "width": [],
                 "height": [],
+                "has_exif": [],
             }
             for p in pdf["payload"]:
                 if p is None:
                     rows["status"].append("missing")
                     rows["width"].append(None)
                     rows["height"].append(None)
+                    rows["has_exif"].append(False)
                     continue
+                # EXIF presence is advisory metadata: extract_exif
+                # never raises, and a corrupt image may still carry
+                # readable EXIF worth triaging
+                rows["has_exif"].append(extract_exif(bytes(p)) is not None)
                 try:
                     w, h, _c, _px = decode_image(bytes(p))
                     rows["status"].append("ok")

@@ -532,6 +532,14 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_table_iceberg_dv": 14,
     "q_table_iceberg_rename": 14,
     "q_table_iceberg_prune": 14,
+    # new r14 queries, listed (like r11/r12 new-query entries) so the
+    # scoped dep-manifest decisions can anchor on them:
+    # q_table_iceberg_bucket/time exercise the transform export,
+    # q_image_exif the new functions/exif.py over the multimodal
+    # fixture machinery
+    "q_table_iceberg_bucket": 14,
+    "q_table_iceberg_time": 14,
+    "q_image_exif": 14,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

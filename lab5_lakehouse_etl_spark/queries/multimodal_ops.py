@@ -381,7 +381,8 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN doc_id % 7 IN (0, 1, 3, 5) THEN NULL
                 ELSE CAST(8 + doc_id % 9 AS BIGINT) END        AS width,
            CASE WHEN doc_id % 7 IN (0, 1, 3, 5) THEN NULL
-                ELSE CAST(8 + (doc_id // 9) % 9 AS BIGINT) END AS height
+                ELSE CAST(8 + (doc_id // 9) % 9 AS BIGINT) END AS height,
+           doc_id % 7 = 4 AS has_exif
     FROM documents
     """,
 )
@@ -399,7 +400,10 @@ def q_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically, so the DuckDB oracle restates the expected
     verdict relation in closed form: a decoder that crashes on,
     silently accepts, or misclassifies a damaged payload breaks the
-    hash.
+    hash.  Since r14 the gate also reports EXIF PRESENCE (the valid
+    TIFF ids ≡ 4 carry planted camera tags — functions/exif.py; GPS
+    EXIF is the canonical image-PII vector, so curation triage needs
+    the flag next to the decode verdict).
 
     Scale: per-record try/except inside the Arrow batch — one bad
     payload never poisons its batch, and the quarantine set is a
@@ -1260,3 +1264,64 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("payload").cast("bigint").alias("out_bytes"),
         F.octet_length(trimmed).cast("bigint").alias("content_bytes"),
     )
+
+
+@query(
+    "q_image_exif",
+    oracle="""
+    WITH e AS (SELECT doc_id, doc_id % 4 IN (0, 1) AS has FROM documents)
+    SELECT doc_id AS media_id,
+           has    AS has_exif,
+           CASE WHEN has THEN CAST(1 + doc_id % 8 AS INT) END AS orientation,
+           CASE WHEN has THEN 'CamCo' END AS make,
+           CASE WHEN has THEN 'M' || CAST(doc_id % 5 AS VARCHAR) END AS model,
+           CASE WHEN has THEN '2024:01:'
+                || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                || ' 12:00:00' END AS datetime_original,
+           CASE WHEN has THEN
+             (CAST(doc_id % 90 AS DOUBLE)
+              + CAST((doc_id % 4) * 15 AS DOUBLE) / 60 + 0.0)
+             * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+           END AS gps_lat,
+           CASE WHEN has THEN
+             (CAST((doc_id * 3) % 180 AS DOUBLE)
+              + CAST((doc_id % 2) * 30 AS DOUBLE) / 60 + 0.0)
+             * (CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END)
+           END AS gps_lon
+    FROM e
+    """,
+)
+def q_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction over the TIFF IFD machinery (r13
+    verdict next-round #4): a mixed-container fixture (TIFF with a
+    planted Exif+GPS IFD chain / JPEG with the APP1 ``Exif\\0\\0``
+    embedded-TIFF block / EXIF-free PNG / EXIF-free TIFF, cycling per
+    id) runs through ``functions/exif.extract_exif`` — a typed IFD
+    walker (ASCII + RATIONAL, the types the decode walker in
+    functions/tiff.py deliberately omits) that follows the 34665/34853
+    pointer tags and converts GPS DMS rationals to signed decimal
+    degrees.  The DuckDB oracle restates every planted field in closed
+    form; GPS minutes are multiples of 15 so ``deg + min/60`` is
+    binary-exact on both engines, and a wrong hemisphere ref, rational
+    denominator, byte-order handling, or pointer-tag walk breaks the
+    hash.
+
+    Interop (java-imageio-validation precedent): the planted TIFFs are
+    readable by Java ImageIO — its metadata tree resolves our Exif and
+    GPS IFD pointers (tags 36867, GPS 1-4 visible) — and our extractor
+    reads the committed ``golden_exif.tiff`` that ImageIO's OWN TIFF
+    writer produced (tests/test_multimodal.py) — so both directions
+    rest on an independent implementation, not self-consistency.
+
+    Why it matters at 100 TB: orientation normalizes rotations before
+    pixel dedup (the same photo rotated would otherwise fingerprint 8
+    ways), capture timestamps drive temporal dedup/splits, and GPS
+    tags are the canonical image-PII vector a curation pipeline must
+    surface before training.  Scale: pure-bytes walk per payload in
+    the same Arrow-batched mapInPandas shape as every codec path —
+    payload bytes never shuffle."""
+    from ..functions import exif as E
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = E.exif_media_from_ids(docs, id_col="doc_id")
+    return E.exif_metadata(media)

@@ -1,0 +1,196 @@
+"""EXIF extraction + planting: two-way Java-ImageIO interop (the
+committed golden_exif.tiff was written by ImageIO's OWN TIFF writer;
+our planted files are readable by ImageIO, which resolves the
+Exif/GPS IFD pointers), round-trips across both containers, GPS
+arithmetic, advisory-failure semantics, and pixel invariance.
+
+golden_exif.tiff generation (in-container, JDK 17 javax.imageio — the
+java-imageio-validation precedent): a 5x3 TYPE_3BYTE_BGR raster with
+pixel (x,y) = (x*40, y*80, 17), written via
+ImageWriter("tiff").write with an IIOMetadata tree carrying
+TIFFField nodes Make=271 "JavaCam", Model=272 "IIO-9",
+Orientation=274 8, DateTime=306 "2023:07:04 08:30:00" (the build
+script is quoted in the r14 commit message).  ImageIO read-back of
+OUR planted EXIF was verified at build time: its native metadata
+tree lists tags 271/272/274 plus the RESOLVED Exif-IFD field 36867
+and GPS fields 1-4 — i.e. an independent reader followed our
+34665/34853 pointers.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from lab5_lakehouse_etl_spark.functions import exif as E
+from lab5_lakehouse_etl_spark.functions import jpeg, png, tiff
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+META = {
+    "orientation": 6,
+    "make": "CamCo",
+    "model": "M-3",
+    "datetime_original": "2024:01:15 12:00:00",
+    "gps": ("N", (51, 30, 0), "W", (0, 15, 0)),
+}
+WANT = {
+    "orientation": 6,
+    "make": "CamCo",
+    "model": "M-3",
+    "datetime_original": "2024:01:15 12:00:00",
+    "gps_lat": 51.5,
+    "gps_lon": -0.25,
+}
+
+
+def test_reads_imageio_written_golden():
+    """Our extractor over a TIFF whose metadata Java ImageIO's writer
+    laid out — field placement, ASCII termination and byte order are
+    an independent implementation's choices, and the pixels still
+    decode exactly."""
+    data = open(os.path.join(DATA, "golden_exif.tiff"), "rb").read()
+    info = E.extract_exif(data)
+    assert info == {
+        "orientation": 8,
+        "make": "JavaCam",
+        "model": "IIO-9",
+        # DateTime (306) fallback: ImageIO wrote no Exif sub-IFD
+        "datetime_original": "2023:07:04 08:30:00",
+        "gps_lat": None,
+        "gps_lon": None,
+    }
+    w, h, ch, px = tiff.decode_tiff(data)
+    a = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+    for y in range(h):
+        for x in range(w):
+            assert tuple(a[y, x]) == (x * 40, y * 80, 17)
+
+
+@pytest.mark.parametrize("kind", ["gray", "rgb", "lzw", "palette"])
+def test_tiff_plant_roundtrip_pixels_unchanged(kind):
+    """add_tiff_exif rebuilds IFD0 sorted + appends sub-IFDs after the
+    trailing IFD: every planted field reads back, pixels decode
+    byte-identically, and the output stays word-aligned."""
+    rng = np.random.default_rng(11)
+    if kind == "palette":
+        pal = rng.integers(0, 256, 3 * 16, dtype=np.uint8).tobytes()
+        idx = rng.integers(0, 16, 7 * 5, dtype=np.uint8).tobytes()
+        data = tiff.encode_tiff(7, 5, idx, palette=pal)
+    else:
+        ch = 3 if kind in ("rgb", "lzw") else 1
+        raw = rng.integers(0, 256, 7 * 5 * ch, dtype=np.uint8).tobytes()
+        data = tiff.encode_tiff(
+            7, 5, raw, channels=ch,
+            compression="lzw" if kind == "lzw" else "none",
+        )
+    want_px = tiff.decode_tiff(data)
+    planted = E.add_tiff_exif(data, META)
+    assert tiff.decode_tiff(planted) == want_px
+    assert E.extract_exif(planted) == WANT
+    from tests.test_codecs_property import _assert_tiff_word_aligned
+
+    _assert_tiff_word_aligned(planted)
+
+
+def test_jpeg_app1_roundtrip_and_decode_unchanged():
+    rng = np.random.default_rng(5)
+    raw = bytes(rng.integers(0, 256, 64, dtype=np.uint8))
+    data = jpeg.encode_jpeg(8, 8, raw)
+    planted = E.insert_jpeg_exif(data, META)
+    assert E.extract_exif(planted) == WANT
+    assert jpeg.decode_jpeg(planted) == jpeg.decode_jpeg(data)
+    # APP1 sits right after SOI, the spec position
+    assert planted[2:4] == b"\xff\xe1"
+    # big-endian embedded block reads identically
+    app1 = E.build_jpeg_exif_app1(META, big_endian=True)
+    planted_be = data[:2] + app1 + data[2:]
+    assert E.extract_exif(planted_be) == WANT
+
+
+def test_extract_is_advisory_never_raises():
+    """EXIF damage yields None (or partial fields), never an
+    exception — metadata must not make a decodable image quarantine."""
+    assert E.extract_exif(b"") is None
+    assert E.extract_exif(b"\x89PNG\r\n\x1a\n" + bytes(32)) is None
+    raw = bytes(range(48))
+    planted = E.add_tiff_exif(
+        tiff.encode_tiff(4, 4, raw, channels=3), META
+    )
+    # truncate inside the appended GPS IFD: extraction degrades to
+    # None, decode of the image itself is unaffected
+    cut = planted[: len(planted) - 10]
+    assert E.extract_exif(cut) is None or isinstance(
+        E.extract_exif(cut), dict
+    )
+    # corrupt the Exif pointer target wildly
+    bad = bytearray(planted)
+    at = bad.rfind(struct.pack("<H", E.TAG_EXIF_IFD))
+    if at > 0:
+        bad[at + 8 : at + 12] = struct.pack("<I", 0xFFFFFF)
+        assert E.extract_exif(bytes(bad)) is None or isinstance(
+            E.extract_exif(bytes(bad)), dict
+        )
+    # JPEG whose APP1 declares a bogus length
+    jdata = jpeg.encode_jpeg(4, 4, bytes(16))
+    app1 = E.build_jpeg_exif_app1(META)
+    broken = jdata[:2] + app1[:8] + jdata[2:]
+    assert E.extract_exif(broken) is None
+
+
+def test_gps_hemispheres_and_seconds():
+    data = tiff.encode_tiff(2, 2, bytes(12), channels=3)
+    planted = E.add_tiff_exif(
+        data,
+        {"gps": ("S", (10, 15, 30), "E", (120, 0, 45))},
+    )
+    info = E.extract_exif(planted)
+    assert info["gps_lat"] == -(10 + 15 / 60 + 30 / 3600)
+    assert info["gps_lon"] == 120 + 45 / 3600
+    assert info["orientation"] is None and info["make"] is None
+
+
+def test_multipage_plant_refuses():
+    pages = [
+        {"width": 3, "height": 2, "pixels": bytes(6), "channels": 1},
+        {"width": 2, "height": 2, "pixels": bytes(4), "channels": 1},
+    ]
+    data = tiff.encode_tiff_pages(pages)
+    with pytest.raises(NotImplementedError, match="multi-page"):
+        E.add_tiff_exif(data, META)
+
+
+def test_exif_fixture_and_spark_surface(spark):
+    """The declared-query path end to end at small n: fixture builds
+    all four container arms, exif_metadata returns the closed-form
+    relation, and the quarantine gate reports presence."""
+    from lab5_lakehouse_etl_spark.functions import multimodal as M
+
+    ids = spark.range(0, 40).selectExpr("id AS doc_id")
+    media = E.exif_media_from_ids(ids)
+    got = {r.media_id: r for r in E.exif_metadata(media).collect()}
+    assert len(got) == 40
+    for mid in range(40):
+        r = got[mid]
+        meta = E.exif_fixture_meta(mid)
+        if meta is None:
+            assert not r.has_exif and r.orientation is None
+            continue
+        assert r.has_exif
+        assert r.orientation == meta["orientation"]
+        assert r.make == "CamCo" and r.model == f"M{mid % 5}"
+        lat_ref, (d, m, s), lon_ref, (d2, m2, s2) = meta["gps"]
+        lat = d + m / 60 + s / 3600
+        lon = d2 + m2 / 60 + s2 / 3600
+        assert r.gps_lat == (lat if lat_ref == "N" else -lat)
+        assert r.gps_lon == (-lon if lon_ref == "W" else lon)
+    # quarantine presence column: true exactly for the valid-TIFF arm
+    qm = M.corrupt_png_media_from_ids(ids)
+    verdicts = {
+        r.media_id: r for r in M.decode_or_quarantine(qm).collect()
+    }
+    for mid in range(40):
+        assert verdicts[mid].has_exif == (mid % 7 == 4), mid
