@@ -639,8 +639,28 @@ def corrupt_png_media_from_ids(
             for i in pdf[id_col]:
                 mid = int(i)
                 if mid % 7 == 1:
+                    # a LOSSY-VP8 container with a VALID keyframe
+                    # frame header (tag: key frame, version 0, shown,
+                    # arbitrary first-part size; 9d 01 2a start code;
+                    # 14-bit dims = the standard fixture formula) and
+                    # zeroed compressed payload: decode stays
+                    # 'unsupported' (no VP8 codec), but the gate now
+                    # surfaces the header dimensions
+                    w = 8 + mid % 9
+                    h = 8 + (mid // 9) % 9
+                    tag = (1 << 4) | (8 << 5)  # show_frame, part size 8
+                    frame = (
+                        bytes([tag & 0xFF, (tag >> 8) & 0xFF, tag >> 16])
+                        + b"\x9d\x01\x2a"
+                        + bytes([w & 0xFF, w >> 8, h & 0xFF, h >> 8])
+                        + bytes(14)
+                    )
+                    chunk = b"VP8 " + len(frame).to_bytes(4, "little") + frame
                     payloads.append(
-                        b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(24)
+                        b"RIFF"
+                        + (4 + len(chunk)).to_bytes(4, "little")
+                        + b"WEBP"
+                        + chunk
                     )
                     continue
                 if mid % 7 in (2, 3):
@@ -752,9 +772,21 @@ def decode_or_quarantine(media: DataFrame) -> DataFrame:
                     rows["width"].append(w)
                     rows["height"].append(h)
                 except NotImplementedError:
+                    # codec-less format: still surface container/
+                    # frame-header dimensions where they are plain
+                    # bit fields (lossy-VP8 keyframe header — see
+                    # webp.vp8_lossy_dimensions) so triage sees sizes
+                    # without any pixel-decode claim
                     rows["status"].append("unsupported")
-                    rows["width"].append(None)
-                    rows["height"].append(None)
+                    try:
+                        from .webp import vp8_lossy_dimensions
+
+                        w, h = vp8_lossy_dimensions(bytes(p))
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                    except Exception:
+                        rows["width"].append(None)
+                        rows["height"].append(None)
                 except Exception:
                     # any decode failure IS the corrupt verdict: the
                     # codecs raise ValueError on checks they make, but

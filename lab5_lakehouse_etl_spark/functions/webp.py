@@ -38,8 +38,17 @@ production the body swaps for libwebp (Pillow/pyvips) behind the
 same ``(width, height, channels, pixels)`` contract.
 
 Out of scope (explicit ``NotImplementedError``, never a wrong
-answer): lossy VP8, the VP8X extended container (animation/EXIF),
-and alpha-compressed lossy streams.
+answer): lossy VP8 PIXEL DECODE, the VP8X extended container
+(animation/EXIF), and alpha-compressed lossy streams.  The r14 spike
+(README "Lossy WebP (VP8)") recorded the refusal rationale: VP8
+mandates BIT-EXACT reconstruction, RFC 6386 publishes reference code
+but no conformance vectors, and this container has no external VP8
+validator (ImageIO has no WebP plugin; pip/apt blocked) — so a
+self-built decoder could only be pinned against itself, which the
+lossless VP8L round-trip argument does not transfer to.  What IS
+shipped from the lossy path: :func:`vp8_lossy_dimensions`, the
+frame header's uncompressed bit fields (hand-verifiable), feeding
+the quarantine gate's triage metadata.
 """
 
 from __future__ import annotations
@@ -467,6 +476,40 @@ def _inv_color_indexing(
                 raise ValueError("palette index out of range")
             out[y, x] = palette[idx]
     return out
+
+
+def vp8_lossy_dimensions(data: bytes) -> tuple[int, int]:
+    """Width/height of a LOSSY (VP8) WebP from the frame header's
+    UNCOMPRESSED leading bytes (RFC 6386 §9.1) — the one part of the
+    lossy path that is plain bit fields, verifiable by hand, and
+    therefore shippable under the never-a-wrong-answer doctrine while
+    pixel decode stays refused (r14 spike decision, README "Lossy
+    WebP (VP8)"): 3-byte little-endian frame tag (bit 0 = frame type,
+    must be key frame — interframes carry no dimensions), the
+    ``9d 01 2a`` start code, then two 16-bit LE fields whose low 14
+    bits are width/height (high 2 bits are the upscale hints).
+
+    Used by the ingest quarantine gate so codec-less lossy payloads
+    surface their dimensions next to the ``unsupported`` verdict —
+    triage metadata, never a decode claim."""
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP: bad RIFF/WEBP header")
+    if data[12:16] != b"VP8 ":
+        raise ValueError("not a lossy (VP8) WebP chunk")
+    (size,) = struct.unpack("<I", data[16:20])
+    p = data[20 : 20 + size]
+    if len(p) < 10:
+        raise ValueError("truncated VP8 frame header")
+    tag = p[0] | (p[1] << 8) | (p[2] << 16)
+    if tag & 1:
+        raise ValueError("VP8 interframe: no dimensions in header")
+    if p[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("bad VP8 keyframe start code")
+    w = (p[6] | (p[7] << 8)) & 0x3FFF
+    h = (p[8] | (p[9] << 8)) & 0x3FFF
+    if not w or not h:
+        raise ValueError("VP8 frame header declares zero dimension")
+    return w, h
 
 
 def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:

@@ -378,9 +378,11 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'corrupt'
                 WHEN doc_id % 7 = 1 THEN 'unsupported'
                 ELSE 'ok' END AS status,
-           CASE WHEN doc_id % 7 IN (0, 1, 3, 5) THEN NULL
+           -- kind 1 (lossy VP8): 'unsupported' decode but the gate
+           -- surfaces the keyframe-header dims; damaged kinds stay NULL
+           CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
                 ELSE CAST(8 + doc_id % 9 AS BIGINT) END        AS width,
-           CASE WHEN doc_id % 7 IN (0, 1, 3, 5) THEN NULL
+           CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
                 ELSE CAST(8 + (doc_id // 9) % 9 AS BIGINT) END AS height,
            doc_id % 7 = 4 AS has_exif
     FROM documents
@@ -396,7 +398,10 @@ def q_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     VP8L stream truncated mid-chunk caught by the declared-size
     check; a TIFF cut inside its trailing IFD caught by the entry
     walk), or unsupported (a LOSSY-VP8 WebP container whose codec is
-    genuinely absent).  Ids ≡ 0/1/3/5 (mod 7) are damaged
+    genuinely absent — since r14 with its keyframe-header DIMENSIONS
+    surfaced anyway, the hand-verifiable bit fields of RFC 6386 §9.1
+    via webp.vp8_lossy_dimensions, so triage sees sizes without any
+    pixel-decode claim).  Ids ≡ 0/1/3/5 (mod 7) are damaged
     deterministically, so the DuckDB oracle restates the expected
     verdict relation in closed form: a decoder that crashes on,
     silently accepts, or misclassifies a damaged payload breaks the

@@ -603,6 +603,47 @@ def test_webp_rejects_malformed_and_out_of_scope():
         webp.encode_webp(4, 4, bytes(63))
 
 
+def test_vp8_lossy_dimensions_header_bits():
+    """The lossy-VP8 keyframe header is plain bit fields (RFC 6386
+    §9.1) — hand-built streams pin the frame tag / start code / 14-bit
+    dimension parsing, and every refusal path stays loud.  Pixel
+    decode remains NotImplementedError (the r14 spike's documented
+    refusal: no external VP8 validator exists in this container)."""
+    import struct
+
+    def vp8(frame: bytes) -> bytes:
+        chunk = b"VP8 " + struct.pack("<I", len(frame)) + frame
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    def frame(w, h, tag=(1 << 4) | (8 << 5)):
+        return (
+            bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+            + b"\x9d\x01\x2a"
+            + bytes([w & 0xFF, w >> 8, h & 0xFF, h >> 8])
+            + bytes(8)
+        )
+
+    assert webp.vp8_lossy_dimensions(vp8(frame(320, 240))) == (320, 240)
+    # 14-bit fields with upscale hints in the top 2 bits: masked off
+    wv = 0x3FFF | (2 << 14)
+    hv = 1 | (3 << 14)
+    assert webp.vp8_lossy_dimensions(vp8(frame(wv, hv))) == (0x3FFF, 1)
+    # pixel decode still refuses on the same container
+    with pytest.raises(NotImplementedError, match="VP8L"):
+        webp.decode_webp(vp8(frame(320, 240)))
+    with pytest.raises(ValueError, match="key"):  # interframe bit set
+        webp.vp8_lossy_dimensions(vp8(frame(320, 240, tag=1)))
+    with pytest.raises(ValueError, match="start code"):
+        bad = frame(320, 240)
+        webp.vp8_lossy_dimensions(vp8(bad[:3] + b"\x9d\x01\x2b" + bad[6:]))
+    with pytest.raises(ValueError, match="truncated"):
+        webp.vp8_lossy_dimensions(vp8(frame(320, 240)[:8]))
+    with pytest.raises(ValueError, match="zero"):
+        webp.vp8_lossy_dimensions(vp8(frame(0, 240)))
+    with pytest.raises(ValueError, match="lossy"):
+        webp.vp8_lossy_dimensions(b"RIFF\x24\x00\x00\x00WEBPVP8L" + bytes(24))
+
+
 def _vp8l_header(w, width, height):
     w.write(0x2F, 8)
     w.write(width - 1, 14)

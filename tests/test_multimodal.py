@@ -873,13 +873,18 @@ def test_decode_or_quarantine_verdicts(spark):
             # PNG CRC flip / truncated VP8L (r12) / IFD-cut TIFF (r13)
             assert r.status == "corrupt" and r.width is None
         elif mid % 7 == 1:
-            assert r.status == "unsupported" and r.width is None
+            # r14: lossy VP8 stays 'unsupported' but the gate surfaces
+            # the keyframe-header dimensions (hand-verifiable bits)
+            assert r.status == "unsupported"
+            assert (r.width, r.height) == (8 + mid % 9, 8 + (mid // 9) % 9)
         else:
             # kind 2 is a VALID lossless WebP (r12) and kind 4 a VALID
             # TIFF (r13): same dims formula, decoded through their own
             # real codec paths instead of PNG
             assert r.status == "ok"
             assert (r.width, r.height) == (8 + mid % 9, 8 + (mid // 9) % 9)
+        # r14: EXIF presence flag — true exactly for the valid-TIFF arm
+        assert r.has_exif == (mid % 7 == 4)
     # the webp/tiff kinds are genuinely those containers
     pay = {r.media_id: bytes(r.payload) for r in media.collect()}
     assert pay[2][:4] == b"RIFF" and pay[2][12:16] == b"VP8L"
