@@ -1210,7 +1210,7 @@ def q_table_iceberg_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_table_iceberg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg NON-IDENTITY partition transforms — ``bucket[8]`` +
-    ``truncate[500]`` in one spec (r13 verdict next-round #3, the last
+    ``truncate[2000]`` in one spec (r13 verdict next-round #3, the last
     Iceberg expressiveness gap besides non-exact primitives): derive
     the transform values as physical columns
     (``iceberg_transforms.bucket_column`` — spec-Appendix-B murmur3 of
@@ -1219,7 +1219,7 @@ def q_table_iceberg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     hive-partition a LakeTable by them, export spec-v2 metadata where
     the SCHEMA EXCLUDES the derived columns (a transform value lives
     in metadata + layout only, exactly like real Iceberg), the spec
-    names the source field ids with ``bucket[8]``/``truncate[500]``
+    names the source field ids with ``bucket[8]``/``truncate[2000]``
     transform strings, and the partition struct carries typed
     transform results.
 
@@ -1256,15 +1256,25 @@ def q_table_iceberg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
     path = scratch_dir("q_table_iceberg_bucket", fresh=True) + "/t"
-    staged = orders.withColumn(
-        "ok_bucket", T.bucket_column("o_orderkey", 8, "long")
-    ).withColumn("ck_trunc", T.truncate_column("o_custkey", 500, "long"))
-    t = LakeTable.create(staged, path, partition_by=["ok_bucket", "ck_trunc"])
+    # both transforms over the bounded key column -> 8 x 2 = 16
+    # partition dirs at EVERY sf (a truncate over o_custkey would
+    # grow dirs linearly with sf); coalesce(1) makes the single
+    # writer emit one file per dir WITHOUT a shuffle — right for this
+    # 4k-row fixture; a real corpus would repartition by the derived
+    # columns instead (same layout, distributed writers)
+    staged = (
+        orders.withColumn(
+            "ok_bucket", T.bucket_column("o_orderkey", 8, "long")
+        )
+        .withColumn("ok_trunc", T.truncate_column("o_orderkey", 2000, "long"))
+        .coalesce(1)
+    )
+    t = LakeTable.create(staged, path, partition_by=["ok_bucket", "ok_trunc"])
     export_iceberg_metadata(
         t,
         partition_transforms={
             "ok_bucket": ("bucket[8]", "o_orderkey"),
-            "ck_trunc": ("truncate[500]", "o_custkey"),
+            "ok_trunc": ("truncate[2000]", "o_orderkey"),
         },
     )
     full = read_iceberg_snapshot(spark, path).withColumn(

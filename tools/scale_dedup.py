@@ -13,11 +13,17 @@ by plan defect.  The honest 10x fixture is "10 independent corpora of
 the same statistical shape":
 
 * documents: copy ``i`` shifts ``doc_id`` by ``i * stride`` AND
-  rewrites every whitespace-delimited token ``t -> t_i`` — token
-  counts, document lengths and the INTRA-copy duplicate/similarity
-  structure are preserved exactly (one substitution applied uniformly
-  per copy), while vocabularies across copies are disjoint, so
-  cross-copy similarity is zero and per-bucket fan-out matches sf0.1.
+  applies a per-copy SUBSTITUTION CIPHER over [a-z]/[A-Z]/[0-9]
+  (``F.translate`` with a rotated alphabet).  A character bijection
+  renames every token AND every char shingle bijectively, so ALL
+  intra-copy similarity values — token Jaccard, char-5-shingle
+  Jaccard, simhash distances, span fingerprints — are preserved
+  EXACTLY (same sets, renamed elements), while cross-copy text
+  shares only coincidental shingles.  (The first attempt suffixed
+  every token ``t -> t_i``; that injects a shared ``"_i "`` filler
+  into every char shingle and INFLATES intra-copy similarity — the
+  measured pair relation exploded 256 → 54M.  A cipher has no such
+  filler: pair count goes 256 → exactly 2,560.)
 * embeddings: copy ``i`` shifts ``vec_id`` and applies a CYCLIC
   DIMENSION ROTATION of ``i * 6`` positions — a coordinate
   permutation is orthogonal, so every intra-copy distance, cosine,
@@ -77,15 +83,24 @@ def generate(spark) -> None:
     doc_copies = []
     emb_copies = []
     for i in range(COPIES):
-        # token suffix: every \S+ run becomes <run>_<i>; lengths and
-        # counts shift uniformly, intra-copy structure is untouched
+        # per-copy substitution cipher (see module docstring): a
+        # character bijection renames shingles, never reshapes them
         c = docs.withColumn(
             "doc_id", (F.col("doc_id") + F.lit(i * ID_STRIDE)).cast("bigint")
         )
         if i > 0:
-            c = c.withColumn(
-                "text", F.regexp_replace(F.col("text"), r"(\S+)", f"$1_{i}")
-            ).withColumn("n_chars", F.length("text").cast("bigint"))
+            lower = "abcdefghijklmnopqrstuvwxyz"
+            upper = lower.upper()
+            digits = "0123456789"
+            rl = (i * 3) % 26 or 1  # per-copy rotation, never 0
+            rd = (i % 9) + 1
+            src = lower + upper + digits
+            dst = (
+                lower[rl:] + lower[:rl]
+                + upper[rl:] + upper[:rl]
+                + digits[rd:] + digits[:rd]
+            )
+            c = c.withColumn("text", F.translate(F.col("text"), src, dst))
         doc_copies.append(c)
         k = (i * (DIM // COPIES)) % DIM
         e = embs.withColumn(
@@ -131,7 +146,7 @@ def main() -> None:
     Q.load_all()
     spark = build_session("lab5-scale-dedup")
     spark.sparkContext.setLogLevel("ERROR")
-    print(f"generating {DST} from {SRC} (x{COPIES} token-salted copies)")
+    print(f"generating {DST} from {SRC} (x{COPIES} cipher-salted copies)")
     generate(spark)
     if "--gen-only" in sys.argv:
         spark.stop()
