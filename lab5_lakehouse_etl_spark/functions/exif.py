@@ -389,6 +389,174 @@ def insert_jpeg_exif(jpeg: bytes, exif: dict) -> bytes:
     return jpeg[:2] + build_jpeg_exif_app1(exif) + jpeg[2:]
 
 
+# ----------------------------------------------- orientation normalize
+
+def normalize_orientation(
+    width: int, height: int, channels: int, pixels: bytes, orientation: int
+) -> tuple[int, int, bytes]:
+    """Apply the display transform EXIF orientation ``o`` instructs
+    (Exif 2.3 tag 274: the value names where row 0 / column 0 of the
+    STORED raster sit in the upright scene), returning the upright
+    ``(width, height, pixels)``:
+
+    ========  ==========================  ==================
+    value     stored row0/col0            display transform
+    ========  ==========================  ==================
+    1         top / left                  identity
+    2         top / right                 mirror horizontal
+    3         bottom / right              rotate 180
+    4         bottom / left               mirror vertical
+    5         left / top                  transpose (TL-BR)
+    6         right / top                 rotate 90 CW
+    7         right / bottom              transverse (TR-BL)
+    8         left / bottom               rotate 270 CW
+    ========  ==========================  ==================
+
+    This is the dedup-normalization primitive: without it the same
+    photo saved under its 8 orientations yields 8 distinct pixel
+    fingerprints (``q_image_dedup_oriented``)."""
+    import numpy as np
+
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"EXIF orientation {orientation} out of range")
+    a = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
+    if orientation == 2:
+        a = a[:, ::-1]
+    elif orientation == 3:
+        a = a[::-1, ::-1]
+    elif orientation == 4:
+        a = a[::-1, :]
+    elif orientation == 5:
+        a = np.transpose(a, (1, 0, 2))
+    elif orientation == 6:
+        # stored col 0 is the scene's top row: display = rot90 CW
+        a = np.transpose(a, (1, 0, 2))[:, ::-1]
+    elif orientation == 7:
+        a = np.transpose(a[::-1, ::-1], (1, 0, 2))
+    elif orientation == 8:
+        a = np.transpose(a, (1, 0, 2))[::-1, :]
+    h2, w2 = a.shape[0], a.shape[1]
+    return w2, h2, np.ascontiguousarray(a).tobytes()
+
+
+def inverse_orientation(
+    width: int, height: int, channels: int, pixels: bytes, orientation: int
+) -> tuple[int, int, bytes]:
+    """Store an upright raster AS IF captured under ``orientation``:
+    the inverse of :func:`normalize_orientation` (involutions invert
+    themselves; 6 and 8 invert each other), used by the fixture."""
+    inv = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    return normalize_orientation(
+        width, height, channels, pixels, inv[orientation]
+    )
+
+
+def oriented_fingerprints(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Per-image RAW and ORIENTATION-NORMALIZED pixel fingerprints —
+    the dedup-normalization operator: decode with the real codecs,
+    read EXIF orientation (default 1 when absent/unreadable), undo
+    the stored rotation, and md5 both pixel buffers (dims prefixed,
+    so a transpose can never collide with its source).  Arrow-batched
+    ``mapInPandas``; payloads never shuffle."""
+    import hashlib
+
+    import pandas as pd
+
+    from .multimodal import decode_image
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("orientation", IntegerType(), False),
+            StructField("raw_fp", StringType(), False),
+            StructField("norm_fp", StringType(), False),
+        ]
+    )
+
+    def fp(w: int, h: int, px: bytes) -> str:
+        return hashlib.md5(f"{w}x{h}|".encode() + px).hexdigest()
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                data = bytes(payload)
+                w, h, ch, px = decode_image(data)
+                info = extract_exif(data) or {}
+                o = info.get("orientation") or 1
+                w2, h2, px2 = normalize_orientation(w, h, ch, px, o)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "orientation": int(o),
+                        "raw_fp": fp(w, h, px),
+                        "norm_fp": fp(w2, h2, px2),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return media.select("media_id", payload_col).mapInPandas(
+        batches, schema=schema
+    )
+
+
+def oriented_media_from_ids(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture for the oriented-dedup query: ids in the same group of
+    8 (``gid = id // 8``) share one upright 9x6 RGB scene
+    (asymmetric formula — no dihedral symmetry, so all 8 stored
+    variants are pairwise distinct buffers), each stored under EXIF
+    orientation ``(id % 8) + 1`` via :func:`inverse_orientation`
+    inside a lossless TIFF with the tag planted — lossless container
+    REQUIRED: JPEG's per-orientation DCT loss would break the exact
+    normalized-fingerprint match."""
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal import MEDIA_SCHEMA, _id_partitioned
+    from . import tiff
+
+    W, H = 9, 6
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                mid = int(i)
+                gid, o = mid // 8, (mid % 8) + 1
+                x = np.arange(W)[None, :, None]
+                y = np.arange(H)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                base = ((gid * 37 + x * 13 + y * 101 + c * 7) % 256).astype(
+                    np.uint8
+                )
+                w2, h2, px = inverse_orientation(
+                    W, H, 3, base.tobytes(), o
+                )
+                data = tiff.encode_tiff(w2, h2, px, channels=3)
+                payloads.append(
+                    add_tiff_exif(data, {"orientation": o})
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "image",
+                    "mime": "image/tiff",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return _id_partitioned(ids, id_col, rows_per_task=1000).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
 # ------------------------------------------------------------- fixture
 
 def exif_fixture_meta(media_id: int) -> dict | None:

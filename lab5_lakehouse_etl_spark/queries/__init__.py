@@ -540,6 +540,9 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_table_iceberg_bucket": 14,
     "q_table_iceberg_time": 14,
     "q_image_exif": 14,
+    # orientation-normalized dedup (functions/exif.py transforms +
+    # oriented_fingerprints) — the EXIF machinery's declared use-case
+    "q_image_dedup_oriented": 14,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -1330,3 +1330,51 @@ def q_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = E.exif_media_from_ids(docs, id_col="doc_id")
     return E.exif_metadata(media)
+
+
+@query(
+    "q_image_dedup_oriented",
+    oracle="""
+    SELECT doc_id // 8                    AS gid,
+           CAST(count(*) AS BIGINT)       AS n_images,
+           CAST(count(*) AS BIGINT)       AS n_raw_fp,
+           CAST(1 AS BIGINT)              AS n_norm_fp
+    FROM documents
+    GROUP BY doc_id // 8
+    """,
+)
+def q_image_dedup_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORIENTATION-NORMALIZED image dedup — the use-case EXIF
+    extraction exists for (functions/exif.py): the same photo saved
+    under its 8 EXIF orientations yields 8 DISTINCT raw pixel
+    fingerprints, and a pixel-dedup pass that ignores the tag
+    multiplies every rotated duplicate by up to 8.  The fixture
+    stores one upright 9x6 scene per group of 8 ids, each id under
+    EXIF orientation (id % 8) + 1 (the stored raster is the INVERSE
+    transform of the scene — Exif 2.3 tag-274 semantics, spec table
+    in exif.normalize_orientation), inside a LOSSLESS TIFF with the
+    tag planted.  The operator decodes, reads the tag, undoes the
+    rotation, and fingerprints both buffers; per group the oracle
+    pins n_raw_fp == group size (asymmetric scene: all 8 stored
+    variants pairwise distinct — a wrong transform that collides two
+    orientations breaks it) and n_norm_fp == 1 (a single wrong
+    direction in any of the 8 transforms breaks it — rot90-CW vs CCW
+    confusion is THE classic orientation bug).
+
+    Scale: decode + normalize + md5 run inside one Arrow-batched
+    mapInPandas; only 4 small columns leave the stage, and the
+    groupBy shuffles fingerprints, never pixels."""
+    from ..functions import exif as E
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = E.oriented_media_from_ids(docs, id_col="doc_id")
+    fps = E.oriented_fingerprints(media)
+    return (
+        fps.withColumn("gid", F.expr("media_id DIV 8"))
+        .groupBy("gid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.countDistinct("raw_fp").cast("bigint").alias("n_raw_fp"),
+            F.countDistinct("norm_fp").cast("bigint").alias("n_norm_fp"),
+        )
+    )

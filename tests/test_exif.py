@@ -194,3 +194,73 @@ def test_exif_fixture_and_spark_surface(spark):
     }
     for mid in range(40):
         assert verdicts[mid].has_exif == (mid % 7 == 4), mid
+
+
+def test_orientation_transforms_roundtrip_and_semantics():
+    """All 8 Exif tag-274 transforms: inverse∘normalize is the
+    identity, the 8 stored variants of an asymmetric scene are
+    pairwise distinct, and the two non-involutions match numpy's
+    rot90 exactly (CW/CCW confusion is THE classic orientation
+    bug)."""
+    import numpy as np
+
+    W, H, C = 9, 6, 3
+    base = (
+        (
+            np.arange(W)[None, :, None] * 13
+            + np.arange(H)[:, None, None] * 101
+            + np.arange(C)[None, None, :] * 7
+        )
+        % 256
+    ).astype(np.uint8)
+    seen = set()
+    for o in range(1, 9):
+        w2, h2, px = E.inverse_orientation(W, H, C, base.tobytes(), o)
+        seen.add((w2, h2, px))
+        assert (w2, h2) == ((H, W) if o >= 5 else (W, H))
+        assert E.normalize_orientation(w2, h2, C, px, o) == (
+            W,
+            H,
+            base.tobytes(),
+        )
+    assert len(seen) == 8
+    a = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    w2, h2, px = E.normalize_orientation(4, 2, 3, a.tobytes(), 6)
+    assert (w2, h2) == (2, 4)
+    assert px == np.ascontiguousarray(np.rot90(a, k=-1)).tobytes()
+    w2, h2, px = E.normalize_orientation(4, 2, 3, a.tobytes(), 8)
+    assert px == np.ascontiguousarray(np.rot90(a, k=1)).tobytes()
+    with pytest.raises(ValueError, match="out of range"):
+        E.normalize_orientation(4, 2, 3, a.tobytes(), 9)
+    with pytest.raises(ValueError, match="out of range"):
+        E.normalize_orientation(4, 2, 3, a.tobytes(), 0)
+
+
+def test_oriented_fingerprints_end_to_end(spark):
+    """The oriented-dedup path at small n: every group of 8 ids
+    collapses to ONE normalized fingerprint while all raw
+    fingerprints stay distinct; an absent tag defaults to
+    orientation 1 (raw == normalized)."""
+    ids = spark.range(0, 24).selectExpr("id AS doc_id")
+    media = E.oriented_media_from_ids(ids)
+    fps = E.oriented_fingerprints(media).collect()
+    by_gid: dict[int, list] = {}
+    for r in fps:
+        assert r.orientation == (r.media_id % 8) + 1
+        by_gid.setdefault(r.media_id // 8, []).append(r)
+    assert len(by_gid) == 3
+    for gid, rows in by_gid.items():
+        assert len({r.raw_fp for r in rows}) == 8
+        assert len({r.norm_fp for r in rows}) == 1
+        # orientation 1's stored raster IS the scene
+        o1 = next(r for r in rows if r.orientation == 1)
+        assert o1.raw_fp == o1.norm_fp
+    # EXIF-free payload: fingerprints equal, orientation defaults 1
+    from lab5_lakehouse_etl_spark.functions import tiff
+
+    plain = spark.createDataFrame(
+        [(99, bytearray(tiff.encode_tiff(3, 2, bytes(18), channels=3)))],
+        "media_id LONG, payload BINARY",
+    )
+    r = E.oriented_fingerprints(plain).first()
+    assert r.orientation == 1 and r.raw_fp == r.norm_fp
