@@ -136,12 +136,27 @@ def _gps_decimal(vals, ref: str | None, neg_refs: str) -> float | None:
     return deg
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 def _tiff_block_of(data: bytes) -> bytes | None:
     """Locate the TIFF structure holding the EXIF IFDs: the file
-    itself for TIFF, the APP1 ``Exif\\0\\0`` payload for JPEG, else
-    None."""
+    itself for TIFF, the APP1 ``Exif\\0\\0`` payload for JPEG, the
+    ``eXIf`` chunk for PNG (PNG extension spec 1.5.0: the chunk
+    payload IS a raw TIFF block), else None."""
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return data
+    if data[:8] == _PNG_SIG:
+        at = 8
+        while at + 8 <= len(data):
+            (n,) = struct.unpack(">I", data[at : at + 4])
+            ctype = data[at + 4 : at + 8]
+            if ctype == b"eXIf":
+                return data[at + 8 : at + 8 + n]
+            if ctype == b"IEND":
+                return None
+            at += 12 + n  # len + type + payload + crc
+        return None
     if data[:2] != b"\xff\xd8":  # not a JPEG either
         return None
     # JPEG marker walk (standalone: EXIF extraction must not depend
@@ -389,6 +404,35 @@ def insert_jpeg_exif(jpeg: bytes, exif: dict) -> bytes:
     return jpeg[:2] + build_jpeg_exif_app1(exif) + jpeg[2:]
 
 
+def insert_png_exif(png_data: bytes, exif: dict) -> bytes:
+    """Insert an ``eXIf`` chunk right after IHDR (PNG extension spec
+    1.5.0: payload is a complete TIFF block; the chunk is ancillary,
+    so EXIF-unaware decoders skip it and pixels are untouched)."""
+    import zlib
+
+    if png_data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    bo = "<"
+    header = b"II*\x00" + struct.pack(bo + "I", 8)
+    ifd0_meta, _ = _exif_entries(bo, exif, 0)
+    probe = _pack_ifd(bo, ifd0_meta, 8)
+    sub_base = 8 + len(probe)
+    if sub_base % 2:
+        sub_base += 1
+    ifd0_meta, tail = _exif_entries(bo, exif, sub_base)
+    ifd0 = _pack_ifd(bo, ifd0_meta, 8)
+    block = header + ifd0 + b"\x00" * (sub_base - 8 - len(ifd0)) + tail
+    chunk = (
+        struct.pack(">I", len(block))
+        + b"eXIf"
+        + block
+        + struct.pack(">I", zlib.crc32(b"eXIf" + block) & 0xFFFFFFFF)
+    )
+    # IHDR is always first: signature(8) + len(4) + type(4) + 13 + crc(4)
+    at = 8 + 4 + 4 + 13 + 4
+    return png_data[:at] + chunk + png_data[at:]
+
+
 # ----------------------------------------------- orientation normalize
 
 def normalize_orientation(
@@ -566,7 +610,7 @@ def exif_fixture_meta(media_id: int) -> dict | None:
     EXIF slot here) and ≡ 3 TIFFs without EXIF.  GPS minutes are
     multiples of 15 so ``deg + min/60`` is binary-exact on both
     engines."""
-    if media_id % 4 not in (0, 1):
+    if media_id % 4 == 3:
         return None
     lat_ref = "N" if media_id % 2 == 0 else "S"
     lon_ref = "W" if media_id % 3 == 0 else "E"
@@ -586,7 +630,7 @@ def exif_fixture_meta(media_id: int) -> dict | None:
 
 def exif_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic mixed-container media table for the declared EXIF
-    query: TIFF+EXIF / JPEG+EXIF / PNG / TIFF-plain cycling per id —
+    query: TIFF+EXIF / JPEG+EXIF / PNG+eXIf / TIFF-plain per id —
     real containers through the real codecs, metadata planted by the
     writers above (which Java ImageIO demonstrably resolves — see
     tests)."""
@@ -614,7 +658,9 @@ def exif_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         insert_jpeg_exif(jpeg.encode_jpeg(8, 8, raw), meta)
                     )
                 elif mid % 4 == 2:
-                    payloads.append(_fixture_png(mid)[2])
+                    payloads.append(
+                        insert_png_exif(_fixture_png(mid)[2], meta)
+                    )
                 else:
                     payloads.append(_fixture_tiff(mid)[2])
             yield pd.DataFrame(

@@ -264,3 +264,27 @@ def test_oriented_fingerprints_end_to_end(spark):
     )
     r = E.oriented_fingerprints(plain).first()
     assert r.orientation == 1 and r.raw_fp == r.norm_fp
+
+
+def test_png_exif_chunk_roundtrip_and_decode_unchanged():
+    """PNG eXIf (extension spec 1.5.0): the chunk payload is a raw
+    TIFF block; planting after IHDR leaves pixels byte-identical
+    (ancillary chunk, CRC-valid) and extraction reads every field."""
+    rng = np.random.default_rng(9)
+    raw = rng.integers(0, 256, 6 * 4 * 3, dtype=np.uint8).tobytes()
+    data = png.encode_png(6, 4, raw)  # color_type 2 = RGB
+    planted = E.insert_png_exif(data, META)
+    assert E.extract_exif(planted) == WANT
+    assert png.decode_png(planted) == png.decode_png(data)
+    assert E.extract_exif(data) is None
+    # chunk is CRC-valid right after IHDR
+    import zlib
+
+    at = 8 + 4 + 4 + 13 + 4
+    (n,) = struct.unpack(">I", planted[at : at + 4])
+    assert planted[at + 4 : at + 8] == b"eXIf"
+    payload = planted[at + 8 : at + 8 + n]
+    (crc,) = struct.unpack(">I", planted[at + 8 + n : at + 12 + n])
+    assert zlib.crc32(b"eXIf" + payload) & 0xFFFFFFFF == crc
+    with pytest.raises(ValueError, match="not a PNG"):
+        E.insert_png_exif(b"junk", META)
