@@ -337,9 +337,64 @@ def _iceberg_field_type(spark_type) -> str:
             return "decimal(" + spark_type[8:].rstrip(")") + ")"
     raise NotImplementedError(
         f"column type {spark_type!r} has no exact Iceberg v2 mapping in "
-        "this minimal writer (tinyint/smallint would silently widen; "
-        "nested types need element-level field ids)"
+        "this minimal writer (tinyint/smallint would silently widen)"
     )
+
+
+def _iceberg_type(spark_type, path: str, alloc) -> str | dict:
+    """Iceberg schema type (primitive string or nested dict) for one
+    Spark-schema-json type, assigning the spec's ELEMENT-LEVEL field
+    ids through ``alloc(path)`` — struct members, list elements and
+    map keys/values each carry a unique id (spec "Schemas and Data
+    Types"); ``alloc`` keys ids by dotted path so they stay stable
+    across versions and nested-field additions (r14: the nested-type
+    half of the non-exact-primitives refusal is closed; 8/16-bit ints
+    still refuse — they would silently widen)."""
+    if isinstance(spark_type, dict):
+        t = spark_type.get("type")
+        if t == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "id": alloc(f"{path}.{f['name']}"),
+                        "name": f["name"],
+                        "required": not f.get("nullable", True),
+                        "type": _iceberg_type(
+                            f["type"], f"{path}.{f['name']}", alloc
+                        ),
+                    }
+                    for f in spark_type["fields"]
+                ],
+            }
+        if t == "array":
+            return {
+                "type": "list",
+                "element-id": alloc(f"{path}.element"),
+                "element": _iceberg_type(
+                    spark_type["elementType"], f"{path}.element", alloc
+                ),
+                "element-required": not spark_type.get("containsNull", True),
+            }
+        if t == "map":
+            return {
+                "type": "map",
+                "key-id": alloc(f"{path}.key"),
+                "key": _iceberg_type(
+                    spark_type["keyType"], f"{path}.key", alloc
+                ),
+                "value-id": alloc(f"{path}.value"),
+                "value": _iceberg_type(
+                    spark_type["valueType"], f"{path}.value", alloc
+                ),
+                "value-required": not spark_type.get(
+                    "valueContainsNull", True
+                ),
+            }
+        raise NotImplementedError(
+            f"Spark nested type {t!r} has no Iceberg v2 mapping here"
+        )
+    return _iceberg_field_type(spark_type)
 
 
 def _partition_avro_type(iceberg_type: str) -> str:
@@ -618,12 +673,20 @@ def export_iceberg_metadata(
             aliases = name_aliases.setdefault(fid, [phys])
             if f["name"] not in aliases:
                 aliases.append(f["name"])
+
+            def _alloc(path: str) -> int:
+                # nested element ids: same first-appearance stability
+                # as top-level physical names, keyed by dotted path
+                if path not in field_ids:
+                    field_ids[path] = len(field_ids) + 1
+                return field_ids[path]
+
             fields.append(
                 {
                     "id": fid,
                     "name": f["name"],
                     "required": not f.get("nullable", True),
-                    "type": _iceberg_field_type(f["type"]),
+                    "type": _iceberg_type(f["type"], phys, _alloc),
                 }
             )
         schema = {"type": "struct", "fields": fields}
@@ -720,6 +783,7 @@ def export_iceberg_metadata(
         itype_by_phys = {
             phys_of_log[f["name"]]: _iceberg_field_type(f["type"])
             for f in data_fields
+            if isinstance(f["type"], str)  # bounds: scalar columns only
         }
 
         def entry(rel: str, status: int) -> dict:
@@ -763,7 +827,7 @@ def export_iceberg_metadata(
                 "minmax", {}
             )
             for col, (lo, hi) in sorted(minmax.items()):
-                if col not in id_by_phys:
+                if col not in id_by_phys or col not in itype_by_phys:
                     continue
                 lo_b = serialize_bound(lo, itype_by_phys[col])
                 hi_b = serialize_bound(hi, itype_by_phys[col])
@@ -1018,7 +1082,45 @@ def _load_metadata(table_path: str) -> dict:
         return json.load(fh)
 
 
-def _spark_type(iceberg_type: str) -> str:
+def _spark_type(iceberg_type) -> str | dict:
+    """Inverse of :func:`_iceberg_type` for the snapshot reader:
+    primitive strings map back through the table, nested
+    struct/list/map dicts convert to Spark schema-json recursively
+    (field ids are not needed on the Spark side — resolution is by
+    name, the name-mapping path)."""
+    if isinstance(iceberg_type, dict):
+        t = iceberg_type.get("type")
+        if t == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": f["name"],
+                        "type": _spark_type(f["type"]),
+                        "nullable": not f["required"],
+                        "metadata": {},
+                    }
+                    for f in iceberg_type["fields"]
+                ],
+            }
+        if t == "list":
+            return {
+                "type": "array",
+                "elementType": _spark_type(iceberg_type["element"]),
+                "containsNull": not iceberg_type.get(
+                    "element-required", False
+                ),
+            }
+        if t == "map":
+            return {
+                "type": "map",
+                "keyType": _spark_type(iceberg_type["key"]),
+                "valueType": _spark_type(iceberg_type["value"]),
+                "valueContainsNull": not iceberg_type.get(
+                    "value-required", False
+                ),
+            }
+        raise NotImplementedError(f"iceberg nested type {t!r} unsupported")
     if iceberg_type in _SPARK_TYPES:
         return _SPARK_TYPES[iceberg_type]
     if iceberg_type.startswith("decimal("):

@@ -543,6 +543,9 @@ _REWRITTEN_IN: dict[str, int] = {
     # orientation-normalized dedup (functions/exif.py transforms +
     # oriented_fingerprints) — the EXIF machinery's declared use-case
     "q_image_dedup_oriented": 14,
+    # nested struct/list/map schema export with element-level field
+    # ids (iceberg_meta._iceberg_type + reader inverse)
+    "q_table_iceberg_nested": 14,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

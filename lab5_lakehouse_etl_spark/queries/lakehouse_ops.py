@@ -1380,3 +1380,72 @@ def q_table_iceberg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "tag",
     )
+
+
+@query(
+    "q_table_iceberg_nested",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT)  AS o_orderkey,
+           CAST(o_custkey AS BIGINT)   AS cust,
+           o_orderstatus               AS status,
+           split_part(o_orderpriority, '-', 1) AS prio_1,
+           split_part(o_orderpriority, '-', 2) AS prio_2,
+           CAST(2 AS BIGINT)           AS n_words,
+           CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def q_table_iceberg_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg NESTED-TYPE schema export (closing the nested half of
+    the "non-exact primitives" refusal): a LakeTable with struct /
+    array / map columns exports a spec-v2 schema with ELEMENT-LEVEL
+    field ids — struct members, list elements and map keys/values
+    each get a unique id allocated by first appearance of their
+    dotted path (stable across versions, exactly like top-level
+    physical names; ``last-column-id`` covers them), with
+    ``element-required``/``value-required`` derived from Spark
+    nullability — and ``read_iceberg_snapshot`` reconstructs the
+    Spark nested schema from that metadata alone.
+
+    The relation flattens every nested shape on the way out (struct
+    field access, element_at over the list, map lookup), so the
+    oracle's split_part/column restatement hash-pins that nested
+    VALUES survive the exported-layout round trip, not just that the
+    schema parses.  8/16-bit ints still refuse (silent widening);
+    bounds stay scalar-only (footer stats never cover nested
+    columns).
+
+    Scale: identical to the flat queries — metadata is O(files)
+    driver-side kilobytes, the read is a distributed parquet scan
+    whose nested columns Spark prunes/projects natively."""
+    tune(spark)
+    from ..lakehouse.iceberg_meta import (
+        export_iceberg_metadata,
+        read_iceberg_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    )
+    df = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("who"),
+        F.split("o_orderpriority", "-").alias("prio_words"),
+        F.create_map(F.lit("total"), F.col("o_totalprice")).alias("amounts"),
+    ).coalesce(1)
+    path = scratch_dir("q_table_iceberg_nested", fresh=True) + "/t"
+    t = LakeTable.create(df, path)
+    export_iceberg_metadata(t)
+    snap = read_iceberg_snapshot(spark, path)
+    return snap.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("who.cust").cast("bigint").alias("cust"),
+        F.col("who.status").alias("status"),
+        F.element_at("prio_words", 1).alias("prio_1"),
+        F.element_at("prio_words", 2).alias("prio_2"),
+        F.size("prio_words").cast("bigint").alias("n_words"),
+        F.element_at("amounts", "total").cast("double").alias("total"),
+    )

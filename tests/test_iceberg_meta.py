@@ -492,3 +492,90 @@ def test_bounds_export_and_file_pruning(spark, tmp_path):
         spark, t.path, prune={"o_orderkey": (10**12, 10**12 + 5)}
     )
     assert none.count() == 0 and none.columns == full.columns
+
+
+def test_nested_types_export_with_element_ids(spark, tmp_path):
+    """Nested struct/list/map columns export spec-v2 schemas with
+    UNIQUE element-level field ids (struct members, list element, map
+    key/value — allocated by dotted-path first appearance, so schema
+    evolution keeps v1 ids stable), last-column-id covers them, and
+    the snapshot reader reconstructs the nested Spark schema from the
+    metadata alone with values intact."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        F.struct(
+            (F.col("id") * 2).alias("a"), F.lit("s").alias("b")
+        ).alias("st"),
+        F.array(F.col("id"), F.col("id") + 1).alias("arr"),
+        F.create_map(F.lit("v"), F.col("id").cast("double")).alias("mp"),
+    )
+    path = str(tmp_path / "t")
+    t = LakeTable.create(df.coalesce(1), path)
+    IM.export_iceberg_metadata(t)
+    meta = IM._load_metadata(path)
+    schema = meta["schemas"][meta["current-schema-id"]]
+
+    ids: list[int] = []
+
+    def walk(ftype):
+        if not isinstance(ftype, dict):
+            return
+        if ftype["type"] == "struct":
+            for f in ftype["fields"]:
+                ids.append(f["id"])
+                walk(f["type"])
+        elif ftype["type"] == "list":
+            ids.append(ftype["element-id"])
+            walk(ftype["element"])
+        elif ftype["type"] == "map":
+            ids.append(ftype["key-id"])
+            walk(ftype["key"])
+            ids.append(ftype["value-id"])
+            walk(ftype["value"])
+
+    walk(schema)
+    assert len(ids) == len(set(ids)) == 9  # 4 top + 2 struct + 1 el + k/v
+    assert meta["last-column-id"] == max(ids)
+    by_name = {f["name"]: f for f in schema["fields"]}
+    assert by_name["arr"]["type"]["element-required"] is True  # array() lits
+    assert by_name["mp"]["type"]["key"] == "string"
+    assert by_name["mp"]["type"]["value"] == "double"
+
+    back = IM.read_iceberg_snapshot(spark, path)
+    got = {
+        (r.k, r.st.a, r.st.b, tuple(r.arr), r.mp["v"])
+        for r in back.collect()
+    }
+    want = {
+        (r.k, r.st.a, r.st.b, tuple(r.arr), r.mp["v"])
+        for r in df.collect()
+    }
+    assert got == want
+
+    # evolution: a second version adding a nested column keeps every
+    # v1 id (dotted-path stability) and extends last-column-id
+    upd = df.withColumn(
+        "st2", F.struct(F.lit(7).alias("z"))
+    )
+    t.merge(spark, upd, key=["k"], evolve_schema=True)
+    IM.export_iceberg_metadata(t)
+    meta2 = IM._load_metadata(path)
+    v1 = meta2["schemas"][0]
+    v2 = meta2["schemas"][-1]
+
+    def id_map(schema_doc, out, prefix=""):
+        for f in schema_doc["fields"]:
+            out[prefix + f["name"]] = f["id"]
+            if isinstance(f["type"], dict) and f["type"]["type"] == "struct":
+                id_map(f["type"], out, prefix + f["name"] + ".")
+        return out
+
+    m1 = id_map(v1, {})
+    m2 = id_map(v2, {})
+    for k, v in m1.items():
+        assert m2[k] == v, f"field id moved for {k}"
+    assert meta2["last-column-id"] > meta["last-column-id"]
+    back2 = IM.read_iceberg_snapshot(spark, path)
+    assert back2.count() == 20 and "st2" in back2.columns
