@@ -344,9 +344,15 @@ def add_tiff_exif(data: bytes, exif: dict) -> bytes:
     entries: list[tuple[int, int, object]] = []
     fmts = {1: "B", 3: "H", 4: "I"}
     sizes = {1: 1, 3: 2, 4: 4}
+    ifd0_meta_probe, _ = _exif_entries(bo, exif, 0)
+    planted_tags = {t for t, _typ, _v in ifd0_meta_probe}
     for i in range(n):
         e = ifd_at + 2 + 12 * i
         tag, typ = struct.unpack(bo + "HH", data[e : e + 4])
+        if tag in planted_tags:
+            # planting over an existing metadata tag REPLACES it — a
+            # duplicate tag in one IFD is malformed TIFF
+            continue
         (count,) = struct.unpack(bo + "I", data[e + 4 : e + 8])
         if typ not in sizes:
             raise NotImplementedError(f"IFD0 entry type {typ} in rebuild")

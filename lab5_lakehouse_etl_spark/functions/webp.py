@@ -492,7 +492,7 @@ def vp8_lossy_dimensions(data: bytes) -> tuple[int, int]:
     Used by the ingest quarantine gate so codec-less lossy payloads
     surface their dimensions next to the ``unsupported`` verdict —
     triage metadata, never a decode claim."""
-    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP: bad RIFF/WEBP header")
     if data[12:16] != b"VP8 ":
         raise ValueError("not a lossy (VP8) WebP chunk")

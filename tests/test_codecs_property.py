@@ -631,7 +631,7 @@ def test_vp8_lossy_dimensions_header_bits():
     # pixel decode still refuses on the same container
     with pytest.raises(NotImplementedError, match="VP8L"):
         webp.decode_webp(vp8(frame(320, 240)))
-    with pytest.raises(ValueError, match="key"):  # interframe bit set
+    with pytest.raises(ValueError, match="interframe"):  # frame-type bit
         webp.vp8_lossy_dimensions(vp8(frame(320, 240, tag=1)))
     with pytest.raises(ValueError, match="start code"):
         bad = frame(320, 240)

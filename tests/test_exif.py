@@ -288,3 +288,24 @@ def test_png_exif_chunk_roundtrip_and_decode_unchanged():
     assert zlib.crc32(b"eXIf" + payload) & 0xFFFFFFFF == crc
     with pytest.raises(ValueError, match="not a PNG"):
         E.insert_png_exif(b"junk", META)
+
+
+def test_replant_replaces_existing_tags():
+    """Planting over an already-planted TIFF REPLACES the metadata
+    tags (duplicate tags in one IFD are malformed TIFF): last write
+    wins, IFD0 stays duplicate-free, pixels untouched."""
+    data = tiff.encode_tiff(4, 4, bytes(48), channels=3)
+    p2 = E.add_tiff_exif(
+        E.add_tiff_exif(data, {"orientation": 3, "make": "Old"}),
+        {"orientation": 6, "make": "New"},
+    )
+    info = E.extract_exif(p2)
+    assert info["orientation"] == 6 and info["make"] == "New"
+    (ifd_at,) = struct.unpack("<I", p2[4:8])
+    (n,) = struct.unpack("<H", p2[ifd_at : ifd_at + 2])
+    tags = [
+        struct.unpack("<H", p2[ifd_at + 2 + 12 * i : ifd_at + 4 + 12 * i])[0]
+        for i in range(n)
+    ]
+    assert len(tags) == len(set(tags))
+    assert tiff.decode_tiff(p2) == tiff.decode_tiff(data)
