@@ -546,6 +546,9 @@ _REWRITTEN_IN: dict[str, int] = {
     # nested struct/list/map schema export with element-level field
     # ids (iceberg_meta._iceberg_type + reader inverse)
     "q_table_iceberg_nested": 14,
+    # HTML -> text extraction (new module functions/html.py; Spark +
+    # DuckDB pattern builders side by side, cross-engine regex pin)
+    "q_text_html_extract": 14,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -1140,3 +1140,73 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def _html_oracle() -> str:
+    """Built from the SAME pattern table as the Spark operator
+    (functions/html.py keeps both builders side by side), so the
+    oracle pins each regex's semantics across java.util.regex and
+    RE2 — see q_text_html_extract."""
+    from ..functions.html import html_to_text_sql
+
+    wrapped = (
+        "'<html><head><title>D' || CAST(doc_id AS VARCHAR) || "
+        "'</title><style type=\"text/css\">p { margin: 0; }</style>"
+        "<script>var x = 1 < 2; //</script></head><body><h1>Doc &amp; '"
+        " || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
+        "'</p><p>tail&nbsp;&lt;ok&gt;</p><!-- note --></body></html>'"
+    )
+    clean = html_to_text_sql(wrapped)
+    return f"""
+    SELECT doc_id,
+           {clean} AS clean_text,
+           CAST(length({clean}) AS BIGINT) AS clean_chars
+    FROM documents
+    """
+
+
+@query("q_text_html_extract", oracle=_html_oracle())
+def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/html.py) — the first
+    transform of every web-scraped training corpus: script/style/
+    comment blocks removed, block-element tags become word breaks,
+    remaining tags stripped, core named entities decoded with the
+    HTML5 double-escape rule (&amp; last), whitespace collapsed.
+    Pure JVM regex/replace expressions — no UDF, no parser library —
+    so the pass rides whole-stage codegen at payload scale.
+
+    The fixture wraps each document's text in a deterministic HTML
+    shell (title/style/script head, &amp;-bearing heading, two
+    paragraphs, a comment; the script body contains a BARE '<' so a
+    broken script pattern visibly corrupts output), and the oracle
+    applies the SAME pattern table through DuckDB — Spark executes
+    java.util.regex, the oracle RE2, so the value hash certifies
+    every pattern's semantics (lazy quantifiers, inline (?is) flags,
+    word boundaries) agree across two independent regex engines.
+    Numeric character references deliberately pass through verbatim
+    (decoding needs computed chr() — documented boundary, not a
+    silent half-decode).
+
+    Scale: a narrow projection over the documents scan; no shuffle,
+    no Python."""
+    from ..functions.html import html_to_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit("<html><head><title>D"),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><style type="text/css">p { margin: 0; }</style>'
+            "<script>var x = 1 < 2; //</script></head><body><h1>Doc &amp; "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><p>tail&nbsp;&lt;ok&gt;</p><!-- note --></body></html>"),
+    )
+    clean = html_to_text(wrapped)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("bigint").alias("clean_chars"),
+    )
