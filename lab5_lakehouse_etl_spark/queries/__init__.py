@@ -549,6 +549,9 @@ _REWRITTEN_IN: dict[str, int] = {
     # HTML -> text extraction (new module functions/html.py; Spark +
     # DuckDB pattern builders side by side, cross-engine regex pin)
     "q_text_html_extract": 14,
+    # URL canonicalization + URL-level dedup (new module
+    # functions/urls.py, same twin-builder shape)
+    "q_url_canonicalize": 14,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

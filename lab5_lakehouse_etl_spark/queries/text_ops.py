@@ -1210,3 +1210,99 @@ def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean_text"),
         F.length(clean).cast("bigint").alias("clean_chars"),
     )
+
+
+@query(
+    "q_url_canonicalize",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS g, doc_id % 4 AS arm
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id,
+             CASE WHEN arm IN (0, 1)
+                  THEN 'https://site' || g || '.example.com/page/' || g
+                       || '?id=' || g
+                  WHEN arm = 2
+                  THEN 'http://m' || g || '.example.com/m/' || g
+                  ELSE 'https://p.example.com/d/'
+                       || CAST(doc_id AS VARCHAR) END AS canon_url
+      FROM c
+    )
+    SELECT doc_id, canon_url,
+           CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT)
+               AS n_same_key
+    FROM k
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (functions/urls.py) —
+    the identity pass of every web corpus: strip fragments, lowercase
+    scheme/host (RFC 3986 §6.2.2.1), drop default ports, remove the
+    tracking-parameter family (the canonical five-field utm block,
+    fbclid/gclid/msclkid/ref_src) order-preservingly, drop empty
+    query strings, trim trailing path slashes incl. the root
+    (§6.2.3: empty path ≡ '/').  Pure JVM regex/replace — the DuckDB
+    oracle restates the EXPECTED canonical key in closed form per
+    fixture arm, so the hash certifies the normalization semantics,
+    and the window count pins the dedup collapse: the messy arm
+    (mixed-case host, :443, trailing slash, full utm block, fragment)
+    and the already-clean arm of each group MUST land on the same key
+    (n_same_key = 2) while the fbclid and per-id arms stay singletons.
+
+    Scale: a narrow projection plus one hash-partitioned window over
+    the canonical key — exactly the shuffle URL-level dedup pays at
+    any scale; no UDF, no Python."""
+    from pyspark.sql import Window
+
+    from ..functions.urls import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = F.expr("doc_id DIV 4").cast("string")
+    arm = F.col("doc_id") % 4
+    raw = (
+        F.when(
+            arm == 0,
+            F.concat(
+                F.lit("https://Site"), g, F.lit(".Example.COM:443/page/"),
+                g,
+                F.lit(
+                    "/?utm_source=feed&utm_medium=rss&utm_campaign=c"
+                    "&utm_term=t&utm_content=x&id="
+                ),
+                g, F.lit("#top"),
+            ),
+        )
+        .when(
+            arm == 1,
+            F.concat(
+                F.lit("https://site"), g, F.lit(".example.com/page/"), g,
+                F.lit("?id="), g,
+            ),
+        )
+        .when(
+            arm == 2,
+            F.concat(
+                F.lit("HTTP://M"), g, F.lit(".Example.com:80/m/"), g,
+                F.lit("/?fbclid=x"), F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://p.example.com/d/"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    out = docs.select(
+        "doc_id", canonical_url(raw).alias("canon_url")
+    )
+    return out.select(
+        "doc_id",
+        "canon_url",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("canon_url"))
+        .cast("bigint")
+        .alias("n_same_key"),
+    )

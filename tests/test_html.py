@@ -58,3 +58,51 @@ def test_html_extraction_semantics(spark, raw, want):
     # the DuckDB twin agrees on every case (the cross-engine pin the
     # declared query makes over the corpus fixture)
     assert _duck_extract(raw) == want, raw
+
+
+# ---------------------------------------------------------------- urls
+
+from lab5_lakehouse_etl_spark.functions import urls as U  # noqa: E402
+
+URL_CASES = [
+    # the full messy form: case, default port, utm block, fragment,
+    # trailing slash
+    (
+        "HTTP://Example.COM:80/A/b/?utm_source=x&utm_medium=y"
+        "&utm_campaign=z&utm_term=t&utm_content=c&id=5#frag",
+        "http://example.com/A/b?id=5",
+    ),
+    # root slash == empty path (RFC 3986 §6.2.3)
+    ("https://Host.io:443/", "https://host.io"),
+    ("http://h", "http://h"),
+    ("http://h:80", "http://h"),
+    # NON-default ports survive
+    ("https://host.io:8443/x/", "https://host.io:8443/x"),
+    ("http://h:8080/", "http://h:8080"),
+    # tracked params anywhere, with or without '='
+    ("http://h/p?fbclid=abc", "http://h/p"),
+    ("http://h/p/?a=1&gclid=2&b=3", "http://h/p?a=1&b=3"),
+    ("http://h/?utm_x", "http://h"),
+    # path/query case preserved; ref_src tracked
+    ("HTTPS://A.B/C?x=1&ref_src=tw", "https://a.b/C?x=1"),
+    # no scheme: inapplicable steps pass through
+    ("relative/path?utm_source=1&k=2", "relative/path?k=2"),
+]
+
+
+@pytest.mark.parametrize("raw,want", URL_CASES)
+def test_url_canonicalization_semantics(spark, raw, want):
+    df = spark.createDataFrame([(raw,)], "u string")
+    got = df.select(U.canonical_url("u").alias("c")).first().c
+    assert got == want, raw
+    con = duckdb.connect()
+    lit = raw.replace("'", "''")
+    duck = con.sql(
+        f"SELECT {U.canonical_url_sql('u')} AS c FROM (SELECT '{lit}' AS u)"
+    ).fetchone()[0]
+    assert duck == want, raw
+
+
+def test_url_canonicalization_null_passthrough(spark):
+    df = spark.createDataFrame([(None,)], "u string")
+    assert df.select(U.canonical_url("u").alias("c")).first().c is None
