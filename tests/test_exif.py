@@ -309,3 +309,33 @@ def test_replant_replaces_existing_tags():
     ]
     assert len(tags) == len(set(tags))
     assert tiff.decode_tiff(p2) == tiff.decode_tiff(data)
+
+
+def test_extract_exif_fuzz_never_raises():
+    """The advisory contract under damage: 1500 single-byte flips
+    across planted TIFF / JPEG-APP1 / PNG-eXIf containers —
+    extract_exif returns a dict or None, NEVER raises (corrupt
+    metadata must not quarantine a decodable image), and stays fast
+    (no pathological walks)."""
+    import time
+
+    rng = np.random.default_rng(14)
+    meta = dict(META)
+    payloads = []
+    payloads.append(E.add_tiff_exif(tiff.encode_tiff(5, 4, bytes(60), channels=3), meta))
+    payloads.append(
+        E.insert_jpeg_exif(jpeg.encode_jpeg(8, 8, bytes(64)), meta)
+    )
+    payloads.append(
+        E.insert_png_exif(png.encode_png(5, 4, bytes(60)), meta)
+    )
+    t0 = time.time()
+    for data in payloads:
+        for _ in range(500):
+            i = int(rng.integers(0, len(data)))
+            b = int(rng.integers(1, 256))
+            mut = bytearray(data)
+            mut[i] ^= b
+            out = E.extract_exif(bytes(mut))
+            assert out is None or isinstance(out, dict)
+    assert time.time() - t0 < 30
