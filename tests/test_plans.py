@@ -966,3 +966,28 @@ def test_ann_recall_monitor_phase_job_budget(spark):
     assert ph["append_jobs"] <= 4
     # 3 probes: at most 5 jobs per probe before the pin trips
     assert ph["probe_jobs"] <= 15
+
+
+def test_html_extract_no_python_no_shuffle(spark):
+    """HTML -> text extraction is a pure JVM narrow projection: the
+    plan carries NO Python evaluation node and NO exchange — the
+    property that lets the pass run at payload scale inside
+    whole-stage codegen."""
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_text_html_extract"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert shuffle_count(df) == 0
+
+
+def test_url_canonicalize_single_shuffle_no_python(spark):
+    """URL canonicalization is JVM expressions; the only exchange is
+    the per-canonical-key window (the shuffle URL-level dedup pays at
+    any scale)."""
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_url_canonicalize"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert shuffle_count(df) == 1
