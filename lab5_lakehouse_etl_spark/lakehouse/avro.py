@@ -271,14 +271,13 @@ def write_container(
     os.replace(tmp, path)
 
 
-def read_container(path: str) -> tuple[dict[str, str], list]:
-    """Read an Avro OCF written by any conforming writer: returns
-    ``(file_metadata, records)`` decoded with the embedded writer
-    schema.  Codecs ``null`` and ``deflate`` are understood."""
-    with open(path, "rb") as fh:
-        data = fh.read()
+def decode_container(data: bytes, name: str = "<bytes>") -> tuple[dict[str, str], list]:
+    """Decode one Avro OCF from memory — the distributed-read
+    primitive (``sources.readers.read_avro`` maps it over
+    ``binaryFile`` contents executor-side); :func:`read_container`
+    is the path-taking wrapper."""
     if data[:4] != MAGIC:
-        raise ValueError(f"{path}: not an Avro object container file")
+        raise ValueError(f"{name}: not an Avro object container file")
     r = _Reader(data, 4)
     meta_schema = {"type": "map", "values": "bytes"}
     raw_meta = decode(r, meta_schema)
@@ -299,10 +298,45 @@ def read_container(path: str) -> tuple[dict[str, str], list]:
         for _ in range(n):
             records.append(decode(br, schema))
         if br.pos != len(block):
-            raise ValueError(f"{path}: trailing bytes in avro block")
+            raise ValueError(f"{name}: trailing bytes in avro block")
         if r.raw(16) != sync:
-            raise ValueError(f"{path}: avro block sync marker mismatch")
+            raise ValueError(f"{name}: avro block sync marker mismatch")
     return meta, records
+
+
+def read_container(path: str) -> tuple[dict[str, str], list]:
+    """Read an Avro OCF written by any conforming writer: returns
+    ``(file_metadata, records)`` decoded with the embedded writer
+    schema.  Codecs ``null`` and ``deflate`` are understood."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    return decode_container(data, path)
+
+
+def read_schema(path: str) -> tuple[dict[str, str], object]:
+    """HEADER-ONLY read of an OCF: ``(file_metadata, parsed writer
+    schema)`` from the first kilobytes — the driver-side schema probe
+    a distributed reader needs without touching any data block."""
+    with open(path, "rb") as fh:
+        # header = magic + metadata map + 16-byte sync; metadata for a
+        # record schema is well under 64 KiB — read incrementally only
+        # if the first chunk proves short
+        data = fh.read(1 << 16)
+        while True:
+            if data[:4] != MAGIC:
+                raise ValueError(f"{path}: not an Avro object container file")
+            try:
+                r = _Reader(data, 4)
+                raw_meta = decode(r, {"type": "map", "values": "bytes"})
+                r.raw(16)  # sync must be present too
+                break
+            except ValueError:
+                more = fh.read(1 << 20)
+                if not more:
+                    raise
+                data += more
+    meta = {k: v.decode("utf-8", "replace") for k, v in raw_meta.items()}
+    return meta, json.loads(meta["avro.schema"])
 
 
 def roundtrip_check(schema, records: list) -> None:

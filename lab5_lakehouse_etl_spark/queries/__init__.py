@@ -552,6 +552,9 @@ _REWRITTEN_IN: dict[str, int] = {
     # URL canonicalization + URL-level dedup (new module
     # functions/urls.py, same twin-builder shape)
     "q_url_canonicalize": 14,
+    # Avro OCF source (lakehouse/avro.py grew decode_container +
+    # header-only read_schema; sources/readers.py read_avro)
+    "q_scan_avro": 14,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

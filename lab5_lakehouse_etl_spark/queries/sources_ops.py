@@ -141,3 +141,69 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return read_jsonl(spark, land, schema)
+
+
+@query(
+    "q_scan_avro",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                ELSE 'c' || CAST(n_nationkey AS VARCHAR) END AS note
+    FROM nation
+    """,
+)
+def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object-Container-File SOURCE (sources.readers.read_avro)
+    over the vendored spec codec that already round-trips the Iceberg
+    manifests: the fixture writes nation into THREE separate .avro
+    container files (slices by key mod 3; one deflate-coded, two
+    null-coded; a nullable union column with real nulls), a
+    header-only driver probe recovers the writer schema without
+    touching a data block, and the distributed binaryFile +
+    Arrow-batched decode reads all three files back — the DuckDB
+    oracle restates the relation, so a wrong varint zig-zag, union
+    branch index, block sync walk, or deflate frame breaks the hash.
+
+    Scale boundary (stated in the reader docstring): files are the
+    parallelism unit — the normal shape of warehouse Avro landings;
+    block-splitting on sync markers and nested/logical types refuse
+    loudly."""
+    tune(spark)
+    from ..lakehouse import avro as A
+    from ..sources.readers import read_avro
+
+    nation = load_table(spark, sf_dir, "nation")
+    out_dir = scratch_dir("q_scan_avro", fresh=True)
+    schema = {
+        "type": "record",
+        "name": "nation",
+        "fields": [
+            {"name": "n_nationkey", "type": "long"},
+            {"name": "n_name", "type": "string"},
+            {"name": "n_regionkey", "type": "long"},
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    }
+    rows = [
+        {
+            "n_nationkey": int(r.n_nationkey),
+            "n_name": r.n_name,
+            "n_regionkey": int(r.n_regionkey),
+            "note": None
+            if r.n_nationkey % 5 == 0
+            else f"c{int(r.n_nationkey)}",
+        }
+        for r in nation.collect()  # 25-row dimension: driver-side write
+    ]
+    for i in range(3):
+        part = [r for r in rows if r["n_nationkey"] % 3 == i]
+        A.write_container(f"{out_dir}/part-{i}.avro", schema, part)
+    back = read_avro(spark, out_dir + "/*.avro")
+    return back.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+        "note",
+    )

@@ -120,3 +120,89 @@ def passthrough_copy(src: str, dst_dir: str) -> str:
     dst = os.path.join(dst_dir, os.path.basename(src))
     shutil.copyfile(src, dst)
     return dst
+
+
+#: Avro primitive -> Spark type for the source reader (int maps to
+#: Spark integer, not long — Avro int is 32-bit by spec)
+_AVRO_SPARK = {
+    "boolean": "boolean",
+    "int": "integer",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "bytes": "binary",
+}
+
+
+def _avro_field_spark_type(t) -> tuple[str, bool]:
+    """(spark type name, nullable) for one Avro record-field type.
+    ``["null", T]`` unions mean nullable T; anything nested or
+    logical-typed refuses loudly (this reader covers the flat-record
+    shape a warehouse ingest lands — nested Avro belongs to a schema
+    registry integration, not a silent partial decode)."""
+    nullable = False
+    if isinstance(t, list):
+        branches = [b for b in t if b != "null"]
+        if len(branches) != 1 or len(branches) == len(t):
+            raise NotImplementedError(f"avro union {t!r} unsupported")
+        nullable = True
+        t = branches[0]
+    if isinstance(t, dict):
+        raise NotImplementedError(
+            f"avro nested/logical type {t.get('type')!r} unsupported in "
+            "read_avro (flat records of primitives only)"
+        )
+    if t not in _AVRO_SPARK:
+        raise NotImplementedError(f"avro type {t!r} unsupported")
+    return _AVRO_SPARK[t], nullable
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed Avro Object-Container-File source over the vendored
+    spec codec (``lakehouse/avro.py`` — the same decoder the Iceberg
+    manifests round-trip through): a driver-side HEADER-ONLY probe of
+    one file yields the writer schema (``avro.read_schema`` — no data
+    block is touched), then ``binaryFile`` rows decode executor-side
+    via Arrow-batched ``mapInPandas`` (``avro.decode_container``), so
+    file bytes never cross a shuffle and files are the unit of
+    parallelism.
+
+    Scale boundary (stated): parallelism is per FILE — the normal
+    shape of warehouse Avro landings (many files from many producer
+    tasks).  Block-level splitting on sync markers, codecs beyond
+    null/deflate, and nested/logical types are refused loudly, not
+    half-read; ``path`` may be a glob."""
+    import glob as _glob
+
+    import pandas as pd
+
+    from ..lakehouse import avro as A
+
+    first = sorted(_glob.glob(path)) or [path]
+    _, schema = A.read_schema(first[0])
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise NotImplementedError("read_avro needs a record writer schema")
+    names: list[str] = []
+    fields = []
+    for f in schema["fields"]:
+        st, nullable = _avro_field_spark_type(f["type"])
+        names.append(f["name"])
+        fields.append(f'{f["name"]} {st}')
+    ddl = ", ".join(fields)
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                _meta, records = A.decode_container(bytes(content))
+                yield pd.DataFrame(
+                    [[rec.get(n) for n in names] for rec in records],
+                    columns=names,
+                )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(batches, schema=ddl)
+    )

@@ -579,3 +579,88 @@ def test_nested_types_export_with_element_ids(spark, tmp_path):
     assert meta2["last-column-id"] > meta["last-column-id"]
     back2 = IM.read_iceberg_snapshot(spark, path)
     assert back2.count() == 20 and "st2" in back2.columns
+
+
+def test_avro_source_reader(spark, tmp_path):
+    """sources.readers.read_avro: header-only schema probe, multi-file
+    distributed decode, nullable unions, a hand-built DEFLATE-coded
+    foreign file, and the loud refusals (nested types, non-record
+    schemas)."""
+    import zlib
+
+    from lab5_lakehouse_etl_spark.lakehouse import avro as A
+    from lab5_lakehouse_etl_spark.sources.readers import read_avro
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "opt", "type": ["null", "double"]},
+        ],
+    }
+    rows = [
+        {"k": i, "s": f"s{i}", "opt": None if i % 3 == 0 else i / 2}
+        for i in range(40)
+    ]
+    for i in range(2):
+        A.write_container(
+            str(tmp_path / f"p{i}.avro"),
+            schema,
+            [r for r in rows if r["k"] % 2 == i],
+        )
+    # a third file written by a "foreign" deflate-coded writer:
+    # re-encode p0's block with raw-deflate and the codec stamped
+    import json as _json
+    import struct as _struct
+
+    body = bytearray()
+    part = [r for r in rows if r["k"] % 2 == 0]
+    for rec in part:
+        A.encode(body, schema, rec)
+    meta = {
+        "avro.schema": _json.dumps(schema).encode(),
+        "avro.codec": b"deflate",
+    }
+    out = bytearray(A.MAGIC)
+    A._write_long(out, len(meta))
+    for kk, vv in meta.items():
+        A._write_bytes(out, kk.encode())
+        A._write_bytes(out, vv)
+    A._write_long(out, 0)
+    sync = b"\x07" * 16
+    out += sync
+    comp = zlib.compress(bytes(body), 6)[2:-4]  # raw deflate framing
+    A._write_long(out, len(part))
+    A._write_long(out, len(comp))
+    out += comp + sync
+    (tmp_path / "p2.avro").write_bytes(bytes(out))
+
+    # header-only probe agrees with the writer schema
+    _m, got_schema = A.read_schema(str(tmp_path / "p0.avro"))
+    assert got_schema == schema
+
+    df = read_avro(spark, str(tmp_path / "*.avro"))
+    assert dict(df.dtypes) == {"k": "bigint", "s": "string", "opt": "double"}
+    got = sorted((r.k, r.s, r.opt) for r in df.collect())
+    want = sorted(
+        [(r["k"], r["s"], r["opt"]) for r in rows]
+        + [(r["k"], r["s"], r["opt"]) for r in part]  # p2 duplicates p0
+    )
+    assert got == want
+
+    # refusals: nested types and non-record schemas never half-read
+    nested = {
+        "type": "record",
+        "name": "n",
+        "fields": [
+            {"name": "a", "type": {"type": "array", "items": "long"}}
+        ],
+    }
+    A.write_container(str(tmp_path / "nested.avro"), nested, [])
+    with pytest.raises(NotImplementedError, match="nested"):
+        read_avro(spark, str(tmp_path / "nested.avro"))
+    A.write_container(str(tmp_path / "bare.avro"), "long", [1, 2])
+    with pytest.raises(NotImplementedError, match="record"):
+        read_avro(spark, str(tmp_path / "bare.avro"))
