@@ -200,10 +200,23 @@ def extract_exif(data: bytes) -> dict | None:
         ifd0 = _read_ifd_typed(block, bo, ifd0_at)
         exif_ifd: dict = {}
         gps_ifd: dict = {}
-        if TAG_EXIF_IFD in ifd0:
-            exif_ifd = _read_ifd_typed(block, bo, ifd0[TAG_EXIF_IFD][0])
-        if TAG_GPS_IFD in ifd0:
-            gps_ifd = _read_ifd_typed(block, bo, ifd0[TAG_GPS_IFD][0])
+        # A malformed IFD can declare the Exif/GPS *pointer* tags
+        # (34665/34853) with a non-integral type — ASCII yields a str,
+        # RATIONAL a float — so dereference only values that are
+        # genuinely integer offsets; anything else is corrupt-but-
+        # advisory metadata, not a reason to poison the batch.
+        def _ptr(tag: int) -> int | None:
+            v = ifd0.get(tag)
+            if isinstance(v, list) and v and isinstance(v[0], int):
+                return v[0]
+            return None
+
+        exif_at = _ptr(TAG_EXIF_IFD)
+        gps_at = _ptr(TAG_GPS_IFD)
+        if exif_at is not None:
+            exif_ifd = _read_ifd_typed(block, bo, exif_at)
+        if gps_at is not None:
+            gps_ifd = _read_ifd_typed(block, bo, gps_at)
         if not (
             exif_ifd
             or gps_ifd
@@ -227,7 +240,7 @@ def extract_exif(data: bytes) -> dict | None:
                 gps_ifd.get(TAG_GPS_LON), gps_ifd.get(TAG_GPS_LON_REF), "W"
             ),
         }
-    except (ValueError, struct.error, IndexError, KeyError):
+    except (ValueError, struct.error, IndexError, KeyError, TypeError):
         return None
 
 
@@ -612,8 +625,9 @@ def oriented_media_from_ids(
 def exif_fixture_meta(media_id: int) -> dict | None:
     """Closed-form planted metadata for one id (None for the EXIF-free
     ids) — the formula the DuckDB oracle restates: ids ≡ 0 (mod 4)
-    are TIFFs and ≡ 1 JPEGs with EXIF; ≡ 2 PNGs (a container with no
-    EXIF slot here) and ≡ 3 TIFFs without EXIF.  GPS minutes are
+    are TIFFs and ≡ 1 JPEGs with EXIF; ≡ 2 PNGs carrying a planted
+    ``eXIf`` chunk (PNG extension spec 1.5.0) — so they DO have EXIF
+    here — and only ≡ 3 (plain TIFFs) are EXIF-free.  GPS minutes are
     multiples of 15 so ``deg + min/60`` is binary-exact on both
     engines."""
     if media_id % 4 == 3:

@@ -26,11 +26,18 @@ Canonical form (the standard conservative pipeline subset):
 Replacement strings use each engine's backreference syntax ($1 vs
 \\1) — the PATTERNS are shared and RE2-compatible (no lookarounds:
 default-port and trailing-slash matches CAPTURE their delimiter and
-write it back, and the tracking-param pattern consumes a parameter
-from its own leading ``&`` up to — not including — the next ``&``,
-so ANY run of adjacent tracked params, like the canonical five-field
-utm block, vanishes in ONE global pass against the
-leading-sentinel-wrapped query string).
+write it back).  Tracked-param removal wraps the query in ``&``
+sentinels and DOUBLES every separator first, so each parameter owns
+a leading AND a trailing ``&`` that no neighbour shares: the removal
+pattern can then require its terminating ``&`` — making the NAME
+boundary explicit (``&fbclid&``/``&fbclid=…&`` matches;
+``&fbclid_x=1&`` does not, the r14-advice collision) — and a run of
+adjacent tracked params, like the canonical five-field utm block,
+still vanishes in ONE global pass because consecutive matches never
+compete for a shared delimiter.  Collapsing ``&&`` back to ``&`` and
+stripping the sentinels restores the surviving parameters verbatim
+(separator runs stay even under removal, so the collapse is exact —
+a literal ``a=1&&b=2`` empty-parameter gap round-trips unchanged).
 
 No counterpart in the reference repo.
 """
@@ -47,7 +54,7 @@ _FRAGMENT = r"#.*$"
 _PREFIX = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
 _HTTP_80 = r"^(http://[^/?#:]*):80($|[/?#])"
 _HTTPS_443 = r"^(https://[^/?#:]*):443($|[/?#])"
-_TRACKED_PARAM = rf"&{_TRACKED}(=[^&]*)?"
+_TRACKED_PARAM = rf"&{_TRACKED}(=[^&]*)?&"
 _TRAIL_SLASH = r"^([^?#]*[^/?#])/+(\?|$)"
 
 
@@ -65,14 +72,17 @@ def canonical_url(col: str | Column) -> Column:
     u = F.concat(prefix, tail)
     u = F.regexp_replace(u, _HTTP_80, "$1$2")
     u = F.regexp_replace(u, _HTTPS_443, "$1$2")
-    # tracking params: prepend a '&' sentinel so every parameter has
-    # a leading '&', remove tracked ones in one global pass (each
-    # match ends BEFORE the next '&'), unwrap:
-    # '?a=1&utm_x=2&b=3' -> '?a=1&b=3'
+    # tracking params: wrap in '&' sentinels, double every separator
+    # so each param owns BOTH its delimiters, remove tracked ones in
+    # one global pass (the pattern consumes the param's own '&…&' —
+    # explicit name boundary, runs don't share delimiters), collapse,
+    # unwrap: '?a=1&utm_x=2&b=3' -> '?a=1&b=3'
     base = F.regexp_extract(u, r"^[^?]*", 0)
     q = F.regexp_replace(u, r"^[^?]*\??", "")
-    q = F.concat(F.lit("&"), q)
+    q = F.concat(F.lit("&"), q, F.lit("&"))
+    q = F.regexp_replace(q, "&", "&&")
     q = F.regexp_replace(q, _TRACKED_PARAM, "")
+    q = F.regexp_replace(q, "&&", "&")
     q = F.regexp_replace(q, r"^&+|&+$", "")
     u = F.when(q == "", base).otherwise(F.concat(base, F.lit("?"), q))
     u = F.regexp_replace(u, _TRAIL_SLASH, "$1$2")
@@ -90,8 +100,10 @@ def canonical_url_sql(expr: str) -> str:
     u = f"regexp_replace({u}, '{_HTTPS_443}', '\\1\\2', 'g')"
     base = f"regexp_extract({u}, '^[^?]*')"
     q = f"regexp_replace({u}, '^[^?]*\\??', '', 'g')"
-    q = f"('&' || {q})"
+    q = f"('&' || {q} || '&')"
+    q = f"regexp_replace({q}, '&', '&&', 'g')"
     q = f"regexp_replace({q}, '{_TRACKED_PARAM}', '', 'g')"
+    q = f"regexp_replace({q}, '&&', '&', 'g')"
     q = f"regexp_replace({q}, '^&+|&+$', '', 'g')"
     u = f"(CASE WHEN {q} = '' THEN {base} ELSE {base} || '?' || {q} END)"
     return f"regexp_replace({u}, '{_TRAIL_SLASH}', '\\1\\2', 'g')"

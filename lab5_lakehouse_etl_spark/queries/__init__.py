@@ -539,7 +539,8 @@ _REWRITTEN_IN: dict[str, int] = {
     # fixture machinery
     "q_table_iceberg_bucket": 14,
     "q_table_iceberg_time": 14,
-    "q_image_exif": 14,
+    # (q_image_exif r14 entry superseded by the r15 ADVICE-fix
+    # entry below)
     # orientation-normalized dedup (functions/exif.py transforms +
     # oriented_fingerprints) — the EXIF machinery's declared use-case
     "q_image_dedup_oriented": 14,
@@ -550,11 +551,24 @@ _REWRITTEN_IN: dict[str, int] = {
     # DuckDB pattern builders side by side, cross-engine regex pin)
     "q_text_html_extract": 14,
     # URL canonicalization + URL-level dedup (new module
-    # functions/urls.py, same twin-builder shape)
-    "q_url_canonicalize": 14,
-    # Avro OCF source (lakehouse/avro.py grew decode_container +
-    # header-only read_schema; sources/readers.py read_avro)
-    "q_scan_avro": 14,
+    # functions/urls.py, same twin-builder shape; r14 entry
+    # superseded by the r15 name-boundary-fix entry below)
+    # Round-15: the four ADVICE fixes, scoped to their direct
+    # consumers (module closure is import noise — see the
+    # dep-manifest audit trail for the per-query justification):
+    # exif.py pointer-tag TypeError fix (advisory contract now holds
+    # for type-2/type-5 Exif/GPS pointer entries) — every query that
+    # calls extract_exif re-verifies,
+    "q_image_exif": 15,
+    "q_media_quarantine": 15,
+    "q_media_quarantine_av": 15,
+    # urls.py tracked-param name-boundary fix (delimiter doubling;
+    # '&fbclid_x=1' no longer corrupts neighbours) + the adversarial
+    # fixture arm in text_ops.py,
+    "q_url_canonicalize": 15,
+    # readers.py read_avro mixed-writer-schema guard (a divergent
+    # file in the glob now raises instead of half-reading),
+    "q_scan_avro": 15,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -1226,6 +1226,7 @@ def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                        || '?id=' || g
                   WHEN arm = 2
                   THEN 'http://m' || g || '.example.com/m/' || g
+                       || '?fbclid_x=1'
                   ELSE 'https://p.example.com/d/'
                        || CAST(doc_id AS VARCHAR) END AS canon_url
       FROM c
@@ -1286,6 +1287,10 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.lit("HTTP://M"), g, F.lit(".Example.com:80/m/"), g,
                 F.lit("/?fbclid=x"), F.col("doc_id").cast("string"),
+                # r15 adversarial tail: tracked NAME as a PREFIX of an
+                # unrelated key — must SURVIVE canonicalization (the
+                # r14-advice collision deleted '&fbclid' inside it)
+                F.lit("&fbclid_x=1"),
             ),
         )
         .otherwise(

@@ -191,10 +191,32 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         fields.append(f'{f["name"]} {st}')
     ddl = ", ".join(fields)
 
+    # the driver-probed field list is the TYPE CONTRACT every file in
+    # the glob must honor: each file decodes with its own embedded
+    # writer schema, so a mixed-schema glob would otherwise silently
+    # yield None for missing columns and drop extras via rec.get —
+    # exactly the partial decode this module refuses (r14 advice).
+    expect_fields = [(f["name"], f["type"]) for f in schema["fields"]]
+
     def batches(it):
+        import json as _json
+
         for pdf in it:
             for content in pdf["content"]:
-                _meta, records = A.decode_container(bytes(content))
+                meta, records = A.decode_container(bytes(content))
+                raw = meta.get("avro.schema", b"")
+                wschema = _json.loads(
+                    raw.decode() if isinstance(raw, (bytes, bytearray)) else raw
+                )
+                got = [
+                    (f["name"], f["type"]) for f in wschema.get("fields", [])
+                ]
+                if got != expect_fields:
+                    raise ValueError(
+                        "read_avro: mixed writer schemas in one glob — "
+                        f"probed fields {expect_fields!r} but a file "
+                        f"carries {got!r}; split the read per schema"
+                    )
                 yield pd.DataFrame(
                     [[rec.get(n) for n in names] for rec in records],
                     columns=names,

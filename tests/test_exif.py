@@ -141,6 +141,47 @@ def test_extract_is_advisory_never_raises():
     assert E.extract_exif(broken) is None
 
 
+def _tiff_with_pointer_tag_of_type(tag: int, typ: int) -> bytes:
+    """Minimal LE TIFF whose IFD0 declares the Exif/GPS *pointer* tag
+    with a non-LONG type — the malformed shape (r14 advice, exif.py
+    pointer dereference) where ifd0[tag][0] is a str (ASCII) or float
+    (RATIONAL), not an integer offset."""
+    hdr = b"II*\x00" + struct.pack("<I", 8)
+    if typ == 2:  # ASCII, inline
+        entry = struct.pack("<HHI4s", tag, 2, 4, b"ab\x00\x00")
+        tail = b""
+    else:  # RATIONAL, out-of-line 8-byte value
+        off = 8 + 2 + 12 + 4
+        entry = struct.pack("<HHII", tag, 5, 1, off)
+        tail = struct.pack("<II", 1, 2)
+    return hdr + struct.pack("<H", 1) + entry + struct.pack("<I", 0) + tail
+
+
+def test_malformed_pointer_tag_types_never_raise():
+    """A pointer tag (34665/34853) carrying type ASCII or RATIONAL
+    must not escape the advisory contract: before the r15 fix both
+    shapes raised TypeError out of extract_exif, and decode_or_
+    quarantine calls it outside any try — one payload killed the
+    task.  Now: dict-or-None, never a raise."""
+    for tag in (E.TAG_EXIF_IFD, E.TAG_GPS_IFD):
+        for typ in (2, 5):
+            out = E.extract_exif(_tiff_with_pointer_tag_of_type(tag, typ))
+            assert out is None or isinstance(out, dict)
+    # and a well-formed sibling tag still extracts around the bad one
+    planted = E.add_tiff_exif(
+        tiff.encode_tiff(4, 4, bytes(48), channels=3), META
+    )
+    bad = bytearray(planted)
+    at = bad.rfind(struct.pack("<H", E.TAG_EXIF_IFD))
+    assert at > 0
+    bad[at + 2 : at + 4] = struct.pack("<H", 5)  # LONG -> RATIONAL
+    out = E.extract_exif(bytes(bad))
+    assert out is not None and out["make"] == META["make"]
+    assert out["datetime_original"] is None or isinstance(
+        out["datetime_original"], str
+    )
+
+
 def test_gps_hemispheres_and_seconds():
     data = tiff.encode_tiff(2, 2, bytes(12), channels=3)
     planted = E.add_tiff_exif(
@@ -338,4 +379,18 @@ def test_extract_exif_fuzz_never_raises():
             mut[i] ^= b
             out = E.extract_exif(bytes(mut))
             assert out is None or isinstance(out, dict)
+    # targeted arm (r15): random flips only rarely land on the two
+    # pointer-tag TYPE fields, so sweep those deterministically —
+    # every TIFF type code 1..13 on both 34665 and 34853 (4→5 is one
+    # bit; 4→2 is not, which is how the original fuzz missed it)
+    for data in payloads:
+        for tag in (E.TAG_EXIF_IFD, E.TAG_GPS_IFD):
+            at = bytes(data).rfind(struct.pack("<H", tag))
+            if at < 0:
+                continue
+            for typ in range(1, 14):
+                mut = bytearray(data)
+                mut[at + 2 : at + 4] = struct.pack("<H", typ)
+                out = E.extract_exif(bytes(mut))
+                assert out is None or isinstance(out, dict)
     assert time.time() - t0 < 30

@@ -87,6 +87,21 @@ URL_CASES = [
     ("HTTPS://A.B/C?x=1&ref_src=tw", "https://a.b/C?x=1"),
     # no scheme: inapplicable steps pass through
     ("relative/path?utm_source=1&k=2", "relative/path?k=2"),
+    # --- r15 adversarial arms (r14 advice: name-prefix collision) ---
+    # a tracked NAME as a PREFIX of an unrelated key must survive:
+    # the exact reported failure was '?a=1&fbclid_x=1&gclid2=5'
+    # canonicalizing to '?a=1_x=12=5'
+    ("http://h/p?a=1&fbclid_x=1&gclid2=5", "http://h/p?a=1&fbclid_x=1&gclid2=5"),
+    ("http://h/p?fbclid_x=1", "http://h/p?fbclid_x=1"),
+    ("http://h/p?msclkidz=1&ref_src2=t", "http://h/p?msclkidz=1&ref_src2=t"),
+    # prefix-key adjacent to a genuinely tracked key
+    ("http://h/p?fbclid=1&fbclid_x=2&gclid=3", "http://h/p?fbclid_x=2"),
+    # valueless tracked keys in a run, first-position tracked key
+    ("http://h/p?gclid&msclkid&a=1", "http://h/p?a=1"),
+    # empty-parameter gap ('&&') in the original survives verbatim
+    ("http://h/p?a=1&&b=2", "http://h/p?a=1&&b=2"),
+    # utm_ prefix family: any suffix IS tracked (contrast fbclid_x)
+    ("http://h/p?utm_abc_x=1&keep=2", "http://h/p?keep=2"),
 ]
 
 

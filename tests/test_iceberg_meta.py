@@ -664,3 +664,40 @@ def test_avro_source_reader(spark, tmp_path):
     A.write_container(str(tmp_path / "bare.avro"), "long", [1, 2])
     with pytest.raises(NotImplementedError, match="record"):
         read_avro(spark, str(tmp_path / "bare.avro"))
+
+
+def test_avro_source_mixed_schema_glob_refuses(spark, tmp_path):
+    """r14 advice: a glob mixing writer schemas must refuse loudly —
+    the DataFrame is typed from the FIRST file's header, and decoding
+    the divergent file against it would silently yield None for its
+    missing columns and drop its extras.  Every file's embedded
+    writer schema is now checked executor-side against the probed
+    contract."""
+    from lab5_lakehouse_etl_spark.lakehouse import avro as A
+    from lab5_lakehouse_etl_spark.sources.readers import read_avro
+
+    s1 = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    s2 = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "extra", "type": "string"},
+        ],
+    }
+    A.write_container(str(tmp_path / "a0.avro"), s1, [{"k": 1}])
+    A.write_container(
+        str(tmp_path / "a1.avro"), s2, [{"k": 2, "extra": "x"}]
+    )
+    df = read_avro(spark, str(tmp_path / "*.avro"))
+    with pytest.raises(Exception, match="mixed writer schemas"):
+        df.collect()
+    # same-schema glob still reads clean after the check landed
+    A.write_container(str(tmp_path / "b0.avro"), s1, [{"k": 1}])
+    A.write_container(str(tmp_path / "b1.avro"), s1, [{"k": 2}])
+    ok = read_avro(spark, str(tmp_path / "b*.avro"))
+    assert sorted(r.k for r in ok.collect()) == [1, 2]
