@@ -207,3 +207,157 @@ def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
         "note",
     )
+
+
+@query(
+    "q_scan_warc",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, text, doc_id % 16 AS arm FROM documents
+    )
+    SELECT
+      CASE WHEN arm = 14 THEN NULL ELSE doc_id END AS doc_id,
+      CASE WHEN arm = 14 THEN NULL
+           WHEN arm = 15 THEN 'request'
+           ELSE 'response' END AS warc_type,
+      CASE WHEN arm = 14 THEN NULL
+           ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+           END AS target_uri,
+      CASE WHEN arm = 14 THEN NULL
+           ELSE '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                || 'T00:00:00Z' END AS warc_date,
+      CASE WHEN arm IN (13, 14, 15) THEN NULL
+           WHEN arm = 12 THEN 404 ELSE 200 END AS http_status,
+      CASE WHEN arm = 14 THEN NULL
+           WHEN arm IN (13, 15) THEN NULL
+           WHEN arm = 12 THEN '<html><body>not found</body></html>'
+           ELSE '<html><head><title>D' || CAST(doc_id AS VARCHAR)
+                || '</title></head><body><p>' || text
+                || '</p></body></html>' END AS payload_text,
+      CASE WHEN arm IN (13, 14, 15) THEN NULL
+           WHEN arm = 12
+           THEN CAST(length('<html><body>not found</body></html>') AS BIGINT)
+           ELSE CAST(length('<html><head><title>D'
+                || CAST(doc_id AS VARCHAR)
+                || '</title></head><body><p>' || text
+                || '</p></body></html>') AS BIGINT) END AS n_payload_chars,
+      CASE WHEN arm = 13 THEN 'truncated'
+           WHEN arm = 14 THEN 'bad_header'
+           ELSE 'ok' END AS verdict
+    FROM c
+    """,
+)
+def q_scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) container SOURCE (sources.readers.read_warc
+    over the pure-stdlib sources/warc.py) — the front of the
+    web-corpus chain (r14 built the middle: html/urls).  The fixture
+    is written DISTRIBUTED — each ``mapInPandas`` batch of
+    ``documents`` serializes its docs as one-record-per-gzip-member
+    ``.warc.gz`` files (the crawl-landing shape: one file per fetcher
+    task) — then read back through the real binaryFile + Arrow
+    decode.  Planted arms per doc (doc_id % 16): HTTP 200 response
+    with an HTML body built from the doc text; a 404; a ``request``
+    record; a TRUNCATED member (Content-Length overdeclared by 50,
+    header fields survive, payload quarantined); and a gzip-intact
+    garbage member (``bad_header`` verdict, all fields null).  The
+    DuckDB oracle restates every arm in closed form over
+    ``documents`` — a wrong header parse, member walk, HTTP split,
+    or verdict classification breaks the hash.
+
+    Scale: per-file parallelism (stated reader boundary); payload
+    bytes stay inside the scan; the quarantine verdicts make one
+    corrupt member cost one row, never a task.  4-job shape: fixture
+    write action + binaryFile listing + the hashed scan."""
+    tune(spark)
+    import pandas as pd
+
+    from ..sources import warc as W
+    from ..sources.readers import read_warc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out_dir = scratch_dir("q_scan_warc", fresh=True)
+
+    def write_batches(it):
+        for pdf in it:
+            members = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                arm = doc_id % 16
+                rid = f"<urn:doc:{doc_id}>"
+                uri = f"https://site{doc_id % 7}.example.com/doc/{doc_id}"
+                date = f"2024-01-{1 + doc_id % 28:02d}T00:00:00Z"
+                if arm == 14:
+                    members.append(
+                        W.gzip_member(b"NOT A WARC RECORD \xff\x00 garbage")
+                    )
+                    continue
+                if arm == 15:
+                    content = (
+                        f"GET /doc/{doc_id} HTTP/1.1\r\n"
+                        f"Host: site{doc_id % 7}.example.com\r\n\r\n"
+                    ).encode()
+                    members.append(
+                        W.gzip_member(
+                            W.build_record(
+                                rid, "request", content,
+                                target_uri=uri, warc_date=date,
+                                content_type=(
+                                    "application/http; msgtype=request"
+                                ),
+                            )
+                        )
+                    )
+                    continue
+                if arm == 12:
+                    body = b"<html><body>not found</body></html>"
+                    content = W.build_http_response(body, status=404)
+                else:
+                    body = (
+                        f"<html><head><title>D{doc_id}</title></head>"
+                        f"<body><p>{text}</p></body></html>"
+                    ).encode()
+                    content = W.build_http_response(body, status=200)
+                if arm == 13:
+                    # truncation plant: overdeclare by 50, cut the tail
+                    rec = W.build_record(
+                        rid, "response", content,
+                        target_uri=uri, warc_date=date,
+                        declared_length=len(content) + 50,
+                    )
+                    rec = rec[: len(rec) - 4]  # drop terminator too
+                    members.append(W.gzip_member(rec))
+                    continue
+                members.append(
+                    W.gzip_member(
+                        W.build_record(
+                            rid, "response", content,
+                            target_uri=uri, warc_date=date,
+                        )
+                    )
+                )
+            if members:
+                name = f"{out_dir}/part-{int(pdf['doc_id'].min())}.warc.gz"
+                W.write_warc(name, members)
+                yield pd.DataFrame({"n": [len(members)]})
+
+    # materialize the distributed write (bounded action: 1 row/batch)
+    docs.repartition(8, "doc_id").mapInPandas(
+        write_batches, "n bigint"
+    ).collect()
+
+    back = read_warc(spark, out_dir + "/*.warc.gz")
+    return back.select(
+        F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
+        .try_cast("bigint")
+        .alias("doc_id"),
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "http_status",
+        F.col("payload").cast("string").alias("payload_text"),
+        F.length(F.col("payload").cast("string"))
+        .cast("bigint")
+        .alias("n_payload_chars"),
+        "verdict",
+    )

@@ -228,3 +228,48 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         .select("content")
         .mapInPandas(batches, schema=ddl)
     )
+
+
+#: read_warc output schema (sources/warc.py FIELDS, Spark types)
+WARC_SCHEMA = (
+    "record_id string, warc_type string, target_uri string, "
+    "warc_date string, content_type string, http_status int, "
+    "n_content_bytes bigint, payload binary, verdict string"
+)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC (ISO 28500) source over the pure-stdlib
+    parser (``sources/warc.py``): ``binaryFile`` rows decode
+    executor-side via Arrow-batched ``mapInPandas``
+    (``warc.parse_warc_bytes``), one output row per record — or per
+    quarantined region — with a ``verdict`` column instead of
+    exceptions, so one corrupt crawl member never kills the task
+    (the decode_or_quarantine doctrine, functions/multimodal.py).
+
+    Scale boundary (stated, the ``read_avro`` precedent): parallelism
+    is per FILE — the normal crawl landing is one .warc.gz per
+    fetcher task, thousands of files; record-level splitting inside
+    one giant file is refused, not half-built.  Payload bytes never
+    cross a shuffle here — they stay inside the scan until a
+    downstream projection decides their fate; ``path`` may be a
+    glob."""
+    import pandas as pd
+
+    from . import warc as W
+
+    def batches(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                recs = W.parse_warc_bytes(bytes(content))
+                yield pd.DataFrame(
+                    [[r[k] for k in W.FIELDS] for r in recs],
+                    columns=list(W.FIELDS),
+                )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(batches, schema=WARC_SCHEMA)
+    )
