@@ -991,3 +991,27 @@ def test_url_canonicalize_single_shuffle_no_python(spark):
     plan = explain_str(df)
     assert "Python" not in plan and "ArrowEval" not in plan
     assert shuffle_count(df) == 1
+
+
+def test_pipeline_web_plan_shape(spark):
+    """The web-corpus composite is ONE Catalyst plan over ONE
+    binaryFile scan with exactly two exchanges (URL-dedup window,
+    text-dedup window — both WindowGroupLimit-pruned map-side) and
+    exactly two Python nodes (the WARC Arrow decode + the langid
+    pandas UDF).  Document bodies never cross either exchange: the
+    shuffled relation carries only ids/url/lang/stats/fingerprint."""
+    from lab5_lakehouse_etl_spark.plans import explain_str
+
+    df = Q.QUERIES["q_pipeline_web"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1  # the binaryFile scan only
+    assert shuffle_count(df) == 2
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 1
+    # map-side pre-prune of both windows (rn = 1 pushed to Partial)
+    assert plan.count("WindowGroupLimit") == 4
+    # the full text column is projected away before the exchanges
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text#" not in m.group(1)
