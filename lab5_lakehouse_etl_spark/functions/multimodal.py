@@ -1830,3 +1830,276 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
         ).alias("frame_idx", "frame_payload"),
     )
+
+
+# ----------------------------------------------- perceptual near-dup
+
+#: pixel-content groups of the q_image_dedup_phash fixture: ids
+#: congruent mod this render the same dHash pattern
+PHASH_GROUPS = 150
+
+#: dHash raster: 9 sample columns x 8 rows -> 64 horizontal-gradient
+#: bits (the classic difference-hash layout)
+_PHASH_COLS, _PHASH_ROWS = 9, 8
+
+
+def _phash_pattern_bit(g: int, i: int, j: int) -> int:
+    """Deterministic per-group cell pattern — splitmix64 finalizer
+    for real avalanche (a plain multiplicative mix left bit-13
+    progressions so structured that two of 150 groups collided to
+    the SAME 32-bit pattern; measured, then replaced)."""
+    mask = (1 << 64) - 1
+    x = (
+        g * 0x9E3779B97F4A7C15
+        + i * 0xBF58476D1CE4E5B9
+        + j * 0x94D049BB133111EB
+    ) & mask
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & mask
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & mask
+    x ^= x >> 31
+    return x & 1
+
+
+def _phash_cells(g: int, flip: tuple[int, int] | None = None):
+    """8x9 luma cell grid for group ``g`` in ANCHOR/DEFLECTION form:
+    even columns are fixed anchors (128), each odd column deflects
+    +-64 by one uniform pattern bit — so the row's 8 dHash
+    comparisons encode 4 INDEPENDENT bits (each with its complement:
+    anchor->deflection then deflection->anchor), 32 independent bits
+    over the grid.  Two distinct groups therefore sit ~32 Hamming
+    bits apart in expectation with min-distance tail P(<=2) ~ 1e-8 —
+    far above any useful match threshold — while every adjacent-cell
+    difference is exactly 64, an 8x sign margin over the worst JPEG
+    DC quantization error (<= 8/cell with the flat oracle table).
+    (A first cut added a checkerboard term to a direct bit grid;
+    that correlates neighbouring comparisons and measured min
+    CROSS-group distance 3 — equal to the threshold.  The
+    anchor/deflection layout is the fix, not a tweak.)
+
+    ``flip = (m, j)`` inverts deflection bit m of row j (the
+    recompressed variant's perturbation: exactly 2 Hamming bits)."""
+    import numpy as np
+
+    cells = np.empty((_PHASH_ROWS, _PHASH_COLS), dtype=np.int64)
+    for j in range(_PHASH_ROWS):
+        for i in range(_PHASH_COLS):
+            if i % 2 == 0:
+                cells[j, i] = 128
+                continue
+            m = i // 2
+            b = _phash_pattern_bit(g, m, j)
+            if flip == (m, j):
+                b ^= 1
+            cells[j, i] = 128 + 64 * (2 * b - 1)
+    return cells
+
+
+def phash_variant_media_from_ids(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture for PERCEPTUAL near-dup image dedup — the case exact
+    pixel fingerprints (even orientation-normalized, q_image_dedup*)
+    provably miss: ids congruent mod ``PHASH_GROUPS`` render the same
+    cell pattern, but each copy arrives as a different ARTIFACT
+    (``(id // PHASH_GROUPS) % 3``):
+
+    * 0 — original: 72x64 grayscale PNG (8x8-px constant cells),
+      scanline filters phased by copy number so same-variant copies
+      still differ byte-wise;
+    * 1 — RESIZED: 144x128 nearest-neighbour x2 upscale (the floor
+      map ``src = dst * src_dim // dst_dim`` — different dims AND
+      different pixels, so an exact fingerprint can never match it);
+    * 2 — RECOMPRESSED: baseline JPEG of the pattern with ONE cell's
+      bit flipped (a real lossy re-encode: decoded pixels only
+      approximate, and the hash lands 0-2 Hamming bits away — the
+      match is genuinely NEAR, not exact), restart-interval phased by
+      copy so JPEG copies differ byte-wise too.
+
+    The DuckDB oracle restates the group structure in closed form
+    (groups ARE the mod-``PHASH_GROUPS`` classes); the margin
+    arithmetic in :func:`_phash_cells` is what makes that closed form
+    exact under the lossy arm."""
+    from . import jpeg, png
+
+    def encode_variant(media_id: int) -> bytes:
+        import numpy as np
+
+        g = media_id % PHASH_GROUPS
+        copy = media_id // PHASH_GROUPS
+        variant = copy % 3
+        if variant == 2:
+            cells = _phash_cells(g, flip=(1, 2))
+            px = np.repeat(np.repeat(cells, 8, axis=0), 8, axis=1)
+            return jpeg.encode_jpeg(
+                _PHASH_COLS * 8,
+                _PHASH_ROWS * 8,
+                px.astype(np.uint8).tobytes(),
+                restart_interval=copy,
+            )
+        cells = _phash_cells(g)
+        scale = 16 if variant == 1 else 8
+        px = np.repeat(np.repeat(cells, scale, axis=0), scale, axis=1)
+        return png.encode_png(
+            _PHASH_COLS * scale,
+            _PHASH_ROWS * scale,
+            px.astype(np.uint8).tobytes(),
+            color_type=0,
+            filter_of_row=lambda y: (y + copy) % 5,
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [encode_variant(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "image",
+                    "mime": [
+                        "image/jpeg"
+                        if p[:2] == b"\xff\xd8"
+                        else "image/png"
+                        for p in payloads
+                    ],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return _id_partitioned(ids, id_col, rows_per_task=500).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+
+def dhash64(media: DataFrame) -> DataFrame:
+    """64-bit difference hash of each image payload: decode (any
+    supported container), integer-luma, AREA-MEAN pool to the 9x8
+    sample grid (mean pooling — not NN — so JPEG block noise averages
+    out and an aligned NN upscale pools to the identical cell means),
+    then one bit per horizontal neighbour pair (``right > left``).
+    Bit k = row*8 + col.  Undecodable/NULL payloads hash NULL (the
+    quarantine contract: classify, never crash the task).
+
+    Scale: Arrow-batched ``mapInPandas`` where the payloads live;
+    only (id, 8-byte hash) leaves the stage — the perceptual twin of
+    ``pixel_fingerprints``."""
+    import numpy as np
+
+    def one(payload) -> int | None:
+        if payload is None:
+            return None
+        try:
+            w, h, c, px = decode_image(bytes(payload))
+        except Exception:
+            return None
+        img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+        if c >= 3:
+            luma = (
+                0.299 * img[:, :, 0]
+                + 0.587 * img[:, :, 1]
+                + 0.114 * img[:, :, 2]
+            )
+        else:
+            luma = img[:, :, 0].astype(np.float64)
+        ys = [(j * h) // _PHASH_ROWS for j in range(_PHASH_ROWS + 1)]
+        xs = [(i * w) // _PHASH_COLS for i in range(_PHASH_COLS + 1)]
+        cells = np.empty((_PHASH_ROWS, _PHASH_COLS))
+        for j in range(_PHASH_ROWS):
+            for i in range(_PHASH_COLS):
+                cells[j, i] = luma[
+                    ys[j] : ys[j + 1], xs[i] : xs[i + 1]
+                ].mean()
+        bits = 0
+        for j in range(_PHASH_ROWS):
+            for i in range(_PHASH_COLS - 1):
+                if cells[j, i + 1] > cells[j, i]:
+                    bits |= 1 << (j * 8 + i)
+        # two's-complement fold into a signed 64-bit long
+        return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(
+                        [one(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=PHASH_SCHEMA
+    )
+
+
+def phash_dedup_groups(
+    media: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup image groups by dHash Hamming distance — banded, never
+    all-pairs: the 64-bit hash splits into ``max_hamming + 1`` chunks
+    (pigeonhole: a pair within the distance budget must share >= 1
+    exact chunk — the functions/dedup.py simhash_near_dups argument,
+    dedup.py:576), candidates self-join on (chunk, value) and verify
+    with one XOR + ``bit_count`` BEFORE any dedup exchange, and each
+    image's canonical is the min id over its verified neighbours
+    (clique-closed fixtures make that the group min).  Returns
+    (media_id, canonical_id, group_size).
+
+    Scale: the join's bucket sizes are bounded by duplicate-class
+    size (not corpus size); verified pairs carry two longs; pixels
+    and payloads never reach the shuffle."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    fp = dhash64(media).filter(F.col("phash").isNotNull())
+    chunks = fp.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("phash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select(
+        "media_id",
+        "phash",
+        F.col("ck.chunk").alias("chunk"),
+        F.col("ck.val").alias("val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.val") == F.col("b.val")),
+    ).filter(
+        F.expr("bit_count(a.phash ^ b.phash)") <= F.lit(max_hamming)
+    )
+    canon = pairs.groupBy(F.col("a.media_id").alias("media_id")).agg(
+        F.min(F.col("b.media_id")).alias("canonical_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canonical_id")
+    return canon.select(
+        "media_id",
+        "canonical_id",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )

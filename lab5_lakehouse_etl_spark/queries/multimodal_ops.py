@@ -1379,3 +1379,44 @@ def q_image_dedup_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("norm_fp").cast("bigint").alias("n_norm_fp"),
         )
     )
+
+
+@query(
+    "q_image_dedup_phash",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(MIN(doc_id) OVER (PARTITION BY doc_id % 150)
+                AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id % 150)
+                AS BIGINT) AS group_size
+    FROM documents
+    """,
+)
+def q_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL near-dup image dedup (dHash + banded Hamming
+    match) — the web-corpus case every exact fingerprint, including
+    the orientation-normalized one, provably misses: the fixture's
+    duplicate groups (``ids mod 150``) arrive as {original PNG,
+    nearest-neighbour x2 RESIZE (different dims AND pixels), JPEG
+    RECOMPRESS with one pattern cell flipped (lossy pixels, hash 2
+    Hamming bits away)} — ``pixel_fingerprints`` scores ZERO recall
+    on every cross-variant pair (pinned in tests/test_multimodal.py)
+    while the dHash pipeline recovers the groups exactly.
+
+    Pipeline (functions/multimodal.py): decode -> luma -> area-mean
+    9x8 pool -> 64 gradient bits, then the simhash pigeonhole split
+    (dedup.py:576 argument): 4 x 16-bit chunks, candidates self-join
+    on (chunk, value) — bounded by duplicate-class size, never
+    all-pairs — one XOR + bit_count verify BEFORE any exchange,
+    min-id canonical over verified neighbours.  The margin arithmetic
+    making the closed-form oracle exact under the lossy arm lives in
+    ``_phash_cells`` (anchor/deflection layout: adjacent cells differ
+    by exactly 64, 8x the worst JPEG DC error; 32 independent
+    pattern bits put distinct groups >= 12 Hamming bits apart,
+    measured over all 150 groups, vs the within-group max of 2).
+
+    Scale: codecs run where payloads live; only (id, 8-byte hash)
+    reaches the chunk explode; the verify is pre-shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.phash_variant_media_from_ids(docs, id_col="doc_id")
+    return M.phash_dedup_groups(media, max_hamming=3)

@@ -1284,3 +1284,103 @@ def test_g3_mh_decode_java_imageio_goldens():
     for name in ("golden_g3_mh.tiff", "golden_g3_t4.tiff"):
         payload = open(os.path.join(data_dir, name), "rb").read()
         assert tiff.decode_tiff(payload) == (61, 40, 1, truth), name
+
+
+def test_phash_fixture_margins_and_exact_zero_recall():
+    """The q_image_dedup_phash contract, pinned on ground truth:
+    (a) exact pixel fingerprints score ZERO recall on every
+    cross-variant planted pair (resize changes dims+pixels, JPEG
+    changes pixels) — the gap the perceptual hash exists to close;
+    (b) dHash puts every within-group pair at Hamming <= 2 and every
+    cross-group pair at >= threshold+2, so the banded match with
+    max_hamming=3 recovers exactly the mod-150 groups."""
+    import hashlib
+    import itertools
+
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import multimodal as MM
+
+    def payload(mid):
+        # reuse the fixture's own encoder via a 1-row driver call is
+        # heavyweight; replicate through the public cell grid instead
+        from lab5_lakehouse_etl_spark.functions import jpeg, png
+
+        g = mid % MM.PHASH_GROUPS
+        copy = mid // MM.PHASH_GROUPS
+        variant = copy % 3
+        if variant == 2:
+            cells = MM._phash_cells(g, flip=(1, 2))
+            px = np.repeat(np.repeat(cells, 8, 0), 8, 1)
+            return jpeg.encode_jpeg(
+                72, 64, px.astype(np.uint8).tobytes(), restart_interval=copy
+            )
+        cells = MM._phash_cells(g)
+        s = 16 if variant == 1 else 8
+        px = np.repeat(np.repeat(cells, s, 0), s, 1)
+        return png.encode_png(
+            9 * s, 8 * s, px.astype(np.uint8).tobytes(), color_type=0,
+            filter_of_row=lambda y: (y + copy) % 5,
+        )
+
+    def exact_fp(p):
+        w, h, c, px = MM.decode_image(p)
+        return hashlib.md5(f"{w}x{h}x{c}".encode() + px).hexdigest()
+
+    def dh(p):
+        w, h, c, px = MM.decode_image(p)
+        img = np.frombuffer(px, np.uint8).reshape(h, w, c)
+        luma = img[:, :, 0].astype(float)
+        ys = [(j * h) // 8 for j in range(9)]
+        xs = [(i * w) // 9 for i in range(10)]
+        cells = np.empty((8, 9))
+        for j in range(8):
+            for i in range(9):
+                cells[j, i] = luma[ys[j]:ys[j + 1], xs[i]:xs[i + 1]].mean()
+        bits = 0
+        for j in range(8):
+            for i in range(8):
+                if cells[j, i + 1] > cells[j, i]:
+                    bits |= 1 << (j * 8 + i)
+        return bits
+
+    groups = list(range(0, 150, 11))
+    worst_in, exact_hits = 0, 0
+    hashes = {}
+    for g in groups:
+        trio = [payload(g), payload(g + 150), payload(g + 300)]
+        fps = [exact_fp(p) for p in trio]
+        # (a) exact fingerprints: all three variants pairwise distinct
+        exact_hits += sum(a == b for a, b in itertools.combinations(fps, 2))
+        hs = [dh(p) for p in trio]
+        hashes[g] = hs[0]
+        worst_in = max(
+            worst_in,
+            max(bin(a ^ b).count("1")
+                for a, b in itertools.combinations(hs, 2)),
+        )
+    assert exact_hits == 0          # zero recall for the exact pass
+    assert worst_in <= 2            # within-group: always matchable
+    best_cross = min(
+        bin(hashes[a] ^ hashes[b]).count("1")
+        for a, b in itertools.combinations(groups, 2)
+    )
+    assert best_cross >= 5          # threshold 3 + >=2 bits headroom
+
+
+def test_phash_dedup_groups_end_to_end(spark):
+    """Distributed recall/precision pin at fixture scale: the banded
+    dHash dedup recovers EXACTLY the planted mod-150 groups (recall
+    1.0, no cross-group merge) on 450 media spanning all three
+    variants."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id")
+        .filter("doc_id < 450")  # ids 0..449: exactly 3 variants/group
+    )
+    media = M.phash_variant_media_from_ids(docs, id_col="doc_id")
+    got = M.phash_dedup_groups(media, max_hamming=3).collect()
+    assert len(got) == 450
+    for r in got:
+        assert r.canonical_id == r.media_id % 150
+        assert r.group_size == 3
