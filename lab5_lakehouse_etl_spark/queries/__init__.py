@@ -569,6 +569,15 @@ _REWRITTEN_IN: dict[str, int] = {
     # readers.py read_avro mixed-writer-schema guard (a divergent
     # file in the glob now raises instead of half-reading),
     "q_scan_avro": 15,
+    # new r15 queries, listed (r11/r12/r14 precedent) so scoped
+    # dep-manifest decisions over their core modules can anchor:
+    # q_image_dedup_phash rides the multimodal closure (dHash +
+    # banded Hamming machinery appended r15)
+    "q_image_dedup_phash": 15,
+    # q_scan_warc / q_pipeline_web read through the new
+    # sources/warc.py module and the read_warc reader
+    "q_scan_warc": 15,
+    "q_pipeline_web": 15,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead
