@@ -72,9 +72,13 @@ so the global name mapping can never turn ambiguous.
 Refuse-loudly rules (never a wrong answer), same doctrine as
 delta_log:
 
-* column types with no exact Iceberg primitive (tinyint/smallint
-  would silently widen; nested struct/array/map need element-level
-  field ids this minimal writer does not assign);
+* column types the spec genuinely cannot state (interval types, any
+  future Spark exotic) — NOT tinyint/smallint, which export as
+  ``int`` since r15: the spec has no 8/16-bit primitives and real
+  writers promote at write time; parquet already stores them as
+  physical INT32, so the export is lossless, and the source Spark
+  type is recorded in ``graft.source-widened-types`` (nested
+  struct/array/map gained element-level field ids in r14);
 * partition columns other than int/long/string identity (a date
   partition would need the typed transform plumbing).
 
@@ -123,6 +127,20 @@ _ICEBERG_TYPES = {
     "binary": "binary",
 }
 _SPARK_TYPES = {v: k for k, v in _ICEBERG_TYPES.items()}
+
+#: Spark integer types the Iceberg spec CANNOT state exactly: there
+#: are no 8/16-bit primitives, and real writers (Spark's own Iceberg
+#: integration included) promote them to ``int`` at write time.
+#: Parquet stores tinyint/smallint as physical INT32 (annotated
+#: INT(8)/INT(16)), so an external reader scanning under the exported
+#: int schema reads the SAME physical values — the widening is
+#: spec-conform and lossless, unlike the silent-widening this writer
+#: refused through r14; the source Spark type is recorded in the
+#: table properties (``graft.source-widened-types``) so a consumer
+#: that wants the narrow type back can recover it.  (Kept separate
+#: from _ICEBERG_TYPES: folding these into the dict would corrupt
+#: the _SPARK_TYPES inversion — "int" must reverse to "integer".)
+_WIDENED_TYPES = {"byte": "int", "short": "int"}
 
 #: manifest_entry Avro schema (Iceberg spec "Manifests" table; field
 #: ids annotated as the Java writer does — legal extra Avro attrs)
@@ -333,11 +351,15 @@ def _iceberg_field_type(spark_type) -> str:
     if isinstance(spark_type, str):
         if spark_type in _ICEBERG_TYPES:
             return _ICEBERG_TYPES[spark_type]
+        if spark_type in _WIDENED_TYPES:
+            # spec-conform promotion (see _WIDENED_TYPES): recorded in
+            # table properties by the exporter, lossless over parquet
+            return _WIDENED_TYPES[spark_type]
         if spark_type.startswith("decimal("):
             return "decimal(" + spark_type[8:].rstrip(")") + ")"
     raise NotImplementedError(
         f"column type {spark_type!r} has no exact Iceberg v2 mapping in "
-        "this minimal writer (tinyint/smallint would silently widen)"
+        "this minimal writer"
     )
 
 
@@ -347,9 +369,9 @@ def _iceberg_type(spark_type, path: str, alloc) -> str | dict:
     ids through ``alloc(path)`` — struct members, list elements and
     map keys/values each carry a unique id (spec "Schemas and Data
     Types"); ``alloc`` keys ids by dotted path so they stay stable
-    across versions and nested-field additions (r14: the nested-type
-    half of the non-exact-primitives refusal is closed; 8/16-bit ints
-    still refuse — they would silently widen)."""
+    across versions and nested-field additions (r14 closed the
+    nested-type half of the non-exact-primitives refusal; r15 closed
+    the 8/16-bit half by spec-conform widening — _WIDENED_TYPES)."""
     if isinstance(spark_type, dict):
         t = spark_type.get("type")
         if t == "struct":
@@ -636,6 +658,12 @@ def export_iceberg_metadata(
     versions = table._versions()
     #: field id -> known names, physical FIRST (the name-mapping rows)
     name_aliases: dict[int, list[str]] = {}
+    #: logical name -> source Spark type, for columns the export
+    #: widened per _WIDENED_TYPES (surfaced as a table property so
+    #: consumers can recover the narrow type; top-level columns —
+    #: nested members widen identically but are identified by their
+    #: element ids, not names)
+    widened_cols: dict[str, str] = {}
     for v in versions:
         m = table._manifest(v)
         mapping = m.get("column_mapping") or {}
@@ -681,6 +709,8 @@ def export_iceberg_metadata(
                     field_ids[path] = len(field_ids) + 1
                 return field_ids[path]
 
+            if isinstance(f["type"], str) and f["type"] in _WIDENED_TYPES:
+                widened_cols[f["name"]] = f["type"]
             fields.append(
                 {
                     "id": fid,
@@ -1054,7 +1084,17 @@ def export_iceberg_metadata(
                         for fid, names in sorted(name_aliases.items())
                     ],
                     separators=(",", ":"),
-                )
+                ),
+                **(
+                    {
+                        "graft.source-widened-types": json.dumps(
+                            dict(sorted(widened_cols.items())),
+                            separators=(",", ":"),
+                        )
+                    }
+                    if widened_cols
+                    else {}
+                ),
             },
             "current-snapshot-id": snap_id,
             "snapshots": snapshots,

@@ -578,6 +578,10 @@ _REWRITTEN_IN: dict[str, int] = {
     # sources/warc.py module and the read_warc reader
     "q_scan_warc": 15,
     "q_pipeline_web": 15,
+    # iceberg_meta tinyint/smallint spec-conform widening (the last
+    # primitive refusal closed): q_table_iceberg's fixture gained
+    # nk_i8/nk_i16 columns riding the round trip
+    "q_table_iceberg": 15,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

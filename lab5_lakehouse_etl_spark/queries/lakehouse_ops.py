@@ -912,11 +912,16 @@ def q_table_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN n_nationkey < 10 THEN 'ib-updated' ELSE n_name END
                AS n_name,
            CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(n_nationkey AS INTEGER)       AS nk_i8,
+           CAST(n_nationkey * 100 AS INTEGER) AS nk_i16,
            CAST(1 AS BIGINT) AS from_snapshot
     FROM nation
     UNION ALL
     SELECT CAST(n_nationkey AS BIGINT), n_name,
-           CAST(n_regionkey AS BIGINT), CAST(0 AS BIGINT)
+           CAST(n_regionkey AS BIGINT),
+           CAST(n_nationkey AS INTEGER),
+           CAST(n_nationkey * 100 AS INTEGER),
+           CAST(0 AS BIGINT)
     FROM nation
     """,
 )
@@ -953,7 +958,16 @@ def q_table_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_iceberg_snapshot,
     )
 
-    nation = load_table(spark, sf_dir, "nation")
+    # r15: tinyint/smallint columns ride the round trip — the spec
+    # has no 8/16-bit primitives, so the export widens them to int
+    # (lossless over parquet's physical INT32; source types recorded
+    # in graft.source-widened-types) and the reader surfaces int —
+    # the closed form the oracle casts to INTEGER
+    nation = load_table(spark, sf_dir, "nation").select(
+        "*",
+        F.col("n_nationkey").cast("tinyint").alias("nk_i8"),
+        (F.col("n_nationkey") * 100).cast("smallint").alias("nk_i16"),
+    )
     path = scratch_dir("q_table_iceberg", fresh=True) + "/t"
     t = LakeTable.create(nation, path, partition_by=["n_regionkey"])
     upd = nation.filter(F.col("n_nationkey") < 10).withColumn(
@@ -973,6 +987,8 @@ def q_table_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
         "n_name",
         F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+        F.col("nk_i8").cast("int").alias("nk_i8"),
+        F.col("nk_i16").cast("int").alias("nk_i16"),
         "from_snapshot",
     )
 

@@ -223,14 +223,46 @@ def test_snapshot_roundtrip_and_statuses_across_versions(
     assert _rows(got_v0.select(*nation.columns)) == v0_expected
 
 
-def test_export_refuses_inexpressible_features(spark, tmp_path):
-    # a type with no exact Iceberg primitive refuses rather than widens
-    df = spark.createDataFrame([(1,)], "id long").selectExpr(
-        "CAST(id AS SMALLINT) AS id"
+def test_export_widens_small_ints_spec_conform(spark, tmp_path):
+    """r15: tinyint/smallint EXPORT as ``int`` — the Iceberg spec has
+    no 8/16-bit primitives and parquet stores them as physical INT32,
+    so the widening is lossless and is what real writers do; the
+    source Spark types are recorded in graft.source-widened-types and
+    the reader round-trips the values under int."""
+    import json as _json
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(6)], "id long"
+    ).selectExpr(
+        "id",
+        "CAST(id - 3 AS TINYINT) AS b",
+        "CAST(id * 300 AS SMALLINT) AS s",
     )
     t3 = LakeTable.create(df, str(tmp_path / "ty"))
+    IM.export_iceberg_metadata(t3)
+    doc = IM._load_metadata(t3.path)
+    types = {
+        f["name"]: f["type"]
+        for f in doc["schemas"][doc["current-schema-id"]]["fields"]
+    }
+    assert types["b"] == "int" and types["s"] == "int"
+    widened = _json.loads(doc["properties"]["graft.source-widened-types"])
+    assert widened == {"b": "byte", "s": "short"}
+    back = IM.read_iceberg_snapshot(spark, t3.path)
+    assert dict(back.dtypes)["b"] == "int"
+    assert sorted((r.id, r.b, r.s) for r in back.collect()) == [
+        (i, i - 3, i * 300) for i in range(6)
+    ]
+
+
+def test_export_refuses_inexpressible_types():
+    """The refusal now covers only what the spec genuinely cannot
+    state — an interval (or any unknown) primitive still refuses
+    loudly instead of guessing."""
     with pytest.raises(NotImplementedError, match="no exact Iceberg"):
-        IM.export_iceberg_metadata(t3)
+        IM._iceberg_field_type("interval")
+    with pytest.raises(NotImplementedError, match="no exact Iceberg"):
+        IM._iceberg_field_type("calendarinterval")
 
 
 def test_rename_and_drop_export_with_name_mapping(spark, nation_table):
