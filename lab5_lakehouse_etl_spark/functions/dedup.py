@@ -1785,3 +1785,56 @@ def minhash_probe_index(
         .filter(F.col("est_jaccard") >= est_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+# ------------------------------------------- line-level boilerplate
+
+def drop_boilerplate_lines(
+    lines_df: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    min_docs: int = 3,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style LINE-level boilerplate removal — the
+    first dedup pass of every web-corpus pipeline, at a grain the
+    span family (shared_gram_occurrences) does not cover: a line
+    whose fingerprint occurs in >= ``min_docs`` DISTINCT documents is
+    nav/footer/cookie boilerplate and is dropped from EVERY document
+    (no owner keeps a copy — unlike ExactSubstr span removal, where
+    the lowest-id owner survives; boilerplate has no owner), then
+    each document is reassembled from its surviving lines in order.
+
+    Returns ``(id, kept)`` with ``kept`` the surviving-lines array.
+
+    Scale shape: the line text itself never shuffles — occurrences
+    reduce to (id, pos, xxhash64 fp) before the two exchanges
+    (distinct doc-count per fp; removable positions folded back to
+    one array per affected doc), and the redaction is a ROW-LOCAL
+    higher-order filter over the original array, the q_dup_remove
+    rebuild doctrine (queries/dedup_ops.py).  Within-doc repeats of
+    a line count ONCE toward the threshold (distinct doc ids), the
+    CCNet rule."""
+    occ = lines_df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(lines_col)).alias("pos", "line"),
+    ).select("id", "pos", F.xxhash64("line").alias("fp"))
+    boiler = (
+        occ.select("fp", "id")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("fp")
+    )
+    removable = (
+        occ.join(boiler, "fp")
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("drops"))
+    )
+    joined = lines_df.join(
+        removable, F.col(id_col) == F.col("id"), "left"
+    ).withColumn("drops", F.coalesce("drops", F.expr("array()")))
+    kept = F.expr(
+        f"filter({lines_col}, (x, i) -> NOT array_contains(drops, i))"
+    )
+    return joined.select(F.col(id_col), kept.alias("kept"))

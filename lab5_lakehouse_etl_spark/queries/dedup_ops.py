@@ -1693,3 +1693,97 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac >= 0.5).alias("drop_doc"),
         )
     )
+
+
+@query(
+    "q_dedup_lines",
+    oracle=r"""
+    WITH l AS (
+      SELECT doc_id,
+             ['site ' || CAST(doc_id % 7 AS VARCHAR)
+                || ' navigation home about contact',
+              substring(text, 1, 80),
+              substring(text, 81, 100000),
+              'promo block ' || CAST(doc_id // 2 AS VARCHAR),
+              'copyright example corp ' || CAST(doc_id % 3 AS VARCHAR)
+             ] AS lines
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos, lines[CAST(i AS INT)] AS line
+      FROM (SELECT doc_id, lines,
+                   unnest(range(1, len(lines) + 1)) AS i
+            FROM l)
+    ),
+    bp AS (
+      SELECT line FROM occ
+      GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+    ),
+    cov AS (
+      SELECT o.doc_id, o.pos, o.line,
+             (b.line IS NOT NULL) AS dropped
+      FROM occ o LEFT JOIN bp b ON o.line = b.line
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+                               chr(10) ORDER BY pos), '') AS cleaned_text,
+           CAST(count(*) FILTER (NOT dropped) AS BIGINT) AS n_lines_kept,
+           CAST(count(*) FILTER (dropped) AS BIGINT) AS n_lines_removed
+    FROM cov GROUP BY doc_id
+    """,
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-level boilerplate dedup (functions/dedup.
+    drop_boilerplate_lines) — the CCNet/RefinedWeb first pass the
+    span family doesn't cover: hash each LINE, drop every line whose
+    fingerprint occurs in >= 3 DISTINCT documents (nav bars, cookie
+    banners, copyright footers — boilerplate has no owner, so no
+    copy survives, unlike ExactSubstr's owner-keeps semantics in
+    q_dup_remove), reassemble the survivors in order.
+
+    The fixture builds a 5-line page per document: a nav line shared
+    by every same-``id%7`` doc (dropped), two content lines split
+    from the doc text (kept — unique), a promo line shared by
+    exactly TWO docs (``id//2`` pairs — below the threshold, KEPT:
+    pins the >= boundary), and a copyright footer shared corpus-wide
+    mod 3 (dropped).  The DuckDB oracle replays the rule by grouping
+    the literal lines; the Spark side fingerprints with xxhash64 —
+    a hash collision or a within-doc-repeat miscount breaks the
+    hash.
+
+    Scale: line text never shuffles (occurrences reduce to
+    (id, pos, 8-byte fp) before both exchanges); the redaction is a
+    row-local higher-order filter, the q_dup_remove rebuild
+    doctrine."""
+    from ..functions import dedup as DD
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    lines = docs.select(
+        "doc_id",
+        F.array(
+            F.concat(
+                F.lit("site "),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(" navigation home about contact"),
+            ),
+            F.expr("substring(text, 1, 80)"),
+            F.expr("substring(text, 81, 100000)"),
+            F.concat(
+                F.lit("promo block "),
+                F.expr("doc_id DIV 2").cast("string"),
+            ),
+            F.concat(
+                F.lit("copyright example corp "),
+                (F.col("doc_id") % 3).cast("string"),
+            ),
+        ).alias("lines"),
+    )
+    out = DD.drop_boilerplate_lines(
+        lines, id_col="doc_id", lines_col="lines", min_docs=3
+    )
+    return out.select(
+        "doc_id",
+        F.array_join("kept", "\n").alias("cleaned_text"),
+        F.size("kept").cast("bigint").alias("n_lines_kept"),
+        (F.lit(5) - F.size("kept")).cast("bigint").alias("n_lines_removed"),
+    )

@@ -692,3 +692,46 @@ def test_null_text_never_a_dup_verdict(spark):
     # (e) the band index never stores a NULL doc
     idx_ids = {r.id for r in D.minhash_band_index(docs).collect()}
     assert not idx_ids & {3, 4}
+
+
+def test_drop_boilerplate_lines_semantics(spark):
+    """Ground-truth pins for the line-level boilerplate operator:
+    (a) threshold counts DISTINCT docs — a line repeated 5x inside
+    ONE doc is not boilerplate; (b) no-owner semantics — a
+    boilerplate line vanishes from EVERY doc including the first;
+    (c) exactly-at-threshold lines drop, threshold-minus-one lines
+    survive; (d) the line text never enters an exchange (only the
+    8-byte fingerprint does)."""
+    from pyspark.sql import functions as F
+
+    from lab5_lakehouse_etl_spark.functions import dedup as D
+
+    rows = [
+        (0, ["nav", "alpha", "rep", "rep", "rep", "rep", "rep"]),
+        (1, ["nav", "beta", "pair"]),
+        (2, ["nav", "gamma", "pair"]),
+        (3, ["delta"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = {
+        r.doc_id: list(r.kept)
+        for r in D.drop_boilerplate_lines(df, min_docs=3).collect()
+    }
+    # 'nav' in 3 distinct docs -> dropped everywhere (no owner)
+    assert out[0] == ["alpha", "rep", "rep", "rep", "rep", "rep"]
+    # 'rep' x5 in one doc: one distinct doc, NOT boilerplate
+    # 'pair' in 2 docs < 3: kept
+    assert out[1] == ["beta", "pair"]
+    assert out[2] == ["gamma", "pair"]
+    assert out[3] == ["delta"]
+    # plan: no exchange carries the line text
+    import re
+
+    plan = (
+        D.drop_boilerplate_lines(df, min_docs=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "line#" not in m.group(1) and "lines#" not in m.group(1)
