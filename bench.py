@@ -303,6 +303,17 @@ def ratio_regressions(
     return flagged, os.path.basename(prev_path)
 
 
+#: reference calibration wall (seconds) for the printed
+#: ``value_calibrated`` field (r13 verdict ask #7, literal form):
+#: ``value * CAL_REF_SEC / calibration_sec`` — the tier-1 total
+#: re-expressed as "seconds on a host where the fixed calibration
+#: query takes 0.70 s" (the r13/r14 calibration band), so cross-round
+#: comparison is one field in BENCH_r{N}.json itself with host-load
+#: drift divided out.  The constant must NEVER move between rounds —
+#: moving it silently rescales history.
+CAL_REF_SEC = 0.70
+
+
 def compact_line(
     total: float,
     all_timings: dict[str, float],
@@ -332,6 +343,9 @@ def compact_line(
             # `value` stays the TIER-1 total (same 67-query set since
             # r4) so it remains comparable across rounds
             "value": round(total, 3),
+            "value_calibrated": round(total * CAL_REF_SEC / cal_sec, 3)
+            if cal_sec > 0
+            else None,
             "unit": "sec",
             "n_queries": len(all_timings),
             "tier2_total": detail["tier2_total"],
@@ -902,6 +916,9 @@ def main() -> None:
         "ratio_regressions_vs": regs_baseline,
         "metric": "declared_query_wall_time",
         "value": round(total, 3),
+        "value_calibrated": round(total * CAL_REF_SEC / cal_sec, 3)
+        if cal_sec > 0
+        else None,
         "unit": "sec",
         "n_queries": len(all_timings),
         "tier1_n": len(timings),
