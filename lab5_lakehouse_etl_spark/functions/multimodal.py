@@ -2042,25 +2042,32 @@ def dhash64(media: DataFrame) -> DataFrame:
     )
 
 
-def phash_dedup_groups(
-    media: DataFrame, max_hamming: int = 3
+def hamming_fp_groups(
+    fp: DataFrame,
+    max_hamming: int = 3,
+    fp_col: str = "phash",
 ) -> DataFrame:
-    """Near-dup image groups by dHash Hamming distance — banded, never
-    all-pairs: the 64-bit hash splits into ``max_hamming + 1`` chunks
-    (pigeonhole: a pair within the distance budget must share >= 1
-    exact chunk — the functions/dedup.py simhash_near_dups argument,
-    dedup.py:576), candidates self-join on (chunk, value) and verify
-    with one XOR + ``bit_count`` BEFORE any dedup exchange, and each
-    image's canonical is the min id over its verified neighbours
+    """Near-dup groups over ANY 64-bit perceptual fingerprint relation
+    ``(media_id, fp_col)`` — banded, never all-pairs: the hash splits
+    into ``max_hamming + 1`` chunks (pigeonhole: a pair within the
+    distance budget must share >= 1 exact chunk — the
+    functions/dedup.py simhash_near_dups argument, dedup.py:576),
+    candidates self-join on (chunk, value) and verify with one XOR +
+    ``bit_count`` BEFORE any dedup exchange, and each item's
+    canonical is the min id over its verified neighbours
     (clique-closed fixtures make that the group min).  Returns
-    (media_id, canonical_id, group_size).
+    (media_id, canonical_id, group_size).  Shared by the image dHash
+    (:func:`phash_dedup_groups`) and audio energy-hash
+    (:func:`afp_dedup_groups`) deduppers.
 
     Scale: the join's bucket sizes are bounded by duplicate-class
-    size (not corpus size); verified pairs carry two longs; pixels
-    and payloads never reach the shuffle."""
+    size (not corpus size); verified pairs carry two longs; media
+    payloads never reach the shuffle."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    fp = dhash64(media).filter(F.col("phash").isNotNull())
+    fp = fp.filter(F.col(fp_col).isNotNull()).withColumnRenamed(
+        fp_col, "phash"
+    )
     chunks = fp.select(
         "media_id",
         "phash",
@@ -2102,4 +2109,172 @@ def phash_dedup_groups(
         "media_id",
         "canonical_id",
         F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
+def phash_dedup_groups(
+    media: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup IMAGE groups: dHash (:func:`dhash64`) through the
+    shared banded Hamming matcher (:func:`hamming_fp_groups`)."""
+    return hamming_fp_groups(dhash64(media), max_hamming, fp_col="phash")
+
+
+# ---------------------------------------------- perceptual audio dedup
+
+#: waveform-content groups of the q_audio_dedup_fp fixture
+AFP_GROUPS = 120
+
+#: energy-hash raster: 65 frames of 250 samples -> 64 delta bits
+_AFP_FRAMES, _AFP_FRAME_LEN = 65, 250
+
+
+def _afp_frame_amps(g: int, flip: int | None = None):
+    """Per-frame square-wave amplitudes for group ``g`` in the same
+    ANCHOR/DEFLECTION form as :func:`_phash_cells`: even frames are
+    fixed anchors (8000), each odd frame deflects +-6000 by one
+    uniform pattern bit (splitmix-mixed, plane j=777 so audio groups
+    are independent of the image fixture's) — adjacent-frame RMS
+    always differs by a 6000-amplitude margin (lossless codecs leave
+    only float rounding against it), and 32 independent bits put
+    distinct groups far apart in Hamming space.  ``flip`` inverts
+    deflection bit m (the FLAC re-encode variant's perturbation:
+    exactly 2 Hamming bits)."""
+    import numpy as np
+
+    amps = np.empty(_AFP_FRAMES, dtype=np.int64)
+    for f in range(_AFP_FRAMES):
+        if f % 2 == 0:
+            amps[f] = 8000
+            continue
+        m = f // 2
+        b = _phash_pattern_bit(g, m, 777)
+        if flip == m:
+            b ^= 1
+        amps[f] = 8000 + 6000 * (2 * b - 1)
+    return amps
+
+
+def _afp_samples(g: int, flip: int | None = None):
+    """Interleaved-mono int16 waveform: per-frame amplitude times a
+    +-1 square wave (period 10 samples, zero-mean per frame)."""
+    import numpy as np
+
+    amps = _afp_frame_amps(g, flip)
+    wave = np.tile(
+        np.repeat(np.array([1, -1], dtype=np.int64), 5),
+        _AFP_FRAME_LEN // 10,
+    )
+    return (amps[:, None] * wave[None, :]).reshape(-1).astype("<i2")
+
+
+def afp_variant_media_from_ids(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture for perceptual AUDIO near-dup — the audio twin of
+    :func:`phash_variant_media_from_ids`: ids congruent mod
+    ``AFP_GROUPS`` carry the same underlying waveform, arriving as
+    (``(id // AFP_GROUPS) % 3``):
+
+    * 0 — original: 16-bit PCM WAV (an INFO chunk phased by copy
+      number keeps same-variant copies byte-distinct);
+    * 1 — GAIN-SCALED: the same waveform at half amplitude (every
+      decoded sample differs — an exact sample fingerprint can never
+      match it; per-frame energy ORDER is gain-invariant);
+    * 2 — RE-ENCODED: FLAC (different container AND entropy coder)
+      of the waveform with a +100 DC offset and ONE deflection bit
+      flipped — per-frame mean removal cancels the DC, the flip
+      lands the hash exactly 2 Hamming bits away (a genuinely NEAR
+      match)."""
+    from . import flac, wav
+
+    def encode_variant(media_id: int) -> bytes:
+        g = media_id % AFP_GROUPS
+        copy = media_id // AFP_GROUPS
+        variant = copy % 3
+        if variant == 2:
+            samples = _afp_samples(g, flip=5) + 100
+            return flac.encode_flac(8000, 1, samples.astype("<i2"))
+        samples = _afp_samples(g)
+        if variant == 1:
+            samples = (samples // 2).astype("<i2")
+        return wav.encode_wav(
+            8000, 1, samples, info=f"copy{copy}".encode()
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [encode_variant(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "audio",
+                    "mime": [
+                        "audio/flac" if p[:4] == b"fLaC" else "audio/wav"
+                        for p in payloads
+                    ],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return _id_partitioned(ids, id_col, rows_per_task=500).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+def audio_fingerprint64(media: DataFrame) -> DataFrame:
+    """64-bit energy-delta hash of each audio payload: decode (WAV or
+    FLAC), mixdown to mono, frame into 65 windows, per-frame RMS
+    AFTER mean removal (gain changes scale RMS uniformly, DC offsets
+    cancel — the two invariances the fixture exercises), one bit per
+    consecutive-frame comparison (``rms[f+1] > rms[f]``) — the audio
+    analogue of dHash's gradient bits (the cheap stand-in for a
+    chromaprint-class fingerprint, behind the same contract).
+    Undecodable/NULL payloads hash NULL."""
+    import numpy as np
+
+    def one(payload) -> int | None:
+        if payload is None:
+            return None
+        try:
+            rate, ch, n_frames, samples = decode_audio(bytes(payload))
+        except Exception:
+            return None
+        x = np.asarray(samples, dtype=np.float64)
+        if ch > 1:
+            x = x.reshape(-1, ch).mean(axis=1)
+        n = len(x) // _AFP_FRAMES
+        if n == 0:
+            return None
+        x = x[: n * _AFP_FRAMES].reshape(_AFP_FRAMES, n)
+        x = x - x.mean(axis=1, keepdims=True)
+        rms = np.sqrt((x * x).mean(axis=1))
+        bits = 0
+        for f in range(_AFP_FRAMES - 1):
+            if rms[f + 1] > rms[f]:
+                bits |= 1 << f
+        return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(
+                        [one(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=PHASH_SCHEMA
+    )
+
+
+def afp_dedup_groups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup AUDIO groups: energy hash through the shared banded
+    Hamming matcher."""
+    return hamming_fp_groups(
+        audio_fingerprint64(media), max_hamming, fp_col="phash"
     )

@@ -1420,3 +1420,41 @@ def q_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.phash_variant_media_from_ids(docs, id_col="doc_id")
     return M.phash_dedup_groups(media, max_hamming=3)
+
+
+@query(
+    "q_audio_dedup_fp",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(MIN(doc_id) OVER (PARTITION BY doc_id % 120)
+                AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id % 120)
+                AS BIGINT) AS group_size
+    FROM documents
+    """,
+)
+def q_audio_dedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup dedup (energy-delta hash + the same
+    banded Hamming matcher as q_image_dedup_phash,
+    functions/multimodal.hamming_fp_groups) — the audio twin of the
+    resized/recompressed-image case: the fixture's duplicate groups
+    (``ids mod 120``) arrive as {original 16-bit WAV, GAIN-SCALED
+    half-amplitude WAV (every decoded sample differs), FLAC
+    re-encode with a +100 DC offset and one energy-pattern bit
+    flipped (different container, different entropy coder, hash 2
+    Hamming bits away)} — an exact decoded-sample fingerprint scores
+    zero recall on every cross-variant pair (pinned in
+    tests/test_multimodal.py) while the energy hash recovers the
+    groups exactly.
+
+    Hash (audio_fingerprint64): decode -> mono -> 65 frames ->
+    per-frame RMS after mean removal (gain-uniform, DC-cancelling) ->
+    64 consecutive-frame comparison bits; margins from the
+    anchor/deflection amplitude layout (within-group <= 2 vs
+    cross-group >= 12 Hamming bits, measured over all 120 groups).
+
+    Scale: codecs run where payloads live; only (id, 8-byte hash)
+    reaches the chunk explode; verify precedes every exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.afp_variant_media_from_ids(docs, id_col="doc_id")
+    return M.afp_dedup_groups(media, max_hamming=3)

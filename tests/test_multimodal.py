@@ -1384,3 +1384,84 @@ def test_phash_dedup_groups_end_to_end(spark):
     for r in got:
         assert r.canonical_id == r.media_id % 150
         assert r.group_size == 3
+
+
+def test_afp_fixture_margins_and_exact_zero_recall(spark):
+    """q_audio_dedup_fp ground truth: exact decoded-sample
+    fingerprints score zero recall on every cross-variant planted
+    pair (gain scaling and the DC+flip FLAC re-encode change every
+    sample), while the energy hash keeps within-group pairs at
+    Hamming <= 2 and distinct groups >= threshold+2 apart; the
+    distributed matcher recovers exactly the mod-120 groups."""
+    import hashlib
+    import itertools
+
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import flac, wav
+    from lab5_lakehouse_etl_spark.functions import multimodal as MM
+
+    def payload(mid):
+        g = mid % MM.AFP_GROUPS
+        copy = mid // MM.AFP_GROUPS
+        v = copy % 3
+        if v == 2:
+            s = MM._afp_samples(g, flip=5) + 100
+            return flac.encode_flac(8000, 1, s.astype("<i2"))
+        s = MM._afp_samples(g)
+        if v == 1:
+            s = (s // 2).astype("<i2")
+        return wav.encode_wav(8000, 1, s, info=f"copy{copy}".encode())
+
+    def fp64(p):
+        _r, ch, _n, samples = MM.decode_audio(p)
+        x = np.asarray(samples, float)
+        n = len(x) // 65
+        x = x[: n * 65].reshape(65, n)
+        x = x - x.mean(axis=1, keepdims=True)
+        rms = np.sqrt((x * x).mean(axis=1))
+        return sum(
+            1 << f for f in range(64) if rms[f + 1] > rms[f]
+        )
+
+    groups = list(range(0, 120, 13))
+    worst_in, exact_hits = 0, 0
+    hashes = {}
+    for g in groups:
+        trio = [payload(g), payload(g + 120), payload(g + 240)]
+        sample_fps = [
+            hashlib.md5(
+                np.asarray(MM.decode_audio(p)[3]).tobytes()
+            ).hexdigest()
+            for p in trio
+        ]
+        exact_hits += sum(
+            a == b for a, b in itertools.combinations(sample_fps, 2)
+        )
+        hs = [fp64(p) for p in trio]
+        hashes[g] = hs[0]
+        worst_in = max(
+            worst_in,
+            max(bin(a ^ b).count("1")
+                for a, b in itertools.combinations(hs, 2)),
+        )
+    assert exact_hits == 0
+    assert worst_in <= 2
+    best_cross = min(
+        bin(hashes[a] ^ hashes[b]).count("1")
+        for a, b in itertools.combinations(groups, 2)
+    )
+    assert best_cross >= 5
+    # distributed end-to-end: exactly the planted groups
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id")
+        .filter("doc_id < 360")  # ids 0..359: exactly 3 variants/group
+    )
+    got = M.afp_dedup_groups(
+        M.afp_variant_media_from_ids(docs, id_col="doc_id")
+    ).collect()
+    assert len(got) == 360
+    for r in got:
+        assert r.canonical_id == r.media_id % 120
+        assert r.group_size == 3
