@@ -3,6 +3,8 @@ deterministic fake features, frame sampling, and the codec stub."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from lab5_lakehouse_etl_spark.functions import multimodal as M
@@ -1465,3 +1467,85 @@ def test_afp_fixture_margins_and_exact_zero_recall(spark):
     for r in got:
         assert r.canonical_id == r.media_id % 120
         assert r.group_size == 3
+
+
+def test_jpeg_decodes_imageio_golden():
+    """JPEG DECODE against an independent implementation — the
+    validator class the r14 WebP refusal said lossy codecs need:
+    bit-exact round-trip self-tests cannot catch a consistently-wrong
+    IDCT, but JDK-17 javax.imageio ships an independent JPEG codec
+    in-container.  ``golden_jpeg_ac.jpg`` was ENCODED by ImageIO
+    (TYPE_BYTE_GRAY writer, default quality) from the closed-form
+    AC-rich source below, and ``golden_jpeg_ac.gray`` is ImageIO's
+    OWN decode of it (generation: tests/data/JpegProbe.java).  Our
+    decoder must land within +-1 of ImageIO's on every sample — the
+    JPEG-spec IDCT variance bound; a wrong IDCT constant or
+    dequantization slip is a gross, not +-1, error."""
+    import numpy as np
+
+    DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+    data = open(os.path.join(DATA_DIR, "golden_jpeg_ac.jpg"), "rb").read()
+    w, h, c, px = M.decode_image(data)
+    assert (w, h, c) == (48, 40, 1)
+    ours = np.frombuffer(px, np.uint8).astype(int)
+    their = np.frombuffer(
+        open(os.path.join(DATA_DIR, "golden_jpeg_ac.gray"), "rb").read(),
+        np.uint8,
+    ).astype(int)
+    d = np.abs(ours - their)
+    assert d.max() <= 1
+    assert float((d > 0).mean()) < 0.10  # agreement, not coincidence
+    # and both stay near the closed-form source (lossy-quality bound)
+    i = np.arange(w * h)
+    src = ((i * 37 + (i // w) * 11 + (i % w) * (i // w) + 7) % 256).astype(int)
+    assert np.abs(ours - src).max() <= 48  # measured 34 + margin
+
+
+def test_jpeg_encode_imageio_decodes_live():
+    """The ENCODE direction, live: ImageIO (via the committed
+    JpegProbe class, JDK 17) decodes OUR encoder's output — both the
+    block-flat phash fixture and an AC-rich gradient — and must agree
+    with our decoder within the same +-1 IDCT bound.  Catches a
+    consistently-wrong forward DCT / quantization / Huffman table in
+    the encoder that our own decoder would silently invert."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import jpeg
+    from lab5_lakehouse_etl_spark.functions import multimodal as MM
+
+    if shutil.which("java") is None:
+        pytest.skip("no java runtime")
+    DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+    w, h = 48, 40
+    i = np.arange(w * h)
+    ac = ((i * 29 + (i % w) * (i // w) * 3 + 11) % 256).astype(np.uint8)
+    flat = (
+        np.repeat(np.repeat(MM._phash_cells(3), 8, 0), 8, 1)
+        .astype(np.uint8)
+        .reshape(-1)
+    )
+    for name, (ww, hh, px) in {
+        "ac": (w, h, ac),
+        "flat": (72, 64, flat),
+    }.items():
+        payload = jpeg.encode_jpeg(ww, hh, px.tobytes())
+        with tempfile.TemporaryDirectory() as td:
+            jp = os.path.join(td, "x.jpg")
+            raw = os.path.join(td, "x.raw")
+            open(jp, "wb").write(payload)
+            r = subprocess.run(
+                ["java", "-cp", DATA_DIR, "JpegProbe", "decode", jp, raw],
+                capture_output=True, text=True, timeout=60,
+            )
+            assert r.returncode == 0, r.stderr[:300]
+            assert r.stdout.split()[:3] == [str(ww), str(hh), "1"]
+            their = np.frombuffer(
+                open(raw, "rb").read(), np.uint8
+            ).astype(int)
+        _w, _h, _c, ourpx = M.decode_image(payload)
+        ours = np.frombuffer(ourpx, np.uint8).astype(int)
+        assert np.abs(ours - their).max() <= 1, name
