@@ -1549,3 +1549,73 @@ def test_jpeg_encode_imageio_decodes_live():
         _w, _h, _c, ourpx = M.decode_image(payload)
         ours = np.frombuffer(ourpx, np.uint8).astype(int)
         assert np.abs(ours - their).max() <= 1, name
+
+
+def test_png_imageio_decodes_ours_bit_exact():
+    """PNG interop, live: ImageIO (independent inflate + unfilter +
+    color handling) decodes OUR encoder's output BIT-EXACTLY for all
+    five color types — the default filter_of_row cycles all five
+    scanline filters, so Paeth/avg/up/sub reconstruction is pinned
+    against a second implementation, not just our own round trip.
+    Palette PNGs come back from ImageIO as raw INDICES (its
+    IndexColorModel raster); mapping them through the fixture's PLTE
+    must reproduce our expanded RGB."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import png
+
+    if shutil.which("java") is None:
+        pytest.skip("no java runtime")
+    DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+    w, h = 13, 9
+
+    def imageio_decode(payload):
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "x.png")
+            raw = os.path.join(td, "x.raw")
+            open(p, "wb").write(payload)
+            r = subprocess.run(
+                ["java", "-cp", DATA_DIR, "JpegProbe", "decode", p, raw],
+                capture_output=True, text=True, timeout=60,
+            )
+            assert r.returncode == 0, r.stderr[:300]
+            ww, hh, b = map(int, r.stdout.split()[:3])
+            return ww, hh, b, open(raw, "rb").read()
+
+    cases = {
+        0: bytes((x * 17 + y * 31) % 256 for y in range(h) for x in range(w)),
+        2: bytes(
+            (x * 7 + y * 13 + c * 41) % 256
+            for y in range(h) for x in range(w) for c in range(3)
+        ),
+        4: bytes(
+            (x * 9 + y * 27 + c * 101) % 256
+            for y in range(h) for x in range(w) for c in range(2)
+        ),
+        6: bytes(
+            (x * 3 + y * 5 + c * 23) % 256
+            for y in range(h) for x in range(w) for c in range(4)
+        ),
+    }
+    for ctype, px in cases.items():
+        payload = png.encode_png(w, h, px, color_type=ctype)
+        ww, hh, b, their = imageio_decode(payload)
+        _w, _h, c, ours = M.decode_image(payload)
+        assert (ww, hh, b) == (w, h, c), ctype
+        assert their == ours, f"color_type {ctype} not bit-exact"
+    # palette: ImageIO dumps indices; PLTE-map them to our RGB
+    idx = bytes((x + y) % 5 for y in range(h) for x in range(w))
+    pal = bytes((i * 37 + k * 11) % 256 for i in range(5) for k in range(3))
+    payload = png.encode_png(w, h, idx, color_type=3, palette=pal)
+    ww, hh, b, their_idx = imageio_decode(payload)
+    assert (ww, hh, b) == (w, h, 1)
+    _w, _h, c, ours = M.decode_image(payload)
+    assert c == 3
+    mapped = b"".join(pal[3 * i : 3 * i + 3] for i in their_idx)
+    assert mapped == ours
+    # and ImageIO's indices are OUR indices
+    assert their_idx == idx
