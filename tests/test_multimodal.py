@@ -1619,3 +1619,61 @@ def test_png_imageio_decodes_ours_bit_exact():
     assert mapped == ours
     # and ImageIO's indices are OUR indices
     assert their_idx == idx
+
+
+def test_gif_bmp_imageio_interop():
+    """GIF + BMP interop, live: ImageIO decodes OUR encoders' output
+    — BMP bit-exactly in BOTH row orders (bottom-up is the format's
+    quirk an independent reader must agree on), GIF as raw palette
+    indices that must equal OUR indices for both sequential and
+    INTERLACED streams (the 4-pass interlace reconstruction pinned
+    against a second implementation) and PLTE-map to our expanded
+    RGBA."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    from lab5_lakehouse_etl_spark.functions import bmp, gif
+
+    if shutil.which("java") is None:
+        pytest.skip("no java runtime")
+    DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+    def imageio_decode(payload, ext):
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "x." + ext)
+            raw = os.path.join(td, "x.raw")
+            open(p, "wb").write(payload)
+            r = subprocess.run(
+                ["java", "-cp", DATA_DIR, "JpegProbe", "decode", p, raw],
+                capture_output=True, text=True, timeout=60,
+            )
+            assert r.returncode == 0, r.stderr[:300]
+            ww, hh, b = map(int, r.stdout.split()[:3])
+            return ww, hh, b, open(raw, "rb").read()
+
+    w, h = 13, 9
+    rgb = bytes(
+        (x * 7 + y * 13 + c * 41) % 256
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    for top_down in (False, True):
+        payload = bmp.encode_bmp(w, h, rgb, top_down=top_down)
+        ww, hh, b, their = imageio_decode(payload, "bmp")
+        _w, _h, c, ours = M.decode_image(payload)
+        assert (ww, hh, b) == (w, h, 3) and c == 3
+        assert their == ours, f"bmp top_down={top_down}"
+
+    idx = bytes((x * 2 + y) % 6 for y in range(h) for x in range(w))
+    pal = bytes((i * 31 + k * 7) % 256 for i in range(6) for k in range(3))
+    for interlace in (False, True):
+        payload = gif.encode_gif(w, h, idx, pal, interlace=interlace)
+        ww, hh, b, their_idx = imageio_decode(payload, "gif")
+        assert (ww, hh, b) == (w, h, 1)
+        assert their_idx == idx, f"gif interlace={interlace}"
+        _w, _h, c, ours = M.decode_image(payload)
+        assert c == 4
+        mapped = b"".join(
+            pal[3 * i : 3 * i + 3] + b"\xff" for i in their_idx
+        )
+        assert mapped == ours
