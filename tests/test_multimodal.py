@@ -1677,3 +1677,54 @@ def test_gif_bmp_imageio_interop():
             pal[3 * i : 3 * i + 3] + b"\xff" for i in their_idx
         )
         assert mapped == ours
+
+
+def test_wav_javax_sound_interop():
+    """WAV interop, live: javax.sound.sampled (an independent RIFF
+    chunk walker) reads OUR encoder's output — format fields and
+    sample bytes bit-exact, including the ancillary LIST/INFO chunk
+    an independent reader must skip (generation:
+    tests/data/WavProbe.java).  Also the reverse: our decoder reads
+    the afp fixture's mono stream to the same samples javax dumps."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import wav
+    from lab5_lakehouse_etl_spark.functions import multimodal as MM
+
+    if shutil.which("java") is None:
+        pytest.skip("no java runtime")
+    DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+    def javax_decode(payload):
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "x.wav")
+            raw = os.path.join(td, "x.raw")
+            open(p, "wb").write(payload)
+            r = subprocess.run(
+                ["java", "-cp", DATA_DIR, "WavProbe", p, raw],
+                capture_output=True, text=True, timeout=60,
+            )
+            assert r.returncode == 0, r.stderr[:300]
+            rate, ch, bits, endian, _n = r.stdout.split()
+            return (
+                int(rate), int(ch), int(bits), endian,
+                open(raw, "rb").read(),
+            )
+
+    s = (np.arange(4000) * 173 % 30000 - 15000).astype("<i2")
+    payload = wav.encode_wav(8000, 2, s, info=b"interop")
+    rate, ch, bits, endian, their = javax_decode(payload)
+    assert (rate, ch, bits, endian) == (8000, 2, 16, "LE")
+    _r, _c, _n, ours = M.decode_audio(payload)
+    assert np.asarray(ours, "<i2").tobytes() == their
+
+    # the perceptual-audio fixture's waveform through both readers
+    fx = wav.encode_wav(8000, 1, MM._afp_samples(9), info=b"copy0")
+    rate, ch, _b, _e, their = javax_decode(fx)
+    assert (rate, ch) == (8000, 1)
+    _r, _c, _n, ours = M.decode_audio(fx)
+    assert np.asarray(ours, "<i2").tobytes() == their
