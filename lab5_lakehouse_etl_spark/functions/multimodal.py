@@ -2278,3 +2278,158 @@ def afp_dedup_groups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     return hamming_fp_groups(
         audio_fingerprint64(media), max_hamming, fp_col="phash"
     )
+
+
+# ---------------------------------------------- perceptual video dedup
+
+#: frame-content groups of the q_video_dedup_fp fixture
+VFP_GROUPS = 100
+
+#: temporal raster: 65 frames -> 64 frame-mean-delta bits
+_VFP_FRAMES = 65
+
+
+def _vfp_frame_lumas(g: int, flip: int | None = None):
+    """Per-frame constant LUMA for group ``g`` — the video instance
+    of the anchor/deflection layout (plane j=888 keeps video groups
+    independent of the image/audio fixtures): even frames anchor at
+    80, odd frames deflect +-60 by one uniform bit, so adjacent
+    frame MEANS always differ by 60 (exact for constant frames —
+    Y4M is raw, no codec noise at all) and 32 independent bits
+    separate groups.  ``flip`` inverts deflection bit m (exactly 2
+    Hamming bits)."""
+    import numpy as np
+
+    lumas = np.empty(_VFP_FRAMES, dtype=np.int64)
+    for f in range(_VFP_FRAMES):
+        if f % 2 == 0:
+            lumas[f] = 80
+            continue
+        m = f // 2
+        b = _phash_pattern_bit(g, m, 888)
+        if flip == m:
+            b ^= 1
+        lumas[f] = 80 + 60 * (2 * b - 1)
+    return lumas
+
+
+def vfp_variant_media_from_ids(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture for perceptual VIDEO near-dup — completing the
+    image/audio/video modality matrix over ONE shared banded matcher
+    (:func:`hamming_fp_groups`): ids congruent mod ``VFP_GROUPS``
+    carry the same per-frame luma sequence, arriving as
+    (``(id // VFP_GROUPS) % 3``):
+
+    * 0 — original: 16x12 C444 Y4M;
+    * 1 — RESCALED + RESAMPLED CHROMA: 32x24 C420 (different
+      resolution AND chroma layout — different dims, different
+      bytes, an exact fingerprint can never match; frame MEANS are
+      untouched);
+    * 2 — GAIN-SCALED: luma halved with ONE deflection bit flipped
+      and a different fps stamp (mean ORDER is gain-invariant; the
+      flip lands the hash exactly 2 Hamming bits away)."""
+    from . import y4m
+
+    def encode_variant(media_id: int) -> bytes:
+        import numpy as np
+
+        g = media_id % VFP_GROUPS
+        copy = media_id // VFP_GROUPS
+        variant = copy % 3
+        if variant == 1:
+            w, h, cs = 32, 24, "C420jpeg"
+            lumas = _vfp_frame_lumas(g)
+            fps = (25, 1)
+        elif variant == 2:
+            w, h, cs = 16, 12, "C444"
+            lumas = _vfp_frame_lumas(g, flip=5) // 2
+            fps = (30, 1)
+        else:
+            w, h, cs = 16, 12, "C444"
+            lumas = _vfp_frame_lumas(g)
+            fps = (25, 1)
+        chroma_n = (
+            (w // 2) * (h // 2) if cs.startswith("C420") else w * h
+        )
+        frames = [
+            bytes([int(y)]) * (w * h) + bytes([128]) * (2 * chroma_n)
+            for y in lumas
+        ]
+        return y4m.encode_y4m(w, h, frames, fps=fps, colorspace=cs)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [encode_variant(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "video",
+                    "mime": "video/x-yuv4mpeg",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return _id_partitioned(ids, id_col, rows_per_task=500).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+def video_fingerprint64(media: DataFrame) -> DataFrame:
+    """64-bit temporal hash of each video payload: decode Y4M, take
+    each frame's mean LUMA (Y plane only — chroma layout and
+    resolution drop out; a uniform gain preserves the ordering), one
+    bit per consecutive-frame comparison.  The temporal analogue of
+    dHash's spatial gradient.  Undecodable/NULL payloads hash
+    NULL."""
+    import numpy as np
+
+    from . import y4m
+
+    def one(payload) -> int | None:
+        if payload is None:
+            return None
+        try:
+            w, h, _fps, cs, frames = y4m.decode_y4m(bytes(payload))
+        except Exception:
+            return None
+        if len(frames) < 2:
+            return None
+        means = [
+            float(
+                np.frombuffer(f[: w * h], dtype=np.uint8).mean()
+            )
+            for _i, f in frames[:_VFP_FRAMES]
+        ]
+        bits = 0
+        for f in range(len(means) - 1):
+            if f >= 64:
+                break
+            if means[f + 1] > means[f]:
+                bits |= 1 << f
+        return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(
+                        [one(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=PHASH_SCHEMA
+    )
+
+
+def vfp_dedup_groups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup VIDEO groups: temporal hash through the shared
+    banded Hamming matcher."""
+    return hamming_fp_groups(
+        video_fingerprint64(media), max_hamming, fp_col="phash"
+    )

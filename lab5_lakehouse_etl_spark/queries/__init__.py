@@ -582,9 +582,11 @@ _REWRITTEN_IN: dict[str, int] = {
     # primitive refusal closed): q_table_iceberg's fixture gained
     # nk_i8/nk_i16 columns riding the round trip
     "q_table_iceberg": 15,
-    # q_audio_dedup_fp / q_dedup_lines ride the multimodal/dedup
-    # closures (energy-hash + boilerplate machinery appended r15)
+    # q_audio_dedup_fp / q_video_dedup_fp / q_dedup_lines ride the
+    # multimodal/dedup closures (energy-hash + temporal-hash +
+    # boilerplate machinery appended r15)
     "q_audio_dedup_fp": 15,
+    "q_video_dedup_fp": 15,
     "q_dedup_lines": 15,
 }
 # r9 window arithmetic: the three retroactive rewrites above are

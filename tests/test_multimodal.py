@@ -1728,3 +1728,89 @@ def test_wav_javax_sound_interop():
     assert (rate, ch) == (8000, 1)
     _r, _c, _n, ours = M.decode_audio(fx)
     assert np.asarray(ours, "<i2").tobytes() == their
+
+
+def test_vfp_fixture_margins_and_end_to_end(spark):
+    """q_video_dedup_fp ground truth: exact decoded-frame
+    fingerprints score zero recall cross-variant (rescale changes
+    dims+bytes, gain changes every luma), the temporal hash keeps
+    within-group pairs at Hamming <= 2 vs cross-group >= threshold+2,
+    and the distributed matcher recovers exactly the mod-100
+    groups."""
+    import hashlib
+    import itertools
+
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import multimodal as MM
+    from lab5_lakehouse_etl_spark.functions import y4m
+
+    def payload(mid):
+        g = mid % MM.VFP_GROUPS
+        copy = mid // MM.VFP_GROUPS
+        v = copy % 3
+        if v == 1:
+            w, h, cs = 32, 24, "C420jpeg"
+            lumas = MM._vfp_frame_lumas(g)
+            fps = (25, 1)
+        elif v == 2:
+            w, h, cs = 16, 12, "C444"
+            lumas = MM._vfp_frame_lumas(g, flip=5) // 2
+            fps = (30, 1)
+        else:
+            w, h, cs = 16, 12, "C444"
+            lumas = MM._vfp_frame_lumas(g)
+            fps = (25, 1)
+        cn = (w // 2) * (h // 2) if cs.startswith("C420") else w * h
+        frames = [
+            bytes([int(y)]) * (w * h) + bytes([128]) * (2 * cn)
+            for y in lumas
+        ]
+        return y4m.encode_y4m(w, h, frames, fps=fps, colorspace=cs)
+
+    def fp64(p):
+        w, h, _f, _cs, frames = y4m.decode_y4m(p)
+        means = [
+            np.frombuffer(f[: w * h], np.uint8).mean()
+            for _i, f in frames[:65]
+        ]
+        return sum(1 << f for f in range(64) if means[f + 1] > means[f])
+
+    groups = list(range(0, 100, 9))
+    worst_in, exact_hits = 0, 0
+    hashes = {}
+    for g in groups:
+        trio = [payload(g), payload(g + 100), payload(g + 200)]
+        frame_fps = [
+            hashlib.md5(b"".join(f for _i, f in y4m.decode_y4m(p)[4])).hexdigest()
+            for p in trio
+        ]
+        exact_hits += sum(
+            a == b for a, b in itertools.combinations(frame_fps, 2)
+        )
+        hs = [fp64(p) for p in trio]
+        hashes[g] = hs[0]
+        worst_in = max(
+            worst_in,
+            max(bin(a ^ b).count("1")
+                for a, b in itertools.combinations(hs, 2)),
+        )
+    assert exact_hits == 0
+    assert worst_in <= 2
+    best_cross = min(
+        bin(hashes[a] ^ hashes[b]).count("1")
+        for a, b in itertools.combinations(groups, 2)
+    )
+    assert best_cross >= 5
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id")
+        .filter("doc_id < 300")  # ids 0..299: exactly 3 variants/group
+    )
+    got = M.vfp_dedup_groups(
+        M.vfp_variant_media_from_ids(docs, id_col="doc_id")
+    ).collect()
+    assert len(got) == 300
+    for r in got:
+        assert r.canonical_id == r.media_id % 100
+        assert r.group_size == 3
