@@ -2125,8 +2125,14 @@ def phash_dedup_groups(
 #: waveform-content groups of the q_audio_dedup_fp fixture
 AFP_GROUPS = 120
 
-#: energy-hash raster: 65 frames of 250 samples -> 64 delta bits
-_AFP_FRAMES, _AFP_FRAME_LEN = 65, 250
+#: energy-hash raster: 65 frames of 20 samples -> 64 delta bits.
+#: Frame length is a COST knob, not a correctness one: frames are
+#: constant-amplitude so the RMS margins are exact at any length
+#: (first cut used 250 samples/frame = 16,250/clip and the pure-
+#: Python FLAC arm measured 71.7 s at sf0.1 in bench tier-2; 20
+#: samples — two full square-wave periods, still zero-mean — buys
+#: the same margins at ~1/12 the Rice-coding work)
+_AFP_FRAMES, _AFP_FRAME_LEN = 65, 20
 
 
 def _afp_frame_amps(g: int, flip: int | None = None):
