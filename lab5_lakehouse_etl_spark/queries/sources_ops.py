@@ -229,6 +229,9 @@ def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
                 || 'T00:00:00Z' END AS warc_date,
       CASE WHEN arm IN (13, 14, 15) THEN NULL
            WHEN arm = 12 THEN 404 ELSE 200 END AS http_status,
+      CASE WHEN arm IN (13, 14, 15) THEN NULL
+           WHEN arm = 12 THEN 'text/plain'
+           ELSE 'text/html' END AS http_content_type,
       CASE WHEN arm = 14 THEN NULL
            WHEN arm IN (13, 15) THEN NULL
            WHEN arm = 12 THEN '<html><body>not found</body></html>'
@@ -311,7 +314,9 @@ def q_scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 if arm == 12:
                     body = b"<html><body>not found</body></html>"
-                    content = W.build_http_response(body, status=404)
+                    content = W.build_http_response(
+                        body, status=404, content_type="text/plain"
+                    )
                 else:
                     body = (
                         f"<html><head><title>D{doc_id}</title></head>"
@@ -355,6 +360,7 @@ def q_scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_uri",
         "warc_date",
         "http_status",
+        "http_content_type",
         F.col("payload").cast("string").alias("payload_text"),
         F.length(F.col("payload").cast("string"))
         .cast("bigint")

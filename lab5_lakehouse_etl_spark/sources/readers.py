@@ -234,6 +234,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
 WARC_SCHEMA = (
     "record_id string, warc_type string, target_uri string, "
     "warc_date string, content_type string, http_status int, "
+    "http_content_type string, "
     "n_content_bytes bigint, payload binary, verdict string"
 )
 

@@ -66,6 +66,7 @@ FIELDS = (
     "warc_date",
     "content_type",
     "http_status",
+    "http_content_type",
     "n_content_bytes",
     "payload",
     "verdict",
@@ -183,6 +184,7 @@ def _parse_records(buf: bytes) -> list[dict]:
             "warc_date": headers.get("warc-date"),
             "content_type": headers.get("content-type"),
             "http_status": None,
+            "http_content_type": None,
             "n_content_bytes": clen,
             "payload": None,
             "verdict": "ok",
@@ -201,6 +203,16 @@ def _parse_records(buf: bytes) -> list[dict]:
             except (IndexError, ValueError):
                 pass
             body_at = content.find(_CRLF2)
+            # served Content-Type from the HTTP headers — what crawl
+            # pipelines actually filter on (the WARC-level
+            # content_type only says application/http)
+            head_block = content[line_end + 2 : body_at if body_at >= 0 else n]
+            for hl in head_block.split(b"\r\n"):
+                if hl.lower().startswith(b"content-type:"):
+                    rec["http_content_type"] = (
+                        hl.split(b":", 1)[1].strip().decode("ascii", "replace")
+                    )
+                    break
             rec["payload"] = (
                 content[body_at + 4 :] if body_at >= 0 else None
             )
