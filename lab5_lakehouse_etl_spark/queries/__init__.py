@@ -588,6 +588,9 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_audio_dedup_fp": 15,
     "q_video_dedup_fp": 15,
     "q_dedup_lines": 15,
+    # streaming WARC ingest gate (stream_warc_gate + the shared
+    # decode_warc_content factoring)
+    "q_stream_warc": 15,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

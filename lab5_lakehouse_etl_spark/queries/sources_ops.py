@@ -209,6 +209,60 @@ def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warc_fixture_member(doc_id: int, text: str) -> bytes:
+    """ONE gzip member of the shared WARC fixture — the per-doc arm
+    logic (doc_id % 16) the batch source query (q_scan_warc) and the
+    streaming ingest gate (q_stream_warc) both write, so their
+    oracles restate the same closed form: 200 HTML response / 404
+    text-plain / request record / truncated member (Content-Length
+    overdeclared by 50, terminator cut) / gzip-intact bad_header
+    garbage."""
+    from ..sources import warc as W
+
+    arm = doc_id % 16
+    rid = f"<urn:doc:{doc_id}>"
+    uri = f"https://site{doc_id % 7}.example.com/doc/{doc_id}"
+    date = f"2024-01-{1 + doc_id % 28:02d}T00:00:00Z"
+    if arm == 14:
+        return W.gzip_member(b"NOT A WARC RECORD \xff\x00 garbage")
+    if arm == 15:
+        content = (
+            f"GET /doc/{doc_id} HTTP/1.1\r\n"
+            f"Host: site{doc_id % 7}.example.com\r\n\r\n"
+        ).encode()
+        return W.gzip_member(
+            W.build_record(
+                rid, "request", content,
+                target_uri=uri, warc_date=date,
+                content_type="application/http; msgtype=request",
+            )
+        )
+    if arm == 12:
+        content = W.build_http_response(
+            b"<html><body>not found</body></html>",
+            status=404, content_type="text/plain",
+        )
+    else:
+        body = (
+            f"<html><head><title>D{doc_id}</title></head>"
+            f"<body><p>{text}</p></body></html>"
+        ).encode()
+        content = W.build_http_response(body, status=200)
+    if arm == 13:
+        # truncation plant: overdeclare by 50, cut the tail
+        rec = W.build_record(
+            rid, "response", content,
+            target_uri=uri, warc_date=date,
+            declared_length=len(content) + 50,
+        )
+        return W.gzip_member(rec[: len(rec) - 4])
+    return W.gzip_member(
+        W.build_record(
+            rid, "response", content, target_uri=uri, warc_date=date
+        )
+    )
+
+
 @query(
     "q_scan_warc",
     oracle="""
@@ -283,64 +337,10 @@ def q_scan_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def write_batches(it):
         for pdf in it:
-            members = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                doc_id = int(doc_id)
-                arm = doc_id % 16
-                rid = f"<urn:doc:{doc_id}>"
-                uri = f"https://site{doc_id % 7}.example.com/doc/{doc_id}"
-                date = f"2024-01-{1 + doc_id % 28:02d}T00:00:00Z"
-                if arm == 14:
-                    members.append(
-                        W.gzip_member(b"NOT A WARC RECORD \xff\x00 garbage")
-                    )
-                    continue
-                if arm == 15:
-                    content = (
-                        f"GET /doc/{doc_id} HTTP/1.1\r\n"
-                        f"Host: site{doc_id % 7}.example.com\r\n\r\n"
-                    ).encode()
-                    members.append(
-                        W.gzip_member(
-                            W.build_record(
-                                rid, "request", content,
-                                target_uri=uri, warc_date=date,
-                                content_type=(
-                                    "application/http; msgtype=request"
-                                ),
-                            )
-                        )
-                    )
-                    continue
-                if arm == 12:
-                    body = b"<html><body>not found</body></html>"
-                    content = W.build_http_response(
-                        body, status=404, content_type="text/plain"
-                    )
-                else:
-                    body = (
-                        f"<html><head><title>D{doc_id}</title></head>"
-                        f"<body><p>{text}</p></body></html>"
-                    ).encode()
-                    content = W.build_http_response(body, status=200)
-                if arm == 13:
-                    # truncation plant: overdeclare by 50, cut the tail
-                    rec = W.build_record(
-                        rid, "response", content,
-                        target_uri=uri, warc_date=date,
-                        declared_length=len(content) + 50,
-                    )
-                    rec = rec[: len(rec) - 4]  # drop terminator too
-                    members.append(W.gzip_member(rec))
-                    continue
-                members.append(
-                    W.gzip_member(
-                        W.build_record(
-                            rid, "response", content,
-                            target_uri=uri, warc_date=date,
-                        )
-                    )
-                )
+            members = [
+                warc_fixture_member(int(doc_id), text)
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
             if members:
                 name = f"{out_dir}/part-{int(pdf['doc_id'].min())}.warc.gz"
                 W.write_warc(name, members)

@@ -589,3 +589,112 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # per-batch subdirectories (replay-idempotent overwrite sinks)
     return spark.read.option("recursiveFileLookup", "true").parquet(out)
+
+
+@query(
+    "q_stream_warc",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, doc_id % 16 AS arm FROM documents
+    )
+    SELECT
+      CASE WHEN arm = 14 THEN NULL ELSE doc_id END AS doc_id,
+      CASE WHEN arm = 14 THEN NULL
+           WHEN arm = 15 THEN 'request'
+           ELSE 'response' END AS warc_type,
+      CASE WHEN arm = 14 THEN NULL
+           ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+           END AS target_uri,
+      CASE WHEN arm IN (13, 14, 15) THEN NULL
+           WHEN arm = 12 THEN 404 ELSE 200 END AS http_status,
+      CASE WHEN arm IN (13, 14, 15) THEN NULL
+           WHEN arm = 12 THEN 'text/plain'
+           ELSE 'text/html' END AS http_content_type,
+      CASE WHEN arm = 13 THEN 'truncated'
+           WHEN arm = 14 THEN 'bad_header'
+           ELSE 'ok' END AS verdict
+    FROM c
+    """,
+)
+def q_stream_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WARC ingest gate — the streaming front of the
+    web-corpus chain (q_scan_warc's batch twin, same fixture member
+    builder ``sources_ops.warc_fixture_member`` so both oracles
+    restate ONE closed form): crawl ``.warc.gz`` landings arrive as
+    a binaryFile file STREAM (maxFilesPerTrigger=1 → one micro-batch
+    per landed file, count asserted > 1), every batch decodes
+    through the SHARED Arrow decode (sources/readers.
+    decode_warc_content) inside ``streaming/events.stream_warc_gate``,
+    and each record lands in the quarantine-verdict sink — corrupt
+    members cost one row each, never a stream failure.
+
+    Batch-independence makes it SQL-stateable (the q_stream_neardup /
+    q_stream_decontaminate argument): per-file decode holds no
+    cross-batch state, so the drained set is a pure function of the
+    landed files, invariant to file→micro-batch assignment and
+    replay.  Payload bytes never shuffle and never reach the sink
+    (dropped before write)."""
+    import pandas as pd
+
+    from ..session import scratch_dir, tune
+    from ..sources.readers import WARC_SCHEMA  # noqa: F401 (contract)
+    from ..streaming import events as E
+    from .sources_ops import warc_fixture_member
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scratch = scratch_dir("q_stream_warc", fresh=True)
+    land = f"{scratch}/landing"
+
+    def write_batches(it):
+        for pdf in it:
+            members = [
+                warc_fixture_member(int(d), t)
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            if members:
+                import os as _os
+
+                _os.makedirs(land, exist_ok=True)
+                with open(
+                    f"{land}/part-{int(pdf['doc_id'].min())}.warc.gz", "wb"
+                ) as fh:
+                    for m in members:
+                        fh.write(m)
+                yield pd.DataFrame({"n": [len(members)]})
+
+    # 4 landing files -> >= 4 non-empty micro-batches under
+    # maxFilesPerTrigger=1 (the fetcher-flush shape)
+    docs.repartitionByRange(4, "doc_id").mapInPandas(
+        write_batches, "n bigint"
+    ).collect()
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .load(land)
+    )
+    out = f"{scratch}/verdicts"
+    n_batches = E.stream_warc_gate(spark, stream, out, f"{scratch}/ckpt")
+    STREAM_WARC_BATCHES["n"] = n_batches
+    back = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    return back.select(
+        F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
+        .try_cast("bigint")
+        .alias("doc_id"),
+        "warc_type",
+        "target_uri",
+        "http_status",
+        "http_content_type",
+        "verdict",
+    )
+
+
+#: micro-batch count of the last q_stream_warc drain (pinned > 1 in
+#: tests — the multi-batch claim, same pattern as NEARDUP_PHASES)
+STREAM_WARC_BATCHES: dict[str, int] = {}

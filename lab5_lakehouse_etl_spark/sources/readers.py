@@ -239,22 +239,16 @@ WARC_SCHEMA = (
 )
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed WARC (ISO 28500) source over the pure-stdlib
-    parser (``sources/warc.py``): ``binaryFile`` rows decode
-    executor-side via Arrow-batched ``mapInPandas``
-    (``warc.parse_warc_bytes``), one output row per record — or per
-    quarantined region — with a ``verdict`` column instead of
-    exceptions, so one corrupt crawl member never kills the task
-    (the decode_or_quarantine doctrine, functions/multimodal.py).
-
-    Scale boundary (stated, the ``read_avro`` precedent): parallelism
-    is per FILE — the normal crawl landing is one .warc.gz per
-    fetcher task, thousands of files; record-level splitting inside
-    one giant file is refused, not half-built.  Payload bytes never
-    cross a shuffle here — they stay inside the scan until a
-    downstream projection decides their fate; ``path`` may be a
-    glob."""
+def decode_warc_content(df: DataFrame) -> DataFrame:
+    """Arrow-batched WARC decode over ANY relation with a ``content``
+    binary column (``warc.parse_warc_bytes``), one output row per
+    record — or per quarantined region — with a ``verdict`` column
+    instead of exceptions, so one corrupt crawl member never kills
+    the task (the decode_or_quarantine doctrine,
+    functions/multimodal.py).  Shared by the batch source
+    (:func:`read_warc`) and the streaming ingest gate
+    (``streaming/events.stream_warc_gate``) — decode semantics are
+    defined ONCE."""
     import pandas as pd
 
     from . import warc as W
@@ -268,9 +262,21 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     columns=list(W.FIELDS),
                 )
 
-    return (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select("content")
-        .mapInPandas(batches, schema=WARC_SCHEMA)
+    return df.select("content").mapInPandas(batches, schema=WARC_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC (ISO 28500) source over the pure-stdlib
+    parser (``sources/warc.py``): ``binaryFile`` rows decode
+    executor-side via :func:`decode_warc_content`.
+
+    Scale boundary (stated, the ``read_avro`` precedent): parallelism
+    is per FILE — the normal crawl landing is one .warc.gz per
+    fetcher task, thousands of files; record-level splitting inside
+    one giant file is refused, not half-built.  Payload bytes never
+    cross a shuffle here — they stay inside the scan until a
+    downstream projection decides their fate; ``path`` may be a
+    glob."""
+    return decode_warc_content(
+        spark.read.format("binaryFile").load(path)
     )

@@ -687,3 +687,52 @@ def stream_merge_to_table(
         )
         q.awaitTermination()
     return LakeTable(table_path)
+
+
+def stream_warc_gate(
+    spark: SparkSession,
+    files_stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+) -> int:
+    """foreachBatch WARC ingest gate — the STREAMING front of the
+    web-corpus chain (q_scan_warc is its batch twin): crawl ``.warc.gz``
+    landings arrive as a binaryFile STREAM (one file per fetcher
+    flush), each micro-batch decodes through the SHARED Arrow decode
+    (``sources/readers.decode_warc_content`` — decode semantics
+    defined once for batch and stream), and every record lands in
+    the sink with its quarantine verdict: ok / truncated /
+    bad_header / corrupt_gzip rows flow, nothing ever raises.
+
+    Batch-independence (what lets a DuckDB oracle state the drained
+    result): decoding is per-FILE with no cross-batch state, so the
+    output set is a pure function of the landed files — invariant to
+    file->micro-batch assignment and replay.  Per-batch cost is
+    O(batch bytes); payload bytes never shuffle (the sink projection
+    drops them before write).  Returns the number of non-empty
+    micro-batches drained (asserted > 1 in tests — the multi-batch
+    claim)."""
+    from ..sources.readers import decode_warc_content
+
+    batches_seen = {"n": 0}
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batches_seen["n"] += 1
+        (
+            decode_warc_content(batch_df)
+            .drop("payload")  # verdicts relation only: bytes stay out
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch_{batch_id}")
+        )
+
+    with _state_sized_shuffle(spark):
+        q = (
+            files_stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return batches_seen["n"]

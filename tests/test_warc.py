@@ -196,3 +196,30 @@ def test_write_warc_declared_fixture_counts(spark):
     assert by_v["bad_header"] == sum(
         1 for i in range(n_docs) if i % 16 == 14
     )
+
+
+def test_stream_warc_gate_multibatch_and_sink_shape(spark):
+    """The streaming ingest gate drains one micro-batch per landed
+    file (> 1 — the multi-batch claim), its sink rows carry verdicts
+    but never payload bytes, and the drained relation equals the
+    batch source's record set on the same fixture."""
+    from lab5_lakehouse_etl_spark.queries import QUERIES, load_all
+    from lab5_lakehouse_etl_spark.queries import streaming_ops as SO
+
+    load_all()
+    df = QUERIES["q_stream_warc"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert SO.STREAM_WARC_BATCHES["n"] >= 4  # 4 landing files
+    assert "payload" not in df.columns
+    import duckdb
+
+    n_docs = duckdb.sql(
+        "SELECT count(*) FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    assert len(rows) == n_docs
+    by_v = {}
+    for r in rows:
+        by_v[r.verdict] = by_v.get(r.verdict, 0) + 1
+    assert by_v["truncated"] == sum(1 for i in range(n_docs) if i % 16 == 13)
+    assert by_v["bad_header"] == sum(1 for i in range(n_docs) if i % 16 == 14)
