@@ -1862,7 +1862,11 @@ def _phash_pattern_bit(g: int, i: int, j: int) -> int:
     return x & 1
 
 
-def _phash_cells(g: int, flip: tuple[int, int] | None = None):
+def _phash_cells(
+    g: int,
+    flip: tuple[int, int] | None = None,
+    flips: tuple = (),
+):
     """8x9 luma cell grid for group ``g`` in ANCHOR/DEFLECTION form:
     even columns are fixed anchors (128), each odd column deflects
     +-64 by one uniform pattern bit — so the row's 8 dHash
@@ -1879,9 +1883,14 @@ def _phash_cells(g: int, flip: tuple[int, int] | None = None):
     anchor/deflection layout is the fix, not a tweak.)
 
     ``flip = (m, j)`` inverts deflection bit m of row j (the
-    recompressed variant's perturbation: exactly 2 Hamming bits)."""
+    recompressed variant's perturbation: exactly 2 Hamming bits);
+    ``flips`` is the multi-perturbation form (the CHAIN fixture:
+    each extra flip moves the hash 2 more bits)."""
     import numpy as np
 
+    flipset = set(flips)
+    if flip is not None:
+        flipset.add(flip)
     cells = np.empty((_PHASH_ROWS, _PHASH_COLS), dtype=np.int64)
     for j in range(_PHASH_ROWS):
         for i in range(_PHASH_COLS):
@@ -1890,7 +1899,7 @@ def _phash_cells(g: int, flip: tuple[int, int] | None = None):
                 continue
             m = i // 2
             b = _phash_pattern_bit(g, m, j)
-            if flip == (m, j):
+            if (m, j) in flipset:
                 b ^= 1
             cells[j, i] = 128 + 64 * (2 * b - 1)
     return cells
@@ -2046,6 +2055,7 @@ def hamming_fp_groups(
     fp: DataFrame,
     max_hamming: int = 3,
     fp_col: str = "phash",
+    closure: str = "neighbors",
 ) -> DataFrame:
     """Near-dup groups over ANY 64-bit perceptual fingerprint relation
     ``(media_id, fp_col)`` — banded, never all-pairs: the hash splits
@@ -2060,9 +2070,22 @@ def hamming_fp_groups(
     (:func:`phash_dedup_groups`) and audio energy-hash
     (:func:`afp_dedup_groups`) deduppers.
 
+    ``closure``: ``"neighbors"`` (default) takes each item's min id
+    over DIRECT verified neighbours — exact for clique-shaped
+    duplicate classes (every variant within threshold of every
+    other), one aggregation, no iteration.  ``"components"`` runs
+    the verified pairs through ``functions/graph.
+    connected_components`` (O(log d) pointer-jumping rounds) — the
+    TRANSITIVE closure a CHAIN needs: A~B~C with d(A,C) over
+    threshold labels C into A's group only via B, which min-neighbor
+    provably mislabels (pinned in tests).  Real re-encode chains
+    (original → resize → recompress-of-the-resize) are exactly this
+    shape.
+
     Scale: the join's bucket sizes are bounded by duplicate-class
     size (not corpus size); verified pairs carry two longs; media
-    payloads never reach the shuffle."""
+    payloads never reach the shuffle; the components variant adds
+    O(log diameter) label rounds over the PAIR relation only."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     fp = fp.filter(F.col(fp_col).isNotNull()).withColumnRenamed(
@@ -2099,9 +2122,24 @@ def hamming_fp_groups(
     ).filter(
         F.expr("bit_count(a.phash ^ b.phash)") <= F.lit(max_hamming)
     )
-    canon = pairs.groupBy(F.col("a.media_id").alias("media_id")).agg(
-        F.min(F.col("b.media_id")).alias("canonical_id")
-    )
+    if closure == "components":
+        from .graph import connected_components
+
+        nodes = fp.select(F.col("media_id").alias("node"))
+        edges = pairs.select(
+            F.col("a.media_id").alias("src"),
+            F.col("b.media_id").alias("dst"),
+        )  # the symmetric self-join already carries both directions
+        canon = connected_components(nodes, edges).select(
+            F.col("node").alias("media_id"),
+            F.col("component").alias("canonical_id"),
+        )
+    elif closure == "neighbors":
+        canon = pairs.groupBy(F.col("a.media_id").alias("media_id")).agg(
+            F.min(F.col("b.media_id")).alias("canonical_id")
+        )
+    else:
+        raise ValueError(f"unknown closure {closure!r}")
     from pyspark.sql import Window
 
     w = Window.partitionBy("canonical_id")
@@ -2438,4 +2476,58 @@ def vfp_dedup_groups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     banded Hamming matcher."""
     return hamming_fp_groups(
         video_fingerprint64(media), max_hamming, fp_col="phash"
+    )
+
+
+def phash_chain_media_from_ids(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """CHAIN-topology fixture for transitive near-dup grouping — the
+    re-encode-of-a-re-encode shape (original -> derivative ->
+    derivative-of-the-derivative) where clique assumptions break:
+    ids congruent mod ``PHASH_GROUPS`` render variants
+    (``(id // PHASH_GROUPS) % 3``) at Hamming distances
+
+        d(v0, v1) = 2,  d(v1, v2) = 2,  d(v0, v2) = 4
+
+    (one deflection flip for v1, that flip PLUS a second for v2 —
+    measured exactly, PNG keeps the grid noise-free), so at
+    threshold 3 the candidate graph is the PATH v0—v1—v2: v2 reaches
+    v0's group only transitively, and the min-neighbor closure
+    provably mislabels it (pinned in tests) while
+    ``closure="components"`` recovers the full group."""
+    from . import png
+
+    def encode_variant(media_id: int) -> bytes:
+        import numpy as np
+
+        g = media_id % PHASH_GROUPS
+        copy = media_id // PHASH_GROUPS
+        variant = copy % 3
+        flips = ((), ((1, 2),), ((1, 2), (3, 5)))[variant]
+        cells = _phash_cells(g, flips=flips)
+        px = np.repeat(np.repeat(cells, 8, axis=0), 8, axis=1)
+        return png.encode_png(
+            _PHASH_COLS * 8,
+            _PHASH_ROWS * 8,
+            px.astype(np.uint8).tobytes(),
+            color_type=0,
+            filter_of_row=lambda y: (y + copy) % 5,
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [encode_variant(int(i)) for i in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "image",
+                    "mime": "image/png",
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return _id_partitioned(ids, id_col, rows_per_task=500).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
     )

@@ -591,6 +591,9 @@ _REWRITTEN_IN: dict[str, int] = {
     # streaming WARC ingest gate (stream_warc_gate + the shared
     # decode_warc_content factoring)
     "q_stream_warc": 15,
+    # transitive-closure near-dup grouping (components closure over
+    # the banded matcher; chain fixture)
+    "q_image_dedup_chain": 15,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

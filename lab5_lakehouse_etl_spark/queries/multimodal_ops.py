@@ -1494,3 +1494,40 @@ def q_video_dedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.vfp_variant_media_from_ids(docs, id_col="doc_id")
     return M.vfp_dedup_groups(media, max_hamming=3)
+
+
+@query(
+    "q_image_dedup_chain",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(MIN(doc_id) OVER (PARTITION BY doc_id % 150)
+                AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id % 150)
+                AS BIGINT) AS group_size
+    FROM documents
+    """,
+)
+def q_image_dedup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE near-dup image grouping — the re-encode-of-a-
+    re-encode chain where the clique assumption behind min-neighbor
+    canonicalization breaks: the fixture's groups are PATHS in the
+    match graph (d(v0,v1)=2, d(v1,v2)=2, d(v0,v2)=4 at threshold 3 —
+    functions/multimodal.phash_chain_media_from_ids), so the third
+    variant reaches the group only THROUGH the middle one.
+    ``closure="components"`` routes the verified candidate pairs
+    through functions/graph.connected_components (min-label
+    propagation + pointer jumping, O(log diameter) rounds over the
+    PAIR relation only — never the corpus), recovering exactly the
+    mod-150 groups the oracle states; the min-neighbor closure
+    provably mislabels every third variant on this fixture (pinned
+    in tests/test_multimodal.py — the negative control that shows
+    the closure choice is load-bearing).
+
+    Scale: same banded candidate generation as q_image_dedup_phash
+    (buckets bounded by duplicate-class size, verify before any
+    exchange); the closure adds O(log d) label rounds over pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.phash_chain_media_from_ids(docs, id_col="doc_id")
+    return M.hamming_fp_groups(
+        M.dhash64(media), max_hamming=3, closure="components"
+    )

@@ -1814,3 +1814,60 @@ def test_vfp_fixture_margins_and_end_to_end(spark):
     for r in got:
         assert r.canonical_id == r.media_id % 100
         assert r.group_size == 3
+
+
+def test_chain_closure_is_load_bearing(spark):
+    """q_image_dedup_chain's negative control: on the PATH-topology
+    fixture (d(v0,v1)=d(v1,v2)=2, d(v0,v2)=4, threshold 3), the
+    min-neighbor closure labels every v2 with v1's id — wrong — while
+    closure='components' recovers exactly the planted mod-150 groups.
+    Distances pinned on ground truth first so the test fails loudly
+    if the fixture drifts rather than silently passing both
+    closures."""
+    import itertools
+
+    import numpy as np
+
+    from lab5_lakehouse_etl_spark.functions import multimodal as MM
+
+    def dh(cells):
+        bits = 0
+        for j in range(8):
+            for i in range(8):
+                if cells[j, i + 1] > cells[j, i]:
+                    bits |= 1 << (j * 8 + i)
+        return bits
+
+    for g in range(0, 150, 17):
+        h0 = dh(MM._phash_cells(g))
+        h1 = dh(MM._phash_cells(g, flips=((1, 2),)))
+        h2 = dh(MM._phash_cells(g, flips=((1, 2), (3, 5))))
+        assert bin(h0 ^ h1).count("1") == 2
+        assert bin(h1 ^ h2).count("1") == 2
+        assert bin(h0 ^ h2).count("1") == 4  # over threshold: a PATH
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id")
+        .filter("doc_id < 450")
+    )
+    media = MM.phash_chain_media_from_ids(docs, id_col="doc_id")
+    fp = MM.dhash64(media).cache()
+    fp.count()
+    comp = MM.hamming_fp_groups(fp, max_hamming=3, closure="components")
+    got = comp.collect()
+    assert len(got) == 450
+    for r in got:
+        assert r.canonical_id == r.media_id % 150
+        assert r.group_size == 3
+    # the negative control: min-neighbor mislabels every v2
+    naive = {
+        r.media_id: r.canonical_id
+        for r in MM.hamming_fp_groups(
+            fp, max_hamming=3, closure="neighbors"
+        ).collect()
+    }
+    wrong = [m for m in range(300, 450) if naive[m] != m % 150]
+    assert len(wrong) == 150  # every chain tail, not an accident
+    assert all(naive[m] == m % 150 + 150 for m in wrong)  # labeled v1
+    fp.unpersist()
