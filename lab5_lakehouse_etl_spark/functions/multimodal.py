@@ -2082,16 +2082,28 @@ def hamming_fp_groups(
     (original → resize → recompress-of-the-resize) are exactly this
     shape.
 
-    Scale: the join's bucket sizes are bounded by duplicate-class
-    size (not corpus size); verified pairs carry two longs; media
-    payloads never reach the shuffle; the components variant adds
-    O(log diameter) label rounds over the PAIR relation only."""
+    Scale: EXACT-equal hashes collapse to one representative BEFORE
+    the band join — the viral-boilerplate guard: a 10^6-copy item
+    would otherwise put 10^6 identical rows in every one of its
+    (chunk, value) buckets and the self-join would emit 4x10^12
+    candidate pairs; after the collapse the join scales with
+    DISTINCT hashes, its bucket sizes are bounded by the distinct
+    near-dup class size, and the copies rejoin by hash at the end
+    (one hash-keyed broadcast-size map).  Verified pairs carry two
+    longs; media payloads never reach the shuffle; the components
+    variant adds O(log diameter) label rounds over the PAIR relation
+    only."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     fp = fp.filter(F.col(fp_col).isNotNull()).withColumnRenamed(
         fp_col, "phash"
     )
-    chunks = fp.select(
+    # exact-duplicate collapse: one representative id per distinct
+    # hash enters the matcher; members rejoin by hash afterwards
+    classes = fp.groupBy("phash").agg(
+        F.min("media_id").alias("media_id")
+    )
+    chunks = classes.select(
         "media_id",
         "phash",
         F.explode(
@@ -2125,21 +2137,33 @@ def hamming_fp_groups(
     if closure == "components":
         from .graph import connected_components
 
-        nodes = fp.select(F.col("media_id").alias("node"))
+        nodes = classes.select(F.col("media_id").alias("node"))
         edges = pairs.select(
             F.col("a.media_id").alias("src"),
             F.col("b.media_id").alias("dst"),
         )  # the symmetric self-join already carries both directions
-        canon = connected_components(nodes, edges).select(
-            F.col("node").alias("media_id"),
+        rep_canon = connected_components(nodes, edges).select(
+            F.col("node").alias("rep_id"),
             F.col("component").alias("canonical_id"),
         )
     elif closure == "neighbors":
-        canon = pairs.groupBy(F.col("a.media_id").alias("media_id")).agg(
-            F.min(F.col("b.media_id")).alias("canonical_id")
-        )
+        rep_canon = pairs.groupBy(
+            F.col("a.media_id").alias("rep_id")
+        ).agg(F.min(F.col("b.media_id")).alias("canonical_id"))
     else:
         raise ValueError(f"unknown closure {closure!r}")
+    # rejoin the collapsed exact-duplicate members: media -> its
+    # hash-class representative -> the representative's canonical.
+    # NOTE the rep's canonical is the MIN over its matched class
+    # REPS, and every rep is the min id of its own exact class, so
+    # the composed canonical is the true min id of the merged group.
+    canon = (
+        fp.join(
+            classes.withColumnRenamed("media_id", "rep_id"), "phash"
+        )
+        .join(rep_canon, "rep_id")
+        .select("media_id", "canonical_id")
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("canonical_id")
