@@ -1871,3 +1871,37 @@ def test_chain_closure_is_load_bearing(spark):
     assert len(wrong) == 150  # every chain tail, not an accident
     assert all(naive[m] == m % 150 + 150 for m in wrong)  # labeled v1
     fp.unpersist()
+
+
+def test_hamming_matcher_viral_copy_guard(spark):
+    """The exact-duplicate collapse, pinned at hostile scale: 50,000
+    copies of ONE hash (the viral-boilerplate shape) plus two small
+    near classes.  Pre-collapse this self-join emits ~10^10 candidate
+    pairs (minutes-to-OOM); post-collapse the matcher sees 3 distinct
+    hashes and finishes in seconds with the copies rejoined into one
+    50,002-member group.  A wall-time bound makes the quadratic
+    regression loud."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lab5_lakehouse_etl_spark.functions import multimodal as MM
+
+    viral = spark.range(50_000).select(
+        F.col("id").alias("media_id"), F.lit(0x5A5A5A5A).alias("phash")
+    )
+    near = spark.createDataFrame(
+        [(90_000, 0x5A5A5A5B), (90_001, 0x5A5A0000)],
+        "media_id long, phash long",
+    )  # hamming 1 (joins the viral class) and 17 (its own class)
+    t0 = time.time()
+    out = MM.hamming_fp_groups(
+        viral.unionByName(near), max_hamming=3
+    ).collect()
+    assert time.time() - t0 < 60
+    by_canon = {}
+    for r in out:
+        by_canon.setdefault(r.canonical_id, []).append(r)
+    assert len(by_canon[0]) == 50_001          # viral class + near dup
+    assert all(r.group_size == 50_001 for r in by_canon[0])
+    assert [r.media_id for r in by_canon[90_001]] == [90_001]
