@@ -72,14 +72,34 @@ _FIXED_COEFS = {
 }
 
 
+def _crc_table(poly: int, width: int) -> tuple:
+    """256-entry table for a left-shifting CRC of ``width`` bits."""
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    out = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        out.append(crc)
+    return tuple(out)
+
+
+#: table-driven forms of the two frame CRCs — one lookup per byte
+#: instead of the 8-step bit loop (the bit loop was the single
+#: hottest line of the FLAC encode AND decode profiles: every frame
+#: is CRC'd on both sides)
+_CRC8_TABLE = _crc_table(0x07, 8)
+_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the frame
     header CRC."""
     crc = 0
+    tbl = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = tbl[crc ^ b]
     return crc
 
 
@@ -87,14 +107,9 @@ def _crc16(data: bytes) -> int:
     """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 — the
     whole-frame CRC."""
     crc = 0
+    tbl = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF
-                if crc & 0x8000
-                else (crc << 1) & 0xFFFF
-            )
+        crc = tbl[((crc >> 8) ^ b) & 0xFF] ^ ((crc << 8) & 0xFFFF)
     return crc
 
 

@@ -1976,7 +1976,7 @@ def phash_variant_media_from_ids(
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=500).mapInPandas(
+    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -2286,7 +2286,7 @@ def afp_variant_media_from_ids(
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=500).mapInPandas(
+    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -2440,7 +2440,7 @@ def vfp_variant_media_from_ids(
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=500).mapInPandas(
+    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -2552,6 +2552,6 @@ def phash_chain_media_from_ids(
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=500).mapInPandas(
+    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )

@@ -1,4 +1,5 @@
-"""Pure-stdlib PNG codec (RFC 2083) — the real decode path behind the
+"""Library-free PNG codec (RFC 2083; stdlib + numpy, which PySpark's
+Arrow path already requires) — the real decode path behind the
 multimodal pillar.
 
 No reference file:line — the reference repo has no multimodal surface;
@@ -34,6 +35,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
+
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 #: color type -> samples per pixel (8-bit depth only)
@@ -56,27 +59,59 @@ def _unfilter_scanline(
     ftype: int, line: bytearray, prev: bytes, bpp: int
 ) -> bytearray:
     """Reverse one scanline filter in place; ``prev`` is the already
-    RECONSTRUCTED previous scanline (zeros for the first row)."""
+    RECONSTRUCTED previous scanline (zeros for the first row).
+
+    Sub/Up reconstruct without a sequential Python byte loop: Up is a
+    plain wrapping uint8 add against ``prev``, and Sub is, per byte
+    lane ``i mod bpp``, a running sum mod 256 — ``np.cumsum`` with a
+    uint8 accumulator IS that recurrence.  Average and Paeth read the
+    just-RECONSTRUCTED left neighbour, a strict sequential dependency
+    along the row, so they stay scalar loops (with the predictor
+    inlined — the per-byte function call was ~40% of the loop)."""
+    n = len(line)
     if ftype == 0:  # None
         return line
-    if ftype == 1:  # Sub
-        for i in range(bpp, len(line)):
-            line[i] = (line[i] + line[i - bpp]) & 0xFF
-        return line
-    if ftype == 2:  # Up
-        for i in range(len(line)):
-            line[i] = (line[i] + prev[i]) & 0xFF
-        return line
+    if ftype == 1:  # Sub: per-lane cumsum mod 256
+        arr = np.frombuffer(bytes(line), dtype=np.uint8)
+        if bpp == 1:
+            out = np.cumsum(arr, dtype=np.uint8)
+        else:
+            out = arr.copy()
+            for lane in range(bpp):
+                out[lane::bpp] = np.cumsum(arr[lane::bpp], dtype=np.uint8)
+        return bytearray(out.tobytes())
+    if ftype == 2:  # Up: wrapping add
+        arr = np.frombuffer(bytes(line), dtype=np.uint8)
+        pv = np.frombuffer(bytes(prev[:n]), dtype=np.uint8)
+        return bytearray((arr + pv).tobytes())
     if ftype == 3:  # Average
-        for i in range(len(line)):
-            left = line[i - bpp] if i >= bpp else 0
-            line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        for i in range(min(bpp, n)):
+            line[i] = (line[i] + (prev[i] >> 1)) & 0xFF
+        for i in range(bpp, n):
+            line[i] = (line[i] + ((line[i - bpp] + prev[i]) >> 1)) & 0xFF
         return line
     if ftype == 4:  # Paeth
-        for i in range(len(line)):
-            left = line[i - bpp] if i >= bpp else 0
-            upleft = prev[i - bpp] if i >= bpp else 0
-            line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
+        # first bpp bytes: left = upleft = 0, so the predictor is
+        # paeth(0, prev[i], 0) == prev[i] (and 0 when prev[i] is 0)
+        for i in range(min(bpp, n)):
+            line[i] = (line[i] + prev[i]) & 0xFF
+        for i in range(bpp, n):
+            a = line[i - bpp]
+            b = prev[i]
+            c = prev[i - bpp]
+            s1 = b - c  # p - a, signed (p = a + b - c)
+            s2 = a - c  # p - b, signed
+            pa = s1 if s1 >= 0 else -s1
+            pb = s2 if s2 >= 0 else -s2
+            s3 = s1 + s2  # p - c, signed
+            pc = s3 if s3 >= 0 else -s3
+            if pa <= pb and pa <= pc:
+                pred = a
+            elif pb <= pc:
+                pred = b
+            else:
+                pred = c
+            line[i] = (line[i] + pred) & 0xFF
         return line
     raise ValueError(f"invalid PNG filter type {ftype}")
 
@@ -84,25 +119,47 @@ def _unfilter_scanline(
 def _filter_scanline(
     ftype: int, line: bytes, prev: bytes, bpp: int
 ) -> bytes:
-    """Apply one scanline filter (the encoder-side forward transform)."""
+    """Apply one scanline filter (the encoder-side forward transform).
+
+    Fully vectorized: every predictor reads only ORIGINAL ``line`` /
+    ``prev`` samples (RFC 2083 §6.3 — the encoder filters raw data),
+    so there is no sequential dependency and all five filters are one
+    numpy expression per row."""
     if ftype == 0:
         return bytes(line)
-    out = bytearray(len(line))
-    for i in range(len(line)):
-        left = line[i - bpp] if i >= bpp else 0
-        if ftype == 1:
-            pred = left
-        elif ftype == 2:
-            pred = prev[i]
-        elif ftype == 3:
-            pred = (left + prev[i]) >> 1
-        elif ftype == 4:
-            upleft = prev[i - bpp] if i >= bpp else 0
-            pred = _paeth(left, prev[i], upleft)
-        else:
-            raise ValueError(f"invalid PNG filter type {ftype}")
-        out[i] = (line[i] - pred) & 0xFF
-    return bytes(out)
+    n = len(line)
+    cur = np.frombuffer(bytes(line), dtype=np.uint8).astype(np.int16)
+    left = np.zeros(n, dtype=np.int16)
+    if n > bpp:
+        left[bpp:] = cur[:-bpp]
+    if ftype == 1:
+        pred = left
+    elif ftype == 2:
+        pred = np.frombuffer(bytes(prev[:n]), dtype=np.uint8).astype(
+            np.int16
+        )
+    elif ftype == 3:
+        pv = np.frombuffer(bytes(prev[:n]), dtype=np.uint8).astype(
+            np.int16
+        )
+        pred = (left + pv) >> 1
+    elif ftype == 4:
+        pv = np.frombuffer(bytes(prev[:n]), dtype=np.uint8).astype(
+            np.int16
+        )
+        ul = np.zeros(n, dtype=np.int16)
+        if n > bpp:
+            ul[bpp:] = pv[:-bpp]
+        p = left + pv - ul
+        pa = np.abs(p - left)
+        pb = np.abs(p - pv)
+        pc = np.abs(p - ul)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, pv, ul)
+        )
+    else:
+        raise ValueError(f"invalid PNG filter type {ftype}")
+    return ((cur - pred) & 0xFF).astype(np.uint8).tobytes()
 
 
 def _chunk(ctype: bytes, payload: bytes) -> bytes:
