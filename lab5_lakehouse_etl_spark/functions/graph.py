@@ -56,10 +56,18 @@ def connected_components(
     Early-exits when an iteration changes no label (monotone decreasing
     integer labels ⇒ the sum is a convergence witness costing one tiny
     agg per round, not a full dataframe compare).
+
+    Per-round materialization is a LAZY ``localCheckpoint`` whose
+    first action IS the witness agg: the eager form ran two full
+    passes over the label relation per round (one to write the
+    checkpoint, one to sum it) — the lazy form computes, persists and
+    sums in a single job, halving per-round label passes at any scale
+    while keeping the lineage truncation that stops the
+    self-referencing round plan from doubling per iteration.
     """
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("component")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     edges = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -91,7 +99,7 @@ def connected_components(
                     F.coalesce(F.col("j_comp"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:

@@ -2098,11 +2098,23 @@ def hamming_fp_groups(
     fp = fp.filter(F.col(fp_col).isNotNull()).withColumnRenamed(
         fp_col, "phash"
     )
+    # Cache AT THE FINGERPRINT (the minhash sigs.cache() argument,
+    # dedup.py:385): fp is referenced by the class collapse AND the
+    # final member rejoin, and classes by both sides of the chunk
+    # self-join (plus the components closure) — without the barrier
+    # each reference re-executes the ENTIRE upstream codec pipeline
+    # (decode + hash of every payload; measured: the matcher cost
+    # 2.7 s of q_image_dedup_phash's 4.1 s, almost all of it repeated
+    # decode).  Both relations are (8B id, 8B hash) per row —
+    # negligible vs one codec pass.  The eager count materializes the
+    # cache before the self-join builds it twice.
+    fp = fp.cache()
     # exact-duplicate collapse: one representative id per distinct
     # hash enters the matcher; members rejoin by hash afterwards
     classes = fp.groupBy("phash").agg(
         F.min("media_id").alias("media_id")
-    )
+    ).cache()
+    classes.count()
     chunks = classes.select(
         "media_id",
         "phash",

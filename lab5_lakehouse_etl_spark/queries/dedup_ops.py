@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dedup as D
-from ..session import load_table, spread, table_rows
+from ..session import cluster_for_write, load_table, spread, table_rows
 from . import query
 
 
@@ -1354,7 +1354,7 @@ def q_dedup_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 4 == 0)
     path = scratch_dir("q_dedup_index_store", fresh=True) + "/band_index"
     t = LakeTable.create(
-        D.minhash_band_index(base).repartition("band"),
+        cluster_for_write(D.minhash_band_index(base), "band"),
         path,
         partition_by=["band"],
     )
@@ -1462,7 +1462,7 @@ def q_dedup_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = docs.filter(F.col("doc_id") % 8 == 4)
     path = scratch_dir("q_dedup_epoch", fresh=True) + "/band_index"
     t = LakeTable.create(
-        D.minhash_band_index(base).repartition("band"),
+        cluster_for_write(D.minhash_band_index(base), "band"),
         path,
         partition_by=["band"],
     )
@@ -1485,7 +1485,7 @@ def q_dedup_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted1 = b1.join(
         r1.select("doc_id").distinct(), "doc_id", "left_anti"
     )
-    t.append(spark, D.minhash_band_index(accepted1).repartition("band"))
+    t.append(spark, cluster_for_write(D.minhash_band_index(accepted1), "band"))
     r2 = D.verified_near_dups(
         docs,
         D.minhash_probe_index(t.read(spark), D.minhash_band_index(b2)),

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import similarity as S
-from ..session import load_table
+from ..session import cluster_for_write, load_table
 from . import query
 
 _K = 10
@@ -785,9 +785,9 @@ def q_ann_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     planes = S.hyperplanes(len(qv), n_planes=8, seed=42)
-    indexed = emb.withColumn(
-        "cell", S.lsh_bucket("embedding", planes)
-    ).repartition("cell")
+    indexed = cluster_for_write(
+        emb.withColumn("cell", S.lsh_bucket("embedding", planes)), "cell"
+    )
     path = scratch_dir("q_ann_index_store", fresh=True) + "/ivf_index"
     t = LakeTable.create(indexed, path, partition_by=["cell"])
     stored = t.read(spark)
@@ -881,11 +881,11 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.filter(F.col("vec_id") % 4 == 0)
     path = scratch_dir("q_ann_index_append", fresh=True) + "/ivf_index"
     t = LakeTable.create(
-        base.withColumn("cell", cell).repartition("cell"),
+        cluster_for_write(base.withColumn("cell", cell), "cell"),
         path,
         partition_by=["cell"],
     )
-    t.append(spark, batch.withColumn("cell", cell).repartition("cell"))
+    t.append(spark, cluster_for_write(batch.withColumn("cell", cell), "cell"))
     stored = t.read(spark)
     got = S.ivf_search_bucketed(
         stored, qv, k=_K, n_planes=7, seed=42, min_candidates_factor=64,
@@ -1022,14 +1022,14 @@ def q_ann_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.filter(F.col("vec_id") % 4 == 0)
     path = scratch_dir("q_ann_recall_monitor", fresh=True) + "/ivf_index"
     t = LakeTable.create(
-        base.withColumn("cell", cell).repartition("cell"),
+        cluster_for_write(base.withColumn("cell", cell), "cell"),
         path,
         partition_by=["cell"],
     )
     ANN_MONITOR_PHASES["build_sec"] = round(time.monotonic() - t0, 3)
     ANN_MONITOR_PHASES["build_jobs"] = job_count(spark) - j0
     t0, j0 = time.monotonic(), job_count(spark)
-    t.append(spark, batch.withColumn("cell", cell).repartition("cell"))
+    t.append(spark, cluster_for_write(batch.withColumn("cell", cell), "cell"))
     ANN_MONITOR_PHASES["append_sec"] = round(time.monotonic() - t0, 3)
     ANN_MONITOR_PHASES["append_jobs"] = job_count(spark) - j0
     t0, j0 = time.monotonic(), job_count(spark)

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_table, scratch_dir, table_path, tune
+from ..session import cluster_for_write, load_table, scratch_dir, table_path, tune
 from ..streaming import events as E
 from . import query
 
@@ -565,7 +565,7 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0, j0 = time.monotonic(), job_count(spark)
     batch.repartitionByRange(4, "doc_id").write.parquet(land)
     t = LakeTable.create(
-        D.minhash_band_index(base).repartition("band"),
+        cluster_for_write(D.minhash_band_index(base), "band"),
         f"{scratch}/band_index",
         partition_by=["band"],
     )

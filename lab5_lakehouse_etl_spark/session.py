@@ -214,6 +214,26 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def cluster_for_write(df, by: str):
+    """Key-clustered exchange ahead of a ``partition_by=[by]`` table
+    write: hash-repartition by ``by`` with an EXPLICIT partition count
+    (defaultParallelism).  The explicit count is the point — a bare
+    ``repartition("col")`` is an AQE-coalescible shuffle, and on a
+    small build (kilobytes into 256 cells) AQE collapses it to ONE
+    post-shuffle partition, so a single task serially pays the parquet
+    writer open/close for every partition directory (measured: the
+    256-cell IVF index create spent 4-5 s of its 5.3 s in one task
+    writing 253 files; pinned at defaultParallelism the same write is
+    ~0.9 s across 32 tasks).  Layout is unchanged — each key still
+    lands wholly in one task, so the one-file-per-partition-value
+    small-files discipline holds; only writer parallelism moves, and
+    it scales with the cluster instead of with AQE's byte heuristic."""
+    from pyspark.sql import functions as F
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(by))
+
+
 def spread(df, by: str, min_partitions: int | None = None):
     """Fixture-parallelism knob for CPU-heavy narrow maps: when the
     upstream scan yields fewer partitions than cores (the test corpora
