@@ -246,7 +246,7 @@ def png_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=1000).mapInPandas(
+    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -504,7 +504,7 @@ def png_variant_media_from_ids(
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=1000).mapInPandas(
+    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -1241,7 +1241,7 @@ def gif_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=1000).mapInPandas(
+    return _id_partitioned(ids, id_col, rows_per_task=512).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -1426,7 +1426,7 @@ def tiff_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=1000).mapInPandas(
+    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -1610,7 +1610,7 @@ def flac_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=1000).mapInPandas(
+    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
