@@ -1466,12 +1466,13 @@ def q_dedup_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
         partition_by=["band"],
     )
+    idx_b1 = D.minhash_band_index(b1)
     r1 = (
         # prefilter=True on both epoch probes: O(batch) candidates must
         # not trigger a corpus-wide shingle pass (see q_dedup_index_store)
         D.verified_near_dups(
             docs,
-            D.minhash_probe_index(t.read(spark), D.minhash_band_index(b1)),
+            D.minhash_probe_index(t.read(spark), idx_b1),
             threshold=0.5,
             prefilter=True,
         )
@@ -1482,10 +1483,18 @@ def q_dedup_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    accepted1 = b1.join(
-        r1.select("doc_id").distinct(), "doc_id", "left_anti"
-    )
-    t.append(spark, cluster_for_write(D.minhash_band_index(accepted1), "band"))
+    # append = batch-1's ALREADY-COMPUTED band rows minus the rejected
+    # docs' — an anti-join on the narrow index relation, reusing the
+    # probe's cached signatures, where recomputing
+    # minhash_band_index(accepted rows) paid a second shingle+hash
+    # pass over batch-1 text (identical rows either way: band rows
+    # are per-doc, so filtering docs == filtering their band rows)
+    acc_idx = idx_b1.join(
+        r1.select(F.col("doc_id").alias("id")).distinct(),
+        "id",
+        "left_anti",
+    ).select("band", "bucket", "id", "sig")
+    t.append(spark, cluster_for_write(acc_idx, "band"))
     r2 = D.verified_near_dups(
         docs,
         D.minhash_probe_index(t.read(spark), D.minhash_band_index(b2)),
