@@ -594,6 +594,35 @@ _REWRITTEN_IN: dict[str, int] = {
     # transitive-closure near-dup grouping (components closure over
     # the banded matcher; chain fixture)
     "q_image_dedup_chain": 15,
+    # Round-15 OPTIMIZATION phase (commits d0231a4..cfe2412) — the
+    # adjudication the r15 verdict flagged as missing ("What's wrong"
+    # #1).  Executed-plan changes, grouped by module:
+    # session.cluster_for_write (pinned writer parallelism) adopted at
+    # nine sites across six index-build queries, plus the
+    # q_dedup_epoch append-source band-index reuse (dedup_ops.py):
+    "q_dedup_index_store": 15,
+    "q_dedup_epoch": 15,
+    "q_ann_index_store": 15,
+    "q_ann_index_append": 15,
+    "q_ann_recall_monitor": 15,
+    "q_stream_neardup": 15,
+    # graph.py lazy localCheckpoint + k_core early exit (bit-identical
+    # results, but the job structure changed; components' consumer
+    # q_image_dedup_chain is already at 15 above):
+    "q_kcore": 15,
+    # NOT bumped, by reviewed decision (recorded in the dep-manifest
+    # audit trail): the other multimodal.py dependents
+    # (q_multimodal_decode/flac/gif/tiff/webp, q_image_features,
+    # q_image_dedup, q_multimodal_resize_real) reach only (a) the
+    # fixture fan-out rows_per_task retune — a partition-width knob
+    # over row-wise-pure mapInPandas builders, result-invariant by
+    # construction — and (b) the png/flac/webp kernel rewrites, which
+    # are byte-identical (differential + round-trip fuzz pinned in
+    # tests/test_png.py, test_flac.py, test_webp.py).  The
+    # hamming_fp_groups cache/collapse and graph.py changes do not
+    # reach them.  Bumping all eight would crowd the 50-slot driver
+    # window past the age-4 re-check reach
+    # (tests/test_registry.py::test_recency_debt_stays_within_window_reach).
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

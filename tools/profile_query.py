@@ -2,7 +2,7 @@
 session + the bench's warmup, then for each named query run the noop
 sink ``--passes`` times (default 2) and report wall seconds (each pass
 + min), the Spark JOB COUNT the execution added, and optionally dump
-``.explain("formatted")`` to ``plans/r15/<name>_<tag>.txt``.
+``.explain("formatted")`` to ``plans/r16/<name>_<tag>.txt``.
 
 Usage:
     python tools/profile_query.py q_foo q_bar
@@ -72,12 +72,12 @@ def main() -> int:
         if explain_tag:
             from lab5_lakehouse_etl_spark.plans import explain_str
 
-            os.makedirs(os.path.join(REPO, "plans", "r15"), exist_ok=True)
+            os.makedirs(os.path.join(REPO, "plans", "r16"), exist_ok=True)
             df = fn(spark, sf_dir)
             plan = explain_str(df)
             with open(
                 os.path.join(
-                    REPO, "plans", "r15", f"{name}_{explain_tag}.txt"
+                    REPO, "plans", "r16", f"{name}_{explain_tag}.txt"
                 ),
                 "w",
             ) as fh:
