@@ -287,27 +287,15 @@ def k_core(
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=False)
-    # peeling only REMOVES edges, so an unchanged edge count proves an
-    # unchanged edge set — every remaining round would be an identity
-    # pass and can be skipped with a bit-identical result (the fixed
-    # round count stays the declared semantics; this only elides
-    # provable no-ops).  The count doubles as the materialization
-    # action of the LAZY per-round checkpoint, so convergence
-    # detection costs zero extra passes vs the eager form.
-    prev_n = e.count()
+    ).localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         alive = deg.filter(F.col("deg") >= k).select("src")
         e = (
             e.join(alive, "src", "left_semi")
             .join(alive.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        cur_n = e.count()
-        if cur_n == prev_n:
-            break
-        prev_n = cur_n
     return (
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))

@@ -2180,17 +2180,36 @@ class LakeTable:
                         name, F.lit(None).cast(f.dataType)
                     )
             source = source.select(*target.columns)
+        guard_thread = None
+        guard_result: list = []
         if latest_by is None:
             # Delta parity: multiple source rows per key is an error —
             # a silent survivor would be partition-order nondeterministic.
-            dup = (
-                source.groupBy(*key).count().filter(F.col("count") > 1).limit(1).count()
-            )
-            if dup:
-                raise ValueError(
-                    "merge source has duplicate keys; pass latest_by= to "
-                    "define the survivor (ordered upsert)"
-                )
+            # The guard count is OVERLAPPED with the staged write (r15
+            # verdict #5, guide §2.6 — Spark happily runs concurrent
+            # jobs; actions are only sequential because driver code
+            # calls them sequentially): the probe job back-fills
+            # executors while the staging write runs, so the merge's
+            # wall no longer pays a serial pre-pass over the source.
+            # The result is checked BEFORE the stage is returned, so a
+            # duplicate-keyed source still never publishes — on
+            # failure the staged files are removed like abort().
+            import threading
+
+            def _dup_probe() -> None:
+                try:
+                    guard_result.append(
+                        source.groupBy(*key)
+                        .count()
+                        .filter(F.col("count") > 1)
+                        .limit(1)
+                        .count()
+                    )
+                except BaseException as exc:  # noqa: BLE001 — re-raised below
+                    guard_result.append(exc)
+
+            guard_thread = threading.Thread(target=_dup_probe, daemon=True)
+            guard_thread.start()
 
         carry: list[str] = []
         touched_dirs: set[str] | None = None
@@ -2247,6 +2266,24 @@ class LakeTable:
         new_files = self._stage_files(
             merged, new_version, partition_by, allowed_dirs=touched_dirs
         )
+        if guard_thread is not None:
+            guard_thread.join()
+            outcome = guard_result[0] if guard_result else 0
+            if isinstance(outcome, BaseException) or outcome:
+                # duplicate source keys (or a failed probe): the staged
+                # files belong to no manifest — remove them like abort()
+                tag = f"v{new_version}-"
+                for f in new_files:
+                    if os.path.basename(f).startswith(tag):
+                        p = os.path.join(self.data_dir, f)
+                        if os.path.exists(p):
+                            os.remove(p)
+                if isinstance(outcome, BaseException):
+                    raise outcome
+                raise ValueError(
+                    "merge source has duplicate keys; pass latest_by= to "
+                    "define the survivor (ordered upsert)"
+                )
         # merged.schema, not the stored one: picks up evolved columns;
         # identical to the stored schema when no evolution happened
         # (all merge paths preserve target column order).

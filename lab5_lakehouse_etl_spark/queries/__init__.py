@@ -606,10 +606,15 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_ann_index_append": 15,
     "q_ann_recall_monitor": 15,
     "q_stream_neardup": 15,
-    # graph.py lazy localCheckpoint + k_core early exit (bit-identical
-    # results, but the job structure changed; components' consumer
-    # q_image_dedup_chain is already at 15 above):
-    "q_kcore": 15,
+    # (q_kcore's r15 entry REMOVED in r16: the r15 lazy-checkpoint +
+    # early-exit k_core was reverted byte-identically to the form its
+    # newest green row (r12) certified, after a controlled A/B showed
+    # the eager fixed-round form fastest at sf0.1 — 1.717 s vs 1.906
+    # (r15 form) vs 1.793 (count-fold variant), min-of-3, one session
+    # — agreeing with the r15 driver bench's regression signal.  The
+    # restored bytes ARE the r12-verified code path, so the r12 row is
+    # evidence again; decision recorded in the dep-manifest audit
+    # trail.)
     # NOT bumped, by reviewed decision (recorded in the dep-manifest
     # audit trail): the other multimodal.py dependents
     # (q_multimodal_decode/flac/gif/tiff/webp, q_image_features,
@@ -623,6 +628,20 @@ _REWRITTEN_IN: dict[str, int] = {
     # reach them.  Bumping all eight would crowd the 50-slot driver
     # window past the age-4 re-check reach
     # (tests/test_registry.py::test_recency_debt_stays_within_window_reach).
+    # Round-16 OPTIMIZATION, batch 1: q_merge_upsert's dup-key guard
+    # overlapped with the staged write (table.py) + the n_rows /
+    # sym-diff single-pass fold (lakehouse_ops.py); q_stream_neardup's
+    # drain runs with AQE pinned off (events.py, 116 → 28 drain
+    # jobs); the ANN append/monitor share one bucketed corpus scan
+    # across create+append and the monitor collects all probe legs in
+    # one union plan (similarity_ops.py).  The other merge-executing
+    # queries are out of scope: their executed plan is byte-identical
+    # — only the guard job's SCHEDULE moved (see the manifest audit
+    # trail).
+    "q_merge_upsert": 16,
+    "q_stream_neardup": 16,
+    "q_ann_index_append": 16,
+    "q_ann_recall_monitor": 16,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -74,7 +74,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 4 == 0) | (F.col("o_orderkey") % 2 == 1)
     ).withColumn("o_totalprice", F.round(F.col("o_totalprice") + 1.0, 2))
 
-    def sym_diff(a: DataFrame, b: DataFrame) -> int:
+    def sym_diff(a: DataFrame, b: DataFrame) -> tuple[int, int]:
         """Multiset symmetric-difference row count, one pass per side:
         |A\\B| + |B\\A| = Σ over distinct rows of |count_A − count_B|
         — the same number two exceptAll().count() actions produce, at
@@ -83,7 +83,12 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         cost two).  The join must be NULL-SAFE: groupBy buckets NULL
         keys together (as exceptAll's set semantics do), so a plain
         equi-join would leave identical null-bearing rows unmatched on
-        both sides and double-count them as differing."""
+        both sides and double-count them as differing.
+
+        Also returns |A| (Σ count_A over the joined rows) so the
+        caller's row-count check rides this pass instead of paying a
+        separate scan of the merged table (one fewer action/job per
+        verification)."""
         cols = a.columns
         ca = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("__na"))
         cb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("__nb"))
@@ -100,12 +105,16 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(
                     F.coalesce(F.col("__na"), F.lit(0))
                     - F.coalesce(F.col("__nb"), F.lit(0))
-                ).alias("__d")
+                ).alias("__d"),
+                F.coalesce(F.col("__na"), F.lit(0)).alias("__a"),
             )
-            .agg(F.coalesce(F.sum("__d"), F.lit(0)).alias("__diff"))
+            .agg(
+                F.coalesce(F.sum("__d"), F.lit(0)).alias("__diff"),
+                F.coalesce(F.sum("__a"), F.lit(0)).alias("__rows_a"),
+            )
             .first()
         )
-        return int(row["__diff"])
+        return int(row["__diff"]), int(row["__rows_a"])
 
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/merge_tbl"
@@ -116,12 +125,14 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         oracle = target.join(source, on="o_orderkey", how="left_anti").unionByName(
             source
         )
-        diff = sym_diff(merged, oracle)
+        diff, _ = sym_diff(merged, oracle)
 
         t.merge(spark, source, key=["o_orderkey"])  # idempotency probe
         again = t.read(spark)
-        diff2 = sym_diff(again, oracle)
-        n_rows = again.count()
+        # n_rows rides the sym-diff pass (its Σ count_A side) — the
+        # separate again.count() action was a whole extra scan of the
+        # merged table per query
+        diff2, n_rows = sym_diff(again, oracle)
 
     return spark.createDataFrame(
         [(n_rows, diff, diff2)],

@@ -800,6 +800,12 @@ def q_ann_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         stored, qv, k=_K, n_planes=8, seed=42, min_candidates_factor=64,
         hist=t.partition_histogram("cell"),
     ).select("vec_id")
+    # exact is referenced twice (checksum agg + recall overlap) and
+    # NOT cached, by measured A/B (r16): the duplicated top-k subtrees
+    # run concurrently inside the one action, while a cache barrier
+    # rewrites TakeOrderedAndProject into a materialized global sort
+    # and serializes the legs — measured 4.10 → 4.92 s (min-of-2 warm
+    # profile, sf0.1).
     exact = S.topk_cosine(emb, qv, k=_K)
     sums = exact.agg(
         F.count(F.lit(1)).alias("k"),
@@ -877,16 +883,26 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir)
     planes = S.hyperplanes(len(qv), n_planes=7, seed=42)
     cell = S.lsh_bucket("embedding", planes)
-    base = emb.filter(F.col("vec_id") % 4 != 0)
-    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    # one bucketed scan feeds BOTH commits: the create and the append
+    # otherwise each re-scan the corpus and re-compute the 2^7-plane
+    # LSH projection for their slice (within-query intermediate,
+    # recomputed every run; 8B id + vector + 8B cell per row)
+    bucketed = emb.withColumn("cell", cell).cache()
+    base = bucketed.filter(F.col("vec_id") % 4 != 0)
+    batch = bucketed.filter(F.col("vec_id") % 4 == 0)
     path = scratch_dir("q_ann_index_append", fresh=True) + "/ivf_index"
     t = LakeTable.create(
-        cluster_for_write(base.withColumn("cell", cell), "cell"),
+        cluster_for_write(base, "cell"),
         path,
         partition_by=["cell"],
     )
-    t.append(spark, cluster_for_write(batch.withColumn("cell", cell), "cell"))
+    t.append(spark, cluster_for_write(batch, "cell"))
     stored = t.read(spark)
+    # got and exact are each referenced twice in the declared plan and
+    # NOT cached, by measured A/B (r16): the duplicated subtrees run
+    # concurrently inside the one action; cache barriers serialized
+    # them and rewrote the top-k legs into materialized global sorts
+    # (store leg measured 4.10 → 4.92 s with the cache).
     got = S.ivf_search_bucketed(
         stored, qv, k=_K, n_planes=7, seed=42, min_candidates_factor=64,
         hist=t.partition_histogram("cell"),
@@ -964,20 +980,36 @@ def ann_probe_recall(
         .select("vec_id", "embedding")
         .collect()
     }
+    # ONE union plan over every (probe, side) leg instead of two
+    # collects per probe (guide §2.6 — actions were only sequential
+    # because this loop called them sequentially): each leg is an
+    # independent k-row TakeOrdered subtree, so the union executes
+    # them as parallel stages of a single job and the monitor pays one
+    # collect total, not 2 × |probes|.  Per-leg ``limit(k)`` applies
+    # before the union, so the collected sets are identical to the
+    # sequential form's.
+    legs = None
     for pid in probe_ids:
         qv = vec_by_id[pid]
-        got = {
-            r.vec_id
-            for r in S.ivf_search_bucketed(
-                stored, qv, k=k, n_planes=n_planes, seed=seed,
-                min_candidates_factor=min_candidates_factor, hist=hist,
-            ).select("vec_id").collect()
-        }
-        exact = {
-            r.vec_id
-            for r in S.topk_cosine(corpus, qv, k=k).select("vec_id").collect()
-        }
-        out.append((pid, len(got & exact) / float(k)))
+        leg_ivf = S.ivf_search_bucketed(
+            stored, qv, k=k, n_planes=n_planes, seed=seed,
+            min_candidates_factor=min_candidates_factor, hist=hist,
+        ).select(
+            F.lit(pid).alias("pid"), F.lit("ivf").alias("side"), "vec_id"
+        )
+        leg_exact = S.topk_cosine(corpus, qv, k=k).select(
+            F.lit(pid).alias("pid"), F.lit("exact").alias("side"), "vec_id"
+        )
+        for leg in (leg_ivf, leg_exact):
+            legs = leg if legs is None else legs.unionByName(leg)
+    got_by: dict[int, set] = {pid: set() for pid in probe_ids}
+    exact_by: dict[int, set] = {pid: set() for pid in probe_ids}
+    for r in legs.collect():
+        (got_by if r.side == "ivf" else exact_by)[r.pid].add(r.vec_id)
+    for pid in probe_ids:
+        out.append(
+            (pid, len(got_by[pid] & exact_by[pid]) / float(k))
+        )
     return out
 
 
@@ -1018,18 +1050,22 @@ def q_ann_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(emb.select("embedding").first().embedding)
     planes = S.hyperplanes(dim, n_planes=7, seed=42)
     cell = S.lsh_bucket("embedding", planes)
-    base = emb.filter(F.col("vec_id") % 4 != 0)
-    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    # one bucketed scan feeds BOTH commits (q_ann_index_append's
+    # shared-scan argument): create and append otherwise each re-scan
+    # the corpus and re-compute the LSH projection for their slice
+    bucketed = emb.withColumn("cell", cell).cache()
+    base = bucketed.filter(F.col("vec_id") % 4 != 0)
+    batch = bucketed.filter(F.col("vec_id") % 4 == 0)
     path = scratch_dir("q_ann_recall_monitor", fresh=True) + "/ivf_index"
     t = LakeTable.create(
-        cluster_for_write(base.withColumn("cell", cell), "cell"),
+        cluster_for_write(base, "cell"),
         path,
         partition_by=["cell"],
     )
     ANN_MONITOR_PHASES["build_sec"] = round(time.monotonic() - t0, 3)
     ANN_MONITOR_PHASES["build_jobs"] = job_count(spark) - j0
     t0, j0 = time.monotonic(), job_count(spark)
-    t.append(spark, cluster_for_write(batch.withColumn("cell", cell), "cell"))
+    t.append(spark, cluster_for_write(batch, "cell"))
     ANN_MONITOR_PHASES["append_sec"] = round(time.monotonic() - t0, 3)
     ANN_MONITOR_PHASES["append_jobs"] = job_count(spark) - j0
     t0, j0 = time.monotonic(), job_count(spark)

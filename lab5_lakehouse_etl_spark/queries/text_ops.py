@@ -425,6 +425,17 @@ def _bm25_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dl",
         *[cnt.alias(f"tf_{t}").cast("double") for t, cnt in tf_cols.items()],
     )
+    # NOT cached, by measured A/B (r16): d feeds both the corpus-stats
+    # aggregate (broadcast side) and the scored output side, so the
+    # tokenize pass is instantiated twice — but the two subtrees run
+    # CONCURRENTLY inside the one action (broadcast build ∥ probe
+    # scan), so the duplication costs idle cores, not wall.  A
+    # d.cache() barrier serializes them (materialize, then read) and
+    # measured slower on both consumers (q_keyword_search 0.94 →
+    # 1.03 s, q_hybrid_search 1.75 → 2.33 s, min-of-2 warm profile,
+    # sf0.1) — same finding as the prefix-join's measured-alternatives
+    # note.  On a memory-bound cluster revisit: the cached relation is
+    # only (id + 4 numeric cols) per doc.
     stats = d.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),

@@ -69,6 +69,37 @@ def _state_sized_shuffle(spark: SparkSession, n: int = STATE_PARTITIONS):
         spark.conf.set(key, prev)
 
 
+@contextmanager
+def _micro_batch_aqe_pinned(spark: SparkSession):
+    """Scope spark.sql.adaptive.enabled = false around a foreachBatch
+    drain whose per-batch plan is already explicitly sized (pinned
+    state-width shuffles, O(batch) relations).
+
+    Why: AQE materializes every exchange of the per-batch plan as its
+    own query-stage SUB-JOB to re-plan downstream stages — measured on
+    the q_stream_neardup drain at ~29 scheduler jobs per micro-batch
+    for a probe+verify plan with nothing for AQE to decide (the
+    shuffle width is pinned by _state_sized_shuffle, the relations are
+    batch-sized, skew handling has no 256 MB-scale partitions to
+    split).  At micro-batch scale the per-stage scheduling/planning
+    overhead dominates the work; with AQE off the same plan runs as a
+    handful of jobs.  Scoped and restored like _state_sized_shuffle
+    (same concurrency caveat); batch queries re-tune() their own
+    session, so nothing leaks.  Overridable for deployments whose
+    micro-batches are large enough for AQE to earn its stages:
+    SPARK_GRAFT_STREAM_AQE=1 keeps AQE on inside drains."""
+    if os.environ.get("SPARK_GRAFT_STREAM_AQE") == "1":
+        yield
+        return
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def _events_schema_ddl(ts_type: str) -> str:
     # ts has shipped as parquet TIMESTAMP(NANOS) (→ read as long via
     # nanosAsLong, rebuilt with integer division) or TIMESTAMP(MICROS)
@@ -585,7 +616,7 @@ def stream_neardup_gate(
         spark.catalog.clearCache()
 
     t0, j0 = time.monotonic(), job_count(spark)
-    with _state_sized_shuffle(spark):
+    with _state_sized_shuffle(spark), _micro_batch_aqe_pinned(spark):
         q = (
             docs_stream.writeStream.foreachBatch(gate)
             .option("checkpointLocation", checkpoint_dir)

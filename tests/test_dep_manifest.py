@@ -254,6 +254,39 @@ def test_baseline_round_not_stale():
     )
 
 
+def test_unscope_moves_query_and_preserves_history(tmp_path, monkeypatch):
+    """--unscope (r16 scope correction) moves the query from scope to
+    out_of_scope on every rewrite-scoped record naming it, records the
+    reviewer reason, and preserves the superseded record in history —
+    and never touches hashes."""
+    import json
+
+    mpath = tmp_path / "dep_manifest.json"
+    monkeypatch.setattr(dm, "MANIFEST_PATH", str(mpath))
+    mpath.write_text(json.dumps({
+        "round": 15,
+        "modules": {
+            "m.scoped": {
+                "sha256": "h1", "action": "rewrite-scoped", "round": 15,
+                "scope": ["q_a", "q_b"], "out_of_scope": ["q_c"],
+                "out_of_scope_reason": "orig",
+            },
+            "m.allow": {"sha256": "h2", "action": "allow", "round": 15},
+        },
+    }))
+    assert dm.unscope("q_b", "artifact of bundled decision") == 0
+    out = json.loads(mpath.read_text())
+    rec = out["modules"]["m.scoped"]
+    assert rec["scope"] == ["q_a"]
+    assert rec["out_of_scope"] == ["q_b", "q_c"]
+    assert rec["sha256"] == "h1"
+    assert rec["scope_amendments"][-1]["unscoped"] == "q_b"
+    assert rec["history"][-1]["scope"] == ["q_a", "q_b"]
+    # untouched record untouched; unknown query refused
+    assert "history" not in out["modules"]["m.allow"]
+    assert dm.unscope("q_missing", "x") == 1
+
+
 def test_retroactive_entries_from_r8_verdict_present():
     """The three r4-era rows the r8 verdict named must stay invalidated
     until a driver row at/after their rework round exists."""

@@ -57,6 +57,16 @@ every affected-but-out-of-scope query in the audit trail.  Module
 granularity stays the conservative default; scope is an explicit,
 recorded reviewer decision, never inferred.
 
+Scope amendment: ``--unscope QUERY --unscope-reason "..."`` corrects a
+recorded rewrite-scoped decision by moving QUERY from ``scope`` to
+``out_of_scope`` on every module record that names it — for the case
+where one bundled decision covered several modules and a query landed
+in the shared scope list through a module that did not semantically
+affect it (the module that DID has since been re-adjudicated).  The
+amendment is a reviewer decision like --scope itself: the reason is
+recorded per module and the superseded record is preserved in history,
+so the audit trail shows both states.  It never touches hashes.
+
 Usage:
     python tools/dep_manifest.py                 # report drift
     python tools/dep_manifest.py --deps q_name   # show a query's deps
@@ -65,6 +75,8 @@ Usage:
         --scope-reason "..."                     # accept, scoped
     python tools/dep_manifest.py --allow "..."   # accept, no-semantic
     python tools/dep_manifest.py --stamp-round 10  # round-start baseline
+    python tools/dep_manifest.py --unscope q_x \
+        --unscope-reason "..."                   # scope correction
 """
 
 from __future__ import annotations
@@ -333,6 +345,45 @@ def stamp_round(rnd: int) -> int:
     return 0
 
 
+def unscope(query: str, reason: str) -> int:
+    """Move ``query`` from ``scope`` to ``out_of_scope`` on every
+    rewrite-scoped module record naming it (see module docstring —
+    bundled-decision scope correction).  Preserves the superseded
+    record in history; never touches hashes."""
+    manifest = load_manifest()
+    touched: list[str] = []
+    for mod, rec in manifest.get("modules", {}).items():
+        if rec.get("action") != "rewrite-scoped":
+            continue
+        scope = list(rec.get("scope", ()))
+        if query not in scope:
+            continue
+        keep = (
+            "action", "note", "round",
+            "scope", "out_of_scope", "out_of_scope_reason",
+        )
+        history = rec.get("history", []) + [
+            {k: rec[k] for k in keep if k in rec}
+        ]
+        rec["scope"] = sorted(s for s in scope if s != query)
+        rec["out_of_scope"] = sorted(
+            set(rec.get("out_of_scope", ())) | {query}
+        )
+        amendments = list(rec.get("scope_amendments", ()))
+        amendments.append({"unscoped": query, "reason": reason})
+        rec["scope_amendments"] = amendments
+        rec["history"] = history
+        touched.append(mod)
+    if not touched:
+        print(f"no rewrite-scoped record names {query}", file=sys.stderr)
+        return 1
+    with open(MANIFEST_PATH, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=False)
+        fh.write("\n")
+    print(f"unscoped {query} from: {', '.join(sorted(touched))}")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--deps", metavar="QUERY", help="print a query's core deps")
@@ -369,7 +420,24 @@ def main() -> int:
         help="record the round-start baseline (requires a clean, committed "
         "core tree); see module docstring",
     )
+    ap.add_argument(
+        "--unscope",
+        metavar="QUERY",
+        help="scope correction: move QUERY out of every rewrite-scoped "
+        "record's scope (requires --unscope-reason); see module docstring",
+    )
+    ap.add_argument(
+        "--unscope-reason",
+        metavar="TEXT",
+        help="reviewer justification recorded with --unscope",
+    )
     args = ap.parse_args()
+
+    if args.unscope is not None:
+        if not args.unscope_reason:
+            print("REFUSED: --unscope requires --unscope-reason", file=sys.stderr)
+            return 1
+        return unscope(args.unscope, args.unscope_reason)
 
     if args.stamp_round is not None:
         return stamp_round(args.stamp_round)
