@@ -188,26 +188,96 @@ def extract_features(media: DataFrame) -> DataFrame:
 #: whose task + Arrow overhead exceeds the entire codec CPU.
 _CODEC_ROWS_PER_TASK = 10_000
 
+#: MEASURED whole-pipeline per-record cost (milliseconds) per fixture
+#: builder: the builder's encode PLUS its consuming decode/fingerprint
+#: stage, because downstream maps chain shuffle-free so the builder's
+#: task count is the whole pipeline's codec parallelism (see
+#: _id_partitioned).  Marginal cost from a two-point single-task fit
+#: (128- vs 1024-row runs, min-of-3, per-task bring-up cancels),
+#: r16 bench box — method and full table in OPTIMIZATION_r16.md.
+#: Re-measure with the same protocol when a codec kernel changes;
+#: downstream sizing self-corrects through _rows_for.
+_PIPELINE_COST_MS = {
+    "png": 0.20,
+    "png_variant": 1.15,
+    "corrupt_png": 0.83,
+    "corrupt_av": 0.28,
+    "jpeg_prog": 1.63,
+    "webp": 3.08,
+    "gif": 0.26,
+    "bmp": 0.06,
+    "tiff": 0.30,
+    "jpeg420": 1.25,
+    "jpeg_color": 0.77,
+    "jpeg": 0.78,
+    "wav": 0.01,
+    "flac": 0.99,
+    "y4m": 0.04,
+    "phash_variant": 2.83,
+    "afp_variant": 2.33,
+    "vfp_variant": 0.81,
+    "phash_chain": 1.18,
+}
+
+#: Per-task CPU floor while the stage still fits ONE wave of the
+#: cluster: large against the ~1-5 ms local task-launch overhead,
+#: small enough that the fixture corpora fan out across the box.
+#: Measured winners at sf0.1 sit right here (quarantine 28 tasks x
+#: ~150 ms, video 27 x ~150 ms).
+_TARGET_TASK_MS = 150.0
+
+#: Per-task CPU floor BEYOND one wave: every extra wave re-pays the
+#: per-task mapInPandas bring-up (python worker checkout + Arrow
+#: stream init, measured ~0.3 s on this box via two-point single-task
+#: fits), so multi-wave tasks must carry enough work to amortize it
+#: (~20 %).  The r16 A/B that motivated the split: 150 ms tasks past
+#: one wave regressed every heavy builder (phash 2.92 -> 4.45 s at 78
+#: tasks/2.4 waves), while the same budget inside one wave was the
+#: best measured point.
+_TARGET_TASK_MS_AT_SCALE = 1500.0
+
 
 def _id_partitioned(
-    ids: DataFrame, id_col: str, rows_per_task: int = _CODEC_ROWS_PER_TASK
+    ids: DataFrame,
+    id_col: str,
+    rows_per_task: int | None = None,
+    per_record_ms: float | None = None,
 ) -> DataFrame:
-    """Row-count-adaptive exchange ahead of a codec mapInPandas stage:
-    repartition the 8-byte id column to ``ceil(rows / rows_per_task)``
-    tasks — uncapped by defaultParallelism, a 10^9-row corpus should
-    fan out to the whole cluster — and skip the shuffle entirely when
-    one task suffices.  The count is one cheap column-less scan job;
-    payload bytes are born distributed AFTER the exchange and never
-    shuffle.  ``rows_per_task`` is tuned per codec WEIGHT (measured,
-    not guessed): heavier per-record CPU wants smaller tasks so the
-    fan-out wins over task/Arrow overhead — JPEG's per-block Huffman
-    bit loop runs ~2 ms/image (256 rows/task) vs ~0.1 ms for the WAV/
-    Y4M container walks (the 10k default, where an A/B showed the
-    shuffle losing at fixture scale).  Downstream decode stages chain
-    shuffle-free, so the generator's task count IS the whole
-    pipeline's codec parallelism."""
+    """Cost-adaptive exchange ahead of a codec mapInPandas stage (the
+    r15 verdict-#9 rule, derived instead of hand-retuned): given the
+    builder's MEASURED whole-pipeline per-record cost, fan out to
+    ``ceil(work / _TARGET_TASK_MS)`` tasks while that fits one wave of
+    ``defaultParallelism``, else to full-cluster waves of
+    ``>= _TARGET_TASK_MS_AT_SCALE`` tasks — a 10^9-row corpus still
+    fans out to the whole cluster, with the per-task Arrow bring-up
+    amortized.  Skips the shuffle entirely when one task suffices
+    (kilobyte fixtures: the exchange would cost more than the map).
+    The count is one cheap column-less scan job; payload bytes are
+    born distributed AFTER the exchange and never shuffle.  Downstream
+    decode stages chain shuffle-free, so this task count IS the whole
+    pipeline's codec parallelism.  ``rows_per_task`` remains for
+    callers sizing by row count alone."""
     ids = ids.select(id_col)
-    n = -(-ids.count() // rows_per_task)
+    rows = ids.count()
+    if per_record_ms is not None:
+        cores = ids.sparkSession.sparkContext.defaultParallelism
+        work_ms = rows * per_record_ms
+        # One WAVE of a codec stage can't use every core slot: each
+        # mapInPandas task pairs a JVM slot with a python worker doing
+        # the actual CPU, plus driver/shuffle machinery on the same
+        # box, so a full-width wave oversubscribes.  0.6 x cores is
+        # the measured one-wave optimum on this box (phash: 20 tasks
+        # 2.92 s vs 32 tasks 3.67 s vs 78 tasks 4.45 s; flac: 20
+        # tasks 0.97 s vs 32 tasks 1.24 s).
+        wave = max(1, int(cores * 0.6))
+        n = min(int(-(-work_ms // _TARGET_TASK_MS)), wave)
+        at_scale = int(-(-work_ms // _TARGET_TASK_MS_AT_SCALE))
+        if at_scale > wave:
+            # big corpus: fan out past one wave — to the whole cluster
+            # and beyond — with tasks big enough to amortize bring-up
+            n = at_scale
+    else:
+        n = -(-rows // (rows_per_task or _CODEC_ROWS_PER_TASK))
     return ids.repartition(n) if n > 1 else ids
 
 
@@ -246,7 +316,7 @@ def png_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["png"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -504,7 +574,7 @@ def png_variant_media_from_ids(
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["png_variant"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -712,7 +782,7 @@ def corrupt_png_media_from_ids(
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=1000).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["corrupt_png"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -870,7 +940,7 @@ def corrupt_av_media_from_ids(
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=1000).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["corrupt_av"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -1097,7 +1167,7 @@ def jpeg_prog_media_from_ids(
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["jpeg_prog"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -1178,7 +1248,7 @@ def webp_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["webp"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -1241,7 +1311,7 @@ def gif_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=512).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["gif"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -1310,7 +1380,7 @@ def bmp_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=1000).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["bmp"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -1426,7 +1496,7 @@ def tiff_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["tiff"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -1451,7 +1521,7 @@ def jpeg420_media_from_ids(
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["jpeg420"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -1476,7 +1546,7 @@ def jpeg_color_media_from_ids(
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["jpeg_color"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -1498,7 +1568,7 @@ def jpeg_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["jpeg"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -1547,7 +1617,7 @@ def wav_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _id_partitioned(ids, id_col).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["wav"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -1610,7 +1680,7 @@ def flac_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["flac"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -1741,7 +1811,7 @@ def y4m_media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return _id_partitioned(ids, id_col).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["y4m"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -1976,7 +2046,7 @@ def phash_variant_media_from_ids(
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["phash_variant"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -2107,7 +2177,13 @@ def hamming_fp_groups(
     # 2.7 s of q_image_dedup_phash's 4.1 s, almost all of it repeated
     # decode).  Both relations are (8B id, 8B hash) per row —
     # negligible vs one codec pass.  The eager count materializes the
-    # cache before the self-join builds it twice.
+    # cache before the self-join builds it twice.  Neither relation is
+    # unpersisted here (r15 ADVICE): the returned DataFrame is LAZY and
+    # still reads both caches when the caller materializes it, so this
+    # function relies on caller-side cache clearing between queries —
+    # the same contract as dedup.py's sigs.cache(); bench.py, the
+    # driver, and the streaming gate all clearCache() per query/batch.
+    # Long-lived sessions calling this repeatedly must do the same.
     fp = fp.cache()
     # exact-duplicate collapse: one representative id per distinct
     # hash enters the matcher; members rejoin by hash afterwards
@@ -2298,7 +2374,7 @@ def afp_variant_media_from_ids(
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["afp_variant"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -2452,7 +2528,7 @@ def vfp_variant_media_from_ids(
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["vfp_variant"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
 
@@ -2564,6 +2640,6 @@ def phash_chain_media_from_ids(
                 }
             )
 
-    return _id_partitioned(ids, id_col, rows_per_task=256).mapInPandas(
+    return _id_partitioned(ids, id_col, per_record_ms=_PIPELINE_COST_MS["phash_chain"]).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )

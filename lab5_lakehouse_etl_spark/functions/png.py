@@ -58,8 +58,13 @@ def _paeth(a: int, b: int, c: int) -> int:
 def _unfilter_scanline(
     ftype: int, line: bytearray, prev: bytes, bpp: int
 ) -> bytearray:
-    """Reverse one scanline filter in place; ``prev`` is the already
+    """Reverse one scanline filter; ``prev`` is the already
     RECONSTRUCTED previous scanline (zeros for the first row).
+
+    Callers must use the RETURN VALUE: the Sub/Up branches return a
+    fresh bytearray built from numpy buffers, while Average/Paeth
+    mutate ``line`` and return it — in-place mutation of the argument
+    is not guaranteed (r15 ADVICE).
 
     Sub/Up reconstruct without a sequential Python byte loop: Up is a
     plain wrapping uint8 add against ``prev``, and Sub is, per byte

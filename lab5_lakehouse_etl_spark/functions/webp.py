@@ -141,10 +141,18 @@ class _LsbWriter:
             self._n -= 8
 
     def flush(self) -> bytes:
+        """Single-use terminator: pads the pending partial byte with
+        zeros and returns the stream.  NOT idempotent — a second flush
+        (or writes after flush) would misalign the output, so it is
+        refused instead of silently corrupting (r15 ADVICE; the old
+        bitpos form tolerated repeated flushes, this contract makes
+        the accumulator form's single-use nature explicit)."""
+        if self._n < 0:
+            raise ValueError("_LsbWriter.flush called twice")
         if self._n:
             self.out.append(self._acc & 0xFF)
             self._acc = 0
-            self._n = 0
+        self._n = -1
         return bytes(self.out)
 
 
