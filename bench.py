@@ -935,6 +935,17 @@ def main() -> None:
             n: round(t / cal_sec, 2) if cal_sec > 0 and t > 0 else None
             for n, t in ratio_basis.items()
         },
+        # per-query CALIBRATED seconds (r15 verdict #10): wall re-expressed
+        # on a host where the fixed calibration query takes CAL_REF_SEC,
+        # so cross-round review separates host drift from plan changes
+        # without hand math.  Isolated numbers used where they exist,
+        # like queries_ratio.
+        "queries_sec_calibrated": {
+            n: round(t * CAL_REF_SEC / cal_sec, 3)
+            if cal_sec > 0 and t > 0
+            else None
+            for n, t in ratio_basis.items()
+        },
         "sf": sf_val,
     }
     # Full payload goes to a SIDECAR file: the driver that records

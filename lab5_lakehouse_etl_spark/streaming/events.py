@@ -284,7 +284,7 @@ def run_to_memory(
     maxFilesPerTrigger=1 a multi-file input must produce one progress
     entry per file, so fewer means the source silently collapsed the
     replay and the query would be testing less than it claims."""
-    with _state_sized_shuffle(spark):
+    with _state_sized_shuffle(spark), _micro_batch_aqe_pinned(spark):
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -336,7 +336,7 @@ def stream_agg_to_table(
                 if attempt == 2:
                     raise
 
-    with _state_sized_shuffle(spark):
+    with _state_sized_shuffle(spark), _micro_batch_aqe_pinned(spark):
         q = (
             agg_df.writeStream.foreachBatch(upsert)
             .outputMode("update")
@@ -390,7 +390,7 @@ def stream_sessions_to_table(
                 if attempt == 2:
                     raise
 
-    with _state_sized_shuffle(spark):
+    with _state_sized_shuffle(spark), _micro_batch_aqe_pinned(spark):
         q = (
             session_df.writeStream.foreachBatch(overwrite)
             .outputMode("complete")
@@ -666,7 +666,7 @@ def stream_decontaminate_gate(
             .parquet(f"{out_path}/batch_{batch_id}")
         )
 
-    with _state_sized_shuffle(spark):
+    with _state_sized_shuffle(spark), _micro_batch_aqe_pinned(spark):
         q = (
             docs_stream.writeStream.foreachBatch(gate)
             .option("checkpointLocation", checkpoint_dir)
@@ -709,7 +709,7 @@ def stream_merge_to_table(
                 if attempt == 2:
                     raise
 
-    with _state_sized_shuffle(spark):
+    with _state_sized_shuffle(spark), _micro_batch_aqe_pinned(spark):
         q = (
             events.writeStream.foreachBatch(upsert)
             .option("checkpointLocation", checkpoint_dir)
@@ -758,7 +758,7 @@ def stream_warc_gate(
             .parquet(f"{out_path}/batch_{batch_id}")
         )
 
-    with _state_sized_shuffle(spark):
+    with _state_sized_shuffle(spark), _micro_batch_aqe_pinned(spark):
         q = (
             files_stream.writeStream.foreachBatch(gate)
             .option("checkpointLocation", checkpoint_dir)
